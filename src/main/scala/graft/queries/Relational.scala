@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import QueryDef.{dsum, dsumSql}
+
+/** Relational operator coverage (SURVEY.md §2.3–§2.6): projection, filter,
+  * cast, distinct/dedup, aggregation, joins (incl. the reference's MERGE
+  * upsert shapes J1–J3 re-expressed as Spark joins), windows, sort/limit,
+  * and set operations.
+  *
+  * Scale notes (100 TB design stance):
+  *   - dimension joins (`nation`, `region`, `customer` at small SF) are
+  *     explicitly `broadcast()` so the big fact side never shuffles;
+  *   - aggregations are partial-agg friendly (plain groupBy on column
+  *     expressions → Catalyst emits partial_sum/partial_count map-side);
+  *   - every filter is a pushable predicate on a scan column.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- P1/P2/P8: projection + pushed filter -----------------------------
+    QueryDef(
+      "q_project_filter",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit("1995-06-01").cast(TimestampType) &&
+            col("l_discount") > 0.05)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- P3/F1: cast projection (apply destination schema) ----------------
+    // floor() before int cast: Spark truncates double→int, DuckDB rounds —
+    // floor on both sides pins the semantics.
+    QueryDef(
+      "q_cast_schema",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast(LongType).as("linenum_long"),
+            floor(col("l_quantity")).cast(LongType).as("qty_int"),
+            col("l_shipdate").cast(DateType).as("ship_date"),
+            col("l_returnflag").cast(StringType).as("flag_str"))
+          .orderBy("l_orderkey", "linenum_long"),
+      Some("""SELECT l_orderkey,
+             |       CAST(l_linenumber AS BIGINT) AS linenum_long,
+             |       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+             |       CAST(l_shipdate AS DATE) AS ship_date,
+             |       CAST(l_returnflag AS VARCHAR) AS flag_str
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, linenum_long""".stripMargin)),
+
+    // ---- A4 parity: TPC-H Q1-shaped aggregation ---------------------------
+    QueryDef(
+      "q1_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |  COUNT(*) AS count_order,
+              |  MIN(l_quantity) AS min_qty,
+              |  MAX(l_extendedprice) AS max_price
+              |FROM lineitem
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- A1-A3 parity: global aggregates + count distinct -----------------
+    QueryDef(
+      "q_agg_global",
+      (s, d) =>
+        t(s, d, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          dsum(col("l_tax")).as("sum_tax")),
+      Some(s"""SELECT COUNT(*) AS n_rows,
+              |  COUNT(DISTINCT l_partkey) AS n_parts,
+              |  COUNT(DISTINCT l_suppkey) AS n_supps,
+              |  MIN(l_extendedprice) AS min_price,
+              |  MAX(l_extendedprice) AS max_price,
+              |  ${dsumSql("l_tax")} AS sum_tax
+              |FROM lineitem""".stripMargin)),
+
+    // ---- joins: fact-to-dim star join, dims broadcast ---------------------
+    QueryDef(
+      "q_join_star",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n_items
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- left semi join (EXISTS) ------------------------------------------
+    QueryDef(
+      "q_join_semi",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"))
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- left anti join (NOT EXISTS) — K5/J3 delete-phase shape -----------
+    QueryDef(
+      "q_join_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- §2.6 distinct ------------------------------------------------------
+    QueryDef(
+      "q_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- J1/J2 MERGE upsert re-expressed as full-outer join + resolve -----
+    // target  = customers of nations 0..11 ; source = customers of nations
+    // 8..24 with acctbal bumped. Matched → source wins; else carry over.
+    // This is exactly graft.operators.MergeUpsert's plan shape.
+    QueryDef(
+      "q_merge_upsert",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val target = cust.filter(col("c_nationkey") < 12)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val source = cust.filter(col("c_nationkey") >= 8)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"))
+        graft.operators.MergeUpsert(target, source, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+             |       COALESCE(s.c_name, t.c_name)       AS c_name,
+             |       COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+             |FROM      (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_nationkey < 12) t
+             |FULL JOIN (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+             |           FROM customer WHERE c_nationkey >= 8) s
+             |  ON t.c_custkey = s.c_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- §2.6 window functions --------------------------------------------
+    QueryDef(
+      "q_window_rank",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+             |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+             |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    // running sum over a totally-ordered frame (deterministic double adds)
+    QueryDef(
+      "q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .filter(col("l_suppkey") < 5)
+          .withColumn("running_qty", sum(col("l_quantity")).over(w))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
+             |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+             |FROM lineitem WHERE l_suppkey < 5
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- §2.6 sort + limit (top-k) ----------------------------------------
+    QueryDef(
+      "q_topk",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin)),
+
+    // ---- §2.6 set ops: union / intersect / except -------------------------
+    QueryDef(
+      "q_setops",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        val both = c.intersect(su).withColumn("tag", lit("both"))
+        val custOnly = c.except(su).withColumn("tag", lit("cust_only"))
+        both.unionByName(custOnly).orderBy("tag", "nk")
+      },
+      Some("""SELECT nk, tag FROM (
+             |  SELECT nk, 'both' AS tag FROM
+             |    (SELECT c_nationkey AS nk FROM customer
+             |     INTERSECT SELECT s_nationkey FROM supplier)
+             |  UNION ALL
+             |  SELECT nk, 'cust_only' AS tag FROM
+             |    (SELECT c_nationkey AS nk FROM customer
+             |     EXCEPT SELECT s_nationkey FROM supplier)) x
+             |ORDER BY tag, nk""".stripMargin)),
+
+    // ---- §2.5 rollup (grouping-set aggregation surface) -------------------
+    QueryDef(
+      "q_rollup",
+      (s, d) =>
+        t(s, d, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus ASC NULLS FIRST,
+              |         o_orderpriority ASC NULLS FIRST""".stripMargin))
+  )
+}
