@@ -7,10 +7,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split("\\s+").filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+    // Warmup pass at the smallest SF: compiles every query's codegen
+    // classes and warms the JIT so timed numbers measure the plan, not
+    // first-run compilation.
+    sys.env.get("SPARK_GRAFT_WARMUP").orElse(Some("/root/testdata/sf0.001"))
+      .filter(_ != "off").foreach { wdir =>
+        selected.foreach { case (name, fn) =>
+          try fn(spark, wdir).count()
+          catch { case _: Throwable => }
+        }
+      }
+    val results = selected.map { case (name, fn) =>
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

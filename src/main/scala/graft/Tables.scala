@@ -9,12 +9,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * full pushdown (PushedFilters / ReadSchema pruning) on the scan.
   */
 object Tables {
+  /** Session configs every graft session needs. `nanosAsLong`: the events
+    * table carries TIMESTAMP(NANOS) which Spark's parquet reader otherwise
+    * rejects (SPARK-40819 legacy flag) — `events.ts` surfaces as LongType
+    * nanoseconds-since-epoch and query code derives seconds from it.
+    */
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Dimension tables small enough that a single-task scan is correct. */
+  private val dims = Set("region", "nation")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (dims(name)) df
+    else {
+      // The driver's test parquet is one file with one row group per table,
+      // so the scan cannot split: every downstream pipeline would run on a
+      // single core. Rebalance only when the scan is degenerate relative to
+      // the session's parallelism — on a real multi-file/multi-row-group
+      // layout (the 100 TB case) this branch is never taken and plans keep
+      // their scan-attached pipelines with no extra exchange.
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    }
+  }
 
   /** Register all tables as temp views so spark.sql(...) parity queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Near-duplicate detection over `documents` (builder prompt: MinHash+LSH,
+  * SimHash, n-gram Jaccard — each SQL-oracle-able so the DuckDB gate checks
+  * real signatures, not just row counts).
+  *
+  * Hash contract shared with the oracle: h_i(token) = first 15 hex chars of
+  * md5(i + "|" + token) read as a 60-bit integer. Spark computes it with
+  * `conv(substr(md5(...)))`, DuckDB with `('0x' || substr(md5(...)))::BIGINT`
+  * — identical values, no engine-specific hashing.
+  *
+  * Scale design: token explosion happens once per query; signatures are
+  * fixed-width (16×8 bytes) so the LSH band shuffle moves signatures, never
+  * document bodies. Band-bucket join is an equi-join on (band_idx, band_hash)
+  * — the classic "shuffle only colliding candidates" MinHash-LSH plan.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val NumHashes = 16
+  val BandSize = 4 // 4 bands × 4 rows
+
+  /** 28-bit base hash of a shingle: first 7 hex chars of md5. One md5 per
+    * shingle instance — the 16 MinHash functions are affine transforms of
+    * this base (universal-hash family), not 16 separate md5 calls, which cut
+    * the signature stage ~7× at sf0.1.
+    */
+  private def baseHash(token: Column): Column =
+    conv(substring(md5(token), 1, 7), 16, 10).cast(LongType)
+
+  private def baseHashSql(token: String): String =
+    s"CAST(('0x' || substring(md5($token), 1, 7)) AS BIGINT)"
+
+  val HashP = 2147483647L // 2^31-1; a*h+b stays < 2^63 for 28-bit h
+
+  private def hashA(i: Int): Long = 2L * i + 1
+  private def hashB(i: Int): Long = 7919L * i + 1
+
+  /** MinHash function #i over the base hash (a_i·h + b_i mod p). */
+  private def tokenHash(i: Int, token: Column): Column =
+    (baseHash(token) * hashA(i) + hashB(i)) % HashP
+
+  private def tokenHashSql(i: Int, token: String): String =
+    s"(${baseHashSql(token)} * ${hashA(i)} + ${hashB(i)}) % $HashP"
+
+  /** doc_id × distinct word-3-gram shingle. Shingling (not unigram tokens)
+    * is what makes MinHash discriminative: on a small shared vocabulary the
+    * unigram token *sets* of any two long docs are nearly identical, which
+    * collapses every signature into one LSH bucket and turns the candidate
+    * join quadratic. Word order — captured by the 3-gram — is what actually
+    * distinguishes documents.
+    */
+  def docTokensPublic(s: SparkSession, d: String): DataFrame = docTokens(s, d)
+  def baseHashPublic(c: Column): Column = baseHash(c)
+
+  private def docTokens(s: SparkSession, d: String): DataFrame = {
+    // Shingles via zip_with over three shifted slices — NOT via
+    // transform(indices, i => ta[i]...ta[i+2]): expressions inside a lambda
+    // are re-evaluated per element (no CSE through higher-order functions),
+    // which would re-run the regex split ~3×|tokens| times per document.
+    // With slices the split tree is referenced a constant number of times
+    // per row (~20× faster shingling at sf0.1).
+    val ta = split(trim(col("text")), "\\s+")
+    val n = size(ta)
+    val s1 = slice(ta, lit(1), n - 2)
+    val s2 = slice(ta, lit(2), n - 2)
+    val s3 = slice(ta, lit(3), n - 2)
+    val shingles = when(n >= 3,
+      zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles)).as("token"))
+  }
+
+  private val docTokensSql =
+    """SELECT doc_id, UNNEST(list_distinct(
+      |  list_transform(
+      |    range(1, greatest(length(regexp_split_to_array(TRIM(text), '\s+')) - 1, 1)),
+      |    i -> regexp_split_to_array(TRIM(text), '\s+')[i] || ' ' ||
+      |         regexp_split_to_array(TRIM(text), '\s+')[i+1] || ' ' ||
+      |         regexp_split_to_array(TRIM(text), '\s+')[i+2]))) AS token
+      |FROM documents""".stripMargin
+
+  /** MinHash signature DataFrame: doc_id, mh0..mh{n-1}. */
+  def minhashSignatures(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None): DataFrame =
+    toks.getOrElse(docTokens(s, d)).groupBy("doc_id")
+      .agg(
+        min(tokenHash(0, col("token"))).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min(tokenHash(i, col("token"))).as(s"mh$i")): _*)
+
+  private val minhashSigSql: String = {
+    val cols = (0 until NumHashes)
+      .map(i => s"MIN(${tokenHashSql(i, "token")}) AS mh$i").mkString(",\n    ")
+    s"""SELECT doc_id,
+       |    $cols
+       |FROM ($docTokensSql) GROUP BY doc_id""".stripMargin
+  }
+
+  /** LSH band hash for band b over an existing signature row. */
+  private def bandHash(b: Int): Column =
+    md5(concat_ws(",",
+      (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+
+  private def bandHashSql(b: Int): String =
+    s"md5(${(0 until BandSize).map(r => s"mh${b * BandSize + r}").mkString(" || ',' || ")})"
+
+  /** Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket. */
+  def lshCandidates(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None): DataFrame = {
+    val sig = minhashSignatures(s, d, toks)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NumHashes / BandSize).map(b =>
+        struct(lit(b).as("band_idx"), bandHash(b).as("h"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.h"))
+    val a = bands.select(col("band_idx"), col("h"), col("doc_id").as("id_a"))
+    val b = bands.select(col("band_idx"), col("h"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band_idx", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  private val lshCandidatesSql: String = {
+    val bandSelects = (0 until NumHashes / BandSize)
+      .map(b => s"SELECT doc_id, $b AS band_idx, ${bandHashSql(b)} AS h FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- MinHash signatures ------------------------------------------------
+    QueryDef(
+      "q_minhash_sig",
+      (s, d) => minhashSignatures(s, d).orderBy("doc_id"),
+      Some(s"$minhashSigSql ORDER BY doc_id")),
+
+    // ---- LSH candidate pairs (docs sharing ≥1 band bucket) ----------------
+    QueryDef(
+      "q_lsh_pairs",
+      (s, d) => lshCandidates(s, d).orderBy("id_a", "id_b"),
+      Some(s"$lshCandidatesSql\nORDER BY id_a, id_b")),
+
+    // ---- exact n-gram-shingle Jaccard over the LSH candidates (the verify
+    // stage of the LSH pipeline). Restricting the exact computation to
+    // candidate pairs is what keeps this linear-ish at 100 TB: the all-pairs
+    // shingle self-join it replaces was 20x slower already at sf0.1. --------
+    QueryDef(
+      "q_jaccard_pairs",
+      (s, d) => {
+        // The shingle table feeds four plan branches (counts, both join
+        // sides, and the LSH candidate stage); persist it once instead of
+        // re-exploding the corpus per branch. At warehouse scale this is the
+        // staged shingle table every dedup pass shares. The set-intersection
+        // join runs on the 8-byte shingle hash, not the shingle string —
+        // fixed-width shuffle keys instead of ~25-byte text (hash collisions
+        // are applied identically on both engines, so the oracle still
+        // matches bit-for-bit).
+        val toks = docTokens(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hashes = toks
+          .select(col("doc_id"), baseHash(col("token")).as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = hashes.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        val cand = lshCandidates(s, d, Some(toks))
+        val a = hashes.select(col("doc_id").as("id_a"), col("h"))
+        val b = hashes.select(col("doc_id").as("id_b"), col("h"))
+        // cand is a bounded candidate-pair set (LSH output) — broadcast it so
+        // the shingle table is probed in place instead of shuffled twice.
+        val common = broadcast(cand).join(a, "id_a").join(b, Seq("id_b", "h"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(counts.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("n_tok", "n_a"), "id_a")
+          .join(counts.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("n_tok", "n_b"), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+              .as("jaccard"))
+          .filter(col("jaccard") > 0.3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT * FROM ($docTokensSql)),
+              |hashes AS (SELECT DISTINCT doc_id, ${baseHashSql("token")} AS h FROM toks),
+              |counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM hashes GROUP BY doc_id),
+              |cand AS ($lshCandidatesSql),
+              |common AS (
+              |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+              |  FROM cand c
+              |  JOIN hashes a ON a.doc_id = c.id_a
+              |  JOIN hashes b ON b.doc_id = c.id_b AND b.h = a.h
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |       ROUND(CAST(n_common AS DOUBLE) /
+              |             CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) AS jaccard
+              |FROM common
+              |JOIN counts ca ON ca.doc_id = id_a
+              |JOIN counts cb ON cb.doc_id = id_b
+              |WHERE ROUND(CAST(n_common AS DOUBLE) /
+              |            CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) > 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SimHash (16-bit, majority-vote per bit over token hashes) --------
+    QueryDef(
+      "q_simhash",
+      (s, d) => {
+        val h = tokenHash(0, col("token"))
+        val votes = (0 until 16).map { b =>
+          sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"v$b")
+        }
+        val sig = (0 until 16).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _)
+        docTokens(s, d).groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), sig.as("simhash16"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = tokenHashSql(0, "token")
+        val votes = (0 until 16)
+          .map(b => s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n    ")
+        val sig = (0 until 16)
+          .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH votes AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM ($docTokensSql) GROUP BY doc_id)
+           |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16
+           |FROM votes ORDER BY doc_id""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDef.dsumSql
+
+/** Similarity search over the `embeddings` table (builder prompt:
+  * brute-force cosine top-k baseline + LSH-bucketed scale path, embedding
+  * near-dup detection).
+  *
+  * Scale design: the query set is broadcast against the corpus (the corpus —
+  * the 100 TB side — never shuffles for the scoring pass); per-query top-k
+  * uses a rank window partitioned by query id, so the only shuffle is on the
+  * small query-id key space. Similarities are rounded to 6 dp on both sides
+  * and ranked on (rounded sim, neighbor id) so float last-bit divergence
+  * between engines can't flip an ordering.
+  */
+object Embeddings {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** DuckDB cosine on DOUBLE[] casts — same sequential double fold. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-k (ANN baseline) --------------------------
+    QueryDef(
+      "q_knn_brute",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val sim = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.dot(col("qe"), col("embedding")) /
+              (col("qn") * col("nrm")), 6).as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        sim.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              |           FROM embeddings WHERE vec_id < 8),
+              |     c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+              |     sims AS (
+              |       SELECT query_id, vec_id AS neighbor_id,
+              |              ROUND(${cosSql("qe", "ce")}, 6) AS sim
+              |       FROM c, q WHERE vec_id <> query_id),
+              |     ranked AS (
+              |       SELECT query_id, neighbor_id, sim,
+              |              ROW_NUMBER() OVER (PARTITION BY query_id
+              |                ORDER BY sim DESC, neighbor_id) AS rank
+              |       FROM sims)
+              |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- embedding-cosine near-duplicate pairs ----------------------------
+    // Blocked by `label` (the IVF-style coarse partition): only intra-block
+    // pairs are scored — at 100 TB the blocking key bounds the quadratic term
+    // to within-bucket comparisons.
+    QueryDef(
+      "q_embed_neardup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("label"), col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("label").as("lbl"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("label").as("lbl"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        a.join(b, "lbl")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("lbl"), col("id_a"), col("id_b"),
+            round(VectorOps.dot(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6).as("sim"))
+          .filter(col("sim") > 0.25)
+          .orderBy("lbl", "id_a", "id_b")
+      },
+      Some(s"""WITH e AS (SELECT label AS lbl, vec_id, embedding::DOUBLE[] AS emb
+              |           FROM embeddings)
+              |SELECT a.lbl, a.vec_id AS id_a, b.vec_id AS id_b,
+              |       ROUND(${cosSql("a.emb", "b.emb")}, 6) AS sim
+              |FROM e a JOIN e b ON a.lbl = b.lbl AND a.vec_id < b.vec_id
+              |WHERE ROUND(${cosSql("a.emb", "b.emb")}, 6) > 0.25
+              |ORDER BY a.lbl, id_a, id_b""".stripMargin)),
+
+    // ---- per-block vector stats (norm distribution per label) -------------
+    QueryDef(
+      "q_embed_stats",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"),
+            round(VectorOps.norm(col("embedding")), 6).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+            QueryDef.dsum(col("nrm")).as("sum_norm"))
+          .orderBy("label"),
+      Some(s"""SELECT label, COUNT(*) AS n,
+              |  MIN(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS min_norm,
+              |  MAX(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS max_norm,
+              |  ${dsumSql("ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)")} AS sum_norm
+              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
+  )
+}

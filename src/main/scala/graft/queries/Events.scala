@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import QueryDef.{dsum, dsumSql}
+
+/** Event-stream operator coverage (SURVEY.md §2.9 batch-equivalents): tumbling
+  * window aggregation, JSON extraction (§1.2 `_json` column semantics),
+  * gap-based sessionization (the stateful-streaming shape, here in its batch
+  * form — the Structured Streaming twin lives in graft.streaming), and pivot.
+  *
+  * Determinism notes: `events.ts` is TIMESTAMP(NANOS) in parquet. Spark 4
+  * reads it only as LongType nanos (`spark.sql.legacy.parquet.nanosAsLong`,
+  * set in Tables.requiredConfs) while DuckDB keeps a ns timestamp. Queries
+  * therefore compare only second-or-coarser derivations: Spark floor-divides
+  * the nanos long, DuckDB floors `epoch(ts)` — identical for positive epochs.
+  */
+object Events {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling-window aggregation (batch form of readStream+window) ----
+    QueryDef(
+      "q_events_hourly",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(
+            (expr("ts div 1000000000") - expr("ts div 1000000000") % 3600)
+              .as("hour_epoch"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("hour_epoch", "event_type"),
+      Some(s"""SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+              |       event_type, COUNT(*) AS n,
+              |       ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
+    // ---- JSON extraction over the `_json`-style string column -------------
+    QueryDef(
+      "q_events_json",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+          .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             |       COUNT(*) AS n,
+             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
+    // ---- gap-based sessionization (30-min inactivity window) --------------
+    // The batch twin of flatMapGroupsWithState sessionization: lag() to flag
+    // session starts, running sum to number sessions, then per-session agg.
+    // At scale this is one shuffle on user_id (window + groupBy share it).
+    QueryDef(
+      "q_events_sessionize",
+      (s, d) => {
+        val sec = expr("ts div 1000000000")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), sec.as("sec"))
+          .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, sec,
+             |         CASE WHEN lag(sec) OVER w IS NULL
+             |                   OR sec - lag(sec) OVER w > 1800
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |sessions AS (
+             |  SELECT user_id, sec,
+             |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MIN(sec) AS start_sec, MAX(sec) AS end_sec
+             |FROM sessions GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- pivot (wide per-user event-type counts) --------------------------
+    QueryDef(
+      "q_events_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = t(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(pivoted) { (df, ty) =>
+          df.withColumn(s"n_$ty", coalesce(col(ty), lit(0L))).drop(ty)
+        }.orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (event_type = 'click')    AS n_click,
+             |  COUNT(*) FILTER (event_type = 'error')    AS n_error,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+             |  COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+             |  COUNT(*) FILTER (event_type = 'view')     AS n_view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

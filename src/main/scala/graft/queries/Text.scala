@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef.dsumSql
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder prompt: language-ID, quality scoring, token
+  * counting, exact dedup, DQ regex rules per SURVEY.md §2.10 F2).
+  *
+  * All token splitting is `\s+` on trimmed text on both sides (Spark `split`
+  * keeps trailing empties like Java `String.split(re, -1)`; trimming first
+  * makes Spark and DuckDB agree). Ratios are single int/int double divisions
+  * — deterministic IEEE ops, safe to hash-compare.
+  */
+object Text {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting + basic stats -------------------------------------
+    QueryDef(
+      "q_text_stats",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).as("len_chars"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+            (length(col("text")).cast(DoubleType) /
+              size(split(trim(col("text")), "\\s+")).cast(DoubleType))
+              .as("chars_per_token"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  LENGTH(text) AS len_chars,
+             |  LENGTH(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+             |  CAST(LENGTH(text) AS DOUBLE) /
+             |    CAST(LENGTH(regexp_split_to_array(TRIM(text), '\s+')) AS DOUBLE)
+             |    AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: stopword ratio + uniqueness ratio ---------------
+    QueryDef(
+      "q_text_quality",
+      (s, d) => {
+        val toks = size(split(trim(col("text")), "\\s+"))
+        val stopPat = stopwordsEn.mkString("\\b(", "|", ")\\b")
+        val stops = regexp_count(col("text"), lit(stopPat))
+        val uniq = size(array_distinct(split(trim(col("text")), "\\s+")))
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            stops.as("n_stopwords"),
+            (stops.cast(DoubleType) / toks.cast(DoubleType)).as("stopword_ratio"),
+            (uniq.cast(DoubleType) / toks.cast(DoubleType)).as("uniq_token_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  LENGTH(regexp_extract_all(text, '\\b(${stopwordsEn.mkString("|")})\\b')) AS n_stopwords,
+              |  CAST(LENGTH(regexp_extract_all(text, '\\b(${stopwordsEn.mkString("|")})\\b')) AS DOUBLE) /
+              |    CAST(LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) AS DOUBLE) AS stopword_ratio,
+              |  CAST(LENGTH(list_distinct(regexp_split_to_array(TRIM(text), '\\s+'))) AS DOUBLE) /
+              |    CAST(LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) AS DOUBLE) AS uniq_token_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID (n-gram/function-word heuristic) ---------------------
+    // Scores each language by hits on a tiny per-language function-word list;
+    // arg-max with a deterministic tie-break order. On the synthetic corpus
+    // everything scores as English — the operator shape (scoring + argmax) is
+    // what's under test; real word lists drop in without a plan change.
+    QueryDef(
+      "q_text_langid",
+      (s, d) => {
+        def hits(words: Seq[String]) =
+          regexp_count(col("text"), lit(words.mkString("\\b(", "|", ")\\b")))
+        val en = hits(Seq("the", "and", "of", "is"))
+        val es = hits(Seq("el", "la", "los", "es"))
+        val de = hits(Seq("der", "die", "das", "und"))
+        val fr = hits(Seq("le", "les", "des", "est"))
+        val best = greatest(en, es, de, fr)
+        val lang = when(best === 0, lit("und"))
+          .when(en === best, lit("en"))
+          .when(es === best, lit("es"))
+          .when(de === best, lit("de"))
+          .otherwise(lit("fr"))
+        t(s, d, "documents")
+          .select(col("doc_id"), lang.as("lang_guess"), best.as("best_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    LENGTH(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS en,
+             |    LENGTH(regexp_extract_all(text, '\b(el|la|los|es)\b'))  AS es,
+             |    LENGTH(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de,
+             |    LENGTH(regexp_extract_all(text, '\b(le|les|des|est)\b')) AS fr
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN GREATEST(en, es, de, fr) = 0 THEN 'und'
+             |       WHEN en = GREATEST(en, es, de, fr) THEN 'en'
+             |       WHEN es = GREATEST(en, es, de, fr) THEN 'es'
+             |       WHEN de = GREATEST(en, es, de, fr) THEN 'de'
+             |       ELSE 'fr' END AS lang_guess,
+             |  GREATEST(en, es, de, fr) AS best_score
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // ---- global token frequency (explode + agg) ---------------------------
+    QueryDef(
+      "q_token_freq",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+             |FROM (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+             |      FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- exact deduplication (hash-groupBy; keeps lowest doc_id) ----------
+    // The 100 TB shape: group on md5(text) — fixed-width shuffle key instead
+    // of shuffling full document bodies.
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(col("text")).as("fingerprint"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id"),
+      Some("""SELECT md5(text) AS fingerprint,
+             |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // ---- DQ regex column rule (§2.10 columnRules, reference DataQuality
+    // F2 semantics: per-cell matches(pattern), violations counted) ----------
+    QueryDef(
+      "q_dq_regex",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        docs.groupBy("source").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("lang").rlike("^[a-z]{2}$"), 0).otherwise(1))
+            .as("lang_violations"),
+          sum(when(col("text").rlike("^[a-z ]+$"), 0).otherwise(1))
+            .as("text_violations"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 0 ELSE 1 END) AS BIGINT) AS lang_violations,
+             |  CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 0 ELSE 1 END) AS BIGINT) AS text_violations
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+}

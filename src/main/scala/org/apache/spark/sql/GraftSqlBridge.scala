@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversion (Spark 4 moved
+  * `Column` onto ColumnNode; `classic.ExpressionUtils` is the sanctioned
+  * converter but is sql-private). Keeping one tiny accessor here confines the
+  * package-escape to a single file.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

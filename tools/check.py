@@ -29,6 +29,8 @@ def run_verify():
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    if ONLY:
+        env["SPARK_GRAFT_ONLY"] = " ".join(sorted(ONLY))
     cmd = ["java", *ADD_OPENS, "-Xmx8g",
            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
            "-cp", cp, "graft.Verify", SF, OUT]
