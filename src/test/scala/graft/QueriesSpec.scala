@@ -1,0 +1,28 @@
+package graft
+
+/** Every SparkEntry query must run on sf0.001 and return rows. The DuckDB
+  * value-level gate lives driver-side (tools/check.py replica); this spec is
+  * the fast in-repo regression net: plans build, execute, and are non-empty.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Non-SQL-expressible ops get the driver's weaker rows-only check; keep
+    // this list explicit so a missing oracle is a decision, not an accident.
+    val allowed = Set("q_multimodal_features", "q_knn_ivf")
+    assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0)
+    }
+  }
+}

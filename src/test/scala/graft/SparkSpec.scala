@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local SparkSession for all suites (one JVM, one session — suite
+  * startup cost is paid once). Config mirrors Verify/Bench so specs exercise
+  * the same session the driver's gates use.
+  */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite with Matchers {
+  def spark: SparkSession = SparkSpec.spark
+  def sfDir: String = SparkSpec.sfDir
+  /** Fresh scratch dir under target/ for suites that write files. */
+  def scratchDir(tag: String): java.io.File = {
+    val d = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), s"graft-$tag-")
+      .toFile
+    d.deleteOnExit()
+    d
+  }
+}
