@@ -114,14 +114,29 @@ object Dedup {
   private def bandHashSql(b: Int): String =
     s"md5(${(0 until BandSize).map(r => s"mh${b * BandSize + r}").mkString(" || ',' || ")})"
 
-  /** Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket. */
+  /** Hot-bucket cap: an LSH bucket larger than this is a degenerate bucket
+    * (e.g. millions of docs sharing one boilerplate header) whose intra-bucket
+    * pair count is quadratic — skip it entirely. Real near-dup clusters are
+    * orders of magnitude smaller; the pairs a skipped mega-bucket would have
+    * contributed are recovered by the other bands with high probability.
+    */
+  val MaxBucketSize = 64
+
+  /** Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket
+    * (buckets above [[MaxBucketSize]] are dropped before the self-join).
+    */
   def lshCandidates(s: SparkSession, d: String,
       toks: Option[DataFrame] = None): DataFrame = {
     val sig = minhashSignatures(s, d, toks)
-    val bands = sig.select(col("doc_id"),
+    val allBands = sig.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map(b =>
         struct(lit(b).as("band_idx"), bandHash(b).as("h"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.h"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "h")
+    val bands = allBands
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= MaxBucketSize)
+      .drop("bsz")
     val a = bands.select(col("band_idx"), col("h"), col("doc_id").as("id_a"))
     val b = bands.select(col("band_idx"), col("h"), col("doc_id").as("id_b"))
     a.join(b, Seq("band_idx", "h"))
@@ -134,8 +149,14 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band_idx, ${bandHashSql(b)} AS h FROM sig")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH sig AS ($minhashSigSql),
+       |all_bands AS (
+       |  $bandSelects),
        |bands AS (
-       |  $bandSelects)
+       |  SELECT doc_id, band_idx, h FROM (
+       |    SELECT doc_id, band_idx, h,
+       |           COUNT(*) OVER (PARTITION BY band_idx, h) AS bsz
+       |    FROM all_bands) x
+       |  WHERE bsz <= $MaxBucketSize)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
@@ -180,9 +201,10 @@ object Dedup {
         val cand = lshCandidates(s, d, Some(toks))
         val a = hashes.select(col("doc_id").as("id_a"), col("h"))
         val b = hashes.select(col("doc_id").as("id_b"), col("h"))
-        // cand is a bounded candidate-pair set (LSH output) — broadcast it so
-        // the shingle table is probed in place instead of shuffled twice.
-        val common = broadcast(cand).join(a, "id_a").join(b, Seq("id_b", "h"))
+        // cand grows with corpus size (super-linearly under skew) — no
+        // broadcast hint; the shuffle join on id keys is the scale-safe plan
+        // and AQE may still pick broadcast when cand is genuinely small.
+        val common = cand.join(a, "id_a").join(b, Seq("id_b", "h"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
         common
           .join(counts.withColumnRenamed("doc_id", "id_a")

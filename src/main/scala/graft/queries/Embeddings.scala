@@ -26,6 +26,35 @@ object Embeddings {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Random-hyperplane LSH for cosine blocking: K deterministic ±1.0
+    * hyperplanes (md5-parity components, engine-neutral), bucket id =
+    * sign-bit pattern of the K projections. Products with ±1.0 are exact
+    * sign flips, so the sequential double fold is bit-identical across
+    * engines; projections are rounded to 6 dp before the sign test so a
+    * last-bit disagreement at ~0 can't flip a bucket.
+    */
+  val HyperPlanes = 6
+  val EmbedDim = 64
+
+  private[queries] def hyperplane(k: Int): Seq[Double] = (0 until EmbedDim).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if ((md.digest(s"hp:$k:$i".getBytes("UTF-8"))(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Spark side: bucket id from sign bits of the K projections. */
+  private def hpBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until HyperPlanes).map { k =>
+      when(round(VectorOps.dot(emb, typedLit(hyperplane(k))), 6) >= 0, lit(1L << k))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[hpBucket]] over a DOUBLE[] expression. */
+  private def hpBucketSql(emb: String): String =
+    (0 until HyperPlanes).map { k =>
+      val hp = hyperplane(k).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CASE WHEN ROUND(list_dot_product($emb, CAST($hp AS DOUBLE[])), 6) >= 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (ANN baseline) --------------------------
@@ -65,34 +94,39 @@ object Embeddings {
               |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // ---- embedding-cosine near-duplicate pairs ----------------------------
-    // Blocked by `label` (the IVF-style coarse partition): only intra-block
-    // pairs are scored — at 100 TB the blocking key bounds the quadratic term
-    // to within-bucket comparisons.
+    // Blocked by random-hyperplane LSH bucket (2^K buckets): only intra-bucket
+    // pairs are scored. The bucket count grows with K, not with the data, and
+    // per-bucket population shrinks geometrically with K — the quadratic term
+    // is bounded per bucket, unlike coarse label-blocking (10 blocks → N²/10).
+    // Cosine-similar vectors agree on most hyperplane signs, so true near-dups
+    // land in the same bucket with high probability.
     QueryDef(
       "q_embed_neardup",
       (s, d) => {
         val e = t(s, d, "embeddings")
-          .select(col("label"), col("vec_id"), col("embedding"),
+          .select(hpBucket(col("embedding")).as("bucket"),
+            col("vec_id"), col("embedding"),
             VectorOps.norm(col("embedding")).as("nrm"))
-        val a = e.select(col("label").as("lbl"), col("vec_id").as("id_a"),
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"),
           col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("label").as("lbl"), col("vec_id").as("id_b"),
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"),
           col("embedding").as("eb"), col("nrm").as("nb"))
-        a.join(b, "lbl")
+        a.join(b, "bucket")
           .filter(col("id_a") < col("id_b"))
-          .select(col("lbl"), col("id_a"), col("id_b"),
+          .select(col("bucket"), col("id_a"), col("id_b"),
             round(VectorOps.dot(col("ea"), col("eb")) /
               (col("na") * col("nb")), 6).as("sim"))
           .filter(col("sim") > 0.25)
-          .orderBy("lbl", "id_a", "id_b")
+          .orderBy("bucket", "id_a", "id_b")
       },
-      Some(s"""WITH e AS (SELECT label AS lbl, vec_id, embedding::DOUBLE[] AS emb
+      Some(s"""WITH e AS (SELECT ${hpBucketSql("embedding::DOUBLE[]")} AS bucket,
+              |                  vec_id, embedding::DOUBLE[] AS emb
               |           FROM embeddings)
-              |SELECT a.lbl, a.vec_id AS id_a, b.vec_id AS id_b,
+              |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
               |       ROUND(${cosSql("a.emb", "b.emb")}, 6) AS sim
-              |FROM e a JOIN e b ON a.lbl = b.lbl AND a.vec_id < b.vec_id
+              |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |WHERE ROUND(${cosSql("a.emb", "b.emb")}, 6) > 0.25
-              |ORDER BY a.lbl, id_a, id_b""".stripMargin)),
+              |ORDER BY a.bucket, id_a, id_b""".stripMargin)),
 
     // ---- per-block vector stats (norm distribution per label) -------------
     QueryDef(

@@ -13,8 +13,9 @@ import QueryDef.{dsum, dsumSql}
   * and set operations.
   *
   * Scale notes (100 TB design stance):
-  *   - dimension joins (`nation`, `region`, `customer` at small SF) are
-  *     explicitly `broadcast()` so the big fact side never shuffles;
+  *   - only truly fixed-size dims (`nation`, `region`) carry an explicit
+  *     `broadcast()` hint; tables that scale with the data (`customer`,
+  *     `orders`) are left to AQE so no hint turns into a driver OOM at 100×;
   *   - aggregations are partial-agg friendly (plain groupBy on column
   *     expressions → Catalyst emits partial_sum/partial_count map-side);
   *   - every filter is a pushable predicate on a scan column.
@@ -115,8 +116,11 @@ object Relational {
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         val n = t(s, d, "nation")
+        // `customer` scales with the fact data — never hard-broadcast it;
+        // AQE/autoBroadcastJoinThreshold decides at runtime. Only the truly
+        // fixed dims (nation: 25 rows at any SF) get the hint.
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
@@ -215,7 +219,8 @@ object Relational {
         val c = t(s, d, "customer")
         val w = Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // customer scales with data — leave join strategy to AQE.
+        o.join(c, o("o_custkey") === c("c_custkey"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")

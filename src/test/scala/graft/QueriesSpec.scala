@@ -14,8 +14,12 @@ class QueriesSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops get the driver's weaker rows-only check; keep
     // this list explicit so a missing oracle is a decision, not an accident.
-    val allowed = Set("q_multimodal_features", "q_knn_ivf")
+    val allowed = Set.empty[String]
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
+    // ...and the allowlist itself must not go stale: every allowed name must
+    // be a real query, so a rename/removal fails loudly here.
+    assert(allowed.subsetOf(SparkEntry.queries.keySet),
+      s"stale allowlist entries: ${allowed -- SparkEntry.queries.keySet}")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

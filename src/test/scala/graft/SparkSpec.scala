@@ -21,17 +21,25 @@ object SparkSpec {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(): Unit
+  }
 }
 
 trait SparkSpec extends AnyFunSuite with Matchers {
   def spark: SparkSession = SparkSpec.spark
   def sfDir: String = SparkSpec.sfDir
-  /** Fresh scratch dir under target/ for suites that write files. */
+  /** Fresh scratch dir under target/ for suites that write files; the whole
+    * tree is removed recursively on JVM exit (deleteOnExit can't delete
+    * non-empty directories).
+    */
   def scratchDir(tag: String): java.io.File = {
     val d = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), s"graft-$tag-")
       .toFile
-    d.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => SparkSpec.deleteTree(d)))
     d
   }
 }
