@@ -1,0 +1,201 @@
+package graft.model
+
+/** The engine's public API: a per-dataset JSON document declaring source →
+  * data-quality → transformation → destination, compiled by
+  * [[graft.runtime.Pipeline]] into a DataFrame pipeline.
+  *
+  * Capability mirror of the reference's `DatasetConfig`
+  * (common/.../model/DatasetConfig.scala:21-168), re-expressed as idiomatic
+  * Scala: `Option` instead of nulls, `Seq`/`Map` instead of java.util
+  * collections, local paths instead of S3 URLs, the Spark session catalog
+  * instead of Glue, and a generic JDBC sink instead of the three warehouse
+  * loaders. AWS-orchestration fields with no local meaning
+  * (destinationBucketOverride, useAthena, useSparkCluster, secrets names)
+  * intentionally have no counterpart — the whole engine IS Spark.
+  */
+final case class PipelineSpec(
+    name: String,
+    source: SourceSpec,
+    dataQuality: Option[DataQualitySpec] = None,
+    transformation: Option[TransformSpec] = None,
+    destination: DestinationSpec) {
+
+  /** Reference `DatasetValidatorUtil.modify()` (:326-355) equivalent:
+    * lowercase every identifier, force the single `_json`/`_xml` column for
+    * semi-structured sources, default the destination schema to the source
+    * schema. Returns the normalized spec; call [[validated]] after.
+    */
+  def normalized: PipelineSpec = {
+    val src0 = source.copy(schema = source.schema.map(_.normalized))
+    // Semi-structured data is exactly one string column named _json/_xml
+    // (reference DatasetValidatorUtil.scala:294-323).
+    val src = src0.file match {
+      case Some(f) if f.json.isDefined =>
+        src0.copy(schema = Seq(FieldSpec("_json", "string")))
+      case Some(f) if f.xml.isDefined =>
+        src0.copy(schema = Seq(FieldSpec("_xml", "string")))
+      case _ => src0
+    }
+    val destSchema0 =
+      if (destination.schema.nonEmpty) destination.schema.map(_.normalized)
+      else src.schema
+    copy(
+      name = name.toLowerCase,
+      source = src,
+      destination = destination.copy(schema = destSchema0,
+        objectStore = destination.objectStore.map(o =>
+          o.copy(table = o.table.toLowerCase,
+            database = o.database.toLowerCase,
+            partitionBy = o.partitionBy.map(_.toLowerCase),
+            keyFields = o.keyFields.map(_.toLowerCase)))))
+  }
+
+  /** Structural validation (reference DatasetValidatorUtil.scala:28-289
+    * semantics): every declared type must map to a Spark type; partition and
+    * key columns must exist in the destination schema; semi-structured
+    * schemas must be the single `_json`/`_xml` column.
+    */
+  def validated: PipelineSpec = {
+    def fail(msg: String) = throw new PipelineSpecException(s"dataset '$name': $msg")
+    (source.schema ++ destination.schema).foreach { f =>
+      if (!SchemaMapper.isSupported(f.`type`))
+        fail(s"unsupported field type '${f.`type`}' for field '${f.name}'")
+    }
+    val dup = source.schema.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    if (dup.nonEmpty) fail(s"duplicate source field(s): ${dup.mkString(", ")}")
+    val destNames = destination.schema.map(_.name).toSet
+    destination.objectStore.foreach { o =>
+      o.partitionBy.filterNot(destNames).foreach(c =>
+        fail(s"partitionBy column '$c' not in destination schema"))
+      o.keyFields.filterNot(destNames).foreach(c =>
+        fail(s"keyFields column '$c' not in destination schema"))
+    }
+    source.file.foreach { f =>
+      if (f.json.isDefined || f.xml.isDefined) {
+        val expect = if (f.json.isDefined) "_json" else "_xml"
+        if (source.schema.map(_.name) != Seq(expect))
+          fail(s"semi-structured source schema must be the single column '$expect'")
+      }
+    }
+    this
+  }
+}
+
+final class PipelineSpecException(msg: String) extends RuntimeException(msg)
+
+final case class FieldSpec(name: String, `type`: String) {
+  def normalized: FieldSpec =
+    FieldSpec(name.trim.toLowerCase, `type`.trim.toLowerCase)
+}
+
+final case class SourceSpec(
+    schema: Seq[FieldSpec] = Nil,
+    file: Option[FileSpec] = None,
+    database: Option[JdbcSourceSpec] = None)
+
+/** File-source attributes (reference FileAttributes). Exactly one of the
+  * format specs should be set; `sparkReadOptions` is the user-passthrough
+  * option map applied last (reference DatasetConfig.scala:85).
+  */
+final case class FileSpec(
+    csv: Option[CsvSpec] = None,
+    json: Option[SemiStructuredSpec] = None,
+    xml: Option[SemiStructuredSpec] = None,
+    xlsx: Option[XlsxSpec] = None,
+    unstructured: Option[UnstructuredSpec] = None,
+    sparkReadOptions: Map[String, String] = Map.empty)
+
+final case class CsvSpec(
+    delimiter: String = ",",
+    header: Boolean = true,
+    encoding: String = "UTF-8")
+
+/** `everyRowContainsObject=true` → one JSON/XML object per line (N rows);
+  * false → whole file is one object (1 row). Reference JsonXmlReader.scala:33-60.
+  */
+final case class SemiStructuredSpec(
+    everyRowContainsObject: Boolean = false,
+    encoding: String = "UTF-8")
+
+final case class XlsxSpec(worksheet: Int = 0)
+
+final case class UnstructuredSpec(
+    fileExtension: String,
+    preserveFilename: Boolean = false)
+
+/** JDBC incremental-pull source (reference DatabaseAttributes +
+  * DataPuller.scala:36-235): watermarked SELECT on a timestamp column,
+  * scheduled by cron expression, with optional full SQL override.
+  */
+final case class JdbcSourceSpec(
+    url: String,
+    driver: Option[String] = None,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    cronExpression: Option[String] = None,
+    table: String = "",
+    includeFields: Seq[String] = Nil,
+    timestampFieldName: String = "",
+    sqlOverride: Option[String] = None)
+
+final case class DataQualitySpec(
+    validateFileHeader: Boolean = false,
+    validationSchema: Option[String] = None,
+    rowRules: Seq[RowRuleSpec] = Nil,
+    columnRules: Seq[ColumnRuleSpec] = Nil)
+
+/** `function` is the rule engine name — "script" (or the reference's
+  * "javascript") is the only engine; parameter 0 is the script path.
+  */
+final case class RowRuleSpec(
+    function: String,
+    parameters: Seq[String] = Nil,
+    onFailureIsError: Boolean = false)
+
+final case class ColumnRuleSpec(
+    columnName: String,
+    function: String,
+    parameter: String,
+    onFailureIsError: Boolean = false,
+    description: String = "")
+
+final case class TransformSpec(
+    trimColumnWhitespace: Boolean = false,
+    deduplicate: Boolean = false,
+    rowFunctions: Seq[RowFunctionSpec] = Nil)
+
+final case class RowFunctionSpec(function: String, parameters: Seq[String] = Nil)
+
+final case class DestinationSpec(
+    schema: Seq[FieldSpec] = Nil,
+    objectStore: Option[ObjectStoreSpec] = None,
+    database: Option[JdbcSinkSpec] = None)
+
+/** Data-lake sink: partitioned parquet under `path`, registered in the
+  * session catalog as `database.table`. `keyFields` non-empty → MERGE upsert
+  * on those keys instead of append/overwrite (reference ObjectStore +
+  * IcebergUtil MERGE semantics).
+  */
+final case class ObjectStoreSpec(
+    path: String,
+    database: String = "graft",
+    table: String,
+    partitionBy: Seq[String] = Nil,
+    fileFormat: String = "parquet",
+    writeMode: String = "append", // append | overwrite
+    deleteBeforeWrite: Boolean = false,
+    keyFields: Seq[String] = Nil)
+
+/** Warehouse-shaped JDBC sink (reference Snowflake/Redshift/Postgres loaders
+  * collapsed to one Spark JDBC writer): create-table-if-absent from the
+  * destination schema, optional truncate, append copy, or delete+insert
+  * merge on `keyFields` in a transaction.
+  */
+final case class JdbcSinkSpec(
+    url: String,
+    driver: Option[String] = None,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    table: String,
+    keyFields: Seq[String] = Nil,
+    truncateBeforeWrite: Boolean = false)

@@ -1,0 +1,488 @@
+package graft.script
+
+import scala.collection.mutable
+
+/** Interpreter for the JavaScript subset used by pipeline row scripts.
+  *
+  * The reference executes user scripts on Nashorn
+  * (`ScriptEngineManager.getEngineByName("JavaScript")`,
+  * Transformation.scala:129-148, DataQuality.scala:182-188). Nashorn is gone
+  * from JDK 15+, and this environment is offline (no GraalJS jar), so the
+  * engine ships its own interpreter for the script dialect those row
+  * functions actually use:
+  *
+  *   - `var` declarations, assignment, `if`/`else`, blocks, comments
+  *   - numbers (all double, JS-style), strings, booleans, `null`
+  *   - `+ - * / %`, string concatenation, `== != === !== < <= > >=`, `&& || !`
+  *   - `Java.type('java.util.HashMap')` + `new HashMap()` + `map.put(k, v)`
+  *   - `new Date(str)` / `date.getFullYear()` etc., `String(x)`, `Number(x)`
+  *   - completion-value semantics: the script's result is the value of the
+  *     last evaluated expression statement (how Nashorn `eval` returns)
+  *
+  * The AST is immutable case classes, so a parsed [[Script]] is Serializable
+  * and ships to executors once; evaluation allocates only a per-row
+  * environment map. That is the engine-per-partition design SURVEY §2.8
+  * calls for — vs the reference's engine-per-ROW, its largest inefficiency.
+  */
+object JsInterp {
+
+  // ---------------------------------------------------------------- AST ----
+  sealed trait Stmt extends Serializable
+  final case class VarDecl(name: String, init: Option[Expr]) extends Stmt
+  final case class ExprStmt(e: Expr) extends Stmt
+  final case class If(cond: Expr, thenS: Stmt, elseS: Option[Stmt]) extends Stmt
+  final case class Block(stmts: List[Stmt]) extends Stmt
+
+  sealed trait Expr extends Serializable
+  final case class Num(v: Double) extends Expr
+  final case class Str(v: String) extends Expr
+  final case class Bool(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class Ident(name: String) extends Expr
+  final case class Assign(target: String, e: Expr) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class Un(op: String, e: Expr) extends Expr
+  final case class Member(obj: Expr, name: String) extends Expr
+  final case class Call(callee: Expr, args: List[Expr]) extends Expr
+  final case class New(callee: Expr, args: List[Expr]) extends Expr
+
+  final case class Script(stmts: List[Stmt]) extends Serializable {
+    /** Evaluate with the given variable bindings; returns the completion
+      * value (null / String / Double / Boolean / java.util.HashMap / ...).
+      */
+    def eval(bindings: Map[String, Any]): Any = JsInterp.run(this, bindings)
+  }
+
+  final class JsError(msg: String) extends RuntimeException(msg)
+
+  // -------------------------------------------------------------- lexer ----
+  private final case class Tok(kind: String, text: String, pos: Int)
+
+  private val keywords = Set("var", "new", "if", "else", "null", "true", "false")
+  private val twoChar = Set("==", "!=", "<=", ">=", "&&", "||")
+  private val threeChar = Set("===", "!==")
+
+  private def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && src(i + 1) == '/') {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(src(i) == '*' && src(i + 1) == '/')) i += 1
+        i += 2
+      } else if (c.isDigit || (c == '.' && i + 1 < n && src(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
+        out += Tok("num", src.substring(start, i), start)
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        val start = i
+        i += 1
+        while (i < n && src(i) != quote) {
+          if (src(i) == '\\' && i + 1 < n) {
+            i += 1
+            sb.append(src(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+          } else sb.append(src(i))
+          i += 1
+        }
+        if (i >= n) throw new JsError(s"unterminated string at $start")
+        i += 1
+        out += Tok("str", sb.toString, start)
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val start = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_' || src(i) == '$')) i += 1
+        val w = src.substring(start, i)
+        out += Tok(if (keywords(w)) w else "ident", w, start)
+      } else if (i + 2 < n && threeChar(src.substring(i, i + 3))) {
+        out += Tok("op", src.substring(i, i + 3), i); i += 3
+      } else if (i + 1 < n && twoChar(src.substring(i, i + 2))) {
+        out += Tok("op", src.substring(i, i + 2), i); i += 2
+      } else if ("+-*/%<>=!(){}[],;.".indexOf(c) >= 0) {
+        out += Tok("op", c.toString, i); i += 1
+      } else throw new JsError(s"unexpected character '$c' at $i")
+    }
+    out += Tok("eof", "", n)
+    out.result()
+  }
+
+  // ------------------------------------------------------------- parser ----
+  def parse(src: String): Script = new Parser(lex(src)).parseProgram()
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var p = 0
+    private def peek: Tok = toks(p)
+    private def at(kind: String, text: String = null): Boolean =
+      peek.kind == kind && (text == null || peek.text == text)
+    private def eat(): Tok = { val t = toks(p); p += 1; t }
+    private def expect(kind: String, text: String = null): Tok = {
+      if (!at(kind, text))
+        throw new JsError(s"expected ${Option(text).getOrElse(kind)} " +
+          s"but found '${peek.text}' at ${peek.pos}")
+      eat()
+    }
+
+    def parseProgram(): Script = {
+      val stmts = List.newBuilder[Stmt]
+      while (!at("eof")) stmts += parseStmt()
+      Script(stmts.result())
+    }
+
+    private def parseStmt(): Stmt = {
+      val s =
+        if (at("var")) { eat()
+          val name = expect("ident").text
+          val init = if (at("op", "=")) { eat(); Some(parseExpr()) } else None
+          VarDecl(name, init)
+        } else if (at("if")) parseIf()
+        else if (at("op", "{")) parseBlock()
+        else ExprStmt(parseExpr())
+      while (at("op", ";")) eat()
+      s
+    }
+
+    private def parseIf(): Stmt = {
+      expect("if"); expect("op", "(")
+      val cond = parseExpr()
+      expect("op", ")")
+      val thenS = parseStmt()
+      val elseS = if (at("else")) { eat(); Some(parseStmt()) } else None
+      If(cond, thenS, elseS)
+    }
+
+    private def parseBlock(): Block = {
+      expect("op", "{")
+      val stmts = List.newBuilder[Stmt]
+      while (!at("op", "}")) stmts += parseStmt()
+      expect("op", "}")
+      Block(stmts.result())
+    }
+
+    // assignment (lowest, right-assoc) → || → && → equality → relational
+    // → additive → multiplicative → unary → postfix → primary
+    private def parseExpr(): Expr = parseAssign()
+
+    private def parseAssign(): Expr = {
+      val l = parseOr()
+      if (at("op", "=")) l match {
+        case Ident(n) => eat(); Assign(n, parseAssign())
+        case _ => throw new JsError(s"invalid assignment target at ${peek.pos}")
+      } else l
+    }
+
+    private def binL(next: () => Expr, ops: Set[String]): Expr = {
+      var l = next()
+      while (at("op") && ops(peek.text)) {
+        val op = eat().text
+        l = Bin(op, l, next())
+      }
+      l
+    }
+
+    private def parseOr(): Expr = binL(() => parseAnd(), Set("||"))
+    private def parseAnd(): Expr = binL(() => parseEq(), Set("&&"))
+    private def parseEq(): Expr = binL(() => parseRel(), Set("==", "!=", "===", "!=="))
+    private def parseRel(): Expr = binL(() => parseAdd(), Set("<", "<=", ">", ">="))
+    private def parseAdd(): Expr = binL(() => parseMul(), Set("+", "-"))
+    private def parseMul(): Expr = binL(() => parseUnary(), Set("*", "/", "%"))
+
+    private def parseUnary(): Expr =
+      if (at("op", "!")) { eat(); Un("!", parseUnary()) }
+      else if (at("op", "-")) { eat(); Un("-", parseUnary()) }
+      else if (at("op", "+")) { eat(); Un("+", parseUnary()) }
+      else if (at("new")) { eat()
+        val callee = parsePostfix(parsePrimary(), callsAllowed = false)
+        val args = if (at("op", "(")) parseArgs() else Nil
+        // member/call chains continue after the constructor:
+        // new Date(ts).getFullYear()
+        parsePostfix(New(callee, args), callsAllowed = true)
+      }
+      else parsePostfix(parsePrimary(), callsAllowed = true)
+
+    private def parsePostfix(base: Expr, callsAllowed: Boolean): Expr = {
+      var e = base
+      var done = false
+      while (!done) {
+        if (at("op", ".")) { eat(); e = Member(e, expect("ident").text) }
+        else if (callsAllowed && at("op", "(")) e = Call(e, parseArgs())
+        else done = true
+      }
+      e
+    }
+
+    private def parseArgs(): List[Expr] = {
+      expect("op", "(")
+      val args = List.newBuilder[Expr]
+      if (!at("op", ")")) {
+        args += parseExpr()
+        while (at("op", ",")) { eat(); args += parseExpr() }
+      }
+      expect("op", ")")
+      args.result()
+    }
+
+    private def parsePrimary(): Expr = {
+      if (at("num")) Num(eat().text.toDouble)
+      else if (at("str")) Str(eat().text)
+      else if (at("true")) { eat(); Bool(true) }
+      else if (at("false")) { eat(); Bool(false) }
+      else if (at("null")) { eat(); NullLit }
+      else if (at("ident")) Ident(eat().text)
+      else if (at("op", "(")) { eat(); val e = parseExpr(); expect("op", ")"); e }
+      else throw new JsError(s"unexpected token '${peek.text}' at ${peek.pos}")
+    }
+  }
+
+  // -------------------------------------------------------- interpreter ----
+
+  /** Host constructor tokens resolvable via `Java.type(...)` / globals. */
+  private sealed trait Ctor
+  private case object HashMapCtor extends Ctor
+  private case object ArrayListCtor extends Ctor
+  private case object DateCtor extends Ctor
+
+  /** `Java` namespace host object. */
+  private case object JavaNs
+
+  private val UTC = java.util.TimeZone.getTimeZone("UTC")
+
+  private def run(script: Script, bindings: Map[String, Any]): Any = {
+    val env = mutable.Map[String, Any]()
+    bindings.foreach { case (k, v) => env(k) = normalize(v) }
+    env("Java") = JavaNs
+    env("Date") = DateCtor
+    var completion: Any = null
+    script.stmts.foreach(s => evalStmt(s, env).foreach(completion = _))
+    denormalize(completion)
+  }
+
+  /** Java/Scala values → JS runtime values (numbers are all double). */
+  private def normalize(v: Any): Any = v match {
+    case i: Int     => i.toDouble
+    case l: Long    => l.toDouble
+    case s: Short   => s.toDouble
+    case b: Byte    => b.toDouble
+    case f: Float   => f.toDouble
+    case d: java.math.BigDecimal => d.doubleValue
+    case other      => other
+  }
+
+  /** JS values → values the pipeline stores (doubles stay double; the row
+    * rebuild stringifies with JS ToString so `100.0` renders as "100").
+    */
+  private def denormalize(v: Any): Any = v
+
+  private def evalStmt(s: Stmt, env: mutable.Map[String, Any]): Option[Any] = s match {
+    case VarDecl(n, init) =>
+      env(n) = init.map(evalExpr(_, env)).orNull
+      None
+    case ExprStmt(e) => Some(evalExpr(e, env))
+    case If(c, t, e) =>
+      if (truthy(evalExpr(c, env))) evalStmt(t, env)
+      else e.flatMap(evalStmt(_, env))
+    case Block(stmts) =>
+      var last: Option[Any] = None
+      stmts.foreach(st => evalStmt(st, env).foreach(v => last = Some(v)))
+      last
+  }
+
+  private def evalExpr(e: Expr, env: mutable.Map[String, Any]): Any = e match {
+    case Num(v)  => v
+    case Str(v)  => v
+    case Bool(v) => v
+    case NullLit => null
+    case Ident(n) =>
+      env.getOrElse(n, throw new JsError(s"'$n' is not defined"))
+    case Assign(n, v) =>
+      val value = evalExpr(v, env); env(n) = value; value
+    case Un("!", x) => !truthy(evalExpr(x, env))
+    case Un("-", x) => -toNumber(evalExpr(x, env))
+    case Un("+", x) => toNumber(evalExpr(x, env))
+    case Un(op, _)  => throw new JsError(s"unsupported unary $op")
+    case Bin("&&", l, r) =>
+      val lv = evalExpr(l, env); if (!truthy(lv)) lv else evalExpr(r, env)
+    case Bin("||", l, r) =>
+      val lv = evalExpr(l, env); if (truthy(lv)) lv else evalExpr(r, env)
+    case Bin(op, l, r) => binOp(op, evalExpr(l, env), evalExpr(r, env))
+    case Member(obj, name) => member(evalExpr(obj, env), name)
+    case Call(Member(objE, name), args) =>
+      callMethod(evalExpr(objE, env), name, args.map(evalExpr(_, env)))
+    case Call(Ident("String"), args) => jsToString(args.map(evalExpr(_, env)).headOption.orNull)
+    case Call(Ident("Number"), args) => toNumber(args.map(evalExpr(_, env)).headOption.orNull)
+    case Call(Ident("parseInt"), args) =>
+      math.floor(toNumber(args.map(evalExpr(_, env)).headOption.orNull))
+    case Call(Ident("parseFloat"), args) => toNumber(args.map(evalExpr(_, env)).headOption.orNull)
+    case Call(callee, _) => throw new JsError(s"cannot call $callee")
+    case New(callee, args) =>
+      evalExpr(callee, env) match {
+        case HashMapCtor   => new java.util.HashMap[String, Any]()
+        case ArrayListCtor => new java.util.ArrayList[Any]()
+        case DateCtor      => newDate(args.map(evalExpr(_, env)))
+        case other         => throw new JsError(s"not a constructor: $other")
+      }
+  }
+
+  private def member(obj: Any, name: String): Any = (obj, name) match {
+    case (null, _) => throw new JsError(s"cannot read '$name' of null")
+    case (s: String, "length") => s.length.toDouble
+    case (JavaNs, "type") => JavaNs // resolved at the call site
+    case (m: java.util.HashMap[_, _], _) => m // method resolved at call
+    case (other, _) => other // method resolution happens in callMethod
+  }
+
+  private def callMethod(obj: Any, name: String, args: List[Any]): Any = (obj, name) match {
+    case (JavaNs, "type") => args.headOption match {
+      case Some("java.util.HashMap")   => HashMapCtor
+      case Some("java.util.ArrayList") => ArrayListCtor
+      case Some(other) => throw new JsError(s"Java.type('$other') is not allowlisted " +
+        "(row scripts may use java.util.HashMap / java.util.ArrayList)")
+      case None => throw new JsError("Java.type requires a class name")
+    }
+    case (m: java.util.HashMap[String @unchecked, Any @unchecked], "put") =>
+      m.put(jsToString(args.head), args(1))
+    case (m: java.util.HashMap[String @unchecked, Any @unchecked], "get") =>
+      m.get(jsToString(args.head))
+    case (m: java.util.HashMap[_, _], "size") => m.size.toDouble
+    case (m: java.util.HashMap[_, _], "isEmpty") => m.isEmpty
+    case (l: java.util.ArrayList[Any @unchecked], "add") => l.add(args.head)
+    case (l: java.util.ArrayList[_], "size") => l.size.toDouble
+    case (d: java.util.Calendar, "getFullYear") => d.get(java.util.Calendar.YEAR).toDouble
+    case (d: java.util.Calendar, "getMonth") => d.get(java.util.Calendar.MONTH).toDouble
+    case (d: java.util.Calendar, "getDate") => d.get(java.util.Calendar.DAY_OF_MONTH).toDouble
+    case (d: java.util.Calendar, "getTime") => d.getTimeInMillis.toDouble
+    case (s: String, "toString") => s
+    case (s: String, "toLowerCase") => s.toLowerCase
+    case (s: String, "toUpperCase") => s.toUpperCase
+    case (s: String, "trim") => s.trim
+    case (s: String, "substring") =>
+      val from = toNumber(args.head).toInt
+      if (args.size > 1) s.substring(from, toNumber(args(1)).toInt) else s.substring(from)
+    case (s: String, "indexOf") => s.indexOf(jsToString(args.head)).toDouble
+    case (s: String, "replace") => s.replace(jsToString(args.head), jsToString(args(1)))
+    case (s: String, "split") => {
+      val l = new java.util.ArrayList[Any]()
+      s.split(java.util.regex.Pattern.quote(jsToString(args.head))).foreach(l.add)
+      l
+    }
+    case (d: Double, "toString") => jsToString(d)
+    case (d: Double, "toFixed") =>
+      String.format(java.util.Locale.ROOT,
+        s"%.${args.headOption.map(a => toNumber(a).toInt).getOrElse(0)}f",
+        Double.box(d))
+    case (other, m) =>
+      throw new JsError(s"no method '$m' on ${Option(other).map(_.getClass.getName).orNull}")
+  }
+
+  /** `new Date(x)`: accepts the `_pipelinetimestamp` format
+    * "yyyy-MM-dd HH:mm:ss.SSS z" (reference Transformation.scala:142-145),
+    * ISO dates, and epoch millis. Represented as a UTC Calendar.
+    */
+  private def newDate(args: List[Any]): java.util.Calendar = {
+    val cal = java.util.Calendar.getInstance(UTC)
+    args.headOption match {
+      case None =>
+      case Some(d: Double) => cal.setTimeInMillis(d.toLong)
+      case Some(s: String) =>
+        val patterns = Seq("yyyy-MM-dd HH:mm:ss.SSS z", "yyyy-MM-dd HH:mm:ss.SSS",
+          "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd")
+        val parsed = patterns.view.flatMap { p =>
+          try {
+            val f = new java.text.SimpleDateFormat(p)
+            f.setTimeZone(UTC)
+            f.setLenient(false)
+            Some(f.parse(s))
+          } catch { case _: java.text.ParseException => None }
+        }.headOption.getOrElse(throw new JsError(s"unparseable date: '$s'"))
+        cal.setTime(parsed)
+      case Some(other) => throw new JsError(s"new Date($other) unsupported")
+    }
+    cal
+  }
+
+  private def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case d: Double => d != 0.0 && !d.isNaN
+    case s: String => s.nonEmpty
+    case _ => true
+  }
+
+  private def toNumber(v: Any): Double = v match {
+    case null => 0.0
+    case d: Double => d
+    case b: Boolean => if (b) 1.0 else 0.0
+    case s: String =>
+      val t = s.trim
+      if (t.isEmpty) 0.0
+      else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
+    case _ => Double.NaN
+  }
+
+  /** JS ToString: whole doubles render without a decimal point. */
+  def jsToString(v: Any): String = v match {
+    case null => "null"
+    case d: Double =>
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case b: Boolean => b.toString
+    case s: String => s
+    case other => other.toString
+  }
+
+  private def binOp(op: String, l: Any, r: Any): Any = op match {
+    case "+" => (l, r) match {
+      case (ls: String, _) => ls + jsToString(r)
+      case (_, rs: String) => jsToString(l) + rs
+      case _ => toNumber(l) + toNumber(r)
+    }
+    case "-" => toNumber(l) - toNumber(r)
+    case "*" => toNumber(l) * toNumber(r)
+    case "/" => toNumber(l) / toNumber(r)
+    case "%" => toNumber(l) % toNumber(r)
+    case "<" | "<=" | ">" | ">=" =>
+      (l, r) match {
+        case (ls: String, rs: String) =>
+          val c = ls.compareTo(rs)
+          op match {
+            case "<" => c < 0; case "<=" => c <= 0
+            case ">" => c > 0; case ">=" => c >= 0
+          }
+        case _ =>
+          val (ln, rn) = (toNumber(l), toNumber(r))
+          op match {
+            case "<" => ln < rn; case "<=" => ln <= rn
+            case ">" => ln > rn; case ">=" => ln >= rn
+          }
+      }
+    case "==" => looseEq(l, r)
+    case "!=" => !looseEq(l, r)
+    case "===" => strictEq(l, r)
+    case "!==" => !strictEq(l, r)
+    case other => throw new JsError(s"unsupported operator $other")
+  }
+
+  private def strictEq(l: Any, r: Any): Boolean = (l, r) match {
+    case (null, null) => true
+    case (ld: Double, rd: Double) => ld == rd
+    case (ls: String, rs: String) => ls == rs
+    case (lb: Boolean, rb: Boolean) => lb == rb
+    case _ => l != null && (l.asInstanceOf[AnyRef] eq r.asInstanceOf[AnyRef])
+  }
+
+  private def looseEq(l: Any, r: Any): Boolean = (l, r) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (ld: Double, rs: String) => ld == toNumber(rs)
+    case (ls: String, rd: Double) => toNumber(ls) == rd
+    case (lb: Boolean, _) => looseEq(if (lb) 1.0 else 0.0, r)
+    case (_, rb: Boolean) => looseEq(l, if (rb) 1.0 else 0.0)
+    case _ => strictEq(l, r)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal XLSX reader (S5) with no POI dependency: an .xlsx file is a zip of
+  * XML parts, so `java.util.zip` + StAX cover the reference's Excel intake
+  * (ExcelToCsvUtil.scala:36-139) — worksheet select by index, shared-string
+  * resolution, formula cells via their cached `<v>` result (what a evaluated
+  * workbook stores; matches POI's evaluator output for saved files), rows
+  * padded to the max observed width.
+  *
+  * Unlike the reference we skip the escape-to-temp-CSV hop and build the
+  * DataFrame directly. Parsing is driver-side by design: spreadsheets are
+  * config-scale inputs (xlsx cannot exceed ~1M rows), not the 100 TB path —
+  * the result immediately enters the distributed pipeline.
+  */
+object XlsxSource {
+
+  def read(spark: SparkSession, spec: PipelineSpec, path: String): DataFrame = {
+    val ws = spec.source.file.flatMap(_.xlsx).map(_.worksheet).getOrElse(0)
+    val rows = readRows(path, ws)
+    if (rows.isEmpty)
+      throw new PipelineSpecException(s"dataset '${spec.name}': empty worksheet $ws in $path")
+    // First row is the header (reference fixture convention); fall back to
+    // the declared source schema names when the sheet has no usable header.
+    val header = rows.head.map(_.trim.toLowerCase)
+    val width = rows.map(_.length).max
+    val names =
+      if (header.count(_.nonEmpty) == header.length && header.nonEmpty) header.padTo(width, "")
+        .zipWithIndex.map { case (n, i) => if (n.nonEmpty) n else s"_c$i" }
+      else spec.source.schema.map(_.name).padTo(width, "").zipWithIndex
+        .map { case (n, i) => if (n.nonEmpty) n else s"_c$i" }
+    val data = rows.tail.map(r => Row.fromSeq(
+      r.padTo(width, "").map(v => if (v.isEmpty) null else v)))
+    val schema = StructType(names.take(width).map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+  }
+
+  /** All rows of worksheet `index` (0-based) as string cells. */
+  private[sources] def readRows(path: String, index: Int): Vector[Vector[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(zip.getInputStream(e)))
+        .getOrElse(Vector.empty)
+      val entry = Option(zip.getEntry(s"xl/worksheets/sheet${index + 1}.xml"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"worksheet $index (xl/worksheets/sheet${index + 1}.xml) not found in $path"))
+      parseSheet(zip.getInputStream(entry), shared)
+    } finally zip.close()
+  }
+
+  private def parseSharedStrings(in: InputStream): Vector[String] = {
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val out = ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inSi = false
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += sb.toString
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toVector
+  }
+
+  private def parseSheet(in: InputStream, shared: Vector[String]): Vector[Vector[String]] = {
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val rows = ArrayBuffer.empty[Vector[String]]
+    var row: ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIs = false
+    val v = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => row = ArrayBuffer.empty[String]
+            case "c" =>
+              cellCol = Option(r.getAttributeValue(null, "r"))
+                .map(colIndex).getOrElse(row.length)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              v.clear()
+            case "v" => inV = true
+            case "is" => inIs = true
+            case "t" if inIs => inV = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" if inIs => inV = false
+            case "is" => inIs = false
+            case "c" =>
+              val raw = v.toString
+              val value = cellType match {
+                case "s" => shared.lift(raw.trim.toInt).getOrElse("")
+                case "b" => if (raw.trim == "1") "true" else "false"
+                case _   => raw // n, str (cached formula result), inlineStr
+              }
+              while (row.length < cellCol) row += "" // sparse cells → empty pads
+              row += value
+            case "row" => rows += row.toVector
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    // Drop fully-empty trailing rows (Excel often stores phantom rows).
+    rows.toVector.reverse.dropWhile(_.forall(_.isEmpty)).reverse
+  }
+
+  /** "BC12" → 0-based column index (A=0, Z=25, AA=26, ...). */
+  private[sources] def colIndex(cellRef: String): Int = {
+    val letters = cellRef.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
+  }
+}
