@@ -34,7 +34,15 @@ object FileSources {
     }
   }
 
-  def readCsv(spark: SparkSession, spec: PipelineSpec, path: String): DataFrame = {
+  /** Multi-file variant (bulk/archive loads): one logical multi-path scan. */
+  def readCsv(spark: SparkSession, spec: PipelineSpec, paths: Seq[String]): DataFrame =
+    readCsvPaths(spark, spec, paths)
+
+  def readCsv(spark: SparkSession, spec: PipelineSpec, path: String): DataFrame =
+    readCsvPaths(spark, spec, Seq(path))
+
+  private def readCsvPaths(spark: SparkSession, spec: PipelineSpec,
+      paths: Seq[String]): DataFrame = {
     val csv = spec.source.file.flatMap(_.csv).getOrElse(CsvSpec())
     val trim = spec.transformation.exists(_.trimColumnWhitespace)
     // NOTE: the reference forces multiLine=true (DataFrameUtil.scala:41);
@@ -62,7 +70,7 @@ object FileSources {
     else r.option("inferSchema", true).option("samplingRatio", 1.0)
     spec.source.file.foreach(_.sparkReadOptions.foreach { case (k, v) =>
       r = r.option(k, v) })
-    lowercaseHeaders(r.load(path))
+    lowercaseHeaders(r.load(paths: _*))
   }
 
   /** JSON/XML → single string column, named `_json`/`_xml`.
@@ -95,7 +103,11 @@ object FileSources {
     val have = df.columns.toSet
     df.select(dest.map { f =>
       val dt = SchemaMapper.toDataType(f.`type`, decimalCompat)
-      if (have(f.name)) col(f.name).cast(dt).as(f.name)
+      // try_cast, not cast: malformed cells (e.g. the script rebuild's ""
+      // for absent values) become typed NULLs — the pre-ANSI semantics the
+      // reference's pipeline relies on — instead of failing the job under
+      // Spark 4's ANSI default.
+      if (have(f.name)) expr(s"try_cast(`${f.name}` AS ${dt.sql})").as(f.name)
       else lit(null).cast(dt).as(f.name)
     }: _*)
   }

@@ -1,0 +1,101 @@
+package graft.runtime
+
+import graft.SparkSpec
+import graft.model._
+
+class PipelineRunSpec extends SparkSpec {
+
+  private val stockSchema = Seq("symbol" -> "string", "date" -> "string",
+    "open" -> "double", "high" -> "double", "low" -> "double",
+    "close" -> "double", "volume" -> "int", "adj_close" -> "double")
+    .map { case (n, t) => FieldSpec(n, t) }
+
+  private def transformSpec(root: String) = PipelineSpec(
+    name = "stock_price_transform",
+    source = SourceSpec(schema = stockSchema,
+      file = Some(FileSpec(csv = Some(CsvSpec())))),
+    dataQuality = Some(DataQualitySpec(
+      validateFileHeader = true,
+      columnRules = Seq(
+        ColumnRuleSpec("symbol", "regex", "^[a-zA-Z]+$"),
+        ColumnRuleSpec("volume", "regex", "^[0-9]+$")))),
+    transformation = Some(TransformSpec(
+      trimColumnWhitespace = true,
+      deduplicate = true,
+      rowFunctions = Seq(RowFunctionSpec("script",
+        Seq("/root/repo/fixtures/stock_price_transformation.js"))))),
+    destination = DestinationSpec(
+      schema = stockSchema ++ Seq(FieldSpec("year", "string"),
+        FieldSpec("mynewcolumn", "double")),
+      objectStore = Some(ObjectStoreSpec(path = root, database = "graft_e2e",
+        table = "stock_price_transform", partitionBy = Seq("date")))))
+
+  test("end-to-end: read -> DQ -> dedup -> script -> cast -> partitioned table") {
+    val root = scratchDir("e2e").getAbsolutePath
+    val res = Pipeline.run(spark, transformSpec(root),
+      "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+
+    res.table shouldBe Some("graft_e2e.stock_price_transform")
+    val out = spark.table("graft_e2e.stock_price_transform")
+    // 4 rows - 1 FAX dropped by the script = 3
+    res.rowsWritten shouldBe 3
+    out.count() shouldBe 3
+    val iaf = out.filter(out("symbol") === "IAF").collect().head
+    iaf.getDouble(iaf.fieldIndex("adj_close")) shouldBe 6.42 +- 1e-9
+    iaf.getDouble(iaf.fieldIndex("mynewcolumn")) shouldBe 100.0
+    iaf.getString(iaf.fieldIndex("year")).toInt should be >= 2026
+    // empty FCO open cell -> null double after cast
+    val fco = out.filter(out("symbol") === "FCO").collect().head
+    assert(fco.isNullAt(fco.fieldIndex("open")))
+    // FCO empty `open` violates no configured rule; volume/symbol rules pass
+    res.dqWarnings shouldBe 0
+
+    // step sequence hit every process
+    val steps = Pipeline.status.forToken(res.pipelineToken)
+    steps.map(_.processName).distinct should contain allOf
+      ("Pipeline", "DataQuality", "Transformation", "Load")
+    steps.head.step shouldBe "begin"
+    steps.last.step shouldBe "end"
+
+    // notification published with attribute filtering
+    val seen = Pipeline.events.history.filter(_.pipelineToken == res.pipelineToken)
+    seen.map(_.table) shouldBe Seq("stock_price_transform")
+  }
+
+  test("merge keyFields: second run upserts instead of duplicating") {
+    val root = scratchDir("e2em").getAbsolutePath
+    val spec0 = transformSpec(root)
+    val spec = spec0.copy(
+      name = "stock_price_merge",
+      transformation = None,
+      dataQuality = None,
+      destination = spec0.destination.copy(
+        schema = stockSchema,
+        objectStore = spec0.destination.objectStore.map(_.copy(
+          table = "stock_price_merge", partitionBy = Seq("date"),
+          keyFields = Seq("symbol", "date")))))
+    val r1 = Pipeline.run(spark, spec,
+      "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+    r1.rowsWritten shouldBe 4
+    // re-ingesting the identical file merges on (symbol,date): still 4 rows
+    val r2 = Pipeline.run(spark, spec,
+      "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+    r2.rowsWritten shouldBe 4
+  }
+
+  test("DQ errors abort the pipeline before any write") {
+    val root = scratchDir("e2edq").getAbsolutePath
+    val spec0 = transformSpec(root)
+    val spec = spec0.copy(
+      name = "stock_price_dq_abort",
+      dataQuality = Some(DataQualitySpec(columnRules = Seq(
+        ColumnRuleSpec("open", "regex", """^(?:0|[1-9][0-9]*)\.[0-9]+$""",
+          onFailureIsError = true)))), // FCO's empty cell violates
+      destination = spec0.destination.copy(objectStore =
+        spec0.destination.objectStore.map(_.copy(table = "stock_price_dq_abort"))))
+    a[graft.dq.DataQualityRunner.DataQualityException] should be thrownBy
+      Pipeline.run(spark, spec,
+        "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+    spark.catalog.tableExists("graft_e2e.stock_price_dq_abort") shouldBe false
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.model.{JdbcSinkSpec, ObjectStoreSpec}
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  test("object store: partitioned write + catalog + append + deleteBeforeWrite") {
+    val root = scratchDir("lake").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t1", table = "sales",
+      partitionBy = Seq("region"))
+    val df = Seq((1, "us", 10.0), (2, "eu", 20.0)).toDF("id", "region", "amount")
+    ObjectStoreSink.write(spark, df, spec) shouldBe "graft_t1.sales"
+    spark.table("graft_t1.sales").count() shouldBe 2
+    // partition pruning: only the us directory is read
+    val pruned = spark.table("graft_t1.sales").filter($"region" === "us")
+    pruned.count() shouldBe 1
+    // append
+    ObjectStoreSink.write(spark, Seq((3, "us", 30.0)).toDF("id", "region", "amount"), spec)
+    spark.table("graft_t1.sales").count() shouldBe 3
+    // deleteBeforeWrite truncates
+    ObjectStoreSink.write(spark,
+      Seq((9, "ap", 90.0)).toDF("id", "region", "amount"),
+      spec.copy(deleteBeforeWrite = true))
+    spark.table("graft_t1.sales").select("id").as[Int].collect().toSeq shouldBe Seq(9)
+  }
+
+  test("object store MERGE on keyFields: staged swap upserts and inserts") {
+    val root = scratchDir("lakemerge").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t2", table = "accounts",
+      keyFields = Seq("id"))
+    ObjectStoreSink.write(spark,
+      Seq((1, "a", 100.0), (2, "b", 200.0)).toDF("id", "name", "bal"), spec)
+    // batch: update id=2, insert id=3
+    ObjectStoreSink.write(spark,
+      Seq((2, "b2", 250.0), (3, "c", 300.0)).toDF("id", "name", "bal"), spec)
+    val rows = spark.table("graft_t2.accounts")
+      .orderBy("id").as[(Int, String, Double)].collect().toSeq
+    rows shouldBe Seq((1, "a", 100.0), (2, "b2", 250.0), (3, "c", 300.0))
+  }
+
+  test("object store MERGE with partitions keeps partition layout") {
+    val root = scratchDir("lakemergep").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t3", table = "events",
+      partitionBy = Seq("day"), keyFields = Seq("id"))
+    ObjectStoreSink.write(spark,
+      Seq((1, "2024-01-01", "x"), (2, "2024-01-02", "y")).toDF("id", "day", "v"), spec)
+    ObjectStoreSink.write(spark,
+      Seq((2, "2024-01-02", "y2"), (3, "2024-01-03", "z")).toDF("id", "day", "v"), spec)
+    // partition columns ride last in the physical/catalog schema (standard
+    // Spark layout, same as the reference's reorder) — select explicitly
+    val rows = spark.table("graft_t3.events").select("id", "day", "v").orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    rows shouldBe Seq((1, "2024-01-01", "x"), (2, "2024-01-02", "y2"), (3, "2024-01-03", "z"))
+    // physical layout: day= partition dirs exist
+    val dirs = new java.io.File(s"$root/graft_t3/events").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    dirs.count(_.startsWith("day=")) shouldBe 3
+  }
+
+  private val derbyUrl = {
+    val dir = scratchDir("derby").getAbsolutePath
+    s"jdbc:derby:$dir/db;create=true"
+  }
+  private def jdbcSpec(table: String, keys: Seq[String] = Nil,
+      truncate: Boolean = false) = JdbcSinkSpec(
+    url = derbyUrl, driver = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver"),
+    table = table, keyFields = keys, truncateBeforeWrite = truncate)
+
+  test("jdbc sink: copy creates table, truncate replaces, merge upserts") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    JdbcSink.write(df, jdbcSpec("people"))
+    spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "people").load().count() shouldBe 2
+    // append without truncate
+    JdbcSink.write(Seq((3, "c")).toDF("id", "name"), jdbcSpec("people"))
+    spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "people").load().count() shouldBe 3
+    // truncateBeforeWrite
+    JdbcSink.write(Seq((9, "z")).toDF("id", "name"), jdbcSpec("people", truncate = true))
+    val afterTrunc = spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "people").load()
+    afterTrunc.count() shouldBe 1
+    // merge: update 9, insert 10 — delete+insert transaction
+    JdbcSink.write(Seq((9, "z2"), (10, "w")).toDF("id", "name"),
+      jdbcSpec("people", keys = Seq("id")))
+    val merged = spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "people").load()
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    merged shouldBe Seq((9, "z2"), (10, "w"))
+  }
+
+  test("text sink: csv + payload text") {
+    val dir = scratchDir("text").getAbsolutePath
+    TextSink.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "name"),
+      s"$dir/csv", header = true, delimiter = "|", singleFile = true)
+    val lines = spark.read.text(s"$dir/csv").as[String].collect().toSet
+    lines should contain ("id|name")
+    lines should contain ("1|a")
+    TextSink.writeText(Seq("{\"a\":1}").toDF("_json"), "_json", s"$dir/txt")
+    spark.read.text(s"$dir/txt").count() shouldBe 1
+  }
+}
