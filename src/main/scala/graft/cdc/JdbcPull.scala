@@ -1,0 +1,105 @@
+package graft.cdc
+
+import graft.model.JdbcSourceSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.ZonedDateTime
+import scala.jdk.CollectionConverters._
+
+/** Watermark store: dataset → last pulled timestamp/sequence, persisted as a
+  * properties file — the local metadata stand-in for the reference's
+  * DynamoDB pull table (DataPullTableUtil.scala:35-102). Write-then-rename
+  * so a crash can't leave a torn file.
+  */
+final class WatermarkStore(path: Path) {
+  Files.createDirectories(path.getParent)
+
+  private def load(): java.util.Properties = {
+    val p = new java.util.Properties()
+    if (Files.exists(path)) {
+      val in = Files.newInputStream(path)
+      try p.load(in) finally in.close()
+    }
+    p
+  }
+
+  def get(dataset: String): Option[String] =
+    Option(load().getProperty(dataset))
+
+  def set(dataset: String, watermark: String): Unit = synchronized {
+    val p = load()
+    p.setProperty(dataset, watermark)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, "graft watermarks") finally out.close()
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def all: Map[String, String] =
+    load().asScala.map { case (k, v) => (k.toString, v.toString) }.toMap
+}
+
+/** S7: scheduled JDBC incremental pull (reference DataPuller.scala:36-235),
+  * Spark-first. The watermark predicate is pushed INTO the source database
+  * via a pushdown subquery — `(SELECT fields FROM t WHERE ts > wm) q` — so
+  * only new rows ever cross the wire; Spark never scans the remote table.
+  *
+  * `includeFields` projects server-side with the timestamp column forced
+  * last (reference getFieldNames, :213-235); `sqlOverride` replaces the
+  * generated SELECT entirely. The new watermark is the batch's max(ts).
+  */
+object JdbcPull {
+
+  final case class PullResult(df: DataFrame, newWatermark: Option[String], rows: Long)
+
+  def pull(spark: SparkSession, dataset: String, spec: JdbcSourceSpec,
+      store: WatermarkStore): PullResult = {
+    val ts = spec.timestampFieldName
+    require(spec.sqlOverride.isDefined || ts.nonEmpty,
+      s"dataset $dataset: jdbc source needs timestampFieldName or sqlOverride")
+    val watermark = store.get(dataset)
+    val fields =
+      if (spec.includeFields.nonEmpty)
+        (spec.includeFields.filterNot(_ == ts) :+ ts).mkString(", ")
+      else "*"
+    val baseSql = spec.sqlOverride.getOrElse {
+      val where = watermark.map(w => s" WHERE $ts > '$w'").getOrElse("")
+      s"SELECT $fields FROM ${spec.table}$where"
+    }
+    val reader = spark.read.format("jdbc")
+      .option("url", spec.url)
+      .option("dbtable", s"($baseSql) pull_q")
+    spec.driver.foreach(reader.option("driver", _))
+    spec.user.foreach(reader.option("user", _))
+    spec.password.foreach(reader.option("password", _))
+    val df = reader.load()
+    // one aggregate trip for the new watermark; the batch itself stays lazy
+    // for the caller's sink to consume
+    val (rows, newWm) =
+      if (ts.nonEmpty && df.columns.map(_.toLowerCase).contains(ts.toLowerCase)) {
+        val agg = df.agg(count(lit(1)).as("n"), max(col(ts)).cast("string").as("wm"))
+          .collect()(0)
+        (agg.getLong(0), Option(agg.getString(1)))
+      } else (df.count(), None)
+    if (rows > 0) newWm.foreach(store.set(dataset, _))
+    PullResult(df, if (rows > 0) newWm else watermark, rows)
+  }
+
+  /** Is this dataset due per its cron expression? (reference
+    * ScheduledBatchTasks.checkForDatabaseSourceQueries semantics: fire when
+    * now passes the next-fire-after-last-run point).
+    */
+  def isDue(spec: JdbcSourceSpec, lastRun: Option[ZonedDateTime],
+      now: ZonedDateTime): Boolean =
+    spec.cronExpression match {
+      case None => true
+      case Some(c) =>
+        lastRun match {
+          case None => true
+          case Some(lr) => !CronExpr(c).nextAfter(lr).isAfter(now)
+        }
+    }
+}

@@ -233,4 +233,54 @@ object PipelineQueries {
   /** Expanded zip fixture — shared by the Spark query and its oracle. */
   private lazy val archivePaths: Seq[String] =
     graft.sources.Intake.resolve(s"$FixtureDir/stock_price.dataset.zip").paths
+
+  /** §2.9: CDC micro-batch application, oracle-checked. A deterministic
+    * change batch derived from `customer` (updates+inserts for keys
+    * 800<k<=1200, deletes for k<=800 and k%97=0) applies to a customer
+    * target via [[graft.cdc.CdcApply.applyBatch]]; the oracle replays it as
+    * FULL JOIN + anti-filter.
+    */
+  val cdcDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_cdc_apply",
+      (s, d) => {
+        import s.implicits._
+        val cust = graft.Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val target = cust.filter(col("c_custkey") <= 1000)
+        val updates = cust
+          .filter(col("c_custkey") > 800 && col("c_custkey") <= 1200)
+          .select(col("c_custkey").cast("string").as("k"), col("c_name").as("n"),
+            (col("c_acctbal") + 50.0).cast("string").as("b"))
+          .as[(String, String, String)]
+          .map { case (k, n, b) =>
+            graft.cdc.CDCMessage("tpch", "public", "customer",
+              isInsert = k.toLong > 1000, isUpdate = k.toLong <= 1000, isDelete = false,
+              before = Map.empty,
+              after = Map("c_custkey" -> k, "c_name" -> n, "c_acctbal" -> b),
+              seq = 2L)
+          }
+        val deletes = cust
+          .filter(col("c_custkey") <= 800 && col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").cast("string").as("k"))
+          .as[String]
+          .map(k => graft.cdc.CDCMessage("tpch", "public", "customer",
+            isInsert = false, isUpdate = false, isDelete = true,
+            before = Map("c_custkey" -> k), after = Map.empty, seq = 1L))
+        val batch = updates.unionByName(deletes)
+        graft.cdc.CdcApply.applyBatch(target, batch, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+             |           WHERE c_custkey <= 1000),
+             |u AS (SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal
+             |      FROM customer WHERE c_custkey > 800 AND c_custkey <= 1200),
+             |m AS (SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+             |             COALESCE(u.c_name, t.c_name) AS c_name,
+             |             COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal
+             |      FROM t FULL JOIN u ON t.c_custkey = u.c_custkey)
+             |SELECT c_custkey, c_name, c_acctbal FROM m
+             |WHERE NOT (c_custkey <= 800 AND c_custkey % 97 = 0)
+             |ORDER BY c_custkey""".stripMargin))
+  )
 }

@@ -75,9 +75,21 @@ object ObjectStoreSink {
     // align batch to the table schema (by name, cast to table types)
     val aligned = batch.select(target.schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    val merged = MergeUpsert(target, aligned, spec.keyFields)
+    replaceTable(spark, MergeUpsert(target, aligned, spec.keyFields), spec)
+  }
+
+  /** Replace a table's contents with `df` (which may READ the same table —
+    * e.g. a merge result or a CDC-applied image): materialize to a staging
+    * dir first, swap directories, re-register the catalog entry. The
+    * plain-parquet stand-in for an ACID table-format commit.
+    */
+  def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String = {
+    val fq = s"${spec.database}.${spec.table}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
+    val tableDir = Paths.get(spec.path, spec.database, spec.table)
+    Files.createDirectories(tableDir.getParent)
     val staging = tableDir.resolveSibling(s".${spec.table}-staging-${java.util.UUID.randomUUID}")
-    val sw0 = merged.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
+    val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
     val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
     sw.save(staging.toString) // materialize BEFORE touching the live table
     spark.sql(s"DROP TABLE IF EXISTS $fq")
@@ -89,6 +101,7 @@ object ObjectStoreSink {
     val reread = spark.read.format(spec.fileFormat).load(tableDir.toString)
     createExternal(spark, fq, spec, reread)
     repairTable(spark, fq, spec)
+    fq
   }
 
   /** CREATE TABLE ... USING fmt LOCATION ... (+ PARTITIONED BY). Datasource

@@ -1,0 +1,185 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.model.{JdbcSourceSpec, ObjectStoreSpec}
+import graft.streaming.CdcStream
+import java.nio.file.{Files, Paths}
+import java.time.{ZoneOffset, ZonedDateTime}
+
+class CdcSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  // ---------------------------------------------------------------- cron ----
+  test("cron matcher: fields, ranges, steps, next-fire") {
+    val c = CronExpr("*/15 3 * * *")
+    val t = ZonedDateTime.of(2026, 8, 12, 2, 50, 0, 0, ZoneOffset.UTC)
+    c.nextAfter(t) shouldBe ZonedDateTime.of(2026, 8, 12, 3, 0, 0, 0, ZoneOffset.UTC)
+    CronExpr("30 14 1 * *").nextAfter(t) shouldBe
+      ZonedDateTime.of(2026, 9, 1, 14, 30, 0, 0, ZoneOffset.UTC)
+    CronExpr("0 0 * * 0").matches(
+      ZonedDateTime.of(2026, 8, 16, 0, 0, 0, 0, ZoneOffset.UTC)) shouldBe true // Sunday
+    an[IllegalArgumentException] should be thrownBy CronExpr("* * *")
+  }
+
+  test("isDue honors cron between runs") {
+    val spec = JdbcSourceSpec(url = "x", cronExpression = Some("0 * * * *"))
+    val last = ZonedDateTime.of(2026, 8, 12, 9, 30, 0, 0, ZoneOffset.UTC)
+    JdbcPull.isDue(spec, Some(last),
+      ZonedDateTime.of(2026, 8, 12, 9, 45, 0, 0, ZoneOffset.UTC)) shouldBe false
+    JdbcPull.isDue(spec, Some(last),
+      ZonedDateTime.of(2026, 8, 12, 10, 0, 0, 0, ZoneOffset.UTC)) shouldBe true
+    JdbcPull.isDue(spec, None, last) shouldBe true
+  }
+
+  // ------------------------------------------------- jdbc incremental pull ----
+  test("watermarked pull: two pulls, no overlap, watermark persists") {
+    val dir = scratchDir("pull").toPath
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE src_tbl (id INT, name VARCHAR(20), updated TIMESTAMP)")
+    def ins(id: Int, name: String, ts: String): Unit =
+      c.createStatement().executeUpdate(
+        s"INSERT INTO src_tbl VALUES ($id, '$name', TIMESTAMP('$ts'))")
+    ins(1, "a", "2026-01-01 10:00:00"); ins(2, "b", "2026-01-01 11:00:00")
+
+    val store = new WatermarkStore(dir.resolve("wm.properties"))
+    val spec = JdbcSourceSpec(url = url, table = "src_tbl",
+      timestampFieldName = "updated")
+    val p1 = JdbcPull.pull(spark, "ds1", spec, store)
+    p1.rows shouldBe 2
+    store.get("ds1").get should startWith ("2026-01-01 11:00:00")
+
+    // no new rows → empty pull, watermark unchanged
+    val p2 = JdbcPull.pull(spark, "ds1", spec, store)
+    p2.rows shouldBe 0
+
+    ins(3, "c", "2026-01-01 12:00:00")
+    val p3 = JdbcPull.pull(spark, "ds1", spec, store)
+    p3.rows shouldBe 1
+    p3.df.select("id").as[Int].collect().toSeq shouldBe Seq(3)
+    store.get("ds1").get should startWith ("2026-01-01 12:00:00")
+
+    // includeFields projects server-side with ts forced last
+    val p4spec = spec.copy(includeFields = Seq("id", "updated"))
+    val store2 = new WatermarkStore(dir.resolve("wm2.properties"))
+    val p4 = JdbcPull.pull(spark, "ds2", p4spec, store2)
+    p4.df.columns.map(_.toLowerCase).toSeq shouldBe Seq("id", "updated")
+    c.close()
+  }
+
+  // -------------------------------------------------------- debezium parse ----
+  private def envelope(op: String, beforeJson: String, afterJson: String,
+      ts: Long): String =
+    s"""{"payload": {"op": "$op", "before": $beforeJson, "after": $afterJson,
+       |"source": {"db": "shop", "schema": "dbo", "table": "orders"},
+       |"ts_ms": $ts}}""".stripMargin.replace("\n", " ")
+
+  test("debezium envelope parse: insert/update/delete + junk tolerance") {
+    val lines = Seq(
+      envelope("c", "null", """{"id": 1, "amt": 10.5}""", 100),
+      envelope("u", """{"id": 1, "amt": 10.5}""", """{"id": 1, "amt": 99.0}""", 200),
+      envelope("d", """{"id": 1, "amt": 99.0}""", "null", 300),
+      """{"payload": {"ts_ms": 1}}""", // heartbeat → dropped
+      "not json at all")
+    val df = lines.toDF("value")
+    val msgs = DebeziumCDC.parse(df).collect().sortBy(_.seq)
+    msgs.length shouldBe 3
+    msgs(0).isInsert shouldBe true
+    msgs(0).after shouldBe Map("id" -> "1", "amt" -> "10.5")
+    msgs(0).database shouldBe "shop"
+    msgs(1).isUpdate shouldBe true
+    msgs(1).before("amt") shouldBe "10.5"
+    msgs(2).isDelete shouldBe true
+    msgs(2).before("id") shouldBe "1"
+  }
+
+  test("CdcApply: last-event-per-key, upserts and deletes in one pass") {
+    val target = Seq((1, 100.0), (2, 200.0), (3, 300.0)).toDF("id", "amt")
+    val batch = Seq(
+      CDCMessage("d", "s", "t", isInsert = true, isUpdate = false, isDelete = false,
+        Map.empty, Map("id" -> "4", "amt" -> "400.0"), 1),
+      CDCMessage("d", "s", "t", isInsert = false, isUpdate = true, isDelete = false,
+        Map("id" -> "2", "amt" -> "200.0"), Map("id" -> "2", "amt" -> "250.0"), 2),
+      // two events for id=5; the later one wins
+      CDCMessage("d", "s", "t", isInsert = true, isUpdate = false, isDelete = false,
+        Map.empty, Map("id" -> "5", "amt" -> "1.0"), 3),
+      CDCMessage("d", "s", "t", isInsert = false, isUpdate = true, isDelete = false,
+        Map("id" -> "5", "amt" -> "1.0"), Map("id" -> "5", "amt" -> "2.0"), 4),
+      CDCMessage("d", "s", "t", isInsert = false, isUpdate = false, isDelete = true,
+        Map("id" -> "3", "amt" -> "300.0"), Map.empty, 5)
+    ).toDS()
+    val out = CdcApply.applyBatch(target, batch, Seq("id"))
+      .orderBy("id").as[(Int, Double)].collect().toSeq
+    out shouldBe Seq((1, 100.0), (2, 250.0), (4, 400.0), (5, 2.0))
+  }
+
+  // ------------------------------------------------------- streaming e2e ----
+  test("CdcStream: file-source Debezium stream applies to a catalog table") {
+    val lake = scratchDir("cdclake").getAbsolutePath
+    val inDir = scratchDir("cdcin").toPath
+    val ckpt = scratchDir("cdcckpt").getAbsolutePath
+    val sink = ObjectStoreSpec(path = lake, database = "graft_cdc", table = "orders")
+
+    // seed the target table
+    graft.sinks.ObjectStoreSink.write(spark,
+      Seq((1, 10.5), (2, 20.0)).toDF("id", "amt"), sink)
+
+    Files.writeString(inDir.resolve("batch1.jsonl"), Seq(
+      envelope("c", "null", """{"id": 3, "amt": 30.0}""", 100),
+      envelope("u", """{"id": 1, "amt": 10.5}""", """{"id": 1, "amt": 11.0}""", 200),
+      envelope("d", """{"id": 2, "amt": 20.0}""", "null", 300)
+    ).mkString("\n"))
+
+    val q = CdcStream.start(spark, inDir.toString, sink, Seq("id"), ckpt)
+    q.awaitTermination(120000) shouldBe true
+
+    val rows = spark.table("graft_cdc.orders").orderBy("id")
+      .as[(Int, Double)].collect().toSeq
+    rows shouldBe Seq((1, 11.0), (3, 30.0))
+
+    // second batch resumes from the checkpoint (exactly-once intake)
+    Files.writeString(inDir.resolve("batch2.jsonl"),
+      envelope("c", "null", """{"id": 9, "amt": 90.0}""", 400))
+    val q2 = CdcStream.start(spark, inDir.toString, sink, Seq("id"), ckpt)
+    q2.awaitTermination(120000) shouldBe true
+    spark.table("graft_cdc.orders").count() shouldBe 3
+  }
+
+  // -------------------------------------------------- mssql-style cdc poll ----
+  test("MsSqlStyleCdc: op pairing on seqval + watermark advance") {
+    val dir = scratchDir("mscdc").toPath
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      """CREATE TABLE cdc_orders ("__$operation" INT, "__$seqval" BIGINT,
+        |id INT, amt DOUBLE)""".stripMargin.replace("\n", " "))
+    def ins(op: Int, seq: Long, id: Int, amt: Double): Unit =
+      c.createStatement().executeUpdate(
+        s"INSERT INTO cdc_orders VALUES ($op, $seq, $id, $amt)")
+    ins(2, 1, 1, 10.0)          // insert
+    ins(3, 2, 2, 20.0); ins(4, 2, 2, 25.0) // update pair
+    ins(1, 3, 9, 90.0)          // delete
+
+    val store = new WatermarkStore(dir.resolve("wm.properties"))
+    val spec = JdbcSourceSpec(url = url, table = "cdc_orders")
+    val r1 = MsSqlStyleCdc.poll(spark, "orders", spec, store, "shop", "dbo", "orders")
+    r1.rows shouldBe 3
+    val msgs = r1.messages.collect().sortBy(_.seq)
+    msgs(0).isInsert shouldBe true
+    msgs(1).isUpdate shouldBe true
+    msgs(1).before("amt") shouldBe "20.0"
+    msgs(1).after("amt") shouldBe "25.0"
+    msgs(2).isDelete shouldBe true
+    store.get("orders") shouldBe Some("3")
+
+    // next poll: only rows past the watermark
+    ins(2, 4, 7, 70.0)
+    val r2 = MsSqlStyleCdc.poll(spark, "orders", spec, store, "shop", "dbo", "orders")
+    r2.rows shouldBe 1
+    r2.messages.collect().head.after("id") shouldBe "7"
+    c.close()
+  }
+}
