@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator queries, grouped by domain. */
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Embeddings.defs ++
-      Dedup.defs ++ PipelineQueries.defs ++ PipelineQueries.cdcDefs
+      Dedup.defs ++ PipelineQueries.defs ++ PipelineQueries.cdcDefs ++
+      MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media (image/audio/video) as opaque `binary`
+  * columns with typed metadata, plus per-row feature extraction — the
+  * training-data-pipeline surface the builder brief requires.
+  *
+  * Spark-side plumbing is real and tested: binary-typed columns, a
+  * per-partition decode loop (`mapPartitions` — the Scala analogue of a
+  * `mapInPandas` batch UDF: one decoder instantiation per partition, rows
+  * streamed through), an explicit output schema, and a partition-preserving
+  * plan (no shuffle — feature extraction is embarrassingly parallel).
+  *
+  * The DECODE step is a deterministic STUB: this container ships no image/
+  * audio codecs, so [[decode]] parses the engine's synthetic `GFT1` header
+  * and sniffs real magic numbers (JPEG/PNG/GIF/WAV) for format only. On a
+  * real deployment, swap [[decode]]'s body for the codec call (e.g. via
+  * javax.imageio / ffmpeg bindings) — every signature stays the same.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, channels: Int, valid: Boolean)
+
+  /** Synthetic media payload: "GFT1" magic + big-endian width/height/
+    * channels + a deterministic byte body derived from the seed. This is
+    * the test-data generator for the binary-column path (the decode stub's
+    * inverse), NOT part of decode itself.
+    */
+  def synthesize(seed: Long, width: Int, height: Int, channels: Int): Array[Byte] = {
+    val body = new Array[Byte](64 + (seed % 64).toInt)
+    var x = seed
+    var i = 0
+    while (i < body.length) {
+      x = x * 6364136223846793005L + 1442695040888963407L // splitmix-ish LCG
+      body(i) = (x >>> 56).toByte
+      i += 1
+    }
+    java.nio.ByteBuffer.allocate(16 + body.length)
+      .put("GFT1".getBytes("US-ASCII"))
+      .putInt(width).putInt(height).putInt(channels)
+      .put(body).array()
+  }
+
+  /** STUB decode — synthetic header parse + magic-number sniff. Real codec
+    * integration replaces only this body.
+    */
+  def decode(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.length < 4)
+      return MediaMeta("unknown", 0, 0, 0, valid = false)
+    val magic = new String(bytes.take(4).map(b => (b & 0xff).toChar))
+    if (magic == "GFT1" && bytes.length >= 16) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+      MediaMeta("gft", bb.getInt, bb.getInt, bb.getInt, valid = true)
+    }
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      MediaMeta("jpeg", 0, 0, 0, valid = true) // dims need the codec
+    else if ((bytes(0) & 0xff) == 0x89 && magic.drop(1).startsWith("PN"))
+      MediaMeta("png", 0, 0, 0, valid = true)
+    else if (magic.startsWith("GIF"))
+      MediaMeta("gif", 0, 0, 0, valid = true)
+    else if (magic == "RIFF")
+      MediaMeta("wav", 0, 0, 0, valid = true)
+    else MediaMeta("unknown", 0, 0, 0, valid = false)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("byte_mean", DoubleType),
+    StructField("byte_entropy", DoubleType)))
+
+  /** Per-row media features: decode metadata + payload byte statistics.
+    * Keeps every non-binary column of the input and appends the feature
+    * columns; the binary column itself is dropped from the output (features
+    * are what flows on — the payload stays in the lake).
+    */
+  def features(df: DataFrame, binCol: String): DataFrame = {
+    val keep = df.schema.fields.filterNot(_.name == binCol)
+    val outSchema = StructType(keep ++ featureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        val meta = decode(bytes)
+        val (mean, entropy) =
+          if (bytes == null || bytes.length == 0) (0.0, 0.0)
+          else {
+            val hist = new Array[Long](256)
+            var s = 0L
+            bytes.foreach { b => val v = b & 0xff; hist(v) += 1; s += v }
+            val n = bytes.length.toDouble
+            var h = 0.0
+            hist.foreach { c =>
+              if (c > 0) { val p = c / n; h -= p * math.log(p) / math.log(2.0) }
+            }
+            (s / n, h)
+          }
+        Row.fromSeq(keepIdx.toIndexedSeq.map(row.get) ++ Seq(
+          meta.format, meta.width, meta.height, meta.channels,
+          if (bytes == null) 0L else bytes.length.toLong,
+          math.rint(mean * 1e6) / 1e6, math.rint(entropy * 1e6) / 1e6))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

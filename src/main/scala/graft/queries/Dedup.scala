@@ -238,36 +238,84 @@ object Dedup {
               |            CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) > 0.3
               |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- SimHash (16-bit, majority-vote per bit over token hashes) --------
+    // ---- SimHash (60-bit, majority-vote per bit over token hashes) --------
+    // Production width (a full md5-prefix 60-bit fingerprint in a signed
+    // BIGINT), not the 16-bit demo: near-dup Hamming radii only separate
+    // real corpora at ≥64-ish bits.
     QueryDef(
-      "q_simhash",
+      "q_simhash64",
+      (s, d) => simhash60(s, d).orderBy("doc_id"),
+      Some(s"$simhash60Sql ORDER BY doc_id")),
+
+    // ---- SimHash Hamming near-pairs via band-rotate join -------------------
+    // Candidates = docs sharing ≥1 of 4 15-bit bands (pigeonhole: Hamming
+    // distance ≤ 3 GUARANTEES a shared band; larger radii are caught
+    // probabilistically). Verify = popcount of the XOR ≤ 8. The join is an
+    // equi-join on (band_idx, band_value) — fixed-width keys, no all-pairs.
+    QueryDef(
+      "q_simhash_pairs",
       (s, d) => {
-        val h = tokenHash(0, col("token"))
-        val votes = (0 until 16).map { b =>
-          sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"v$b")
-        }
-        val sig = (0 until 16).map { b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-        }.reduce(_ + _)
-        docTokens(s, d).groupBy("doc_id").agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"), sig.as("simhash16"))
-          .orderBy("doc_id")
+        val sig = simhash60(s, d)
+        val bands = sig.select(col("doc_id"), col("simhash60"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band_idx"),
+              shiftright(col("simhash60"), b * 15).bitwiseAND(0x7FFF)
+                .as("band_val"))): _*)).as("bd"))
+          .select(col("doc_id"), col("simhash60"), col("bd.band_idx"), col("bd.band_val"))
+        val a = bands.select(col("band_idx"), col("band_val"),
+          col("doc_id").as("id_a"), col("simhash60").as("sig_a"))
+        val b = bands.select(col("band_idx"), col("band_val"),
+          col("doc_id").as("id_b"), col("simhash60").as("sig_b"))
+        a.join(b, Seq("band_idx", "band_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 8)
+          .orderBy("id_a", "id_b")
       },
-      Some {
-        val h = tokenHashSql(0, "token")
-        val votes = (0 until 16)
-          .map(b => s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
-          .mkString(",\n    ")
-        val sig = (0 until 16)
-          .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH votes AS (
-           |  SELECT doc_id,
-           |    $votes
-           |  FROM ($docTokensSql) GROUP BY doc_id)
-           |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16
-           |FROM votes ORDER BY doc_id""".stripMargin
-      })
+      Some(
+        s"""WITH sig AS ($simhash60Sql),
+           |bands AS (
+           |  ${(0 until 4).map(bd =>
+               s"SELECT doc_id, simhash60, $bd AS band_idx, (simhash60 >> ${bd * 15}) & 32767 AS band_val FROM sig")
+               .mkString("\n  UNION ALL\n  ")})
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           | AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 8
+           |ORDER BY id_a, id_b""".stripMargin))
   )
+
+  /** 60-bit SimHash signatures: majority vote per bit over the 60-bit
+    * md5-prefix hash of each distinct shingle.
+    */
+  private def simhash60(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType)
+    val votes = (0 until 60).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until 60).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    docTokens(s, d).groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash60"))
+  }
+
+  // lazy: referenced by `defs` above, which initializes first in the object
+  private lazy val simhash60Sql: String = {
+    val h = s"CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)"
+    val votes = (0 until 60)
+      .map(b => s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val sig = (0 until 60)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash60 FROM (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM ($docTokensSql) GROUP BY doc_id) votes""".stripMargin
+  }
 }

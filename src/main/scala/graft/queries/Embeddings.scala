@@ -36,6 +36,11 @@ object Embeddings {
   val HyperPlanes = 6
   val EmbedDim = 64
 
+  /** Fixed IVF centroid ids — stand-ins for a k-means output table (all
+    * exist at every SF; the smallest embeddings table has 500 vectors).
+    */
+  val CentroidIds: Seq[Long] = Seq(3L, 61L, 119L, 177L, 235L, 293L, 351L, 409L)
+
   private[queries] def hyperplane(k: Int): Seq[Double] = (0 until EmbedDim).map { i =>
     val md = java.security.MessageDigest.getInstance("MD5")
     if ((md.digest(s"hp:$k:$i".getBytes("UTF-8"))(0) & 1) == 1) 1.0 else -1.0
@@ -127,6 +132,88 @@ object Embeddings {
               |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |WHERE ROUND(${cosSql("a.emb", "b.emb")}, 6) > 0.25
               |ORDER BY a.bucket, id_a, id_b""".stripMargin)),
+
+    // ---- IVF-bucketed ANN (the scale path past brute force) ---------------
+    // Fixed centroid set (8 corpus vectors by id — at scale, k-means output
+    // shipped as a broadcast table). Index = assign every vector to its
+    // nearest centroid ONCE (linear scan × K, centroids broadcast). Search =
+    // each query probes its nprobe=2 nearest centroid buckets only, so the
+    // scored candidate set is ~2/K of the corpus instead of all of it —
+    // that is the IVF trade: recall for a K/nprobe-fold smaller scan.
+    QueryDef(
+      "q_knn_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+        val cent = e.filter(col("vec_id").isin(CentroidIds: _*))
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        // index: nearest centroid per corpus vector (ties → lower cid)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            round(VectorOps.dot(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn")), 6).as("csim"))
+          .withColumn("arank", row_number().over(wAssign))
+          .filter(col("arank") === 1)
+          .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        // queries probe their 2 nearest centroids
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("qsim").desc, col("cid"))
+        val probes = q.crossJoin(broadcast(cent))
+          .select(col("query_id"), col("qe"), col("qn"), col("cid"),
+            round(VectorOps.dot(col("qe"), col("ce")) /
+              (col("qn") * col("cn")), 6).as("qsim"))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= 2)
+          .select(col("query_id"), col("qe"), col("qn"), col("cid"))
+        // search only the probed buckets
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        probes.join(assigned, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.dot(col("qe"), col("embedding")) /
+              (col("qn") * col("nrm")), 6).as("sim"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 5)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val cids = CentroidIds.mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id IN ($cids)),
+           |assigned AS (
+           |  SELECT cid, vec_id, emb FROM (
+           |    SELECT c.cid, e.vec_id, e.emb,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ROUND(${cosSql("e.emb", "c.ce")}, 6) DESC, c.cid) AS arank
+           |    FROM e CROSS JOIN cent c) x WHERE arank = 1),
+           |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+           |probes AS (
+           |  SELECT query_id, qe, cid FROM (
+           |    SELECT q.query_id, q.qe, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |             ORDER BY ROUND(${cosSql("q.qe", "c.ce")}, 6) DESC, c.cid) AS prank
+           |    FROM q CROSS JOIN cent c) x WHERE prank <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         ROUND(${cosSql("p.qe", "a.emb")}, 6) AS sim
+           |  FROM probes p JOIN assigned a ON a.cid = p.cid
+           |  WHERE a.vec_id <> p.query_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, sim,
+           |         ROW_NUMBER() OVER (PARTITION BY query_id
+           |           ORDER BY sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
 
     // ---- per-block vector stats (norm distribution per label) -------------
     QueryDef(

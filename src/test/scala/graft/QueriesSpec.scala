@@ -14,7 +14,9 @@ class QueriesSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops get the driver's weaker rows-only check; keep
     // this list explicit so a missing oracle is a decision, not an accident.
-    val allowed = Set.empty[String]
+    // q_multimodal_features: byte-level media synthesis/statistics aren't
+    // SQL-expressible; values pinned by MultimodalSpec instead.
+    val allowed = Set("q_multimodal_features")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
     // ...and the allowlist itself must not go stale: every allowed name must
     // be a real query, so a rename/removal fails loudly here.

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("synthesize/decode round-trip the GFT1 header") {
+    val bytes = Multimodal.synthesize(seed = 42L, width = 320, height = 200, channels = 3)
+    val meta = Multimodal.decode(bytes)
+    meta shouldBe Multimodal.MediaMeta("gft", 320, 200, 3, valid = true)
+    // determinism: same seed → identical payload
+    Multimodal.synthesize(42L, 320, 200, 3).toSeq shouldBe bytes.toSeq
+  }
+
+  test("decode sniffs real magic numbers and rejects junk") {
+    Multimodal.decode(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)).format shouldBe "jpeg"
+    Multimodal.decode(Array(0x89, 'P', 'N', 'G').map(_.toByte)).format shouldBe "png"
+    Multimodal.decode("GIF89a".getBytes).format shouldBe "gif"
+    Multimodal.decode("RIFFxxxx".getBytes).format shouldBe "wav"
+    Multimodal.decode("none".getBytes).valid shouldBe false
+    Multimodal.decode(null).valid shouldBe false
+  }
+
+  test("features: schema, byte stats, null tolerance") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Multimodal.synthesize(1L, 20, 10, 3)),
+      Row(2L, Array.fill[Byte](4)(0)), // constant bytes → entropy 0
+      Row(3L, null)
+    ).asJava, schema)
+    val out = Multimodal.features(df, "media")
+    out.columns.toSeq shouldBe Seq("id", "format", "width", "height",
+      "channels", "n_bytes", "byte_mean", "byte_entropy")
+    val rows = out.orderBy("id").collect()
+    rows(0).getString(1) shouldBe "gft"
+    rows(0).getInt(2) shouldBe 20
+    rows(0).getLong(5) shouldBe (16 + 64 + 1) // header + body(64 + 1%64)
+    rows(1).getDouble(7) shouldBe 0.0 // constant payload → zero entropy
+    rows(1).getDouble(6) shouldBe 0.0
+    rows(2).getString(1) shouldBe "unknown"
+    rows(2).getLong(5) shouldBe 0L
+  }
+}
