@@ -48,6 +48,24 @@ object Pipeline {
     def info(step: String, msg: String): Unit = status.info(token, spec.name, step, msg)
     info("begin", s"Pipeline started for $inputPath")
 
+    // ---- S6: unstructured passthrough (no parse, file copy + notify) ------
+    spec.source.file.flatMap(_.unstructured).foreach { u =>
+      val os = spec.destination.objectStore.getOrElse(throw new PipelineSpecException(
+        s"dataset ${spec.name}: unstructured source needs an objectStore destination"))
+      val destDir = Paths.get(os.path, os.database, os.table)
+      Files.createDirectories(destDir)
+      val src = Paths.get(inputPath)
+      val name =
+        if (u.preserveFilename) src.getFileName.toString
+        else s"${GuidV5.nameUUID(src.getFileName.toString)}.${u.fileExtension}"
+      Files.copy(src, destDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      info("end", s"Unstructured file landed as $name")
+      events.publish(events.Notification(spec.name, token, "objectStore",
+        os.database, os.table, destDir.resolve(name).toString))
+      return Result(token, spec.name, None, 1L, 0L, 0L)
+    }
+
     // ---- read -------------------------------------------------------------
     val raw = FileSources.read(spark, spec, inputPath)
 
