@@ -57,6 +57,15 @@ object ObjectStoreSink {
       .option("path", tableDir.toString)
     val w = if (spec.partitionBy.nonEmpty) w0.partitionBy(spec.partitionBy: _*) else w0
     if (exists) {
+      // schema evolution (reference DatasetObjectStoreUtil.scala:71-100):
+      // a changed destination schema re-creates the catalog entry — a new
+      // "table version" over the same location. Old files stay; parquet
+      // schema-on-read surfaces their missing columns as NULL.
+      if (schemaChanged(spark, fq, df, spec)) {
+        spark.sql(s"DROP TABLE IF EXISTS $fq")
+        createExternal(spark, fq, spec, partitionsLast(df, spec))
+        repairTable(spark, fq, spec)
+      }
       // appending to a known table: insertInto resolves by position against
       // the catalog schema (partition columns last, like the reference's
       // reordered INSERT...SELECT, ObjectStoreLoader.scala:183-201)
@@ -64,6 +73,23 @@ object ObjectStoreSink {
       df.select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         .write.mode(mode).insertInto(fq)
     } else w.saveAsTable(fq)
+  }
+
+  /** Field names or types differ from the registered table (order-blind on
+    * names, partition reorder ignored) → new table version needed.
+    */
+  private def schemaChanged(spark: SparkSession, fq: String, df: DataFrame,
+      spec: ObjectStoreSpec): Boolean = {
+    val cat = spark.table(fq).schema
+    val incoming = partitionsLast(df, spec).schema
+    cat.fields.map(f => (f.name, f.dataType)).toSeq !=
+      incoming.fields.map(f => (f.name, f.dataType)).toSeq
+  }
+
+  private def partitionsLast(df: DataFrame, spec: ObjectStoreSpec): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (parts, data) = df.columns.partition(spec.partitionBy.contains)
+    df.select((data ++ parts).map(col).toIndexedSeq: _*)
   }
 
   /** MERGE the batch into the existing table, then swap table data via a

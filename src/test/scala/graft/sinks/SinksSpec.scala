@@ -94,6 +94,23 @@ class SinksSpec extends SparkSpec {
     merged shouldBe Seq((9, "z2"), (10, "w"))
   }
 
+  test("schema evolution: changed schema re-creates the table version") {
+    val root = scratchDir("lakeevo").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t4", table = "evo")
+    ObjectStoreSink.write(spark, Seq((1, "us")).toDF("id", "region"), spec)
+    spark.table("graft_t4.evo").columns.toSeq shouldBe Seq("id", "region")
+    // the destination schema gains a column → new table version, old rows
+    // surface the new column as NULL
+    ObjectStoreSink.write(spark,
+      Seq((2, "eu", 9.5)).toDF("id", "region", "score"), spec)
+    val t = spark.table("graft_t4.evo")
+    t.columns.toSeq shouldBe Seq("id", "region", "score")
+    val rows = t.orderBy("id").collect()
+    rows.length shouldBe 2
+    assert(rows(0).isNullAt(2)) // pre-evolution row
+    rows(1).getDouble(2) shouldBe 9.5
+  }
+
   test("text sink: csv + payload text") {
     val dir = scratchDir("text").getAbsolutePath
     TextSink.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "name"),

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyCounts: tumbling event-time windows over a memory stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val events = in.toDF().toDF("ts", "event_type", "user_id")
+    val q = EventStreams.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2026-08-12 10:05:00"), "click", 1L),
+        (ts("2026-08-12 10:40:00"), "click", 2L),
+        (ts("2026-08-12 10:59:00"), "view", 1L),
+        (ts("2026-08-12 11:01:00"), "click", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type")
+        .select("hour_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSeq
+      rows shouldBe Seq(
+        (ts("2026-08-12 10:00:00"), "click", 2L),
+        (ts("2026-08-12 10:00:00"), "view", 1L),
+        (ts("2026-08-12 11:00:00"), "click", 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based session windows with state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionize(events)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2026-08-12 10:00:00"), 1L),
+        (ts("2026-08-12 10:10:00"), 1L), // same session (gap < 30m)
+        (ts("2026-08-12 11:30:00"), 1L), // new session
+        (ts("2026-08-12 10:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .orderBy("user_id", "session_start")
+        .select("user_id", "n_events")
+        .as[(Long, Long)].collect().toSeq
+      rows shouldBe Seq((1L, 2L), (1L, 1L), (2L, 1L))
+    } finally q.stop()
+  }
+}
