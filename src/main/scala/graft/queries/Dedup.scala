@@ -238,6 +238,53 @@ object Dedup {
               |            CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) > 0.3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- winnowing document fingerprints (Schleimer et al. 2003) ----------
+    // The rolling-hash fingerprint the builder prompt asks for: hash the
+    // ORDERED shingle sequence, take the min over each 4-shingle sliding
+    // window, distinct the selected mins per document. Guarantees any
+    // shared run of ≥ w+k-1 tokens between two docs shares a fingerprint —
+    // the basis of plagiarism/near-dup detection at corpus scale. One
+    // explode + one windowed min + one distinct; no joins.
+    QueryDef(
+      "q_fingerprint_winnow",
+      (s, d) => {
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val s1 = slice(ta, lit(1), n - 2)
+        val s2 = slice(ta, lit(2), n - 2)
+        val s3 = slice(ta, lit(3), n - 2)
+        val shingles = when(n >= 3,
+          zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+            (ab, c) => concat(ab, lit(" "), c)))
+          .otherwise(array().cast("array<string>"))
+        val seq = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "token")))
+          .select(col("doc_id"), col("pos"), baseHash(col("token")).as("h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+        seq.withColumn("fp", min(col("h")).over(w))
+          .filter(col("pos") >= 3) // full windows only (0-based pos)
+          .select("doc_id", "fp").distinct()
+          .orderBy("doc_id", "fp")
+      },
+      Some(
+        s"""WITH docs AS (
+           |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ta
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, i AS pos,
+           |         ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2] AS token
+           |  FROM docs, UNNEST(range(1, greatest(length(ta) - 1, 1))) AS r(i)
+           |  WHERE length(ta) >= 3),
+           |h AS (SELECT doc_id, pos, ${baseHashSql("token")} AS h FROM sh),
+           |wm AS (
+           |  SELECT doc_id, pos,
+           |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+           |  FROM h)
+           |SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 4
+           |ORDER BY doc_id, fp""".stripMargin)),
+
     // ---- SimHash (60-bit, majority-vote per bit over token hashes) --------
     // Production width (a full md5-prefix 60-bit fingerprint in a signed
     // BIGINT), not the 16-bit demo: near-dup Hamming radii only separate

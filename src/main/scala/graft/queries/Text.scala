@@ -108,6 +108,29 @@ object Text {
              |  GREATEST(en, es, de, fr) AS best_score
              |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // ---- BPE-ish regex tokenization (builder prompt: whitespace + a
+    // BPE-style pre-tokenizer). The pattern is the GPT-2 pre-tokenizer
+    // simplified to the RE2-compatible subset (no lookahead — DuckDB is
+    // RE2): contractions, letter runs, digit runs, punctuation runs.
+    QueryDef(
+      "q_tokenize_bpe",
+      (s, d) => {
+        val bpe = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+            size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe_tokens"),
+            size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).as("n_alpha"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  LENGTH(regexp_split_to_array(TRIM(text), '\s+')) AS n_ws_tokens,
+             |  CAST(LENGTH(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INT) AS n_bpe_tokens,
+             |  CAST(LENGTH(regexp_extract_all(text, '[a-zA-Z]+')) AS INT) AS n_alpha,
+             |  CAST(LENGTH(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- global token frequency (explode + agg) ---------------------------
     QueryDef(
       "q_token_freq",
