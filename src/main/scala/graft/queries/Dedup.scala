@@ -89,10 +89,50 @@ object Dedup {
       |         regexp_split_to_array(TRIM(text), '\s+')[i+2]))) AS token
       |FROM documents""".stripMargin
 
-  /** MinHash signature DataFrame: doc_id, mh0..mh{n-1}. */
+  /** Distinct-shingle ARRAY per document (no explode): the input shape for
+    * whole-signature kernels. Shares the slice/zip_with shingle build with
+    * [[docTokens]].
+    */
+  private def docShingleArrays(s: SparkSession, d: String): DataFrame = {
+    val ta = split(trim(col("text")), "\\s+")
+    val n = size(ta)
+    val s1 = slice(ta, lit(1), n - 2)
+    val s2 = slice(ta, lit(2), n - 2)
+    val s3 = slice(ta, lit(3), n - 2)
+    val shingles = when(n >= 3,
+      zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(shingles).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+  }
+
+  /** MinHash signature DataFrame: doc_id, mh0..mh{n-1}.
+    *
+    * SHUFFLE-FREE: the whole signature comes from one pass over each
+    * document's shingle array (graft.functions.MinHashSig, a codegen'd
+    * Catalyst kernel) — a narrow map over `documents`. The former
+    * explode→groupBy formulation shuffled the exploded token table (~20×
+    * the corpus bytes) to compute 16 MIN aggregates; at 100 TB that
+    * shuffle WAS the signature stage's cost. `toks` is accepted for
+    * callers that share the exploded table for their verify stage, but
+    * signatures no longer need it.
+    */
   def minhashSignatures(s: SparkSession, d: String,
-      toks: Option[DataFrame] = None): DataFrame =
-    toks.getOrElse(docTokens(s, d)).groupBy("doc_id")
+      toks: Option[DataFrame] = None): DataFrame = {
+    val sig = docShingleArrays(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.sig(col("tokens"), NumHashes).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The explode→groupBy reference formulation (kept for the kernel parity
+    * spec; not used by any query).
+    */
+  private[graft] def minhashSignaturesExploded(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d).groupBy("doc_id")
       .agg(
         min(tokenHash(0, col("token"))).as("mh0"),
         (1 until NumHashes).map(i =>
