@@ -285,26 +285,16 @@ object Dedup {
     // shared run of ≥ w+k-1 tokens between two docs shares a fingerprint —
     // the basis of plagiarism/near-dup detection at corpus scale. One
     // explode + one windowed min + one distinct; no joins.
+    // Shuffle-free: the whole fingerprint set comes from one kernel pass
+    // over the ORDERED shingle array (graft.functions.WinnowFingerprint) —
+    // the posexplode → per-doc window-sort formulation this replaces
+    // shuffled the full shingle sequence to sort it by position.
     QueryDef(
       "q_fingerprint_winnow",
       (s, d) => {
-        val ta = split(trim(col("text")), "\\s+")
-        val n = size(ta)
-        val s1 = slice(ta, lit(1), n - 2)
-        val s2 = slice(ta, lit(2), n - 2)
-        val s3 = slice(ta, lit(3), n - 2)
-        val shingles = when(n >= 3,
-          zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
-            (ab, c) => concat(ab, lit(" "), c)))
-          .otherwise(array().cast("array<string>"))
-        val seq = t(s, d, "documents")
-          .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "token")))
-          .select(col("doc_id"), col("pos"), baseHash(col("token")).as("h"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-        seq.withColumn("fp", min(col("h")).over(w))
-          .filter(col("pos") >= 3) // full windows only (0-based pos)
-          .select("doc_id", "fp").distinct()
+        orderedShingleArrays(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.DocSketches.winnow(col("tokens"), 4)).as("fp"))
           .orderBy("doc_id", "fp")
       },
       Some(
@@ -377,18 +367,29 @@ object Dedup {
   )
 
   /** 60-bit SimHash signatures: majority vote per bit over the 60-bit
-    * md5-prefix hash of each distinct shingle.
+    * md5-prefix hash of each distinct shingle. Shuffle-free via the
+    * whole-document kernel (graft.functions.SimHashSig) — the former
+    * 60-conditional-SUM groupBy shuffled the exploded token table.
     */
-  private def simhash60(s: SparkSession, d: String): DataFrame = {
-    val h = conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType)
-    val votes = (0 until 60).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val sig = (0 until 60).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    docTokens(s, d).groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash60"))
+  private def simhash60(s: SparkSession, d: String): DataFrame =
+    docShingleArrays(s, d)
+      .select(col("doc_id"),
+        graft.functions.DocSketches.simhash(col("tokens")).as("simhash60"))
+
+  /** ORDERED shingle arrays, duplicates preserved (winnowing needs the
+    * sequence, not the set).
+    */
+  private def orderedShingleArrays(s: SparkSession, d: String): DataFrame = {
+    val ta = split(trim(col("text")), "\\s+")
+    val n = size(ta)
+    val s1 = slice(ta, lit(1), n - 2)
+    val s2 = slice(ta, lit(2), n - 2)
+    val s3 = slice(ta, lit(3), n - 2)
+    val shingles = when(n >= 3,
+      zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents").select(col("doc_id"), shingles.as("tokens"))
   }
 
   // lazy: referenced by `defs` above, which initializes first in the object
