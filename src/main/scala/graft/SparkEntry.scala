@@ -17,9 +17,12 @@ object SparkEntry {
       Dedup.defs ++ PipelineQueries.defs ++ PipelineQueries.cdcDefs ++
       MultimodalQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full config-driven pipeline (read → DQ → script
+    * transform → cast → partitioned catalog table → SQL) — the engine's
+    * actual product. Driver smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_star")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

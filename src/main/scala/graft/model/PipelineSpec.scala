@@ -18,7 +18,12 @@ final case class PipelineSpec(
     source: SourceSpec,
     dataQuality: Option[DataQualitySpec] = None,
     transformation: Option[TransformSpec] = None,
-    destination: DestinationSpec) {
+    destination: DestinationSpec,
+    /** Reference-compat: cast decimal(p,s) columns to DOUBLE like the
+      * reference does (DataFrameUtil.scala:128-129, precision-lossy)
+      * instead of the correct DecimalType. See SchemaMapper.
+      */
+    decimalCompat: Boolean = false) {
 
   /** Reference `DatasetValidatorUtil.modify()` (:326-355) equivalent:
     * lowercase every identifier, force the single `_json`/`_xml` column for

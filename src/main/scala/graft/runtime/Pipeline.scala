@@ -116,7 +116,8 @@ object Pipeline {
 
     // ---- destination cast + sinks ------------------------------------------
     status.overrideProcessName("Load")
-    val out = FileSources.applyDestinationSchema(df, spec.destination.schema)
+    val out = FileSources.applyDestinationSchema(df, spec.destination.schema,
+      spec.decimalCompat)
     var table: Option[String] = None
     var rows = 0L
     spec.destination.objectStore.foreach { os =>
