@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSig, SimHashSig, WinnowFingerprint}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering the engine's custom Catalyst kernels as
+  * SQL functions, so `spark.sql` users get them without touching the Scala
+  * API — the idiomatic way a Spark library ships new expressions:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * // or, on an already-built session:
+  * GraftExtensions.register(spark)
+  * ...
+  * spark.sql("SELECT dot_product(a, b), minhash_sig(tokens, 16), " +
+  *           "simhash_sig(tokens), winnow_fingerprint(tokens, 4)")
+  * }}}
+  *
+  * All four are codegen'd expressions (WholeStageCodegen-resident), not
+  * UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Register the same functions on an ALREADY-BUILT session (builder-time
+    * extensions can't reach it).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, info, builder)
+    }
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b)")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(tokens, numHashes)")
+        MinHashSig(args(0), intArg(args(1), "minhash_sig"))
+      }),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_sig(tokens)")
+        SimHashSig(args(0))
+      }),
+    (FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "winnow_fingerprint(tokens, window)")
+        WinnowFingerprint(args(0), intArg(args(1), "winnow_fingerprint"))
+      }))
+}

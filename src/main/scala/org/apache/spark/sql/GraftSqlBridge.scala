@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (sessionState is
+    * sql-private; `withExtensions` only reaches sessions built after the
+    * fact). Used by GraftExtensions.register.
+    */
+  def registerFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
