@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHashSig, WinnowFingerprint}
+import graft.functions.{DotProduct, MinHashSig, SimHashSig, TopKByScore, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -69,5 +69,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "winnow_fingerprint(tokens, window)")
         WinnowFingerprint(args(0), intArg(args(1), "winnow_fingerprint"))
+      }),
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_by_score(score, id, k)")
+        TopKByScore(args(0), args(1), intArg(args(2), "topk_by_score"))
+          .toAggregateExpression()
       }))
 }

@@ -90,41 +90,40 @@ object CdcApply {
   /** Reduce a batch to final per-key images (arrival order by `seq`), then
     * one MERGE + one delete anti-join against the target table. Returns the
     * new table DataFrame (caller owns the write/swap).
+    *
+    * Pure DataFrame ops end to end (`element_at` on the image maps + a
+    * rank window) — no typed lambdas, so the whole apply stays inside
+    * WholeStageCodegen and the only data movement is the rank window's
+    * hash partition on the key columns.
     */
   def applyBatch(target: DataFrame, batch: Dataset[CDCMessage],
       keys: Seq[String]): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val tableCols = target.columns.toSeq
+    val df = batch.toDF()
+    // key columns come from the relevant image (delete → before, else after)
+    val keyed = df.select(
+      (keys.map(k => element_at(
+        when(col("isDelete"), col("before")).otherwise(col("after")), k).as(s"_k_$k"))
+        ++ Seq(col("isDelete"), col("after"), col("seq"))): _*)
+    // last event per key wins (max seq; ties → later wins via seq desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(s"_k_$k")): _*)
+      .orderBy(col("seq").desc)
+    val lastPerKey = keyed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
 
-    // last event per key wins (reference processes in arrival order; here
-    // the max-seq event is the batch's final word on that key)
-    val lastPerKey = batch
-      .groupByKey(m => keys.map(k =>
-        (if (m.isDelete) m.before else m.after).getOrElse(k, "")))
-      .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
-      .map(_._2)
+    val tableFields = target.schema.fields
+    val upserts = lastPerKey.filter(!col("isDelete"))
+      .select(tableFields.map(f =>
+        expr(s"try_cast(element_at(after, '${f.name}') AS ${f.dataType.sql})")
+          .as(f.name)).toIndexedSeq: _*)
+    val deletes = lastPerKey.filter(col("isDelete"))
+      .select(keys.map { k =>
+        val dt = target.schema(k).dataType
+        expr(s"try_cast(`_k_$k` AS ${dt.sql})").as(k)
+      }: _*)
 
-    val upserts = lastPerKey.filter(m => !m.isDelete)
-      .map(m => tableCols.map(c => m.after.get(c).orNull))
-      .map(vs => Tuple1(vs)).toDF("vals")
-      .select(tableCols.zipWithIndex.map { case (c, i) =>
-        element_at(col("vals"), i + 1).as(c) }: _*)
-    val deletes = lastPerKey.filter(_.isDelete)
-      .map(m => keys.map(k => m.before.getOrElse(k, "")))
-      .map(vs => Tuple1(vs)).toDF("kvals")
-      .select(keys.zipWithIndex.map { case (c, i) =>
-        element_at(col("kvals"), i + 1).as(c) }: _*)
-
-    // align string images to the target's types
-    val typedUpserts = upserts.select(target.schema.fields.map(f =>
-      expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)).toIndexedSeq: _*)
-    val typedDeletes = deletes.select(keys.map { k =>
-      val dt = target.schema(k).dataType
-      expr(s"try_cast(`$k` AS ${dt.sql})").as(k)
-    }: _*)
-
-    val merged = graft.operators.MergeUpsert(target, typedUpserts, keys)
-    merged.join(broadcast(typedDeletes), keys, "left_anti")
+    val merged = graft.operators.MergeUpsert(target, upserts, keys)
+    merged.join(broadcast(deletes), keys, "left_anti")
   }
 }

@@ -63,6 +63,10 @@ object Embeddings {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (ANN baseline) --------------------------
+    // Ranking via the bounded TopKByScore aggregate, NOT a row_number
+    // window: partial aggregation keeps the top 5 per query MAP-SIDE, so
+    // the shuffle carries 5·|queries| pairs instead of the full
+    // corpus×queries similarity table (the window formulation's cost).
     QueryDef(
       "q_knn_brute",
       (s, d) => {
@@ -77,10 +81,11 @@ object Embeddings {
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(VectorOps.dot(col("qe"), col("embedding")) /
               (col("qn") * col("nrm")), 6).as("sim"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        sim.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
+        sim.groupBy("query_id")
+          .agg(graft.functions.TopKByScore.topk(col("sim"), col("neighbor_id"), 5).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t.id").as("neighbor_id"),
+            col("t.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -149,39 +154,44 @@ object Embeddings {
         val cent = e.filter(col("vec_id").isin(CentroidIds: _*))
           .select(col("vec_id").as("cid"), col("embedding").as("ce"),
             col("nrm").as("cn"))
-        // index: nearest centroid per corpus vector (ties → lower cid)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))
+        import graft.functions.TopKByScore.topk
+        // index: nearest centroid per corpus vector — topk(k=1) aggregate
+        // (map-side bounded; ties → lower cid, matching the oracle's
+        // ROW_NUMBER ordering)
         val assigned = e.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
             round(VectorOps.dot(col("embedding"), col("ce")) /
               (col("nrm") * col("cn")), 6).as("csim"))
-          .withColumn("arank", row_number().over(wAssign))
-          .filter(col("arank") === 1)
-          .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+          .groupBy("vec_id")
+          .agg(topk(col("csim"), col("cid"), 1).as("top"),
+            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+          .select(element_at(col("top"), 1).getField("id").as("cid"),
+            col("vec_id"), col("embedding"), col("nrm"))
         // queries probe their 2 nearest centroids
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("qsim").desc, col("cid"))
         val probes = q.crossJoin(broadcast(cent))
           .select(col("query_id"), col("qe"), col("qn"), col("cid"),
             round(VectorOps.dot(col("qe"), col("ce")) /
               (col("qn") * col("cn")), 6).as("qsim"))
-          .withColumn("prank", row_number().over(wProbe))
-          .filter(col("prank") <= 2)
-          .select(col("query_id"), col("qe"), col("qn"), col("cid"))
-        // search only the probed buckets
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
+          .groupBy("query_id")
+          .agg(topk(col("qsim"), col("cid"), 2).as("top"),
+            first(col("qe")).as("qe"), first(col("qn")).as("qn"))
+          .select(col("query_id"), col("qe"), col("qn"),
+            explode(col("top")).as("t"))
+          .select(col("query_id"), col("qe"), col("qn"), col("t.id").as("cid"))
+        // search only the probed buckets; final top-5 via the same aggregate
         probes.join(assigned, "cid")
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(VectorOps.dot(col("qe"), col("embedding")) /
               (col("qn") * col("nrm")), 6).as("sim"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 5)
+          .groupBy("query_id")
+          .agg(topk(col("sim"), col("neighbor_id"), 5).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t.id").as("neighbor_id"),
+            col("t.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
           .orderBy("query_id", "rank")
       },
       Some {
