@@ -287,6 +287,54 @@ object Relational {
              |     EXCEPT SELECT s_nationkey FROM supplier)) x
              |ORDER BY tag, nk""".stripMargin)),
 
+    // ---- skew toolkit: salted two-phase aggregation -----------------------
+    // Same answer as a plain GROUP BY (the oracle computes it that way);
+    // the plan spreads every group over 16 salt buckets first, so one hot
+    // key (l_returnflag has 3 values over 600k rows — maximal skew) never
+    // serializes on a single task.
+    QueryDef(
+      "q_salted_agg",
+      (s, d) =>
+        graft.operators.Skew.saltedAgg(
+          t(s, d, "lineitem"), Seq("l_returnflag"), 16,
+          partial = Seq(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty")),
+          merge = Seq(sum(col("n")).as("n"),
+            sum(col("sum_qty")).cast("double").as("sum_qty")))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- skew toolkit: hot-key split join ---------------------------------
+    // Detected hot orderkeys route through a broadcast join; cold keys take
+    // the normal shuffle join. Union equals the plain join (the oracle).
+    QueryDef(
+      "q_hot_split_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 7 === 0) // deterministic 1/7 slice
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, d, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        // "hot" = orders with the most lineitems (threshold 6 → the
+        // multi-line tail of the distribution)
+        val hot = graft.operators.Skew.hotKeys(li, "l_orderkey", threshold = 6)
+        graft.operators.Skew.hotSplitJoin(li, o, "l_orderkey", hot)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            max(col("o_totalprice")).as("price"))
+          .orderBy("l_orderkey")
+      },
+      Some(s"""SELECT l_orderkey, COUNT(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  MAX(o_totalprice) AS price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE l_orderkey % 7 = 0
+              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
     // ---- §2.5 rollup (grouping-set aggregation surface) -------------------
     QueryDef(
       "q_rollup",
