@@ -117,6 +117,37 @@ object Events {
              |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
              |  COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
              |  COUNT(*) FILTER (event_type = 'view')     AS n_view
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- as-of join (point-in-time: each purchase ↔ latest prior click) --
+    // Spark lacks ASOF JOIN; operators.AsofJoin composes it as ONE shuffle
+    // (union + sorted carry-forward window) — no range join, which Spark
+    // would execute as a nested loop. DuckDB HAS a native ASOF JOIN, so the
+    // oracle checks our composition against an independent implementation
+    // of the same semantics.
+    QueryDef(
+      "q_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        // timestamps compared at µs: DuckDB's TIMESTAMP is µs-precision, so
+        // the ns parquet truncates there — truncate identically here
+        graft.operators.AsofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"),
+            col("asof_click_id"),
+            expr("asof_ts div 1000").as("click_ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+             |       c.event_id AS asof_click_id, epoch_us(c.ts) AS click_ts_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin))
   )
 }
