@@ -172,11 +172,16 @@ object Dedup {
       explode(array((0 until NumHashes / BandSize).map(b =>
         struct(lit(b).as("band_idx"), bandHash(b).as("h"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.h"))
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "h")
-    val bands = allBands
-      .withColumn("bsz", count(lit(1)).over(wb))
-      .filter(col("bsz") <= MaxBucketSize)
-      .drop("bsz")
+    // Hot buckets are excluded via a BROADCAST blacklist: the per-bucket
+    // count partial-aggregates map-side (tiny shuffle), the >cap survivors
+    // are bounded by |bands|/cap, and the anti-join adds no shuffle of the
+    // band table. A count-over-window here would instead shuffle AND sort
+    // the full band table before the self-join.
+    val hotBuckets = allBands.groupBy("band_idx", "h")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucketSize)
+      .select("band_idx", "h")
+    val bands = allBands.join(broadcast(hotBuckets), Seq("band_idx", "h"), "left_anti")
     val a = bands.select(col("band_idx"), col("h"), col("doc_id").as("id_a"))
     val b = bands.select(col("band_idx"), col("h"), col("doc_id").as("id_b"))
     a.join(b, Seq("band_idx", "h"))
