@@ -148,6 +148,37 @@ object Events {
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- bucketed range join (clicks within 1h after a signup) ------------
+    // operators.RangeJoin bucketizes the time axis (15-min buckets) so the
+    // range condition becomes an equi-join on (user, bucket) + residual
+    // BETWEEN — never Spark's nested-loop fallback. Compared at µs like the
+    // oracle (DuckDB timestamps are µs).
+    QueryDef(
+      "q_range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id").as("click_id"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), expr("ts div 1000").as("lo_us"),
+            expr("ts div 1000 + 3600000000").as("hi_us"),
+            col("event_id").as("signup_id"))
+        graft.operators.RangeJoin.pointInInterval(
+          clicks, signups, Seq("user_id"),
+          pointCol = "ts_us", loCol = "lo_us", hiCol = "hi_us",
+          bucketWidth = 900000000L) // 15 min in µs
+          .select("user_id", "click_id", "signup_id", "ts_us", "lo_us")
+          .orderBy("click_id", "signup_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, s.event_id AS signup_id,
+             |       epoch_us(c.ts) AS ts_us, epoch_us(s.ts) AS lo_us
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON c.user_id = s.user_id
+             | AND epoch_us(c.ts) BETWEEN epoch_us(s.ts) AND epoch_us(s.ts) + 3600000000
+             |ORDER BY click_id, signup_id""".stripMargin))
   )
 }
