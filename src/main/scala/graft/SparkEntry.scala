@@ -14,8 +14,8 @@ object SparkEntry {
   /** All operator queries, grouped by domain. */
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Embeddings.defs ++
-      Dedup.defs ++ PipelineQueries.defs ++ PipelineQueries.cdcDefs ++
-      MultimodalQueries.defs
+      Embeddings.recallDefs ++ Dedup.defs ++ PipelineQueries.defs ++
+      PipelineQueries.cdcDefs ++ MultimodalQueries.defs
 
   /** Flagship: the full config-driven pipeline (read → DQ → script
     * transform → cast → partitioned catalog table → SQL) — the engine's

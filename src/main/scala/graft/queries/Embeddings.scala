@@ -243,4 +243,36 @@ object Embeddings {
               |  ${dsumSql("ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)")} AS sum_norm
               |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
   )
+
+  /** IVF recall@5 against the brute-force baseline — the standard ANN
+    * evaluation (per query, |IVF top-5 ∩ exact top-5| / 5). Defined after
+    * [[defs]] so both the plans and the oracle SQL compose from the parent
+    * entries; at scale this runs over a sampled query set as the
+    * index-quality monitor.
+    */
+  val recallDefs: Seq[QueryDef] = {
+    def parent(name: String) = defs.find(_.name == name).get
+    val brute = parent("q_knn_brute")
+    val ivf = parent("q_knn_ivf")
+    Seq(QueryDef(
+      "q_knn_recall",
+      (s, d) => {
+        val b = brute.query(s, d).select(col("query_id"), col("neighbor_id"))
+        val i = ivf.query(s, d).select(col("query_id"), col("neighbor_id"))
+        b.join(i, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+          .select(col("query_id"),
+            (col("n_hit").cast("double") / 5.0).as("recall_at_5"))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH brute AS (${brute.oracle.get}),
+           |ivf AS (${ivf.oracle.get})
+           |SELECT b.query_id,
+           |       CAST(COUNT(*) AS DOUBLE) / 5.0 AS recall_at_5
+           |FROM brute b
+           |JOIN ivf i ON i.query_id = b.query_id
+           |          AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)))
+  }
 }
