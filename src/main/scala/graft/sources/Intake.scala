@@ -61,7 +61,11 @@ object Intake {
     val ds = (j \ "dataset").extractOpt[String].getOrElse(dataset)
     val dataFilePath = (j \ "dataFilePath").extract[String]
     val bulk = (j \ "bulkUpload").extractOpt[Boolean].getOrElse(true)
-    DatasetMetadata(ds, "", listFiles(Paths.get(dataFilePath)).map(_.toString), bulk)
+    // the manifest may live inside the directory it points at — it is
+    // metadata, never data, so exclude manifests from the load set
+    val files = listFiles(Paths.get(dataFilePath))
+      .filterNot(_.getFileName.toString.endsWith(".metadata.json"))
+    DatasetMetadata(ds, "", files.map(_.toString), bulk)
   }
 
   /** Expand one archive into a fresh temp dir; returns the dir. */

@@ -89,8 +89,9 @@ class SourcesSpec extends SparkSpec {
       s"""{"dataset": "stock_price", "dataFilePath": "$dir", "bulkUpload": true}""")
     val bm = Intake.resolve(man.toString)
     bm.dataset shouldBe "stock_price"
+    // the manifest itself is metadata, not data — excluded from the load set
     bm.paths.map(p => Paths.get(p).getFileName.toString) shouldBe
-      Seq("f1.csv", "f2.csv", "stock_price.metadata.json")
+      Seq("f1.csv", "f2.csv")
   }
 
   test("xlsx reader: shared strings, sparse cells, formula cache, types") {
