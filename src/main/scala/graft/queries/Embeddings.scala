@@ -32,6 +32,13 @@ object Embeddings {
     * sign flips, so the sequential double fold is bit-identical across
     * engines; projections are rounded to 6 dp before the sign test so a
     * last-bit disagreement at ~0 can't flip a bucket.
+    *
+    * Scale note: hyperplane buckets are COARSE partitions — population is
+    * ~N/2^K by design (unlike minhash band buckets, which are
+    * near-unique hashes). A bucket-size cap is therefore the wrong tool
+    * here; the scaling knob is K itself: pick K ≈ log2(N / B) for target
+    * intra-bucket population B, i.e. +7 planes per 100× data. K=6 fits
+    * the test corpus; a 100 TB run would use K≈20-24.
     */
   val HyperPlanes = 6
   val EmbedDim = 64
