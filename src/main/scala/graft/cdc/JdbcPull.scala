@@ -53,7 +53,20 @@ final class WatermarkStore(path: Path) {
   */
 object JdbcPull {
 
-  final case class PullResult(df: DataFrame, newWatermark: Option[String], rows: Long)
+  /** One pulled batch. `df` is a materialized snapshot (localCheckpoint): the
+    * sink consumes the same rows the watermark was computed from, and the
+    * source database is hit exactly once per poll. `newWatermark` is a
+    * CANDIDATE — nothing is persisted until [[PullResult.commit]], which the
+    * caller invokes only after the destination write succeeds (reference
+    * ordering: DataPuller.scala:36-68 writes the file before updating the
+    * pull table). A sink failure therefore leaves the stored watermark
+    * unchanged and the next poll re-delivers the same window: at-least-once,
+    * never silent loss.
+    */
+  final case class PullResult(df: DataFrame, newWatermark: Option[String], rows: Long) {
+    def commit(store: WatermarkStore, dataset: String): Unit =
+      if (rows > 0) newWatermark.foreach(store.set(dataset, _))
+  }
 
   def pull(spark: SparkSession, dataset: String, spec: JdbcSourceSpec,
       store: WatermarkStore): PullResult = {
@@ -75,16 +88,19 @@ object JdbcPull {
     spec.driver.foreach(reader.option("driver", _))
     spec.user.foreach(reader.option("user", _))
     spec.password.foreach(reader.option("password", _))
-    val df = reader.load()
-    // one aggregate trip for the new watermark; the batch itself stays lazy
-    // for the caller's sink to consume
+    // Snapshot the poll window in one JDBC read. Without this the DataFrame
+    // is lazy and the source is re-queried by every downstream action — the
+    // watermark aggregate, the sink, and any bookkeeping could each see a
+    // DIFFERENT live snapshot (rows arriving between reads are acknowledged
+    // but never landed). A poll window is bounded, so a local checkpoint is
+    // cheap relative to a second wire trip.
+    val df = reader.load().localCheckpoint(true)
     val (rows, newWm) =
       if (ts.nonEmpty && df.columns.map(_.toLowerCase).contains(ts.toLowerCase)) {
         val agg = df.agg(count(lit(1)).as("n"), max(col(ts)).cast("string").as("wm"))
           .collect()(0)
         (agg.getLong(0), Option(agg.getString(1)))
       } else (df.count(), None)
-    if (rows > 0) newWm.foreach(store.set(dataset, _))
     PullResult(df, if (rows > 0) newWm else watermark, rows)
   }
 

@@ -14,11 +14,25 @@ import org.apache.spark.sql.functions._
   *
   * Each poll reads only rows past the stored watermark (pushdown subquery),
   * pairs op-3/op-4 halves on `__$seqval` (J4), and emits normalized
-  * [[CDCMessage]] rows. The watermark advances to the batch's max seqval.
+  * [[CDCMessage]] rows. The watermark candidate is the batch's max seqval;
+  * it is persisted by the caller via [[PollResult.commit]] only after the
+  * batch is applied.
   */
 object MsSqlStyleCdc {
 
-  final case class PollResult(messages: Dataset[CDCMessage], rows: Long)
+  /** One polled change batch. `messages` is a materialized snapshot
+    * (localCheckpoint): count, max-seqval and the caller's apply all read the
+    * SAME rows from one JDBC trip — a live change table polled three times
+    * would yield three different snapshots, acknowledging events that were
+    * never applied. `newWatermark` is a CANDIDATE; the caller invokes
+    * [[PollResult.commit]] only after applying the batch, so an apply
+    * failure re-delivers the same window on the next poll.
+    */
+  final case class PollResult(messages: Dataset[CDCMessage], rows: Long,
+      newWatermark: Option[String]) {
+    def commit(store: WatermarkStore, dataset: String): Unit =
+      if (rows > 0) newWatermark.foreach(store.set(dataset, _))
+  }
 
   def poll(spark: SparkSession, dataset: String, spec: JdbcSourceSpec,
       store: WatermarkStore, database: String = "", schema: String = "",
@@ -63,11 +77,12 @@ object MsSqlStyleCdc {
         }
       }
 
-    val rows = paired.count()
-    if (rows > 0) {
-      val maxSeq = paired.agg(max(col("seq"))).collect()(0).getLong(0)
-      store.set(dataset, maxSeq.toString)
-    }
-    PollResult(paired, rows)
+    // one snapshot, one pass: the change table is read once; count and
+    // max-seq come from the same materialized rows the caller will apply
+    val snap = paired.localCheckpoint(true)
+    val agg = snap.agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()(0)
+    val rows = agg.getLong(0)
+    val maxSeq = if (rows > 0) Some(agg.getLong(1).toString) else None
+    PollResult(snap, rows, maxSeq)
   }
 }

@@ -49,6 +49,10 @@ final class PullRunner(
             val table = spec.destination.objectStore.map(os =>
               ObjectStoreSink.write(spark, out, os))
             spec.destination.database.foreach(JdbcSink.write(out, _))
+            // watermark advances ONLY after every destination write landed —
+            // a sink failure above aborts before this line and the next due
+            // tick re-pulls the same window (at-least-once, never loss)
+            pulled.commit(store, name)
             table.foreach { fq =>
               Pipeline.events.publish(Pipeline.events.Notification(
                 name, "", "objectStore",

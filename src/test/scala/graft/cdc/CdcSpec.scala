@@ -50,17 +50,36 @@ class CdcSpec extends SparkSpec {
       timestampFieldName = "updated")
     val p1 = JdbcPull.pull(spark, "ds1", spec, store)
     p1.rows shouldBe 2
+    // nothing persisted until the caller lands the batch and commits
+    store.get("ds1") shouldBe None
+    p1.commit(store, "ds1")
     store.get("ds1").get should startWith ("2026-01-01 11:00:00")
 
     // no new rows → empty pull, watermark unchanged
     val p2 = JdbcPull.pull(spark, "ds1", spec, store)
     p2.rows shouldBe 0
+    p2.commit(store, "ds1")
+    store.get("ds1").get should startWith ("2026-01-01 11:00:00")
 
     ins(3, "c", "2026-01-01 12:00:00")
     val p3 = JdbcPull.pull(spark, "ds1", spec, store)
     p3.rows shouldBe 1
     p3.df.select("id").as[Int].collect().toSeq shouldBe Seq(3)
+
+    // sink failure simulation: the batch was pulled but NOT committed —
+    // the stored watermark is unchanged and the next pull re-delivers the
+    // exact same window (at-least-once, no silent loss)
+    store.get("ds1").get should startWith ("2026-01-01 11:00:00")
+    val p3b = JdbcPull.pull(spark, "ds1", spec, store)
+    p3b.rows shouldBe 1
+    p3b.df.select("id").as[Int].collect().toSeq shouldBe Seq(3)
+    p3b.commit(store, "ds1")
     store.get("ds1").get should startWith ("2026-01-01 12:00:00")
+
+    // the pulled batch is a snapshot: rows inserted after the pull do not
+    // leak into it when the sink consumes it later (no lazy re-read)
+    ins(4, "d", "2026-01-01 13:00:00")
+    p3b.df.count() shouldBe 1
 
     // includeFields projects server-side with ts forced last
     val p4spec = spec.copy(includeFields = Seq("id", "updated"))
@@ -173,6 +192,12 @@ class CdcSpec extends SparkSpec {
     msgs(1).before("amt") shouldBe "20.0"
     msgs(1).after("amt") shouldBe "25.0"
     msgs(2).isDelete shouldBe true
+    // watermark is a candidate until the caller applies the batch + commits;
+    // an apply failure (no commit) re-delivers the same window
+    store.get("orders") shouldBe None
+    val r1b = MsSqlStyleCdc.poll(spark, "orders", spec, store, "shop", "dbo", "orders")
+    r1b.rows shouldBe 3
+    r1b.commit(store, "orders")
     store.get("orders") shouldBe Some("3")
 
     // next poll: only rows past the watermark
@@ -180,6 +205,8 @@ class CdcSpec extends SparkSpec {
     val r2 = MsSqlStyleCdc.poll(spark, "orders", spec, store, "shop", "dbo", "orders")
     r2.rows shouldBe 1
     r2.messages.collect().head.after("id") shouldBe "7"
+    r2.commit(store, "orders")
+    store.get("orders") shouldBe Some("4")
     c.close()
   }
 }
