@@ -320,7 +320,8 @@ object Relational {
           .filter(col("o_orderkey") % 7 === 0)
           .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
         // "hot" = orders with the most lineitems (threshold 6 → the
-        // multi-line tail of the distribution)
+        // multi-line tail of the distribution); stays a DataFrame — the
+        // split is semi/anti joins, nothing reaches the driver
         val hot = graft.operators.Skew.hotKeys(li, "l_orderkey", threshold = 6)
         graft.operators.Skew.hotSplitJoin(li, o, "l_orderkey", hot)
           .groupBy("l_orderkey")

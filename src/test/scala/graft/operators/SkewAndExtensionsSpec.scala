@@ -28,14 +28,31 @@ class SkewAndExtensionsSpec extends SparkSpec {
     val plain = left.join(right, "id")
       .select("id", "lv", "rv").orderBy("id", "lv").collect()
     val hot = Skew.hotKeys(left, "id", threshold = 100)
-    hot shouldBe Seq(1)
+    hot.collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
     val split = Skew.hotSplitJoin(left, right, "id", hot)
       .select("id", "lv", "rv").orderBy("id", "lv").collect()
     split.toSeq shouldBe plain.toSeq
-    // the hot half's physical plan carries a broadcast exchange
+    // the hot half's physical plan carries a broadcast exchange, and the
+    // split is collect-free: no driver-built IN-literal list anywhere
     val planStr = Skew.hotSplitJoin(left, right, "id", hot)
       .queryExecution.executedPlan.toString
     planStr should include ("Broadcast")
+    (planStr should not).include("id IN (")
+    (planStr should not).include("id INSET")
+  }
+
+  test("hotKeysByFraction: scale-relative detection, topN cap bounds output") {
+    val df = (Seq.fill(500)((1, "hot")) ++ Seq.fill(300)((2, "warm")) ++
+      (3 to 102).map(i => (i, s"l$i"))).toDF("id", "lv")
+    Skew.hotKeysByFraction(df, "id", 0.2).collect().map(_.getInt(0)).toSet shouldBe
+      Set(1, 2)
+    Skew.hotKeysByFraction(df, "id", 0.2, topN = 1)
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    Skew.hotKeysByFraction(df, "id", 0.9).count() shouldBe 0
+    // empty hot set → hotSplitJoin still equals the plain join
+    val right = (1 to 102).map(i => (i, s"r$i")).toDF("id", "rv")
+    Skew.hotSplitJoin(df, right, "id", Skew.hotKeysByFraction(df, "id", 0.9))
+      .count() shouldBe df.count()
   }
 
   test("extensions register the kernels as SQL functions") {
