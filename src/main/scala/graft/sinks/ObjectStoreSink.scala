@@ -17,15 +17,16 @@ import java.util.Comparator
   *   - `keyFields` empty  → plain append/overwrite `partitionBy` write.
   *   - `keyFields` set    → MERGE upsert: existing table full-outer-merged
   *     with the batch on the keys (IcebergUtil.scala:124-157 semantics),
-  *     then the table is atomically swapped via a staging directory — the
-  *     plain-parquet stand-in for an ACID table-format commit, per the
-  *     reference's `writeToTemporaryLocation` discipline.
+  *     then committed via a versioned-directory swap (see [[replaceTable]])
+  *     — the plain-parquet stand-in for an ACID table-format commit, per
+  *     the reference's `writeToTemporaryLocation` discipline.
   *   - `deleteBeforeWrite` → truncate the table dir first (K1 flag).
   *
-  * Scale: the merge is one co-partitioned shuffle on the keys; the swap is a
-  * metadata move. Partition pruning works through the catalog (partitionBy
-  * columns become directory keys). On a real deployment the staging swap is
-  * replaced by an Iceberg/Delta MERGE commit — the plan shape is identical.
+  * Scale: the merge is one co-partitioned shuffle on the keys; the commit is
+  * a metadata repoint. Partition pruning works through the catalog
+  * (partitionBy columns become directory keys). On a real deployment the
+  * versioned swap is replaced by an Iceberg/Delta MERGE commit — the plan
+  * shape is identical.
   */
 object ObjectStoreSink {
 
@@ -53,17 +54,21 @@ object ObjectStoreSink {
       case "append" | "" => SaveMode.Append
       case other => throw new PipelineSpecException(s"unknown writeMode '$other'")
     }
-    val w0 = df.write.mode(mode).format(spec.fileFormat)
-      .option("path", tableDir.toString)
-    val w = if (spec.partitionBy.nonEmpty) w0.partitionBy(spec.partitionBy: _*) else w0
-    if (exists) {
+    if (!exists || mode == SaveMode.Overwrite) {
+      // table creation and whole-table overwrite both go through the
+      // versioned commit — data always lives in a v-NNNNNN dir, so every
+      // later swap is a metadata repoint and no stale files linger at root
+      replaceTable(spark, df, spec): Unit
+    } else {
+      guardPartitionKeysImmutable(spark, fq, spec)
       // schema evolution (reference DatasetObjectStoreUtil.scala:71-100):
       // a changed destination schema re-creates the catalog entry — a new
       // "table version" over the same location. Old files stay; parquet
       // schema-on-read surfaces their missing columns as NULL.
       if (schemaChanged(spark, fq, df, spec)) {
+        val loc = currentLocation(spark, fq)
         spark.sql(s"DROP TABLE IF EXISTS $fq")
-        createExternal(spark, fq, spec, partitionsLast(df, spec))
+        createExternal(spark, fq, spec, partitionsLast(df, spec), loc)
         repairTable(spark, fq, spec)
       }
       // appending to a known table: insertInto resolves by position against
@@ -72,7 +77,7 @@ object ObjectStoreSink {
       val cat = spark.table(fq).columns
       df.select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         .write.mode(mode).insertInto(fq)
-    } else w.saveAsTable(fq)
+    }
   }
 
   /** Field names or types differ from the registered table (order-blind on
@@ -105,30 +110,131 @@ object ObjectStoreSink {
   }
 
   /** Replace a table's contents with `df` (which may READ the same table —
-    * e.g. a merge result or a CDC-applied image): materialize to a staging
-    * dir first, swap directories, re-register the catalog entry. The
-    * plain-parquet stand-in for an ACID table-format commit.
+    * e.g. a merge result or a CDC-applied image), without readers ever
+    * observing a missing table or a half-written directory. Versioned-dir
+    * commit, the plain-parquet stand-in for an ACID table-format snapshot
+    * commit (reference IcebergUtil.scala:28-157):
+    *
+    *   1. write the new image to `tableDir/v-NNNNNN` (the live table is
+    *      untouched while the write runs — a crash here leaves an orphan
+    *      version dir, cleaned up by the next successful commit);
+    *   2. repoint the catalog — `ALTER TABLE ... SET LOCATION` when the
+    *      schema is unchanged (one metadata op; a concurrent reader always
+    *      resolves the table), DROP+CREATE only on schema change;
+    *   3. retire old versions, keeping the previous one as a grace copy for
+    *      readers that resolved the old location mid-swap.
     */
   def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String = {
     val fq = s"${spec.database}.${spec.table}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
-    Files.createDirectories(tableDir.getParent)
-    val staging = tableDir.resolveSibling(s".${spec.table}-staging-${java.util.UUID.randomUUID}")
+    Files.createDirectories(tableDir)
+    val next = nextVersionDir(tableDir)
     val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
     val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
-    sw.save(staging.toString) // materialize BEFORE touching the live table
-    spark.sql(s"DROP TABLE IF EXISTS $fq")
-    deleteTree(tableDir)
-    Files.move(staging, tableDir)
-    // re-register the catalog entry over the swapped location (saveAsTable
-    // would rewrite the data we just moved; CREATE ... LOCATION is pure
-    // metadata)
-    val reread = spark.read.format(spec.fileFormat).load(tableDir.toString)
-    createExternal(spark, fq, spec, reread)
-    repairTable(spark, fq, spec)
+    sw.save(next.toString) // materialize BEFORE touching the live table
+    val reread = spark.read.format(spec.fileFormat).load(next.toString)
+    repoint(spark, fq, spec, next, reread)
+    retireOldVersions(tableDir, keep = 2)
     fq
   }
+
+  /** Point the catalog entry for `fq` at `newLoc`. Schema-preserving swaps
+    * take the atomic path (ALTER ... SET LOCATION + partition re-sync);
+    * schema changes re-create the entry (a new table version, reference
+    * DatasetObjectStoreUtil.scala:71-100) — after the partition-key
+    * immutability guard.
+    */
+  private def repoint(spark: SparkSession, fq: String, spec: ObjectStoreSpec,
+      newLoc: Path, sample: DataFrame): Unit = {
+    val exists = spark.catalog.tableExists(fq)
+    if (exists) guardPartitionKeysImmutable(spark, fq, spec)
+    val sameSchema = exists && {
+      val cat = spark.table(fq).schema.fields.map(f => (f.name, f.dataType)).toSeq
+      cat == sample.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    }
+    if (sameSchema) {
+      spark.sql(s"ALTER TABLE $fq SET LOCATION '${newLoc.toUri}'")
+      if (spec.partitionBy.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $fq SYNC PARTITIONS")
+      spark.catalog.refreshTable(fq)
+    } else {
+      spark.sql(s"DROP TABLE IF EXISTS $fq")
+      createExternal(spark, fq, spec, sample, newLoc)
+      repairTable(spark, fq, spec)
+    }
+  }
+
+  /** Re-register a table whose catalog entry is gone but whose versioned
+    * data survives (e.g. a crash between DROP and CREATE of a schema-change
+    * swap, or a fresh session over an existing lake). Returns true if the
+    * table is usable afterwards.
+    */
+  def recoverTable(spark: SparkSession, spec: ObjectStoreSpec): Boolean = {
+    val fq = s"${spec.database}.${spec.table}"
+    if (spark.catalog.tableExists(fq)) return true
+    val tableDir = Paths.get(spec.path, spec.database, spec.table)
+    versionDirs(tableDir).lastOption match {
+      case Some(latest) =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
+        val reread = spark.read.format(spec.fileFormat).load(latest.toString)
+        createExternal(spark, fq, spec, reread, latest)
+        repairTable(spark, fq, spec)
+        true
+      case None => false
+    }
+  }
+
+  /** Partition keys are immutable once a table exists (reference
+    * DatasetValidatorUtil.scala:186-199): a changed partition layout over
+    * old files silently mis-partitions every earlier row, so it is an error,
+    * not an evolution.
+    */
+  private def guardPartitionKeysImmutable(spark: SparkSession, fq: String,
+      spec: ObjectStoreSpec): Unit = {
+    import scala.jdk.CollectionConverters._
+    val existing = spark.catalog.listColumns(fq).collectAsList().asScala
+      .filter(_.isPartition).map(_.name).toSeq
+    if (existing != spec.partitionBy)
+      throw new PipelineSpecException(
+        s"partition keys are immutable: table $fq is partitioned by " +
+          s"[${existing.mkString(", ")}], spec says [${spec.partitionBy.mkString(", ")}]")
+  }
+
+  private def currentLocation(spark: SparkSession, fq: String): Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(fq)
+    Paths.get(spark.sessionState.catalog.getTableMetadata(ident).location)
+  }
+
+  private val VersionDir = raw"v-(\d{6})".r
+
+  /** Version dirs under the table root, oldest → newest. */
+  private def versionDirs(tableDir: Path): Seq[Path] =
+    if (!Files.exists(tableDir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(tableDir)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          VersionDir.pattern.matcher(p.getFileName.toString).matches())
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+
+  private def nextVersionDir(tableDir: Path): Path = {
+    val maxN = versionDirs(tableDir).flatMap(p => p.getFileName.toString match {
+      case VersionDir(n) => Some(n.toInt)
+      case _ => None
+    }).maxOption.getOrElse(0)
+    tableDir.resolve(f"v-${maxN + 1}%06d")
+  }
+
+  /** Delete all but the newest `keep` version dirs. Orphans from crashed
+    * writes are older than the just-committed version, so they are swept
+    * here too — every successful commit self-heals prior failures.
+    */
+  private def retireOldVersions(tableDir: Path, keep: Int): Unit =
+    versionDirs(tableDir).dropRight(keep).foreach(deleteTree)
 
   /** CREATE TABLE ... USING fmt LOCATION ... (+ PARTITIONED BY). Datasource
     * tables declare partition columns inside the column list and reference
@@ -136,16 +242,15 @@ object ObjectStoreSink {
     * new, duplicate column — Hive syntax, not USING syntax).
     */
   private def createExternal(spark: SparkSession, fq: String, spec: ObjectStoreSpec,
-      sample: DataFrame): Unit = {
+      sample: DataFrame, loc: Path): Unit = {
     val allCols = sample.schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}")
     val partClause =
       if (spec.partitionBy.nonEmpty)
         s"PARTITIONED BY (${spec.partitionBy.map(c => s"`$c`").mkString(", ")})"
       else ""
-    val loc = Paths.get(spec.path, spec.database, spec.table).toUri.toString
     spark.sql(
       s"""CREATE TABLE $fq (${allCols.mkString(", ")})
-         |USING ${spec.fileFormat} $partClause LOCATION '$loc'""".stripMargin)
+         |USING ${spec.fileFormat} $partClause LOCATION '${loc.toUri}'""".stripMargin)
   }
 
   /** MSCK REPAIR equivalent: sync partition directories into the catalog

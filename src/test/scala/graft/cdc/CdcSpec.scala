@@ -167,6 +167,57 @@ class CdcSpec extends SparkSpec {
     spark.table("graft_cdc.orders").count() shouldBe 3
   }
 
+  test("CdcStream partition-scoped apply: untouched partitions byte-identical, emptied dropped") {
+    val lake = scratchDir("cdcplake").getAbsolutePath
+    val inDir = scratchDir("cdcpin").toPath
+    val ckpt = scratchDir("cdcpckpt").getAbsolutePath
+    val sink = ObjectStoreSpec(path = lake, database = "graft_cdcp",
+      table = "orders_p", partitionBy = Seq("region"))
+
+    graft.sinks.ObjectStoreSink.write(spark,
+      Seq((1, 10.5, "us"), (2, 20.0, "eu"), (3, 30.0, "eu"))
+        .toDF("id", "amt", "region"), sink)
+
+    def location(): java.nio.file.Path = java.nio.file.Paths.get(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_cdcp.orders_p")).location)
+    def partFiles(part: String): Map[String, Seq[Byte]] = {
+      val d = location().resolve(part).toFile
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+        .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val euBefore = partFiles("region=eu")
+    euBefore should not be empty
+
+    // batch 1 touches ONLY region=us: insert id=4, update id=1
+    Files.writeString(inDir.resolve("b1.jsonl"), Seq(
+      envelope("c", "null", """{"id": 4, "amt": 40.0, "region": "us"}""", 100),
+      envelope("u", """{"id": 1, "amt": 10.5, "region": "us"}""",
+        """{"id": 1, "amt": 11.0, "region": "us"}""", 200)
+    ).mkString("\n"))
+    CdcStream.start(spark, inDir.toString, sink, Seq("id"), ckpt)
+      .awaitTermination(120000) shouldBe true
+
+    spark.table("graft_cdcp.orders_p").select("id", "amt", "region").orderBy("id")
+      .as[(Int, Double, String)].collect().toSeq shouldBe Seq(
+      (1, 11.0, "us"), (2, 20.0, "eu"), (3, 30.0, "eu"), (4, 40.0, "us"))
+    // the eu partition was never read or written: same files, same bytes
+    partFiles("region=eu") shouldBe euBefore
+
+    // batch 2 deletes every eu row → the partition is dropped, dir included
+    Files.writeString(inDir.resolve("b2.jsonl"), Seq(
+      envelope("d", """{"id": 2, "amt": 20.0, "region": "eu"}""", "null", 300),
+      envelope("d", """{"id": 3, "amt": 30.0, "region": "eu"}""", "null", 400)
+    ).mkString("\n"))
+    CdcStream.start(spark, inDir.toString, sink, Seq("id"), ckpt)
+      .awaitTermination(120000) shouldBe true
+    spark.table("graft_cdcp.orders_p").select("id").as[Int].collect()
+      .toSeq.sorted shouldBe Seq(1, 4)
+    location().resolve("region=eu").toFile.exists() shouldBe false
+  }
+
   // -------------------------------------------------- mssql-style cdc poll ----
   test("MsSqlStyleCdc: op pairing on seqval + watermark advance") {
     val dir = scratchDir("mscdc").toPath

@@ -56,9 +56,11 @@ class SinksSpec extends SparkSpec {
     val rows = spark.table("graft_t3.events").select("id", "day", "v").orderBy("id")
       .as[(Int, String, String)].collect().toSeq
     rows shouldBe Seq((1, "2024-01-01", "x"), (2, "2024-01-02", "y2"), (3, "2024-01-03", "z"))
-    // physical layout: day= partition dirs exist
-    val dirs = new java.io.File(s"$root/graft_t3/events").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+    // physical layout: day= partition dirs exist under the current version
+    val loc = java.nio.file.Paths.get(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_t3.events")).location)
+    val dirs = loc.toFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
     dirs.count(_.startsWith("day=")) shouldBe 3
   }
 
@@ -109,6 +111,75 @@ class SinksSpec extends SparkSpec {
     rows.length shouldBe 2
     assert(rows(0).isNullAt(2)) // pre-evolution row
     rows(1).getDouble(2) shouldBe 9.5
+  }
+
+  test("versioned swap: concurrent readers never observe a missing table") {
+    val root = scratchDir("lakeconc").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t5", table = "live")
+    ObjectStoreSink.write(spark, Seq((1, 10.0)).toDF("id", "v"), spec)
+
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val n = spark.table("graft_t5.live").count()
+          assert(n >= 1, s"reader saw $n rows")
+        } catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      (2 to 8).foreach { i =>
+        ObjectStoreSink.replaceTable(spark,
+          (1 to i).map(j => (j, j * 10.0)).toDF("id", "v"), spec)
+      }
+    } finally { stop = true; reader.join(30000) }
+    failure.foreach(t => fail(s"concurrent reader failed mid-swap: $t"))
+    spark.table("graft_t5.live").count() shouldBe 8
+    // old versions retired: at most 2 version dirs remain
+    val vdirs = new java.io.File(s"$root/graft_t5/live").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    vdirs.length should be <= 2
+  }
+
+  test("recoverTable: catalog entry lost mid-swap is rebuilt from versioned data") {
+    val root = scratchDir("lakerecover").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t6", table = "crashy",
+      partitionBy = Seq("region"))
+    ObjectStoreSink.write(spark,
+      Seq((1, "us", 1.0), (2, "eu", 2.0)).toDF("id", "region", "v"), spec)
+    // simulate a crash between DROP and CREATE: the entry vanishes but the
+    // versioned data survives
+    spark.sql("DROP TABLE graft_t6.crashy")
+    spark.catalog.tableExists("graft_t6.crashy") shouldBe false
+    ObjectStoreSink.recoverTable(spark, spec) shouldBe true
+    spark.table("graft_t6.crashy").count() shouldBe 2
+    // idempotent when healthy; false when there is nothing to recover
+    ObjectStoreSink.recoverTable(spark, spec) shouldBe true
+    ObjectStoreSink.recoverTable(spark,
+      spec.copy(table = "never_existed")) shouldBe false
+  }
+
+  test("partition keys are immutable; data columns still evolve") {
+    val root = scratchDir("lakeguard").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_t7", table = "g",
+      partitionBy = Seq("region"))
+    ObjectStoreSink.write(spark,
+      Seq((1, "us", 1.0)).toDF("id", "region", "v"), spec)
+    // changing the partition layout of an existing table is an error, on
+    // every write path
+    an[graft.model.PipelineSpecException] should be thrownBy
+      ObjectStoreSink.write(spark, Seq((2, "eu", 2.0)).toDF("id", "region", "v"),
+        spec.copy(partitionBy = Seq("id")))
+    an[graft.model.PipelineSpecException] should be thrownBy
+      ObjectStoreSink.replaceTable(spark, Seq((2, "eu", 2.0)).toDF("id", "region", "v"),
+        spec.copy(partitionBy = Nil))
+    // adding a data column is fine (new table version)
+    ObjectStoreSink.write(spark,
+      Seq((2, "eu", 2.0, "x")).toDF("id", "region", "v", "tag"), spec)
+    spark.table("graft_t7.g").columns should contain ("tag")
+    spark.table("graft_t7.g").count() shouldBe 2
   }
 
   test("text sink: csv + payload text") {
