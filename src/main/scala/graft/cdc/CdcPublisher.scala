@@ -9,29 +9,44 @@ import graft.runtime.EventBus
   * chunk bound mirrors the SNS payload limit; an in-process bus doesn't
   * need it, an external broker does — keeping it makes the publisher
   * broker-portable.
+  *
+  * A batch spanning multiple tables is grouped by (database, schema, table)
+  * FIRST and chunked per group, so every chunk's filter attributes describe
+  * exactly the messages it carries — attribute-filtered subscribers never
+  * receive another table's events or miss their own. Within a group the
+  * input order is preserved. A single message whose JSON alone exceeds
+  * `maxChunkBytes` is emitted as its own (oversized) chunk rather than
+  * silently violating the bound mid-chunk or being dropped — the subscriber
+  * side sizes for it or rejects it visibly.
   */
 final class CdcPublisher(bus: EventBus, maxChunkBytes: Int = 255 * 1024) {
 
-  def publish(messages: Seq[CDCMessage]): Int = {
-    if (messages.isEmpty) return 0
-    val head = messages.head
+  def publish(messages: Seq[CDCMessage]): Int =
+    messages.groupBy(m => (m.database, m.schema, m.table)).toSeq.sortBy(_._1)
+      .map { case ((db, sch, tbl), group) => publishGroup(db, sch, tbl, group) }
+      .sum
+
+  private def publishGroup(db: String, sch: String, tbl: String,
+      group: Seq[CDCMessage]): Int = {
     var chunks = 0
     val buf = new StringBuilder("[")
     def flush(): Unit = if (buf.length > 1) {
       buf.append("]")
       chunks += 1
       bus.publish(bus.Notification(
-        dataset = s"${head.database}.${head.schema}.${head.table}",
+        dataset = s"$db.$sch.$tbl",
         pipelineToken = "", destination = "cdc",
-        database = head.database, table = head.table,
+        database = db, table = tbl,
         location = "", attributes = Map(
-          "db" -> head.database, "schema" -> head.schema,
-          "table" -> head.table, "payload" -> buf.toString)))
+          "db" -> db, "schema" -> sch,
+          "table" -> tbl, "payload" -> buf.toString)))
       buf.clear(); buf.append("[")
     }
-    messages.foreach { m =>
+    group.foreach { m =>
       val json = toJson(m)
-      if (buf.length + json.length + 1 > maxChunkBytes) flush()
+      // flush BEFORE the append that would cross the bound; an oversized
+      // single message lands in an otherwise-empty buffer and flushes alone
+      if (buf.length > 1 && buf.length + json.length + 2 > maxChunkBytes) flush()
       if (buf.length > 1) buf.append(",")
       buf.append(json)
     }

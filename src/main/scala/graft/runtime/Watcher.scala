@@ -22,28 +22,46 @@ final class Watcher(
     spark: SparkSession,
     landingDir: Path,
     specs: Map[String, PipelineSpec],
-    ledgerPath: Path) {
+    ledgerPath: Path,
+    maxRetries: Int = 3) {
 
   final case class Processed(file: String, dataset: String,
       result: Either[Throwable, Pipeline.Result])
 
-  private def ledger: Set[String] =
-    if (Files.exists(ledgerPath))
-      Files.readAllLines(ledgerPath).asScala.map(_.trim).filter(_.nonEmpty).toSet
-    else Set.empty
+  /** Ledger replay: one line per event — `name` = success, `name\tfail` =
+    * one failed attempt. A success is terminal; failures accumulate until
+    * `maxRetries`, after which the file is dead-lettered (skipped, listed in
+    * [[deadLettered]]). Transient errors (JDBC lock, temp-dir exhaustion)
+    * therefore get retried on later polls instead of being silently marked
+    * done — the reference consumes the SQS message either way and relies on
+    * uploader re-delivery, which the ledger's filename dedup would ignore.
+    */
+  private def ledgerState: (Set[String], Map[String, Int]) =
+    if (!Files.exists(ledgerPath)) (Set.empty, Map.empty)
+    else {
+      val lines = Files.readAllLines(ledgerPath).asScala.map(_.trim).filter(_.nonEmpty)
+      val (fails, oks) = lines.partition(_.endsWith("\tfail"))
+      (oks.toSet, fails.groupBy(_.stripSuffix("\tfail")).map { case (k, v) => (k, v.size) })
+    }
 
-  private def record(name: String): Unit = {
+  /** Files that exhausted their retry budget and need operator attention. */
+  def deadLettered: Seq[String] = {
+    val (oks, fails) = ledgerState
+    fails.collect { case (n, c) if c >= maxRetries && !oks(n) => n }.toSeq.sorted
+  }
+
+  private def record(line: String): Unit = {
     Files.createDirectories(ledgerPath.getParent)
-    Files.writeString(ledgerPath, name + "\n",
+    Files.writeString(ledgerPath, line + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** One scan: process every unseen file; returns what happened per file.
-    * Failures are recorded in the ledger too (the reference also consumes
-    * the SQS message either way) — re-delivery is the uploader's retry.
+  /** One scan: process every file that is neither done nor dead-lettered;
+    * returns what happened per file. Failures burn one retry; successes are
+    * terminal.
     */
   def poll(): Seq[Processed] = {
-    val seen = ledger
+    val (done, fails) = ledgerState
     val files = {
       val s = Files.list(landingDir)
       try s.iterator().asScala.filter(Files.isRegularFile(_))
@@ -51,7 +69,10 @@ final class Watcher(
         .toVector.sortBy(_.toString)
       finally s.close()
     }
-    files.filterNot(f => seen(f.getFileName.toString)).map { f =>
+    files.filterNot { f =>
+      val n = f.getFileName.toString
+      done(n) || fails.getOrElse(n, 0) >= maxRetries
+    }.map { f =>
       val name = f.getFileName.toString
       val outcome =
         try {
@@ -64,7 +85,7 @@ final class Watcher(
             else Paths.get(meta.paths.head).getParent.toString
           Right(Pipeline.run(spark, spec, input))
         } catch { case e: Throwable => Left(e) }
-      record(name)
+      record(if (outcome.isRight) name else name + "\tfail")
       Processed(name, outcome.toOption.map(_.dataset).getOrElse("?"), outcome)
     }
   }

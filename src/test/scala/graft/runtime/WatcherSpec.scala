@@ -42,12 +42,20 @@ class WatcherSpec extends SparkSpec {
     r2.size shouldBe 1
     spark.table("graft_w.stock_watch").count() shouldBe 8 // appended
 
-    // unknown dataset files fail but are ledgered (no poison loop)
+    // a failing file burns one retry per poll (transient errors get another
+    // chance), then dead-letters — no poison loop, no silent mark-as-done
     Files.writeString(landing.resolve("mystery.tokX.1.dataset.csv"), "a,b\n1,2\n")
     val r3 = w2.poll()
     r3.size shouldBe 1
     r3.head.result.isLeft shouldBe true
-    w2.poll() shouldBe empty
+    w2.poll().map(_.result.isLeft) shouldBe Seq(true) // retry 2
+    w2.poll().map(_.result.isLeft) shouldBe Seq(true) // retry 3 = budget
+    w2.poll() shouldBe empty                           // dead-lettered
+    w2.deadLettered shouldBe Seq("mystery.tokX.1.dataset.csv")
+    // dead-letter state survives a restart, successes are not in it
+    val w3 = new Watcher(spark, landing, Map("stock_price" -> spec), ledger)
+    w3.poll() shouldBe empty
+    w3.deadLettered shouldBe Seq("mystery.tokX.1.dataset.csv")
   }
 
   test("unstructured passthrough: copy + guid rename + notification") {
@@ -92,5 +100,41 @@ class WatcherSpec extends SparkSpec {
     bus.subscribe(Map("table" -> "nope")) { _ => other += 1 }
     new CdcPublisher(bus, 2000).publish(msgs.take(3))
     other shouldBe 0
+  }
+
+  test("cdc publisher: multi-table batch groups chunks per table") {
+    val bus = new graft.runtime.EventBus
+    var orders = Vector.empty[String]
+    var users = Vector.empty[String]
+    bus.subscribe(Map("table" -> "orders")) { n => orders :+= n.attributes("payload") }
+    bus.subscribe(Map("table" -> "users")) { n => users :+= n.attributes("payload") }
+    def msg(tbl: String, id: Int) = CDCMessage("shop", "dbo", tbl,
+      isInsert = true, isUpdate = false, isDelete = false,
+      Map.empty, Map("id" -> id.toString), id.toLong)
+    // interleaved tables in one batch
+    val batch = Seq(msg("orders", 1), msg("users", 2), msg("orders", 3), msg("users", 4))
+    new CdcPublisher(bus).publish(batch) shouldBe 2
+    // each subscriber got exactly its own table's events — never the other's
+    orders.mkString.split("\"seq\": ").length - 1 shouldBe 2
+    orders.foreach(p => p should not include "\"table\": \"users\"")
+    users.mkString.split("\"seq\": ").length - 1 shouldBe 2
+    users.foreach(p => p should not include "\"table\": \"orders\"")
+  }
+
+  test("cdc publisher: oversized single message flushes alone, neighbors intact") {
+    val bus = new graft.runtime.EventBus
+    var got = Vector.empty[String]
+    bus.subscribe(Map("table" -> "t")) { n => got :+= n.attributes("payload") }
+    def msg(id: Int, pad: Int) = CDCMessage("d", "s", "t",
+      isInsert = true, isUpdate = false, isDelete = false,
+      Map.empty, Map("id" -> id.toString, "pad" -> ("x" * pad)), id.toLong)
+    val chunks = new CdcPublisher(bus, maxChunkBytes = 500)
+      .publish(Seq(msg(1, 10), msg(2, 2000), msg(3, 10)))
+    chunks shouldBe 3
+    got.size shouldBe 3
+    // the oversized message is its own chunk; the small ones stay bounded
+    got.count(_.length > 500) shouldBe 1
+    got.count(_.length <= 500) shouldBe 2
+    got.mkString.split("\"seq\": ").length - 1 shouldBe 3
   }
 }
