@@ -68,77 +68,100 @@ object Pipeline {
 
     // ---- read -------------------------------------------------------------
     val raw = FileSources.read(spark, spec, inputPath)
+    // DQ, dedup accounting, and the sink each walk the data; cache the input
+    // once so the SOURCE is scanned once per run — at 100 TB every extra
+    // bookkeeping action would otherwise be a full re-read
+    val multiPass = spec.dataQuality.isDefined ||
+      spec.transformation.exists(_.deduplicate)
+    if (multiPass) raw.persist()
+    var out: Option[DataFrame] = None
+    try {
+      // ---- data quality ---------------------------------------------------
+      val dqWarnings = spec.dataQuality.map { dq =>
+        status.overrideProcessName("DataQuality")
+        info("processing", "Running data quality")
+        if (dq.validateFileHeader && spec.source.file.exists(_.csv.exists(_.header)))
+          DataQualityRunner.validateHeader(raw, spec)
+        dq.validationSchema.foreach(schemaPath =>
+          validatePayloads(raw, spec, loadScript(schemaPath)))
+        val violations = DataQualityRunner.columnRuleViolations(raw, spec)
+          .unionByName(DataQualityRunner.rowRuleViolations(raw, spec, loadScript))
+        val (_, warnings) = DataQualityRunner.enforce(violations, spec.name)
+        if (warnings > 0)
+          status.warn(token, spec.name, "processing",
+            s"$warnings warning(s) occurred while processing this dataset")
+        warnings
+      }.getOrElse(0L)
 
-    // ---- data quality -----------------------------------------------------
-    val dqWarnings = spec.dataQuality.map { dq =>
-      status.overrideProcessName("DataQuality")
-      info("processing", "Running data quality")
-      if (dq.validateFileHeader && spec.source.file.exists(_.csv.exists(_.header)))
-        DataQualityRunner.validateHeader(raw, spec)
-      dq.validationSchema.foreach(schemaPath =>
-        validatePayloads(raw, spec, loadScript(schemaPath)))
-      val violations = DataQualityRunner.columnRuleViolations(raw, spec)
-        .unionByName(DataQualityRunner.rowRuleViolations(raw, spec, loadScript))
-      val (_, warnings) = DataQualityRunner.enforce(violations, spec.name)
-      if (warnings > 0)
-        status.warn(token, spec.name, "processing",
-          s"$warnings warning(s) occurred while processing this dataset")
-      warnings
-    }.getOrElse(0L)
-
-    // ---- transformation ---------------------------------------------------
-    status.overrideProcessName("Transformation")
-    var df = raw
-    var dedupRemoved = 0L
-    spec.transformation.foreach { t =>
-      if (t.deduplicate) {
-        // dedup on the PRE-CAST representation (reference dedups raw string
-        // rows, Transformation.scala:57-69) — `1.0` and `1.00` stay distinct
-        val before = df.count()
-        df = df.distinct()
-        dedupRemoved = before - df.count()
-        if (dedupRemoved > 0)
-          info("processing", s"$dedupRemoved rows were duplicates and removed")
-      }
-      t.rowFunctions
-        .filter(f => f.function.equalsIgnoreCase("script") ||
-          f.function.equalsIgnoreCase("javascript"))
-        .foreach { f =>
-          val path = f.parameters.headOption.getOrElse(throw new PipelineSpecException(
-            s"row function for dataset ${spec.name} has no script parameter"))
-          info("processing", s"Running row function: script $path")
-          val pipelineTs = new SimpleDateFormat(tsFormat)
-            .format(new java.util.Date())
-          df = RowScripts.transform(df, loadScript(path), spec.source.schema,
-            spec.destination.schema, pipelineTs)
+      // ---- transformation -------------------------------------------------
+      status.overrideProcessName("Transformation")
+      var df = raw
+      var dedupRemoved = 0L
+      spec.transformation.foreach { t =>
+        if (t.deduplicate) {
+          // dedup on the PRE-CAST representation (reference dedups raw string
+          // rows, Transformation.scala:57-69) — `1.0` and `1.00` stay
+          // distinct. One aggregation pass computes total and distinct
+          // together; the distinct() itself stays lazy and fuses into the
+          // sink's plan.
+          import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
+          val a = df.agg(count(lit(1)).as("n"),
+            count_distinct(struct(df.columns.map(col).toIndexedSeq: _*)).as("u"))
+            .collect()(0)
+          dedupRemoved = a.getLong(0) - a.getLong(1)
+          df = df.distinct()
+          if (dedupRemoved > 0)
+            info("processing", s"$dedupRemoved rows were duplicates and removed")
         }
-    }
+        t.rowFunctions
+          .filter(f => f.function.equalsIgnoreCase("script") ||
+            f.function.equalsIgnoreCase("javascript"))
+          .foreach { f =>
+            val path = f.parameters.headOption.getOrElse(throw new PipelineSpecException(
+              s"row function for dataset ${spec.name} has no script parameter"))
+            info("processing", s"Running row function: script $path")
+            val pipelineTs = new SimpleDateFormat(tsFormat)
+              .format(new java.util.Date())
+            df = RowScripts.transform(df, loadScript(path), spec.source.schema,
+              spec.destination.schema, pipelineTs)
+          }
+      }
 
-    // ---- destination cast + sinks ------------------------------------------
-    status.overrideProcessName("Load")
-    val out = FileSources.applyDestinationSchema(df, spec.destination.schema,
-      spec.decimalCompat)
-    var table: Option[String] = None
-    var rows = 0L
-    spec.destination.objectStore.foreach { os =>
-      info("processing", s"Writing to object store table ${os.database}.${os.table}")
-      val fq = ObjectStoreSink.write(spark, out, os)
-      table = Some(fq)
-      rows = spark.table(fq).count()
-      events.publish(events.Notification(spec.name, token, "objectStore",
-        os.database, os.table, Paths.get(os.path, os.database, os.table).toString))
-    }
-    spec.destination.database.foreach { db =>
-      info("processing", s"Writing to JDBC table ${db.table}")
-      JdbcSink.write(out, db)
-      if (table.isEmpty) rows = out.count()
-      events.publish(events.Notification(spec.name, token, "database",
-        "", db.table, db.url))
-    }
+      // ---- destination cast + sinks ----------------------------------------
+      status.overrideProcessName("Load")
+      val outDf = FileSources.applyDestinationSchema(df, spec.destination.schema,
+        spec.decimalCompat)
+      val anySink = spec.destination.objectStore.nonEmpty ||
+        spec.destination.database.nonEmpty
+      // the sink write materializes the cache; rowsWritten then reads it
+      // back instead of re-running the pipeline or re-scanning the table
+      if (anySink) outDf.persist()
+      out = Some(outDf)
+      var table: Option[String] = None
+      var rows = 0L
+      spec.destination.objectStore.foreach { os =>
+        info("processing", s"Writing to object store table ${os.database}.${os.table}")
+        val fq = ObjectStoreSink.write(spark, outDf, os)
+        table = Some(fq)
+        rows = outDf.count()
+        events.publish(events.Notification(spec.name, token, "objectStore",
+          os.database, os.table, Paths.get(os.path, os.database, os.table).toString))
+      }
+      spec.destination.database.foreach { db =>
+        info("processing", s"Writing to JDBC table ${db.table}")
+        JdbcSink.write(outDf, db)
+        if (table.isEmpty) rows = outDf.count()
+        events.publish(events.Notification(spec.name, token, "database",
+          "", db.table, db.url))
+      }
 
-    status.overrideProcessName("Pipeline")
-    info("end", "Process completed successfully")
-    Result(token, spec.name, table, rows, dqWarnings, dedupRemoved)
+      status.overrideProcessName("Pipeline")
+      info("end", "Process completed successfully")
+      Result(token, spec.name, table, rows, dqWarnings, dedupRemoved)
+    } finally {
+      if (multiPass) raw.unpersist()
+      out.foreach(_.unpersist())
+    }
   }
 
   /** Validate every semi-structured payload row against the configured

@@ -83,6 +83,37 @@ class PipelineRunSpec extends SparkSpec {
     r2.rowsWritten shouldBe 4
   }
 
+  test("bookkeeping is single-pass: a DQ+dedup run reads the source exactly once") {
+    val root = scratchDir("e2ejobs").getAbsolutePath
+    val spec = transformSpec(root).copy(name = "stock_price_jobs",
+      destination = transformSpec(root).destination.copy(objectStore =
+        transformSpec(root).destination.objectStore.map(_.copy(table = "stock_price_jobs"))))
+    val scanIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageInfos.flatMap(_.rddInfos)
+          .filter(_.name.startsWith("FileScan csv"))
+          .foreach(r => scanIds.add(r.id): Unit)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = Pipeline.run(spark, spec,
+        "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+      res.rowsWritten shouldBe 3
+      res.dedupRemoved shouldBe 0
+    } finally {
+      Thread.sleep(1000) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // DQ (row-numbering + enforce), dedup accounting, the sink write, and
+    // rowsWritten previously each built a fresh plan over the csv — one new
+    // FileScan RDD per bookkeeping action, i.e. a full source re-read each
+    // time at 100 TB. With the input cached, every job in the run shares ONE
+    // scan RDD: the file is materialized exactly once.
+    scanIds.size shouldBe 1
+  }
+
   test("DQ errors abort the pipeline before any write") {
     val root = scratchDir("e2edq").getAbsolutePath
     val spec0 = transformSpec(root)
