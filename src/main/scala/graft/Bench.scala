@@ -29,19 +29,37 @@ object Bench {
           catch { case _: Throwable => }
         }
       }
+    // N timed repeats per query, reported as the MEDIAN with min/max spread:
+    // single-shot timings in a shared JVM carry cross-query GC and
+    // cache-interference noise large enough to fake 5x regressions
+    // (BENCH_r02's q_join_anti read 4.9s shared vs 0.66s isolated).
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      System.err.println(s"[bench] running $name")
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      System.err.println(s"[bench] running $name x$repeats")
+      // queries persist intermediates; dropping them between SERIES keeps one
+      // query's leftover blocks from GC/eviction-thrashing the next one's
+      // timing (the r2 phantom-regression mechanism). Repeats within a
+      // series share caches deliberately: the median is the warm number.
+      spark.catalog.clearCache()
+      var ok = true
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+          ok = false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(times.length / 2)
+      name -> (median, times.head, times.last, ok)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
-    val total = results.values.collect { case (v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    def fmt(sel: ((Double, Double, Double, Boolean)) => Double): String =
+      results.map { case (k, t) => s"\"" + k + "\":" + sel(t) }
+        .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, _, _, false)) => "\"" + k + "\"" }
+    val total = results.values.collect { case (m, _, _, true) => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
