@@ -43,10 +43,100 @@ object Embeddings {
   val HyperPlanes = 6
   val EmbedDim = 64
 
-  /** Fixed IVF centroid ids — stand-ins for a k-means output table (all
-    * exist at every SF; the smallest embeddings table has 500 vectors).
+  /** IVF training parameters: k centroids, bounded Lloyd's iterations, over
+    * a deterministic 1-in-SampleMod sample of the corpus (IVF indexes train
+    * on a sample; assignment then covers the full corpus). Engine-neutral by
+    * construction — see [[kmeansCentroids]].
     */
-  val CentroidIds: Seq[Long] = Seq(3L, 61L, 119L, 177L, 235L, 293L, 351L, 409L)
+  val KmeansK = 8
+  val KmeansIters = 2
+  val SampleMod = 5
+
+  /** Lloyd's k-means over the sample, computed identically by Spark and the
+    * DuckDB oracle ([[kmeansCentSql]]):
+    *
+    *   - seeds: the K lowest vec_ids of the sample (deterministic);
+    *   - assignment: argmax cosine, rounded to 6 dp, ties to the lower cid —
+    *     the same convention every ANN query here uses;
+    *   - update: per-dimension mean computed as an EXACT decimal sum divided
+    *     in double and rounded to 6 dp. Float-order-dependent double
+    *     summation would diverge between engines; a decimal sum is exact, so
+    *     both engines produce bit-identical centroid components (array
+    *     elements are dyadic rationals, which can never land on a decimal
+    *     rounding half-boundary).
+    *
+    * Each iteration is one broadcast-join assignment pass + one aggregation;
+    * only K×dim doubles ever reach the driver. Clusters that empty drop out
+    * (both engines agree). Results are memoized per data dir — the recall
+    * query composes two consumers of the same index.
+    */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  def kmeansCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    kmeansCache.computeIfAbsent(d, _ => {
+      import graft.functions.TopKByScore.topk
+      val sq = s
+      import sq.implicits._
+      val smp = t(s, d, "embeddings")
+        .filter(col("vec_id") % SampleMod === 0)
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.norm(col("embedding")).as("nrm"))
+        .persist()
+      var cents: Seq[(Long, Seq[Double])] =
+        smp.orderBy("vec_id").limit(KmeansK).select("vec_id", "embedding")
+          .collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val means = (0 until EmbedDim).map(i =>
+        round(
+          sum(element_at(col("embedding"), i + 1).cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(35, 10)))
+            .cast("double") / count(lit(1)), 6).as(s"c$i"))
+      for (_ <- 1 to KmeansIters) {
+        val centDf = cents.map { case (cid, ce) => (cid, ce) }.toDF("cid", "ce")
+          .select(col("cid"), col("ce"), VectorOps.norm(col("ce")).as("cn"))
+        val asn = smp.crossJoin(broadcast(centDf))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            round(VectorOps.dot(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn")), 6).as("csim"))
+          .groupBy("vec_id")
+          .agg(topk(col("csim"), col("cid"), 1).as("top"),
+            first(col("embedding")).as("embedding"))
+          .select(element_at(col("top"), 1).getField("id").as("cid"),
+            col("embedding"))
+        cents = asn.groupBy("cid").agg(means.head, means.tail: _*)
+          .collect()
+          .map(r => r.getLong(0) ->
+            (1 to EmbedDim).map(j => r.getDouble(j)).toSeq).toSeq
+          .sortBy(_._1)
+      }
+      smp.unpersist()
+      cents
+    })
+
+  /** DuckDB twin of [[kmeansCentroids]]: the same seeds → assign → decimal
+    * mean chain as CTEs, ending in `cent(cid, ce)`. Expects a prior CTE
+    * `e(vec_id, emb DOUBLE[])`.
+    */
+  private def kmeansCentSql: String = {
+    val comps = (1 to EmbedDim).map(j =>
+      s"ROUND(CAST(SUM(CAST(emb[$j] AS DECIMAL(35,10))) AS DOUBLE) / COUNT(*), 6)")
+      .mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"smp AS (SELECT vec_id, emb FROM e WHERE vec_id % $SampleMod = 0),\n")
+    sb.append(s"cent0 AS (SELECT vec_id AS cid, emb AS ce FROM smp " +
+      s"WHERE vec_id IN (SELECT vec_id FROM smp ORDER BY vec_id LIMIT $KmeansK)),\n")
+    (1 to KmeansIters).foreach { i =>
+      sb.append(s"asn$i AS (SELECT cid, vec_id, emb FROM (" +
+        s"SELECT c.cid, s.vec_id, s.emb, ROW_NUMBER() OVER (PARTITION BY s.vec_id " +
+        s"ORDER BY ROUND(${cosSql("s.emb", "c.ce")}, 6) DESC, c.cid) AS r " +
+        s"FROM smp s CROSS JOIN cent${i - 1} c) x WHERE r = 1),\n")
+      sb.append(s"cent$i AS (SELECT cid, [$comps] AS ce FROM asn$i GROUP BY cid),\n")
+    }
+    sb.append(s"cent AS (SELECT cid, ce FROM cent$KmeansIters)")
+    sb.toString
+  }
 
   private[queries] def hyperplane(k: Int): Seq[Double] = (0 until EmbedDim).map { i =>
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -146,21 +236,22 @@ object Embeddings {
               |ORDER BY a.bucket, id_a, id_b""".stripMargin)),
 
     // ---- IVF-bucketed ANN (the scale path past brute force) ---------------
-    // Fixed centroid set (8 corpus vectors by id — at scale, k-means output
-    // shipped as a broadcast table). Index = assign every vector to its
-    // nearest centroid ONCE (linear scan × K, centroids broadcast). Search =
-    // each query probes its nprobe=2 nearest centroid buckets only, so the
-    // scored candidate set is ~2/K of the corpus instead of all of it —
-    // that is the IVF trade: recall for a K/nprobe-fold smaller scan.
+    // Centroids from [[kmeansCentroids]] (Lloyd's over a sample, broadcast
+    // each iteration). Index = assign every vector to its nearest centroid
+    // ONCE (linear scan × K, centroids broadcast). Search = each query
+    // probes its nprobe=2 nearest centroid buckets only, so the scored
+    // candidate set is ~2/K of the corpus instead of all of it — that is
+    // the IVF trade: recall for a K/nprobe-fold smaller scan.
     QueryDef(
       "q_knn_ivf",
       (s, d) => {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm(col("embedding")).as("nrm"))
-        val cent = e.filter(col("vec_id").isin(CentroidIds: _*))
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
+        val sq = s
+        import sq.implicits._
+        val cent = kmeansCentroids(s, d).toDF("cid", "ce")
+          .select(col("cid"), col("ce"), VectorOps.norm(col("ce")).as("cn"))
         import graft.functions.TopKByScore.topk
         // index: nearest centroid per corpus vector — topk(k=1) aggregate
         // (map-side bounded; ties → lower cid, matching the oracle's
@@ -202,9 +293,8 @@ object Embeddings {
           .orderBy("query_id", "rank")
       },
       Some {
-        val cids = CentroidIds.mkString(", ")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-           |cent AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id IN ($cids)),
+           |$kmeansCentSql,
            |assigned AS (
            |  SELECT cid, vec_id, emb FROM (
            |    SELECT c.cid, e.vec_id, e.emb,
