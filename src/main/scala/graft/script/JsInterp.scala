@@ -8,12 +8,19 @@ import scala.collection.mutable
   * (`ScriptEngineManager.getEngineByName("JavaScript")`,
   * Transformation.scala:129-148, DataQuality.scala:182-188). Nashorn is gone
   * from JDK 15+, and this environment is offline (no GraalJS jar), so the
-  * engine ships its own interpreter for the script dialect those row
-  * functions actually use:
+  * engine ships its own interpreter covering the dialect real row scripts
+  * use:
   *
-  *   - `var` declarations, assignment, `if`/`else`, blocks, comments
+  *   - `var` declarations, assignment (incl. `+= -= *= /= %=`, `++`/`--`),
+  *     `if`/`else`, `while`, `for(;;)`, `break`/`continue`, blocks, comments
+  *   - `function` declarations and anonymous function expressions, `return`,
+  *     closures over the defining scope (function-scoped `var`, like JS)
   *   - numbers (all double, JS-style), strings, booleans, `null`
-  *   - `+ - * / %`, string concatenation, `== != === !== < <= > >=`, `&& || !`
+  *   - array literals `[..]` + indexing/index assignment, `.length`,
+  *     `push`/`pop`/`join`/`indexOf`; object literals `{k: v}` + dot/bracket
+  *     property access and assignment
+  *   - `+ - * / %`, string concatenation, `== != === !== < <= > >=`,
+  *     `&& || !`, ternary `?:`
   *   - `Java.type('java.util.HashMap')` + `new HashMap()` + `map.put(k, v)`
   *   - `new Date(str)` / `date.getFullYear()` etc., `String(x)`, `Number(x)`
   *   - completion-value semantics: the script's result is the value of the
@@ -21,8 +28,10 @@ import scala.collection.mutable
   *
   * The AST is immutable case classes, so a parsed [[Script]] is Serializable
   * and ships to executors once; evaluation allocates only a per-row
-  * environment map. That is the engine-per-partition design SURVEY §2.8
+  * environment chain. That is the engine-per-partition design SURVEY §2.8
   * calls for — vs the reference's engine-per-ROW, its largest inefficiency.
+  * Loops carry a 10M-iteration guard so a runaway user script fails loudly
+  * instead of wedging an executor core.
   */
 object JsInterp {
 
@@ -32,6 +41,13 @@ object JsInterp {
   final case class ExprStmt(e: Expr) extends Stmt
   final case class If(cond: Expr, thenS: Stmt, elseS: Option[Stmt]) extends Stmt
   final case class Block(stmts: List[Stmt]) extends Stmt
+  final case class While(cond: Expr, body: Stmt) extends Stmt
+  final case class For(init: Option[Stmt], cond: Option[Expr],
+      update: Option[Expr], body: Stmt) extends Stmt
+  final case class FuncDecl(name: String, params: List[String], body: Block) extends Stmt
+  final case class Return(e: Option[Expr]) extends Stmt
+  case object BreakStmt extends Stmt
+  case object ContinueStmt extends Stmt
 
   sealed trait Expr extends Serializable
   final case class Num(v: Double) extends Expr
@@ -39,12 +55,19 @@ object JsInterp {
   final case class Bool(v: Boolean) extends Expr
   case object NullLit extends Expr
   final case class Ident(name: String) extends Expr
-  final case class Assign(target: String, e: Expr) extends Expr
+  final case class Assign(target: Expr, e: Expr) extends Expr
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Un(op: String, e: Expr) extends Expr
   final case class Member(obj: Expr, name: String) extends Expr
+  final case class Index(obj: Expr, idx: Expr) extends Expr
   final case class Call(callee: Expr, args: List[Expr]) extends Expr
   final case class New(callee: Expr, args: List[Expr]) extends Expr
+  final case class ArrLit(items: List[Expr]) extends Expr
+  final case class ObjLit(entries: List[(String, Expr)]) extends Expr
+  final case class FuncLit(params: List[String], body: Block) extends Expr
+  final case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
+  /** `++x`/`x--` etc.; postfix returns the pre-update value like JS. */
+  final case class Update(op: String, target: Expr, prefix: Boolean) extends Expr
 
   final case class Script(stmts: List[Stmt]) extends Serializable {
     /** Evaluate with the given variable bindings; returns the completion
@@ -58,8 +81,10 @@ object JsInterp {
   // -------------------------------------------------------------- lexer ----
   private final case class Tok(kind: String, text: String, pos: Int)
 
-  private val keywords = Set("var", "new", "if", "else", "null", "true", "false")
-  private val twoChar = Set("==", "!=", "<=", ">=", "&&", "||")
+  private val keywords = Set("var", "new", "if", "else", "null", "true", "false",
+    "function", "return", "while", "for", "break", "continue")
+  private val twoChar = Set("==", "!=", "<=", ">=", "&&", "||",
+    "+=", "-=", "*=", "/=", "%=", "++", "--")
   private val threeChar = Set("===", "!==")
 
   private def lex(src: String): Vector[Tok] = {
@@ -106,7 +131,7 @@ object JsInterp {
         out += Tok("op", src.substring(i, i + 3), i); i += 3
       } else if (i + 1 < n && twoChar(src.substring(i, i + 2))) {
         out += Tok("op", src.substring(i, i + 2), i); i += 2
-      } else if ("+-*/%<>=!(){}[],;.".indexOf(c) >= 0) {
+      } else if ("+-*/%<>=!(){}[],;.:?".indexOf(c) >= 0) {
         out += Tok("op", c.toString, i); i += 1
       } else throw new JsError(s"unexpected character '$c' at $i")
     }
@@ -143,6 +168,16 @@ object JsInterp {
           val init = if (at("op", "=")) { eat(); Some(parseExpr()) } else None
           VarDecl(name, init)
         } else if (at("if")) parseIf()
+        else if (at("while")) parseWhile()
+        else if (at("for")) parseFor()
+        else if (at("function")) parseFuncDecl()
+        else if (at("return")) { eat()
+          val e = if (at("op", ";") || at("op", "}") || at("eof")) None
+            else Some(parseExpr())
+          Return(e)
+        }
+        else if (at("break")) { eat(); BreakStmt }
+        else if (at("continue")) { eat(); ContinueStmt }
         else if (at("op", "{")) parseBlock()
         else ExprStmt(parseExpr())
       while (at("op", ";")) eat()
@@ -158,6 +193,48 @@ object JsInterp {
       If(cond, thenS, elseS)
     }
 
+    private def parseWhile(): Stmt = {
+      expect("while"); expect("op", "(")
+      val cond = parseExpr()
+      expect("op", ")")
+      While(cond, parseStmt())
+    }
+
+    private def parseFor(): Stmt = {
+      expect("for"); expect("op", "(")
+      val init =
+        if (at("op", ";")) None
+        else if (at("var")) { eat()
+          val name = expect("ident").text
+          val i0 = if (at("op", "=")) { eat(); Some(parseExpr()) } else None
+          Some(VarDecl(name, i0))
+        } else Some(ExprStmt(parseExpr()))
+      expect("op", ";")
+      val cond = if (at("op", ";")) None else Some(parseExpr())
+      expect("op", ";")
+      val update = if (at("op", ")")) None else Some(parseExpr())
+      expect("op", ")")
+      For(init, cond, update, parseStmt())
+    }
+
+    private def parseFuncDecl(): Stmt = {
+      expect("function")
+      val name = expect("ident").text
+      val params = parseParams()
+      FuncDecl(name, params, parseBlock())
+    }
+
+    private def parseParams(): List[String] = {
+      expect("op", "(")
+      val ps = List.newBuilder[String]
+      if (!at("op", ")")) {
+        ps += expect("ident").text
+        while (at("op", ",")) { eat(); ps += expect("ident").text }
+      }
+      expect("op", ")")
+      ps.result()
+    }
+
     private def parseBlock(): Block = {
       expect("op", "{")
       val stmts = List.newBuilder[Stmt]
@@ -166,16 +243,32 @@ object JsInterp {
       Block(stmts.result())
     }
 
-    // assignment (lowest, right-assoc) → || → && → equality → relational
-    // → additive → multiplicative → unary → postfix → primary
+    // assignment (lowest, right-assoc) → ternary → || → && → equality →
+    // relational → additive → multiplicative → unary → postfix → primary
     private def parseExpr(): Expr = parseAssign()
 
+    private val compound = Set("+=", "-=", "*=", "/=", "%=")
+
     private def parseAssign(): Expr = {
-      val l = parseOr()
+      val l = parseTernary()
       if (at("op", "=")) l match {
-        case Ident(n) => eat(); Assign(n, parseAssign())
+        case Ident(_) | Member(_, _) | Index(_, _) => eat(); Assign(l, parseAssign())
+        case _ => throw new JsError(s"invalid assignment target at ${peek.pos}")
+      } else if (at("op") && compound(peek.text)) l match {
+        case Ident(_) | Member(_, _) | Index(_, _) =>
+          val op = eat().text.substring(0, 1)
+          Assign(l, Bin(op, l, parseAssign()))
         case _ => throw new JsError(s"invalid assignment target at ${peek.pos}")
       } else l
+    }
+
+    private def parseTernary(): Expr = {
+      val c = parseOr()
+      if (at("op", "?")) { eat()
+        val t = parseAssign()
+        expect("op", ":")
+        Ternary(c, t, parseAssign())
+      } else c
     }
 
     private def binL(next: () => Expr, ops: Set[String]): Expr = {
@@ -198,6 +291,10 @@ object JsInterp {
       if (at("op", "!")) { eat(); Un("!", parseUnary()) }
       else if (at("op", "-")) { eat(); Un("-", parseUnary()) }
       else if (at("op", "+")) { eat(); Un("+", parseUnary()) }
+      else if (at("op", "++") || at("op", "--")) {
+        val op = eat().text
+        Update(op, parseUnary(), prefix = true)
+      }
       else if (at("new")) { eat()
         val callee = parsePostfix(parsePrimary(), callsAllowed = false)
         val args = if (at("op", "(")) parseArgs() else Nil
@@ -212,7 +309,15 @@ object JsInterp {
       var done = false
       while (!done) {
         if (at("op", ".")) { eat(); e = Member(e, expect("ident").text) }
+        else if (at("op", "[")) { eat(); val i = parseExpr(); expect("op", "]"); e = Index(e, i) }
         else if (callsAllowed && at("op", "(")) e = Call(e, parseArgs())
+        else if (at("op", "++") || at("op", "--")) {
+          e match {
+            case Ident(_) | Member(_, _) | Index(_, _) =>
+              e = Update(eat().text, e, prefix = false)
+            case _ => done = true
+          }
+        }
         else done = true
       }
       e
@@ -235,9 +340,40 @@ object JsInterp {
       else if (at("true")) { eat(); Bool(true) }
       else if (at("false")) { eat(); Bool(false) }
       else if (at("null")) { eat(); NullLit }
+      else if (at("function")) { eat()
+        val params = parseParams()
+        FuncLit(params, parseBlock())
+      }
       else if (at("ident")) Ident(eat().text)
+      else if (at("op", "[")) { eat()
+        val items = List.newBuilder[Expr]
+        if (!at("op", "]")) {
+          items += parseExpr()
+          while (at("op", ",")) { eat(); items += parseExpr() }
+        }
+        expect("op", "]")
+        ArrLit(items.result())
+      }
+      else if (at("op", "{")) { eat()
+        val entries = List.newBuilder[(String, Expr)]
+        if (!at("op", "}")) {
+          entries += parseObjEntry()
+          while (at("op", ",")) { eat(); entries += parseObjEntry() }
+        }
+        expect("op", "}")
+        ObjLit(entries.result())
+      }
       else if (at("op", "(")) { eat(); val e = parseExpr(); expect("op", ")"); e }
       else throw new JsError(s"unexpected token '${peek.text}' at ${peek.pos}")
+    }
+
+    private def parseObjEntry(): (String, Expr) = {
+      val key =
+        if (at("str")) eat().text
+        else if (at("num")) jsToString(eat().text.toDouble)
+        else expect("ident").text
+      expect("op", ":")
+      key -> parseExpr()
     }
   }
 
@@ -252,17 +388,66 @@ object JsInterp {
   /** `Java` namespace host object. */
   private case object JavaNs
 
+  /** Function-scoped environment chain (JS `var` semantics): lookups walk
+    * outward; assignment targets the scope that declared the name (root if
+    * undeclared, like sloppy-mode JS); `var` declares in the current scope.
+    */
+  private final class Env(val parent: Env) {
+    private val vars = mutable.Map[String, Any]()
+    def declare(n: String, v: Any): Unit = vars(n) = v
+    def lookup(n: String): Any = {
+      var e: Env = this
+      while (e != null) {
+        if (e.vars.contains(n)) return e.vars(n)
+        e = e.parent
+      }
+      throw new JsError(s"'$n' is not defined")
+    }
+    def set(n: String, v: Any): Unit = {
+      var e: Env = this
+      while (e != null) {
+        if (e.vars.contains(n)) { e.vars(n) = v; return }
+        e = e.parent
+      }
+      var root: Env = this
+      while (root.parent != null) root = root.parent
+      root.vars(n) = v
+    }
+  }
+
+  /** A user function value: AST + defining scope (a closure). Runtime-only —
+    * never serialized; each row evaluation builds its own.
+    */
+  private final case class JsFunction(params: List[String], body: Block, closure: Env)
+
+  // lightweight control-flow signals (no stack traces — these are not errors)
+  private final class ReturnSignal(val value: Any)
+      extends RuntimeException(null, null, false, false)
+  private final class BreakSignal extends RuntimeException(null, null, false, false)
+  private final class ContinueSignal extends RuntimeException(null, null, false, false)
+
+  private val MaxLoopIters = 10000000L
+
   private val UTC = java.util.TimeZone.getTimeZone("UTC")
 
   private def run(script: Script, bindings: Map[String, Any]): Any = {
-    val env = mutable.Map[String, Any]()
-    bindings.foreach { case (k, v) => env(k) = normalize(v) }
-    env("Java") = JavaNs
-    env("Date") = DateCtor
+    val env = new Env(null)
+    bindings.foreach { case (k, v) => env.declare(k, normalize(v)) }
+    env.declare("Java", JavaNs)
+    env.declare("Date", DateCtor)
+    hoistFunctions(script.stmts, env)
     var completion: Any = null
     script.stmts.foreach(s => evalStmt(s, env).foreach(completion = _))
-    denormalize(completion)
+    completion
   }
+
+  /** JS hoists function declarations to the top of their scope. */
+  private def hoistFunctions(stmts: List[Stmt], env: Env): Unit =
+    stmts.foreach {
+      case FuncDecl(name, params, body) =>
+        env.declare(name, JsFunction(params, body, env))
+      case _ =>
+    }
 
   /** Java/Scala values → JS runtime values (numbers are all double). */
   private def normalize(v: Any): Any = v match {
@@ -275,34 +460,62 @@ object JsInterp {
     case other      => other
   }
 
-  /** JS values → values the pipeline stores (doubles stay double; the row
-    * rebuild stringifies with JS ToString so `100.0` renders as "100").
-    */
-  private def denormalize(v: Any): Any = v
-
-  private def evalStmt(s: Stmt, env: mutable.Map[String, Any]): Option[Any] = s match {
+  private def evalStmt(s: Stmt, env: Env): Option[Any] = s match {
     case VarDecl(n, init) =>
-      env(n) = init.map(evalExpr(_, env)).orNull
+      env.declare(n, init.map(evalExpr(_, env)).orNull)
       None
+    case FuncDecl(_, _, _) => None // bound during hoisting
     case ExprStmt(e) => Some(evalExpr(e, env))
     case If(c, t, e) =>
       if (truthy(evalExpr(c, env))) evalStmt(t, env)
       else e.flatMap(evalStmt(_, env))
     case Block(stmts) =>
+      hoistFunctions(stmts, env)
       var last: Option[Any] = None
       stmts.foreach(st => evalStmt(st, env).foreach(v => last = Some(v)))
       last
+    case While(cond, body) =>
+      var iters = 0L
+      try while (truthy(evalExpr(cond, env))) {
+        iters += 1
+        if (iters > MaxLoopIters) throw new JsError("loop iteration limit exceeded")
+        try evalStmt(body, env): Unit
+        catch { case _: ContinueSignal => }
+      } catch { case _: BreakSignal => }
+      None
+    case For(init, cond, update, body) =>
+      init.foreach(evalStmt(_, env))
+      var iters = 0L
+      try while (cond.forall(c => truthy(evalExpr(c, env)))) {
+        iters += 1
+        if (iters > MaxLoopIters) throw new JsError("loop iteration limit exceeded")
+        try evalStmt(body, env): Unit
+        catch { case _: ContinueSignal => }
+        update.foreach(evalExpr(_, env))
+      } catch { case _: BreakSignal => }
+      None
+    case Return(e) => throw new ReturnSignal(e.map(evalExpr(_, env)).orNull)
+    case BreakStmt => throw new BreakSignal
+    case ContinueStmt => throw new ContinueSignal
   }
 
-  private def evalExpr(e: Expr, env: mutable.Map[String, Any]): Any = e match {
+  private def evalExpr(e: Expr, env: Env): Any = e match {
     case Num(v)  => v
     case Str(v)  => v
     case Bool(v) => v
     case NullLit => null
-    case Ident(n) =>
-      env.getOrElse(n, throw new JsError(s"'$n' is not defined"))
-    case Assign(n, v) =>
-      val value = evalExpr(v, env); env(n) = value; value
+    case Ident(n) => env.lookup(n)
+    case Assign(target, v) =>
+      val value = evalExpr(v, env)
+      assignTo(target, value, env)
+      value
+    case Update(op, target, prefix) =>
+      val old = toNumber(evalExpr(target, env))
+      val neu = if (op == "++") old + 1 else old - 1
+      assignTo(target, neu, env)
+      if (prefix) neu else old
+    case Ternary(c, t, f) =>
+      if (truthy(evalExpr(c, env))) evalExpr(t, env) else evalExpr(f, env)
     case Un("!", x) => !truthy(evalExpr(x, env))
     case Un("-", x) => -toNumber(evalExpr(x, env))
     case Un("+", x) => toNumber(evalExpr(x, env))
@@ -313,14 +526,39 @@ object JsInterp {
       val lv = evalExpr(l, env); if (truthy(lv)) lv else evalExpr(r, env)
     case Bin(op, l, r) => binOp(op, evalExpr(l, env), evalExpr(r, env))
     case Member(obj, name) => member(evalExpr(obj, env), name)
+    case Index(obj, idx) => indexGet(evalExpr(obj, env), evalExpr(idx, env))
+    case ArrLit(items) =>
+      val l = new java.util.ArrayList[Any]()
+      items.foreach(i => l.add(evalExpr(i, env)))
+      l
+    case ObjLit(entries) =>
+      val m = new java.util.LinkedHashMap[String, Any]()
+      entries.foreach { case (k, v) => m.put(k, evalExpr(v, env)) }
+      m
+    case FuncLit(params, body) => JsFunction(params, body, env)
     case Call(Member(objE, name), args) =>
-      callMethod(evalExpr(objE, env), name, args.map(evalExpr(_, env)))
+      val obj = evalExpr(objE, env)
+      val argv = args.map(evalExpr(_, env))
+      obj match {
+        case m: java.util.Map[_, _] =>
+          // object "methods": a stored function property wins over host
+          // map methods only if one exists under that name
+          m.asInstanceOf[java.util.Map[String, Any]].get(name) match {
+            case f: JsFunction => invoke(f, argv)
+            case _ => callMethod(obj, name, argv)
+          }
+        case _ => callMethod(obj, name, argv)
+      }
     case Call(Ident("String"), args) => jsToString(args.map(evalExpr(_, env)).headOption.orNull)
     case Call(Ident("Number"), args) => toNumber(args.map(evalExpr(_, env)).headOption.orNull)
     case Call(Ident("parseInt"), args) =>
       math.floor(toNumber(args.map(evalExpr(_, env)).headOption.orNull))
     case Call(Ident("parseFloat"), args) => toNumber(args.map(evalExpr(_, env)).headOption.orNull)
-    case Call(callee, _) => throw new JsError(s"cannot call $callee")
+    case Call(callee, args) =>
+      evalExpr(callee, env) match {
+        case f: JsFunction => invoke(f, args.map(evalExpr(_, env)))
+        case other => throw new JsError(s"cannot call $other")
+      }
     case New(callee, args) =>
       evalExpr(callee, env) match {
         case HashMapCtor   => new java.util.HashMap[String, Any]()
@@ -330,11 +568,60 @@ object JsInterp {
       }
   }
 
+  private def invoke(f: JsFunction, args: List[Any]): Any = {
+    val local = new Env(f.closure)
+    f.params.zipWithIndex.foreach { case (p, i) =>
+      local.declare(p, if (i < args.size) args(i) else null)
+    }
+    try { evalStmt(f.body, local); null }
+    catch { case r: ReturnSignal => r.value }
+  }
+
+  private def assignTo(target: Expr, value: Any, env: Env): Unit = target match {
+    case Ident(n) => env.set(n, value)
+    case Member(objE, name) =>
+      evalExpr(objE, env) match {
+        case m: java.util.Map[_, _] =>
+          m.asInstanceOf[java.util.Map[String, Any]].put(name, value): Unit
+        case other => throw new JsError(
+          s"cannot set property '$name' on ${Option(other).map(_.getClass.getName).orNull}")
+      }
+    case Index(objE, idxE) =>
+      val idx = evalExpr(idxE, env)
+      evalExpr(objE, env) match {
+        case l: java.util.ArrayList[Any @unchecked] =>
+          val i = toNumber(idx).toInt
+          if (i < 0) throw new JsError(s"negative array index $i")
+          while (l.size < i) l.add(null) // JS arrays auto-extend
+          if (i == l.size) l.add(value) else l.set(i, value): Unit
+        case m: java.util.Map[_, _] =>
+          m.asInstanceOf[java.util.Map[String, Any]].put(jsToString(idx), value): Unit
+        case other => throw new JsError(
+          s"cannot index-assign on ${Option(other).map(_.getClass.getName).orNull}")
+      }
+    case _ => throw new JsError("invalid assignment target")
+  }
+
+  private def indexGet(obj: Any, idx: Any): Any = obj match {
+    case l: java.util.ArrayList[_] =>
+      val i = toNumber(idx).toInt
+      if (i < 0 || i >= l.size) null else l.get(i)
+    case m: java.util.Map[_, _] =>
+      m.asInstanceOf[java.util.Map[String, Any]].get(jsToString(idx))
+    case s: String =>
+      val i = toNumber(idx).toInt
+      if (i < 0 || i >= s.length) null else s.substring(i, i + 1)
+    case null => throw new JsError("cannot index null")
+    case other => throw new JsError(s"cannot index ${other.getClass.getName}")
+  }
+
   private def member(obj: Any, name: String): Any = (obj, name) match {
     case (null, _) => throw new JsError(s"cannot read '$name' of null")
     case (s: String, "length") => s.length.toDouble
+    case (l: java.util.ArrayList[_], "length") => l.size.toDouble
     case (JavaNs, "type") => JavaNs // resolved at the call site
-    case (m: java.util.HashMap[_, _], _) => m // method resolved at call
+    case (m: java.util.Map[_, _], _) =>
+      m.asInstanceOf[java.util.Map[String, Any]].get(name)
     case (other, _) => other // method resolution happens in callMethod
   }
 
@@ -346,14 +633,29 @@ object JsInterp {
         "(row scripts may use java.util.HashMap / java.util.ArrayList)")
       case None => throw new JsError("Java.type requires a class name")
     }
-    case (m: java.util.HashMap[String @unchecked, Any @unchecked], "put") =>
+    case (m: java.util.Map[String @unchecked, Any @unchecked], "put") =>
       m.put(jsToString(args.head), args(1))
-    case (m: java.util.HashMap[String @unchecked, Any @unchecked], "get") =>
+    case (m: java.util.Map[String @unchecked, Any @unchecked], "get") =>
       m.get(jsToString(args.head))
-    case (m: java.util.HashMap[_, _], "size") => m.size.toDouble
-    case (m: java.util.HashMap[_, _], "isEmpty") => m.isEmpty
+    case (m: java.util.Map[String @unchecked, Any @unchecked], "containsKey") =>
+      m.containsKey(jsToString(args.head))
+    case (m: java.util.Map[String @unchecked, Any @unchecked], "remove") =>
+      m.remove(jsToString(args.head))
+    case (m: java.util.Map[_, _], "size") => m.size.toDouble
+    case (m: java.util.Map[_, _], "isEmpty") => m.isEmpty
     case (l: java.util.ArrayList[Any @unchecked], "add") => l.add(args.head)
+    case (l: java.util.ArrayList[Any @unchecked], "push") =>
+      l.add(args.head); l.size.toDouble
+    case (l: java.util.ArrayList[Any @unchecked], "pop") =>
+      if (l.isEmpty) null else l.remove(l.size - 1)
     case (l: java.util.ArrayList[_], "size") => l.size.toDouble
+    case (l: java.util.ArrayList[_], "get") => indexGet(l, args.head)
+    case (l: java.util.ArrayList[_], "indexOf") =>
+      (0 until l.size).find(i => looseEq(l.get(i), args.head))
+        .getOrElse(-1).toDouble
+    case (l: java.util.ArrayList[_], "join") =>
+      val sep = args.headOption.map(jsToString).getOrElse(",")
+      (0 until l.size).map(i => jsToString(l.get(i))).mkString(sep)
     case (d: java.util.Calendar, "getFullYear") => d.get(java.util.Calendar.YEAR).toDouble
     case (d: java.util.Calendar, "getMonth") => d.get(java.util.Calendar.MONTH).toDouble
     case (d: java.util.Calendar, "getDate") => d.get(java.util.Calendar.DAY_OF_MONTH).toDouble
@@ -365,6 +667,7 @@ object JsInterp {
     case (s: String, "substring") =>
       val from = toNumber(args.head).toInt
       if (args.size > 1) s.substring(from, toNumber(args(1)).toInt) else s.substring(from)
+    case (s: String, "charAt") => indexGet(s, args.head)
     case (s: String, "indexOf") => s.indexOf(jsToString(args.head)).toDouble
     case (s: String, "replace") => s.replace(jsToString(args.head), jsToString(args(1)))
     case (s: String, "split") => {

@@ -99,4 +99,88 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     a[JsInterp.JsError] should be thrownBy eval("missing + 1;")
     a[JsInterp.JsError] should be thrownBy eval("'unterminated")
   }
+
+  test("function declarations, returns, recursion, hoisting") {
+    eval("""function add(a, b) { return a + b; }
+           |add(2, 3);""".stripMargin) shouldBe 5.0
+    // recursion + early return
+    eval("""function fact(n) { if (n <= 1) return 1; return n * fact(n - 1); }
+           |fact(5);""".stripMargin) shouldBe 120.0
+    // hoisting: callable before its declaration in source order
+    eval("""var r = twice(4);
+           |function twice(x) { return x * 2; }
+           |r;""".stripMargin) shouldBe 8.0
+    // missing args are null; return with no value is null
+    eval("""function f(a, b) { if (b == null) return; return 1; }
+           |f(1) == null;""".stripMargin) shouldBe true
+  }
+
+  test("anonymous function expressions close over their scope") {
+    eval("""var base = 10;
+           |var addBase = function(x) { return base + x; };
+           |base = 20;
+           |addBase(5);""".stripMargin) shouldBe 25.0
+  }
+
+  test("while and for loops with break/continue") {
+    eval("""var s = 0; var i = 0;
+           |while (i < 10) { i = i + 1; if (i % 2 == 0) continue; s = s + i; }
+           |s;""".stripMargin) shouldBe 25.0 // 1+3+5+7+9
+    eval("""var s = 0;
+           |for (var i = 0; i < 100; i++) { if (i == 5) break; s += i; }
+           |s;""".stripMargin) shouldBe 10.0 // 0+1+2+3+4
+    eval("""var n = 0; for (;;) { n++; if (n >= 3) break; } n;""") shouldBe 3.0
+    // runaway loops fail loudly instead of hanging the executor
+    a[JsInterp.JsError] should be thrownBy eval("while (true) { 1; }")
+  }
+
+  test("compound assignment and increment/decrement") {
+    eval("var x = 10; x += 5; x -= 3; x *= 2; x /= 4; x;") shouldBe 6.0
+    eval("var i = 5; var a = i++; a + '/' + i;") shouldBe "5/6"
+    eval("var i = 5; var b = --i; b + '/' + i;") shouldBe "4/4"
+  }
+
+  test("array literals, indexing, growth, methods") {
+    eval("var a = [1, 2, 3]; a[0] + a[2];") shouldBe 4.0
+    eval("var a = [1]; a[1] = 5; a.length;") shouldBe 2.0
+    eval("var a = []; a.push('x'); a.push('y'); a.join('-');") shouldBe "x-y"
+    eval("var a = [1, 2, 3]; a.indexOf(2);") shouldBe 1.0
+    eval("var a = [1, 2]; a.pop(); a.length;") shouldBe 1.0
+    eval("var a = [7]; a[99] == null;") shouldBe true // OOB read is null
+    // iterate + mutate, the shape a real cleanup script takes
+    eval("""var xs = ['a', 'b', 'c']; var out = [];
+           |for (var i = 0; i < xs.length; i++) out.push(xs[i].toUpperCase());
+           |out.join('');""".stripMargin) shouldBe "ABC"
+  }
+
+  test("object literals, dot/bracket access and assignment") {
+    eval("var o = {a: 1, 'b c': 2}; o.a + o['b c'];") shouldBe 3.0
+    eval("var o = {}; o.x = 5; o['y'] = 6; o.x + o.y;") shouldBe 11.0
+    eval("var o = {n: 1}; o.n += 2; o.n;") shouldBe 3.0
+    eval("var o = {a: {b: 4}}; o.a.b;") shouldBe 4.0
+    eval("var o = {missing: null}; o.missing == null;") shouldBe true
+    // object literals interop with the HashMap surface scripts already use
+    eval("var o = {k: 'v'}; o.get('k');") shouldBe "v"
+    eval("var o = {}; o.put('k', 9); o.k;") shouldBe 9.0
+  }
+
+  test("ternary expressions") {
+    eval("var x = 5; x > 3 ? 'big' : 'small';") shouldBe "big"
+    eval("(0 ? 1 : 2) + (1 ? 10 : 20);") shouldBe 12.0
+  }
+
+  test("functions + arrays + objects compose (word-count shape)") {
+    eval("""function countWords(s) {
+           |  var parts = s.split(' ');
+           |  var m = {};
+           |  for (var i = 0; i < parts.length; i++) {
+           |    var w = parts[i];
+           |    if (w == '') continue;
+           |    m[w] = (m[w] == null ? 0 : m[w]) + 1;
+           |  }
+           |  return m;
+           |}
+           |var m = countWords('a b a c a b');
+           |m['a'] + '/' + m['b'] + '/' + m['c'];""".stripMargin) shouldBe "3/2/1"
+  }
 }
