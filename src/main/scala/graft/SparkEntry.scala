@@ -15,7 +15,8 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Embeddings.defs ++
       Embeddings.recallDefs ++ Dedup.defs ++ PipelineQueries.defs ++
-      PipelineQueries.cdcDefs ++ MultimodalQueries.defs
+      PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
+      MultimodalQueries.defs
 
   /** Flagship: the full config-driven pipeline (read → DQ → script
     * transform → cast → partitioned catalog table → SQL) — the engine's

@@ -234,6 +234,284 @@ object PipelineQueries {
   private lazy val archivePaths: Seq[String] =
     graft.sources.Intake.resolve(s"$FixtureDir/stock_price.dataset.zip").paths
 
+  /** The small stock CSV converted to a real xlsx (shared strings, sparse
+    * cells for empty fields) — definition-time driver prep like
+    * [[archivePaths]]; the oracle reads the ORIGINAL csv, so the comparison
+    * proves the xlsx reader reproduces the csv contents exactly (S5).
+    */
+  private lazy val xlsxPath: String = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-")
+    val out = dir.resolve("stock_price.tok.20170102.dataset.xlsx")
+    val rows: Seq[Seq[String]] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(SmallCsv)).asScala
+        .toSeq.filter(_.nonEmpty).map(_.split(",", -1).toSeq)
+    val shared = rows.flatten.filter(_.nonEmpty).distinct
+    val sidx = shared.zipWithIndex.toMap
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(out.toFile))
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="s1" sheetId="1"/></sheets></workbook>""")
+    put("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst>${shared.map(s => s"<si><t>${esc(s)}</t></si>").mkString}</sst>""")
+    val sheetRows = rows.zipWithIndex.map { case (cells, r) =>
+      val cs = cells.zipWithIndex.collect {
+        case (v, c) if v.nonEmpty => // empty csv field → sparse (absent) cell
+          s"""<c r="${('A' + c).toChar}${r + 1}" t="s"><v>${sidx(v)}</v></c>"""
+      }.mkString
+      s"""<row r="${r + 1}">$cs</row>"""
+    }.mkString("\n")
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>\n$sheetRows\n</sheetData></worksheet>""")
+    z.close()
+    out.toString
+  }
+
+  /** Manifest bulk-load fixture (S9): two day files + the
+    * `<dataset>.metadata.json` manifest, resolved through the real intake
+    * convention — the manifest is metadata, not data, and must be excluded
+    * from the load set. Shared with the oracle like [[archivePaths]].
+    */
+  private lazy val manifestPaths: Seq[String] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(BigCsv), dir.resolve("part1.csv"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/stock_price.20170103.dataset.csv"),
+      dir.resolve("part2.csv"))
+    val man = dir.resolve("stock_price.metadata.json")
+    java.nio.file.Files.writeString(man,
+      s"""{"dataset": "stock_price", "dataFilePath": "$dir", "bulkUpload": true}""")
+    graft.sources.Intake.resolve(man.toString).paths
+  }
+
+  /** Oracle-checked infra operators that were spec-only in round 2: xlsx
+    * read, JDBC incremental pull, MSSQL-style CDC pairing, DQ failure
+    * policy, manifest bulk load.
+    */
+  val infraDefs: Seq[QueryDef] = Seq(
+
+    // ---- S5: xlsx read equals the csv it was generated from ---------------
+    QueryDef(
+      "q_xlsx_read",
+      (s, _) => {
+        val spec = PipelineSpec(
+          name = "q_xlsx_read",
+          source = SourceSpec(schema = stockFields,
+            file = Some(FileSpec(xlsx = Some(XlsxSpec(worksheet = 0))))),
+          destination = DestinationSpec(objectStore = Some(
+            ObjectStoreSpec(path = "/tmp/unused", database = "graft_q", table = "unused"))))
+          .normalized.validated
+        FileSources.read(s, spec, xlsxPath)
+          .orderBy("symbol")
+      },
+      Some(s"""SELECT * FROM ${srcSql(SmallCsv)} ORDER BY symbol""")),
+
+    // ---- S7: watermarked JDBC pull — two pulls, no overlap, union = table --
+    QueryDef(
+      "q_jdbc_pull",
+      (s, d) => {
+        val dbDir = freshLake("pulldb")
+        val url = s"jdbc:derby:$dbDir/db;create=true"
+        // unquoted DDL so the unquoted watermark predicate (`WHERE updated >
+        // ...`, reference DataPuller shape) resolves against Derby's
+        // case-canonical column; bounded fixture prep via JDBC batch, the
+        // pull itself is the path under test
+        val c = java.sql.DriverManager.getConnection(url)
+        c.createStatement().executeUpdate(
+          "CREATE TABLE src_pull (c_custkey BIGINT, c_name VARCHAR(64), " +
+            "c_acctbal DOUBLE, updated TIMESTAMP)")
+        val ps = c.prepareStatement("INSERT INTO src_pull VALUES (?, ?, ?, ?)")
+        def land(lo: Long, hi: Long, day: String): Unit = {
+          graft.Tables.load(s, d, "customer")
+            .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+            .select(col("c_custkey").cast("long"), col("c_name"),
+              col("c_acctbal").cast("double"))
+            .collect().foreach { r =>
+              ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+              ps.setDouble(3, r.getDouble(2))
+              ps.setTimestamp(4, java.sql.Timestamp.valueOf(s"$day 10:00:00"))
+              ps.addBatch(): Unit
+            }
+          ps.executeBatch(): Unit
+        }
+        // land the day-1 rows, pull; land day-2 rows, pull again — the
+        // second pull's pushdown predicate must exclude everything pull 1 saw
+        land(-1, 300, "2026-01-01") // keys start at 0 in the synthetic table
+        val store = new graft.cdc.WatermarkStore(
+          java.nio.file.Paths.get(dbDir, "wm.properties"))
+        val pullSpec = JdbcSourceSpec(url = url, table = "src_pull",
+          timestampFieldName = "updated")
+        val p1 = graft.cdc.JdbcPull.pull(s, "q_jdbc_pull", pullSpec, store)
+        p1.commit(store, "q_jdbc_pull")
+        land(300, 600, "2026-01-02")
+        val p2 = graft.cdc.JdbcPull.pull(s, "q_jdbc_pull", pullSpec, store)
+        p2.commit(store, "q_jdbc_pull")
+        c.close()
+        p1.df.withColumn("pull", lit(1))
+          .unionByName(p2.df.withColumn("pull", lit(2)))
+          .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
+            col("c_acctbal"), col("pull"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |       CASE WHEN c_custkey <= 300 THEN 1 ELSE 2 END AS pull
+             |FROM customer WHERE c_custkey <= 600
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- S12/J4: MSSQL-style CDC poll — op-3/4 pairing on seqval -----------
+    // A change table is synthesized from `customer` (inserts for k%10=1,
+    // update before/after pairs for k%10=3, deletes for k%10=7), polled
+    // through the real JDBC path, and the normalized messages compared to a
+    // relational replay.
+    QueryDef(
+      "q_mssql_cdc",
+      (s, d) => {
+        val dbDir = freshLake("mscdc")
+        val url = s"jdbc:derby:$dbDir/db;create=true"
+        val c = java.sql.DriverManager.getConnection(url)
+        c.createStatement().executeUpdate(
+          """CREATE TABLE cdc_cust ("__$operation" INT, "__$seqval" BIGINT,
+            |c_custkey BIGINT, c_acctbal DOUBLE)""".stripMargin.replace("\n", " "))
+        val ps = c.prepareStatement("INSERT INTO cdc_cust VALUES (?, ?, ?, ?)")
+        def add(op: Int, seq: Long, k: Long, bal: Double): Unit = {
+          ps.setInt(1, op); ps.setLong(2, seq); ps.setLong(3, k); ps.setDouble(4, bal)
+          ps.addBatch(): Unit
+        }
+        // bounded fixture slice (k <= 200 at every SF) — test-scale prep,
+        // the poll itself is the distributed path under test
+        graft.Tables.load(s, d, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey").cast("long"), col("c_acctbal").cast("double"))
+          .collect().foreach { r =>
+            val (k, b) = (r.getLong(0), r.getDouble(1))
+            k % 10 match {
+              case 1 => add(2, k, k, b)                              // insert
+              case 3 => add(3, 1000 + k, k, b); add(4, 1000 + k, k, b + 50.0) // update pair
+              case 7 => add(1, 2000 + k, k, b)                       // delete
+              case _ =>
+            }
+          }
+        ps.executeBatch(); c.close()
+        val store = new graft.cdc.WatermarkStore(
+          java.nio.file.Paths.get(dbDir, "wm.properties"))
+        val poll = graft.cdc.MsSqlStyleCdc.poll(s, "q_mssql_cdc",
+          JdbcSourceSpec(url = url, table = "cdc_cust"), store, "tpch", "dbo", "customer")
+        poll.messages.toDF()
+          .select(col("seq"),
+            when(col("isInsert"), "I").when(col("isUpdate"), "U").otherwise("D").as("kind"),
+            coalesce(element_at(col("after"), "c_custkey"),
+              element_at(col("before"), "c_custkey")).cast("bigint").as("c_custkey"),
+            element_at(col("before"), "c_acctbal").cast("double").as("bal_before"),
+            element_at(col("after"), "c_acctbal").cast("double").as("bal_after"))
+          .orderBy("seq")
+      },
+      Some("""WITH src AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+             |             WHERE c_custkey <= 200)
+             |SELECT seq, kind, c_custkey, bal_before, bal_after FROM (
+             |  SELECT k AS seq, 'I' AS kind, k AS c_custkey,
+             |         CAST(NULL AS DOUBLE) AS bal_before, b AS bal_after
+             |  FROM src WHERE k % 10 = 1
+             |  UNION ALL
+             |  SELECT 1000 + k, 'U', k, b, b + 50.0 FROM src WHERE k % 10 = 3
+             |  UNION ALL
+             |  SELECT 2000 + k, 'D', k, b, CAST(NULL AS DOUBLE)
+             |  FROM src WHERE k % 10 = 7) x
+             |ORDER BY seq""".stripMargin)),
+
+    // ---- §2.10: DQ failure policy (>0 errors abort, >100 early-abort) ------
+    // Three configurations over the same file; the engine's observed outcome
+    // per config must equal the oracle's count-derived policy decision.
+    QueryDef(
+      "q_dq_policy",
+      (s, _) => {
+        def outcomeOf(rule: ColumnRuleSpec): (String, Option[Long]) = {
+          val spec = PipelineSpec(
+            name = "q_dq_policy",
+            source = SourceSpec(schema = stockFields,
+              file = Some(FileSpec(csv = Some(CsvSpec())))),
+            dataQuality = Some(DataQualitySpec(columnRules = Seq(rule))),
+            destination = DestinationSpec(objectStore = Some(
+              ObjectStoreSpec(path = "/tmp/unused", database = "graft_q", table = "unused"))))
+            .normalized.validated
+          val raw = FileSources.read(s, spec, BigCsv)
+          try {
+            val (_, warnings) = DataQualityRunner.enforce(
+              DataQualityRunner.columnRuleViolations(raw, spec), spec.name)
+            ("ok", Some(warnings))
+          } catch {
+            case e: DataQualityRunner.DataQualityException =>
+              (if (e.getMessage.contains("more than 100")) "abort_early" else "abort", None)
+          }
+        }
+        val twoDp = """(?:0|[1-9][0-9]*)\.[0-9]{2}"""
+        val rows = Seq(
+          ("warn_only", outcomeOf(ColumnRuleSpec("open", "regex", twoDp,
+            onFailureIsError = false))),
+          ("error", outcomeOf(ColumnRuleSpec("volume", "regex", "[0-9]{1,6}",
+            onFailureIsError = true))),
+          ("error_gt100", outcomeOf(ColumnRuleSpec("symbol", "regex", "[0-9]{50}",
+            onFailureIsError = true))))
+        import s.implicits._
+        rows.map { case (cfg, (out, n)) =>
+          (cfg, out, n.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+        }.toDF("config", "outcome", "n_warnings")
+          .select(col("config"), col("outcome"), col("n_warnings").cast("bigint"))
+          .orderBy("config")
+      },
+      Some {
+        val twoDp = """(?:0|[1-9][0-9]*)\.[0-9]{2}"""
+        s"""WITH src AS (SELECT * FROM ${srcSql(BigCsv)}),
+           |counts AS (SELECT
+           |  SUM(CASE WHEN NOT regexp_full_match(COALESCE(open, ''), '$twoDp') THEN 1 ELSE 0 END) AS warn_open,
+           |  SUM(CASE WHEN NOT regexp_full_match(COALESCE(volume, ''), '[0-9]{1,6}') THEN 1 ELSE 0 END) AS err_vol,
+           |  SUM(CASE WHEN NOT regexp_full_match(COALESCE(symbol, ''), '[0-9]{50}') THEN 1 ELSE 0 END) AS err_sym
+           |  FROM src)
+           |SELECT config, outcome, n_warnings FROM (
+           |  SELECT 'warn_only' AS config, 'ok' AS outcome,
+           |         CAST(warn_open AS BIGINT) AS n_warnings FROM counts
+           |  UNION ALL
+           |  SELECT 'error',
+           |         CASE WHEN err_vol > 100 THEN 'abort_early'
+           |              WHEN err_vol > 0 THEN 'abort' ELSE 'ok' END,
+           |         CAST(NULL AS BIGINT) FROM counts
+           |  UNION ALL
+           |  SELECT 'error_gt100',
+           |         CASE WHEN err_sym > 100 THEN 'abort_early'
+           |              WHEN err_sym > 0 THEN 'abort' ELSE 'ok' END,
+           |         CAST(NULL AS BIGINT) FROM counts) x
+           |ORDER BY config""".stripMargin
+      }),
+
+    // ---- S9: manifest bulk load — manifest excluded, parts unioned ---------
+    QueryDef(
+      "q_bulk_manifest",
+      (s, _) => {
+        val spec = PipelineSpec(
+          name = "q_bulk_manifest",
+          source = SourceSpec(schema = stockFields,
+            file = Some(FileSpec(csv = Some(CsvSpec())))),
+          destination = DestinationSpec(objectStore = Some(
+            ObjectStoreSpec(path = "/tmp/unused", database = "graft_q", table = "unused"))))
+          .normalized.validated
+        FileSources.readCsv(s, spec, manifestPaths)
+          .groupBy("date").agg(count(lit(1)).as("n"),
+            countDistinct(col("symbol")).as("n_symbols"))
+          .orderBy("date")
+      },
+      Some {
+        val union = manifestPaths
+          .map(p => s"SELECT * FROM ${srcSql(p)}").mkString("\nUNION ALL\n")
+        s"""SELECT date, COUNT(*) AS n, COUNT(DISTINCT symbol) AS n_symbols
+           |FROM ($union)
+           |GROUP BY date ORDER BY date""".stripMargin
+      })
+  )
+
   /** §2.9: CDC micro-batch application, oracle-checked. A deterministic
     * change batch derived from `customer` (updates+inserts for keys
     * 800<k<=1200, deletes for k<=800 and k%97=0) applies to a customer
