@@ -74,6 +74,13 @@ object JdbcPull {
     require(spec.sqlOverride.isDefined || ts.nonEmpty,
       s"dataset $dataset: jdbc source needs timestampFieldName or sqlOverride")
     val watermark = store.get(dataset)
+    // the predicate is interpolated into the pushdown subquery (JDBC dbtable
+    // cannot carry bind parameters); both pieces come from stored state, so
+    // constrain them to their expected shapes before they touch SQL
+    require(ts.isEmpty || ts.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"dataset $dataset: timestampFieldName '$ts' is not a plain identifier")
+    watermark.foreach(w => require(w.matches("[0-9][0-9 :.+TZ\\-]*"),
+      s"dataset $dataset: stored watermark '$w' is not a timestamp/sequence literal"))
     val fields =
       if (spec.includeFields.nonEmpty)
         (spec.includeFields.filterNot(_ == ts) :+ ts).mkString(", ")

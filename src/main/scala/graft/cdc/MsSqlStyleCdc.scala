@@ -39,6 +39,9 @@ object MsSqlStyleCdc {
       table: String = ""): PollResult = {
     import spark.implicits._
     val wm = store.get(dataset)
+    // interpolated into the pushdown subquery — must be a bare sequence number
+    wm.foreach(w => require(w.matches("-?[0-9]+"),
+      s"dataset $dataset: stored watermark '$w' is not a sequence number"))
     val where = wm.map(w => s" WHERE \"__$$seqval\" > $w").getOrElse("")
     val reader = spark.read.format("jdbc")
       .option("url", spec.url)

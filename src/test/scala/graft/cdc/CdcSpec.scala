@@ -23,6 +23,33 @@ class CdcSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy CronExpr("* * *")
   }
 
+  test("cron Quartz extras: L, L-n, LW, nW, dL, d#n, ?") {
+    def at(y: Int, m: Int, d: Int) = ZonedDateTime.of(y, m, d, 0, 0, 0, 0, ZoneOffset.UTC)
+    // L: last day of month (Feb 2026 = 28)
+    CronExpr("0 0 L * ?").matches(at(2026, 2, 28)) shouldBe true
+    CronExpr("0 0 L * ?").matches(at(2026, 2, 27)) shouldBe false
+    // L-2: two days before last (Aug 31 → 29)
+    CronExpr("0 0 L-2 * ?").matches(at(2026, 8, 29)) shouldBe true
+    // LW: last weekday — Aug 2026 ends Mon 31 → 31; May 2026 ends Sun 31 → Fri 29
+    CronExpr("0 0 LW * ?").matches(at(2026, 8, 31)) shouldBe true
+    CronExpr("0 0 LW * ?").matches(at(2026, 5, 29)) shouldBe true
+    CronExpr("0 0 LW * ?").matches(at(2026, 5, 31)) shouldBe false
+    // 15W: nearest weekday to the 15th — Aug 15 2026 is a Saturday → Fri 14
+    CronExpr("0 0 15W * ?").matches(at(2026, 8, 14)) shouldBe true
+    CronExpr("0 0 15W * ?").matches(at(2026, 8, 15)) shouldBe false
+    // 1W when the 1st is a Sunday (Nov 2026) → Mon 2
+    CronExpr("0 0 1W * ?").matches(at(2026, 11, 2)) shouldBe true
+    // 5L: last Friday of Aug 2026 = the 28th
+    CronExpr("0 0 ? * 5L").matches(at(2026, 8, 28)) shouldBe true
+    CronExpr("0 0 ? * 5L").matches(at(2026, 8, 21)) shouldBe false
+    // 1#3: third Monday of Aug 2026 = the 17th
+    CronExpr("0 0 ? * 1#3").matches(at(2026, 8, 17)) shouldBe true
+    CronExpr("0 0 ? * 1#3").matches(at(2026, 8, 10)) shouldBe false
+    // nextAfter scans through the specials too
+    CronExpr("30 9 L * ?").nextAfter(at(2026, 2, 20)) shouldBe
+      ZonedDateTime.of(2026, 2, 28, 9, 30, 0, 0, ZoneOffset.UTC)
+  }
+
   test("isDue honors cron between runs") {
     val spec = JdbcSourceSpec(url = "x", cronExpression = Some("0 * * * *"))
     val last = ZonedDateTime.of(2026, 8, 12, 9, 30, 0, 0, ZoneOffset.UTC)
