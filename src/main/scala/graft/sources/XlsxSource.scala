@@ -25,7 +25,15 @@ object XlsxSource {
 
   def read(spark: SparkSession, spec: PipelineSpec, path: String): DataFrame = {
     val ws = spec.source.file.flatMap(_.xlsx).map(_.worksheet).getOrElse(0)
-    val rows = readRows(path, ws)
+    val rows =
+      if (path.toLowerCase.endsWith(".xls")) XlsSource.readRows(path, ws)
+      else readRows(path, ws)
+    rowsToDataFrame(spark, spec, rows, ws, path)
+  }
+
+  /** Shared sheet-rows → string DataFrame assembly (xlsx + legacy xls). */
+  private[sources] def rowsToDataFrame(spark: SparkSession, spec: PipelineSpec,
+      rows: Vector[Vector[String]], ws: Int, path: String): DataFrame = {
     if (rows.isEmpty)
       throw new PipelineSpecException(s"dataset '${spec.name}': empty worksheet $ws in $path")
     // First row is the header (reference fixture convention); fall back to

@@ -114,6 +114,141 @@ class SourcesSpec extends SparkSpec {
     rows(2) shouldBe ("CCC", "4.5", "sum")  // formula cell: cached value 4.5
   }
 
+  test("legacy .xls reader: CFB container, SST continue split, RK/MULRK/formula cache") {
+    val dir = scratchDir("xls").toPath
+    val f = dir.resolve("prices.tok.dataset.xls")
+    Files.write(f, buildTestXls())
+    val rows = XlsSource.readRows(f.toString, 0)
+    rows(0) shouldBe Vector("symbol", "price", "note")
+    rows(1) shouldBe Vector("AAA", "400", "hello")          // RK int
+    rows(2) shouldBe Vector("BBB", "3.5")                   // NUMBER, sparse note
+    rows(3) shouldBe Vector("CCC", "4.5", "sum")            // formula caches: number + string
+    rows(4) shouldBe Vector("DDD", "1.23", "45")            // MULRK: div-100 + int
+    rows(5) shouldBe Vector("longstring_" + "X" * 20, "true") // SST split mid-string; bool
+    // same DataFrame surface as the xlsx path, dispatched on extension
+    val spec = PipelineSpec(
+      name = "prices",
+      source = SourceSpec(
+        schema = Seq(FieldSpec("symbol", "string"), FieldSpec("price", "string"),
+          FieldSpec("note", "string")),
+        file = Some(FileSpec(xlsx = Some(XlsxSpec(worksheet = 0))))),
+      destination = DestinationSpec(objectStore =
+        Some(ObjectStoreSpec(path = "/tmp/lake", table = "prices")))).normalized
+    val df = FileSources.read(spark, spec, f.toString)
+    df.columns.toSeq shouldBe Seq("symbol", "price", "note")
+    df.count() shouldBe 5
+    df.filter(df("symbol") === "BBB").collect().head.isNullAt(2) shouldBe true
+  }
+
+  /** Hand-built minimal BIFF8-in-CFB .xls per MS-CFB/MS-XLS: one FAT sector,
+    * one directory sector, a 4096-byte Workbook stream (FAT-stored), SST
+    * split across a Continue record MID-STRING (the continuation re-declares
+    * its encoding byte), LABELSST/NUMBER/RK/MULRK/BOOLERR and FORMULA cells
+    * with cached number and cached-string (STRING record) results.
+    */
+  private def buildTestXls(): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int, bytes: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(n.toLong & 0xFFFFFFFFL)
+      java.util.Arrays.copyOf(b.array(), bytes)
+    }
+    def rec(id: Int, body: Array[Byte]): Array[Byte] =
+      le(id, 2) ++ le(body.length, 2) ++ body
+    def cstr(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+    // ---- SST: 7 simple strings + one split across a Continue ----
+    val simple = Seq("symbol", "price", "note", "AAA", "hello", "BBB", "CCC", "DDD")
+    val longStr = "longstring_" + "X" * 20
+    val sstHead = le(9, 4) ++ le(9, 4) ++
+      simple.flatMap(s => le(s.length, 2) ++ Array(0.toByte) ++ cstr(s)).toArray
+    val splitAt = 5 // first 5 chars of longStr in the base record
+    val sstBody = sstHead ++ le(longStr.length, 2) ++ Array(0.toByte) ++
+      cstr(longStr.take(splitAt))
+    val contBody = Array(0.toByte) ++ cstr(longStr.drop(splitAt)) // re-declared grbit
+    val sstRec = rec(0x00FC, sstBody) ++ rec(0x003C, contBody)
+
+    def bof(tpe: Int): Array[Byte] =
+      rec(0x0809, le(0x0600, 2) ++ le(tpe, 2) ++ Array.fill(12)(0.toByte))
+    val eof = rec(0x000A, Array.emptyByteArray)
+
+    // ---- sheet substream ----
+    def cellHead(r: Int, c: Int): Array[Byte] = le(r, 2) ++ le(c, 2) ++ le(0, 2)
+    def labelSst(r: Int, c: Int, i: Int): Array[Byte] = rec(0x00FD, cellHead(r, c) ++ le(i, 4))
+    def number(r: Int, c: Int, d: Double): Array[Byte] =
+      rec(0x0203, cellHead(r, c) ++
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+    def rkInt(v: Int): Int = (v << 2) | 0x02
+    val sheet = bof(0x0010) ++
+      labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ labelSst(0, 2, 2) ++
+      labelSst(1, 0, 3) ++ rec(0x027E, cellHead(1, 1) ++ le(rkInt(400), 4)) ++
+      labelSst(1, 2, 4) ++
+      labelSst(2, 0, 5) ++ number(2, 1, 3.5) ++
+      // row 3: formula with cached NUMBER; formula with cached STRING
+      labelSst(3, 0, 6) ++
+      rec(0x0006, cellHead(3, 1) ++
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(4.5).array() ++
+        le(0, 2) ++ le(0, 4) ++ Array.emptyByteArray) ++
+      rec(0x0006, cellHead(3, 2) ++
+        Array(0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte,
+          0xFF.toByte, 0xFF.toByte) ++ le(0, 2) ++ le(0, 4)) ++
+      rec(0x0207, le(3, 2) ++ Array(0.toByte) ++ cstr("sum")) ++
+      // row 4: MULRK over cols 1-2 (div-100 int 123 → 1.23; int 45)
+      labelSst(4, 0, 7) ++
+      rec(0x00BD, le(4, 2) ++ le(1, 2) ++
+        le(0, 2) ++ le((123 << 2) | 0x03, 4) ++
+        le(0, 2) ++ le(rkInt(45), 4) ++ le(2, 2)) ++
+      // row 5: the split SST string + a boolean
+      labelSst(5, 0, 8) ++
+      rec(0x0205, cellHead(5, 1) ++ Array(1.toByte, 0.toByte)) ++
+      eof
+
+    // ---- globals substream (BOUNDSHEET position = globals length) ----
+    val boundSheetLen = 4 + (4 + 1 + 1 + 2 + 2) // rec header + body ("s1")
+    val globalsLen = (4 + 16) + sstRec.length + boundSheetLen + 4
+    val globals = bof(0x0005) ++ sstRec ++
+      rec(0x0085, le(globalsLen, 4) ++ Array(0.toByte, 0.toByte) ++
+        le(2, 1) ++ le(0, 1) ++ cstr("s1")) ++ eof
+    val stream = java.util.Arrays.copyOf(globals ++ sheet, 4096) // zero-padded
+
+    // ---- CFB container: header, FAT @0, directory @1, stream @2-9 ----
+    val FREE = 0xFFFFFFFF; val END = 0xFFFFFFFE
+    val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    header.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    header.position(24); header.putShort(0x3E.toShort); header.putShort(3.toShort)
+    header.putShort(0xFFFE.toShort); header.putShort(9.toShort) // sector shift
+    header.putShort(6.toShort) // mini shift
+    header.position(44); header.putInt(1) // num FAT sectors
+    header.putInt(1) // first directory sector
+    header.position(56); header.putInt(4096) // mini cutoff
+    header.putInt(END); header.putInt(0) // miniFAT
+    header.putInt(END); header.putInt(0) // DIFAT chain
+    header.putInt(0) // DIFAT[0] → FAT at sector 0
+    (1 until 109).foreach(_ => header.putInt(FREE))
+
+    val fat = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    fat.putInt(0xFFFFFFFD) // sector 0 = FAT itself
+    fat.putInt(END)        // sector 1 = directory (single)
+    (2 until 9).foreach(s => fat.putInt(s + 1)) // stream chain 2→…→9
+    fat.putInt(END)
+    (10 until 128).foreach(_ => fat.putInt(FREE))
+
+    def dirEntry(name: String, tpe: Int, child: Int, start: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+      val n = name.getBytes("UTF-16LE")
+      b.put(n); b.position(64); b.putShort((n.length + 2).toShort)
+      b.put(tpe.toByte); b.put(1.toByte) // black
+      b.putInt(-1); b.putInt(-1); b.putInt(child)
+      b.position(116); b.putInt(start); b.putInt(size)
+      b.array()
+    }
+    val dirSector = java.util.Arrays.copyOf(
+      dirEntry("Root Entry", 5, 1, END, 0) ++
+        dirEntry("Workbook", 2, -1, 2, 4096) ++
+        dirEntry("", 0, -1, -1, 0) ++ dirEntry("", 0, -1, -1, 0), 512)
+
+    header.array() ++ fat.array() ++ dirSector ++ stream
+  }
+
   test("colIndex decodes A1-style refs") {
     XlsxSource.colIndex("A1") shouldBe 0
     XlsxSource.colIndex("Z9") shouldBe 25
