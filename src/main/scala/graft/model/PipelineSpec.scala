@@ -195,6 +195,15 @@ final case class ObjectStoreSpec(
   * collapsed to one Spark JDBC writer): create-table-if-absent from the
   * destination schema, optional truncate, append copy, or delete+insert
   * merge on `keyFields` in a transaction.
+  *
+  * Per-warehouse dialect hooks (the surface the reference spreads across
+  * loaders):
+  *   - `columnTypes`: verbatim database column types for named columns in
+  *     the created table — the `_json` → VARIANT/SUPER/json typed-DDL seam
+  *     (SnowflakeLoader.scala:333-346, RedshiftLoader.scala:196-199)
+  *   - `preSql`/`postSql`: statements run on the target before/after the
+  *     load, `@table` substituted (the sqlOverride/`@stage` surface,
+  *     SnowflakeLoader.scala:325-370)
   */
 final case class JdbcSinkSpec(
     url: String,
@@ -203,4 +212,7 @@ final case class JdbcSinkSpec(
     password: Option[String] = None,
     table: String,
     keyFields: Seq[String] = Nil,
-    truncateBeforeWrite: Boolean = false)
+    truncateBeforeWrite: Boolean = false,
+    columnTypes: Map[String, String] = Map.empty,
+    preSql: Seq[String] = Nil,
+    postSql: Seq[String] = Nil)

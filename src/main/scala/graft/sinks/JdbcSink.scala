@@ -28,6 +28,8 @@ object JdbcSink {
 
   def write(df: DataFrame, spec: JdbcSinkSpec): Unit = {
     val props = connProps(spec)
+    runSql(spec, spec.preSql)
+    if (spec.columnTypes.nonEmpty && !tableExists(spec)) createTyped(df, spec)
     if (spec.keyFields.nonEmpty && tableExists(spec)) mergeInto(df, spec, props)
     else {
       if (spec.truncateBeforeWrite && tableExists(spec))
@@ -35,6 +37,40 @@ object JdbcSink {
           exec(c, s"DELETE FROM ${spec.table}")
         }
       df.write.mode(SaveMode.Append).jdbc(spec.url, spec.table, props)
+    }
+    runSql(spec, spec.postSql)
+  }
+
+  private def runSql(spec: JdbcSinkSpec, stmts: Seq[String]): Unit =
+    if (stmts.nonEmpty) withConnection(spec) { c =>
+      stmts.foreach(s => exec(c, s.replace("@table", spec.table)))
+    }
+
+  /** CREATE TABLE with verbatim per-warehouse column types for the named
+    * columns (VARIANT/SUPER/json/...); unnamed columns get a portable
+    * default mapping. Spark's own `createTableColumnTypes` only accepts
+    * Spark SQL types, so warehouse-native types need engine-side DDL.
+    */
+  private def createTyped(df: DataFrame, spec: JdbcSinkSpec): Unit = {
+    import org.apache.spark.sql.types._
+    def defaultType(dt: DataType): String = dt match {
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case ShortType | ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case _ => "VARCHAR(4000)"
+    }
+    val cols = df.schema.fields.map { f =>
+      val t = spec.columnTypes.getOrElse(f.name, defaultType(f.dataType))
+      s"${q(f.name)} $t"
+    }
+    withConnection(spec) { c =>
+      exec(c, s"CREATE TABLE ${spec.table} (${cols.mkString(", ")})")
     }
   }
 

@@ -96,6 +96,34 @@ class SinksSpec extends SparkSpec {
     merged shouldBe Seq((9, "z2"), (10, "w"))
   }
 
+  test("jdbc sink dialect hooks: typed DDL, preSql/postSql with @table") {
+    val df = Seq((1, """{"a":1}""", "x")).toDF("id", "payload", "note")
+    val c = java.sql.DriverManager.getConnection(derbyUrl)
+    c.createStatement().executeUpdate("CREATE TABLE load_audit (evt VARCHAR(100))")
+    JdbcSink.write(df, jdbcSpec("typed_t").copy(
+      // the _json → warehouse-native-type seam; CLOB stands in for
+      // VARIANT/SUPER on Derby
+      columnTypes = Map("payload" -> "CLOB", "note" -> "VARCHAR(2000)"),
+      preSql = Seq("INSERT INTO load_audit VALUES ('pre @table')"),
+      postSql = Seq("INSERT INTO load_audit VALUES ('post @table')")))
+    // created with the verbatim types
+    val rs = c.getMetaData.getColumns(null, null, "TYPED_T", null)
+    val types = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => r.getString("COLUMN_NAME").toLowerCase -> r.getString("TYPE_NAME"))
+      .toMap
+    types("payload") shouldBe "CLOB"
+    types("note") shouldBe "VARCHAR"
+    types("id") shouldBe "INTEGER"
+    // data landed through the typed table; pre/post ran in order around it
+    spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "typed_t").load().count() shouldBe 1
+    val audit = spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "load_audit").load()
+      .as[String].collect().toSeq
+    audit shouldBe Seq("pre typed_t", "post typed_t")
+    c.close()
+  }
+
   test("schema evolution: changed schema re-creates the table version") {
     val root = scratchDir("lakeevo").getAbsolutePath
     val spec = ObjectStoreSpec(path = root, database = "graft_t4", table = "evo")
