@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
 
 /** Structured Streaming twins of the batch event queries (graft.queries
   * .Events): the same logical aggregation declared over an unbounded
@@ -36,4 +38,72 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
+
+  /** Running per-user session state carried between micro-batches. */
+  final case class SessionState(
+      start: Long, last: Long, n: Long, firstEvent: String, lastEvent: String)
+
+  /** A CLOSED session, emitted once — with the first/last event types the
+    * built-in `session_window` aggregation can't carry.
+    */
+  final case class ClosedSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, first_event: String, last_event: String)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset path for semantics the built-ins can't express:
+    * emit a record ONLY when a session CLOSES (gap passed or event-time
+    * timeout fired), carrying first/last event types across micro-batches.
+    *
+    * State per key is one fixed-size [[SessionState]]; expiry rides the
+    * watermark (EventTimeTimeout), so idle users cost nothing after
+    * watermark + gap. Input columns: (ts timestamp, user_id long,
+    * event_type string); output mode must be Append.
+    */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("user_id").cast("long"), col("event_type"))
+      .as[(Timestamp, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, batch: Iterator[(Timestamp, Long, String)],
+         state: GroupState[SessionState]) => {
+          def emit(s: SessionState): ClosedSession =
+            ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last),
+              s.n, s.firstEvent, s.lastEvent)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events → session closes
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_._1.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { case (t, _, tpe) =>
+              val ms = t.getTime
+              cur match {
+                case Some(s) if ms - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, ms), n = s.n + 1,
+                    lastEvent = if (ms >= s.last) tpe else s.lastEvent))
+                case Some(s) => // intra-batch gap → close and start fresh
+                  closed += emit(s)
+                  cur = Some(SessionState(ms, ms, 1, tpe, tpe))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1, tpe, tpe))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 }

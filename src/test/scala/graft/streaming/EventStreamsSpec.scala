@@ -58,4 +58,39 @@ class EventStreamsSpec extends SparkSpec {
       rows shouldBe Seq((1L, 2L), (1L, 1L), (2L, 1L))
     } finally q.stop()
   }
+
+  test("closedSessions: flatMapGroupsWithState emits on close with first/last event") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.closedSessions(events)
+      .writeStream.format("memory").queryName("closed_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has an intra-batch gap (>30m) → first session closes
+      // immediately; the second stays open in state
+      in.addData(
+        (ts("2026-08-12 10:00:00"), 1L, "login"),
+        (ts("2026-08-12 10:10:00"), 1L, "click"),
+        (ts("2026-08-12 10:20:00"), 1L, "purchase"),
+        (ts("2026-08-12 12:00:00"), 1L, "login"))
+      q.processAllAvailable()
+      val first = spark.table("closed_test")
+        .as[(Long, Timestamp, Timestamp, Long, String, String)].collect().toSeq
+      first shouldBe Seq(
+        (1L, ts("2026-08-12 10:00:00"), ts("2026-08-12 10:20:00"), 3L, "login", "purchase"))
+
+      // batch 2: advance the watermark far past 12:00 + gap → the open
+      // session times out through the state store and is emitted
+      in.addData((ts("2026-08-12 20:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      in.addData((ts("2026-08-12 23:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      val all = spark.table("closed_test")
+        .orderBy("session_start")
+        .as[(Long, Timestamp, Timestamp, Long, String, String)].collect().toSeq
+      all.map(r => (r._1, r._2, r._4, r._5, r._6)) should contain (
+        (1L, ts("2026-08-12 12:00:00"), 1L, "login", "login"))
+    } finally q.stop()
+  }
 }
