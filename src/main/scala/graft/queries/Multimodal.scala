@@ -38,6 +38,39 @@ object MultimodalQueries {
         }(Encoders.row(mediaSchema))
         MM.features(media, "media").orderBy("doc_id")
       },
-      None) // rows-only: byte-level synthesis isn't SQL-expressible
+      None), // rows-only: byte-level synthesis isn't SQL-expressible
+
+    // The decode METADATA path oracled: format/dimensions/byte-count are
+    // pure functions of doc_id through synthesize → binary column →
+    // mapPartitions decode, so DuckDB can replay them relationally — the
+    // binary round-trip (big-endian header encode/decode, magic check,
+    // schema) is hash-verified; only the LCG byte statistics stay
+    // rows-only above (64-bit wrapping multiply isn't portable SQL).
+    QueryDef(
+      "q_multimodal_meta",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+        val mediaSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val media = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, MM.synthesize(id,
+              width = (id % 640).toInt + 16, height = (id % 480).toInt + 16,
+              channels = if (id % 7 == 0) 1 else 3))
+          }
+        }(Encoders.row(mediaSchema))
+        MM.features(media, "media")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("channels"), col("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'gft' AS format,
+             |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+             |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+             |  CAST(16 + 64 + doc_id % 64 AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
