@@ -77,9 +77,11 @@ object CdcStream {
     *
     *   1. affected = distinct partition tuples from the after images
     *      (inserts/updates) and before images (deletes, and the old side of
-    *      partition-moving updates);
-    *   2. slice the target to those partitions (broadcast semi-join — the
-    *      scan prunes to the touched directories);
+    *      partition-moving updates) — bounded by the micro-batch, collected;
+    *   2. slice the target with a STATIC partition predicate built from
+    *      those tuples: planning-time partition pruning, guaranteed (a
+    *      broadcast-semi-join slice was measured NOT to trigger dynamic
+    *      pruning on catalog file sources — the scan read every partition);
     *   3. CdcApply on the slice;
     *   4. dynamic-partition-overwrite the result — Spark rewrites exactly
     *      the partitions present in it;
@@ -87,10 +89,26 @@ object CdcStream {
     *      result) are dropped explicitly, dirs included, so they cannot
     *      resurrect via a later partition re-sync.
     *
+    * A batch touching more than [[MaxStaticPartitions]] partitions falls
+    * back to a broadcast semi-join slice (full scan, still correct) rather
+    * than building a degenerate many-term predicate.
+    *
     * Caveat (documented, matches Debezium semantics): cleaning the OLD side
     * of a partition-moving update needs the before image; envelopes without
     * one (REPLICA IDENTITY not FULL) leave the stale copy behind.
     */
+  private val MaxStaticPartitions = 1000
+
+  /** OR-of-ANDs partition predicate over collected partition tuples
+    * (null-safe equality so a null partition value still matches).
+    */
+  private[graft] def partitionPredicate(pcols: Seq[String],
+      tuples: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.Column =
+    tuples.map { row =>
+      pcols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+
   private def applyPartitionScoped(spark: SparkSession, fq: String,
       sink: ObjectStoreSpec, msgs: org.apache.spark.sql.Dataset[graft.cdc.CDCMessage],
       keys: Seq[String]): Unit = {
@@ -104,43 +122,48 @@ object CdcStream {
         expr(s"try_cast(element_at($image, '$k') AS ${dt.sql})").as(k)
       }: _*).na.drop("all", pcols)
 
-    val affected = partitionTuples("after").unionByName(partitionTuples("before"))
-      .distinct().persist()
-    try {
-      val slice = target.join(broadcast(affected), pcols, "left_semi")
-      val next = CdcApply.applyBatch(slice, msgs, keys)
-        .persist() // consumed twice: the write and the emptied-partition diff
+    val affectedDf = partitionTuples("after").unionByName(partitionTuples("before"))
+      .distinct()
+    // bounded by the batch's touched partitions — safe to collect, and a
+    // static predicate is the only guaranteed pruning path
+    val affected = affectedDf.limit(MaxStaticPartitions + 1).collect()
+    if (affected.isEmpty) return
+    val slice =
+      if (affected.length > MaxStaticPartitions)
+        target.join(broadcast(affectedDf), pcols, "left_semi")
+      else target.filter(partitionPredicate(pcols, affected.toSeq))
+    val next = CdcApply.applyBatch(slice, msgs, keys)
+      .persist() // consumed twice: the write and the emptied-partition diff
 
-      val cat = target.columns
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try next.select(cat.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Overwrite).insertInto(fq)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    val cat = target.columns
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try next.select(cat.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).insertInto(fq)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
 
-      // bounded by the batch's touched partitions — safe to collect
-      val emptied = affected.join(next.select(pcols.map(col): _*).distinct(),
-        pcols, "left_anti").collect()
-      if (emptied.nonEmpty) {
-        val loc = java.nio.file.Paths.get(
-          spark.sessionState.catalog.getTableMetadata(
-            spark.sessionState.sqlParser.parseTableIdentifier(fq)).location)
-        emptied.foreach { row =>
-          val kv = pcols.zipWithIndex.map { case (c, i) =>
-            c -> String.valueOf(row.get(i))
-          }
-          val specSql = kv.map { case (c, v) => s"`$c`='${v.replace("'", "''")}'" }
-            .mkString(", ")
-          spark.sql(s"ALTER TABLE $fq DROP IF EXISTS PARTITION ($specSql)")
-          val dir = kv.foldLeft(loc) { case (p, (c, v)) => p.resolve(s"$c=$v") }
-          deleteTree(dir)
+    val remaining = next.select(pcols.map(col): _*).distinct().collect()
+      .map(r => pcols.indices.map(r.get)).toSet
+    val emptied = affected.filterNot(r => remaining(pcols.indices.map(r.get)))
+    if (emptied.nonEmpty) {
+      val loc = java.nio.file.Paths.get(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(fq)).location)
+      emptied.foreach { row =>
+        val kv = pcols.zipWithIndex.map { case (c, i) =>
+          c -> String.valueOf(row.get(i))
         }
+        val specSql = kv.map { case (c, v) => s"`$c`='${v.replace("'", "''")}'" }
+          .mkString(", ")
+        spark.sql(s"ALTER TABLE $fq DROP IF EXISTS PARTITION ($specSql)")
+        val dir = kv.foldLeft(loc) { case (p, (c, v)) => p.resolve(s"$c=$v") }
+        deleteTree(dir)
       }
-      next.unpersist(): Unit
-    } finally affected.unpersist(): Unit
+    }
+    next.unpersist(): Unit
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -243,6 +243,16 @@ class CdcSpec extends SparkSpec {
     spark.table("graft_cdcp.orders_p").select("id").as[Int].collect()
       .toSeq.sorted shouldBe Seq(1, 4)
     location().resolve("region=eu").toFile.exists() shouldBe false
+
+    // the slice predicate prunes the scan at PLANNING time: only the
+    // touched partition's files are inputs (a broadcast semi-join slice
+    // reads every partition — measured, DPP does not fire here)
+    val target = spark.table("graft_cdcp.orders_p")
+    val pred = CdcStream.partitionPredicate(Seq("region"),
+      Seq(org.apache.spark.sql.Row("us")))
+    val files = target.filter(pred).inputFiles
+    files should not be empty
+    all(files) should include ("region=us")
   }
 
   // -------------------------------------------------- mssql-style cdc poll ----
