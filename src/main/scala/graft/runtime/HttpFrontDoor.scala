@@ -71,6 +71,7 @@ final class HttpFrontDoor(
       else (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case ("GET", "/health") => respond(ex, 200, """{"status": "ok"}""")
         case ("POST", "/dataset/upload") => upload(ex)
+        case ("POST", "/dataset/generate") => generate(ex)
         case ("POST", "/dataset") => registerDataset(ex)
         case ("GET", "/dataset") => getDataset(ex)
         case ("GET", "/datasets") =>
@@ -118,6 +119,43 @@ final class HttpFrontDoor(
         Files.write(landingDir.resolve(rawName), body)
         respond(ex, 200,
           s"""{"dataset": ${jsonStr(name)}, "rawFilename": ${jsonStr(rawName)}, "bytes": ${body.length}}""")
+    }
+
+  /** Generate a dataset spec from a CSV sample (reference
+    * `POST /dataset/generate`, FileUploadAPIController.scala:94-180): infer
+    * field types from the full sample, return the spec JSON WITHOUT
+    * registering it — the caller reviews, edits, then POSTs /dataset.
+    */
+  private def generate(ex: HttpExchange): Unit =
+    query(ex, "dataset") match {
+      case None => respond(ex, 400, """{"error": "dataset param required"}""")
+      case Some(name) =>
+        val delimiter = query(ex, "delimiter").getOrElse(",")
+        val header = query(ex, "header").forall(_.toBoolean)
+        val tmp = Files.createTempFile("graft-generate-", ".csv")
+        try {
+          Files.write(tmp, ex.getRequestBody.readAllBytes())
+          val df = spark.read
+            .option("header", header).option("delimiter", delimiter)
+            .option("inferSchema", true).option("samplingRatio", 1.0)
+            .csv(tmp.toString)
+          val fields = df.schema.fields.toIndexedSeq.map { f =>
+            val t = f.dataType match {
+              case org.apache.spark.sql.types.StringType => "string"
+              case dt => graft.model.SchemaMapper.toTypeString(dt)
+            }
+            graft.model.FieldSpec(f.name.toLowerCase, t)
+          }
+          val spec = PipelineSpec(
+            name = name,
+            source = graft.model.SourceSpec(schema = fields,
+              file = Some(graft.model.FileSpec(csv = Some(
+                graft.model.CsvSpec(delimiter = delimiter, header = header))))),
+            destination = graft.model.DestinationSpec(schema = fields,
+              objectStore = Some(graft.model.ObjectStoreSpec(
+                path = "", database = "graft", table = name))))
+          respond(ex, 200, SpecJson.write(spec))
+        } finally Files.deleteIfExists(tmp): Unit
     }
 
   private def registerDataset(ex: HttpExchange): Unit = {

@@ -89,6 +89,28 @@ class HttpFrontDoorSpec extends SparkSpec {
     } finally fd.stop()
   }
 
+  test("dataset generate: infers a registrable spec from a CSV sample") {
+    val landing = scratchDir("httpgen").toPath
+    val fd = HttpFrontDoor.serve(spark, landing, landing.resolve(".ledger"))
+    try {
+      val base = s"http://localhost:${fd.boundPort}"
+      val sample = "sym,qty,price,when\nAAA,3,1.5,2026-01-01 10:00:00\nBBB,4,2.5,2026-01-02 11:00:00\n"
+      val resp = post(s"$base/dataset/generate?dataset=gen_ds",
+        sample.getBytes("UTF-8"))
+      resp.statusCode() shouldBe 200
+      // the generated JSON is a real spec: parse it back and check inference
+      val spec = SpecJson.parse(resp.body())
+      spec.name shouldBe "gen_ds"
+      spec.source.schema.map(f => f.name -> f.`type`) shouldBe Seq(
+        "sym" -> "string", "qty" -> "int", "price" -> "double",
+        "when" -> "timestamp")
+      spec.source.file.flatMap(_.csv).map(_.header) shouldBe Some(true)
+      // round trip: the generated spec registers as-is
+      post(s"$base/dataset", resp.body().getBytes("UTF-8")).statusCode() shouldBe 200
+      get(s"$base/datasets").body() should include ("gen_ds")
+    } finally fd.stop()
+  }
+
   test("x-api-key gate: 401 without the key, 200 with it") {
     val landing = scratchDir("httpkey").toPath
     val fd = HttpFrontDoor.serve(spark, landing, landing.resolve(".ledger"),
