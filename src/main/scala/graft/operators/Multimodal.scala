@@ -80,6 +80,83 @@ object Multimodal {
     * columns; the binary column itself is dropped from the output (features
     * are what flows on — the payload stays in the lake).
     */
+  /** Resize transform: binary → binary with the target dimensions, the
+    * batch-UDF shape a real image pipeline uses (one "decoder" per
+    * partition, rows streamed). STUB pixels like [[decode]]: for GFT1
+    * payloads the header is rewritten to the target dims and the body is
+    * deterministically resampled to the new byte budget (nearest-index);
+    * unknown formats pass through unchanged (a real codec call replaces
+    * only the per-row body).
+    */
+  def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
+    val schema = df.schema
+    val binIdx = schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        val out =
+          if (bytes == null) null
+          else {
+            val meta = decode(bytes)
+            if (meta.format != "gft") bytes
+            else {
+              val body = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+              // scale the byte budget with the pixel-count ratio, ≥1 byte
+              val ratio = (width.toLong * height) /
+                math.max(1.0, meta.width.toLong * meta.height)
+              val n = math.max(1, math.round(body.length * ratio).toInt)
+              val resampled = Array.tabulate[Byte](n)(i =>
+                body(((i.toLong * body.length) / n).toInt))
+              java.nio.ByteBuffer.allocate(16 + n)
+                .put("GFT1".getBytes("US-ASCII"))
+                .putInt(width).putInt(height).putInt(meta.channels)
+                .put(resampled).array()
+            }
+          }
+        Row.fromSeq(row.toSeq.updated(binIdx, out))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame sampling: one media payload → every `step`-th frame as its own
+    * binary, exploded to (original columns..., frame_index, frame) rows —
+    * the video-ingestion shape. STUB frames: a GFT1 body is treated as
+    * `height` rows of frames... rather, the body is split into `frames`
+    * equal chunks (the synthetic stand-in for container frames); real
+    * demuxing replaces only the chunker. Unknown formats yield the whole
+    * payload as frame 0.
+    */
+  def frameSample(df: DataFrame, binCol: String, frames: Int, step: Int): DataFrame = {
+    require(frames > 0 && step > 0, "frames and step must be positive")
+    val keep = df.schema.fields.filterNot(_.name == binCol)
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(keep ++ Seq(
+      StructField("frame_index", IntegerType),
+      StructField("frame", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        val base = keepIdx.toIndexedSeq.map(row.get)
+        if (bytes == null) Iterator.empty
+        else {
+          val meta = decode(bytes)
+          val chunks: Seq[Array[Byte]] =
+            if (meta.format != "gft") Seq(bytes)
+            else {
+              val body = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+              val sz = math.max(1, body.length / frames)
+              (0 until frames).map(i =>
+                java.util.Arrays.copyOfRange(body, i * sz,
+                  math.min((i + 1) * sz, body.length)))
+            }
+          chunks.indices.by(step).iterator.map(i =>
+            Row.fromSeq(base ++ Seq(i, chunks(i))))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def features(df: DataFrame, binCol: String): DataFrame = {
     val keep = df.schema.fields.filterNot(_.name == binCol)
     val outSchema = StructType(keep ++ featureSchema.fields)

@@ -71,6 +71,35 @@ object MultimodalQueries {
              |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
              |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
              |  CAST(16 + 64 + doc_id % 64 AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling oracled: every 2nd of 8 equal body chunks per payload;
+    // chunk count and sizes are pure functions of doc_id (body = 64 +
+    // doc_id % 64 bytes), so the explode shape + per-frame byte accounting
+    // hash-verify relationally.
+    QueryDef(
+      "q_multimodal_frames",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+        val mediaSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val media = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, MM.synthesize(id,
+              width = (id % 640).toInt + 16, height = (id % 480).toInt + 16,
+              channels = if (id % 7 == 0) 1 else 3))
+          }
+        }(Encoders.row(mediaSchema))
+        MM.frameSample(media, "media", frames = 8, step = 2)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame")).cast("long")).as("frame_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+             |  CAST(4 * ((64 + doc_id % 64) // 8) AS BIGINT) AS frame_bytes
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -44,4 +44,46 @@ class MultimodalSpec extends SparkSpec {
     rows(2).getString(1) shouldBe "unknown"
     rows(2).getLong(5) shouldBe 0L
   }
+
+  test("resize: header rewritten to target dims, byte budget scales, deterministic") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Multimodal.synthesize(1L, 100, 100, 3)),
+      Row(2L, "none".getBytes), // unknown format → passthrough
+      Row(3L, null)
+    ).asJava, schema)
+    val out = Multimodal.resize(df, "media", 50, 50).orderBy("id").collect()
+    val meta1 = Multimodal.decode(out(0).getAs[Array[Byte]](1))
+    meta1.width shouldBe 50
+    meta1.height shouldBe 50
+    meta1.channels shouldBe 3
+    // quarter the pixels → ~quarter the body bytes
+    val origBody = Multimodal.synthesize(1L, 100, 100, 3).length - 16
+    (out(0).getAs[Array[Byte]](1).length - 16) shouldBe
+      math.max(1, math.round(origBody * 0.25).toInt)
+    out(1).getAs[Array[Byte]](1) shouldBe "none".getBytes
+    out(2).isNullAt(1) shouldBe true
+    // deterministic
+    Multimodal.resize(df, "media", 50, 50).orderBy("id").collect()(0)
+      .getAs[Array[Byte]](1).toSeq shouldBe out(0).getAs[Array[Byte]](1).toSeq
+  }
+
+  test("frameSample: explodes every step-th chunk with indices; nulls dropped") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Multimodal.synthesize(7L, 64, 64, 3)),
+      Row(2L, null)
+    ).asJava, schema)
+    val out = Multimodal.frameSample(df, "media", frames = 8, step = 2)
+    out.columns.toSeq shouldBe Seq("id", "frame_index", "frame")
+    val rows = out.orderBy("id", "frame_index").collect()
+    rows.map(_.getLong(0)).toSet shouldBe Set(1L) // null payload → no rows
+    rows.map(_.getInt(1)).toSeq shouldBe Seq(0, 2, 4, 6)
+    val body = Multimodal.synthesize(7L, 64, 64, 3).length - 16
+    rows.foreach(r => r.getAs[Array[Byte]](2).length shouldBe body / 8)
+  }
 }
