@@ -397,6 +397,37 @@ object Dedup {
     t(s, d, "documents").select(col("doc_id"), shingles.as("tokens"))
   }
 
+  /** Near-dup CLUSTERING — the step between pair detection and canonical
+    * selection: verified Jaccard pairs → connected components → one
+    * canonical doc (the min id) per cluster. Composes from the
+    * `q_jaccard_pairs` parent like the ANN recall query composes from its
+    * parents; the oracle computes the same components with a recursive CTE
+    * (min over the reachable set = the component min).
+    */
+  val clusterDefs: Seq[QueryDef] = {
+    val jac = defs.find(_.name == "q_jaccard_pairs").get
+    Seq(QueryDef(
+      "q_dedup_clusters",
+      (s, d) => {
+        val pairs = jac.query(s, d).select("id_a", "id_b")
+        graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+            (col("id") === col("comp")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${jac.oracle.get}),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(id, comp) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+              |SELECT id AS doc_id, MIN(comp) AS cluster_id,
+              |       id = MIN(comp) AS is_canonical
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
+  }
+
   // lazy: referenced by `defs` above, which initializes first in the object
   private lazy val simhash60Sql: String = {
     val h = s"CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)"

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  test("chain needs multi-hop propagation; separate components stay separate") {
+    // 1-2-3-4-5 chain (diameter 4 → several rounds) + a 10-11 pair
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val comps = ConnectedComponents.components(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+  }
+
+  test("string ids, self-loops, and duplicate edges are handled") {
+    val edges = Seq(("b", "a"), ("b", "a"), ("c", "c"), ("c", "b"))
+      .toDF("x", "y")
+    val comps = ConnectedComponents.components(edges, "x", "y")
+      .as[(String, String)].collect().toMap
+    comps shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a")
+  }
+
+  test("non-convergence within maxIters fails loudly") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy
+      ConnectedComponents.components(chain, "id_a", "id_b", maxIters = 2)
+    // enough rounds → converges
+    ConnectedComponents.components(chain, "id_a", "id_b", maxIters = 10)
+      .as[(Long, Long)].collect().toMap.values.toSet shouldBe Set(1L)
+  }
+}
