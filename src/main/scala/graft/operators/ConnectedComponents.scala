@@ -8,16 +8,14 @@ import org.apache.spark.sql.functions._
   * selection: near-dup pairs (LSH/SimHash/Jaccard verified) form clusters,
   * and one representative per cluster survives.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round takes the min of its own label and its
-  * neighbors' labels, until a fixpoint. Converges in O(cluster diameter)
-  * rounds — near-dup clusters are dense (most pairs verified directly), so
-  * diameters are small. Each round is one shuffle join on node id + one
-  * aggregation; the label table is |nodes in any pair| rows, far smaller
-  * than the corpus. At extreme scale the round count is cut by
-  * alternating large-star/small-star steps (Kiveris et al., "Connected
-  * Components in MapReduce") — same join shapes, fewer rounds; the hop
-  * propagation here keeps the plan minimal and is exact regardless.
+  * Algorithm: iterative min-label propagation with path halving. Every node
+  * starts labeled with itself; each round takes the min of its own and its
+  * neighbors' labels (hop), then follows its label's label (jump — the
+  * pointer-halving step of the classic MapReduce CC algorithms, Kiveris et
+  * al.), until a fixpoint. The jump halves every node's distance to its
+  * component min, so rounds scale with log(diameter), not diameter. Each
+  * round is two shuffle joins + one aggregation over the label table
+  * (|nodes in any pair| rows, far smaller than the corpus).
   *
   * Fails loudly if `maxIters` rounds don't converge (a silent partial
   * clustering would under-deduplicate).
@@ -29,37 +27,64 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    // lineage is CUT each round by re-wrapping the round's computed RDD as a
+    // fresh DataFrame: the iterated self-referencing join would otherwise
+    // double the logical plan per round (2^rounds nodes before the optimizer
+    // sees data). Plain persist (NOT localCheckpoint) keeps every cached
+    // block in the CacheManager, so superseded rounds are freed here and a
+    // session-level clearCache leaves nothing behind — checkpoint blocks
+    // would leak past both.
+    def cutLineage(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
     // materialize the (possibly expensive) pair-detection input ONCE — the
     // symmetrization union has two branches, and an unmaterialized input
     // would be recomputed by each
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(true)
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    e.count()
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // lineage is CUT each round (localCheckpoint): the iterated plan would
-    // otherwise double in size per round — a persist caches data but keeps
-    // the logical tree, and ten rounds of a self-referencing join is a
-    // 2^10-node plan before the optimizer ever sees data
     var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+      .select(col("id"), col("id").as("comp"))
+    var prevCut: Option[DataFrame] = None
 
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
+      // hop step: min over own and neighbors' labels
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy("src").agg(min("comp").as("nmin"))
         .withColumnRenamed("src", "id")
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("n1"))
+      // path-halving step: follow the label's own label (labels only ever
+      // decrease, so the grand-label is always ≤) — distance to the
+      // component min halves each round, so rounds scale with
+      // log(diameter) instead of diameter. ADAPTIVE: dense near-dup
+      // clusters converge in the first hop-only rounds (one join each);
+      // the extra jump join is paid only when chains prove long.
+      val withNext =
+        if (it < 3) hopped.select(col("id"), col("comp"), col("n1").as("next"))
+        else {
+          val nl = hopped.select(col("id"), col("n1"))
+          val jumped = nl.join(
+            nl.select(col("id").as("n1"), col("n1").as("g")), Seq("n1"), "left")
+            .select(col("id"), coalesce(col("g"), col("n1")).as("next"))
+          hopped.select(col("id"), col("comp")).join(jumped, Seq("id"))
+        }
+      val stepped = cutLineage(withNext).persist()
       val changed = stepped.filter(col("next") < col("comp")).count()
+      prevCut.foreach(_.unpersist(): Unit) // superseded round's cache freed
+      prevCut = Some(stepped)
       labels = stepped.select(col("id"), col("next").as("comp"))
       converged = changed == 0
       it += 1
     }
     sym.unpersist()
+    e.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +
