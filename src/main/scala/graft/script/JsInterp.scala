@@ -388,6 +388,9 @@ object JsInterp {
   /** `Java` namespace host object. */
   private case object JavaNs
 
+  /** `Math` host object (the subset row scripts use). */
+  private case object MathNs
+
   /** Function-scoped environment chain (JS `var` semantics): lookups walk
     * outward; assignment targets the scope that declared the name (root if
     * undeclared, like sloppy-mode JS); `var` declares in the current scope.
@@ -435,6 +438,7 @@ object JsInterp {
     bindings.foreach { case (k, v) => env.declare(k, normalize(v)) }
     env.declare("Java", JavaNs)
     env.declare("Date", DateCtor)
+    env.declare("Math", MathNs)
     hoistFunctions(script.stmts, env)
     var completion: Any = null
     script.stmts.foreach(s => evalStmt(s, env).foreach(completion = _))
@@ -619,6 +623,8 @@ object JsInterp {
     case (null, _) => throw new JsError(s"cannot read '$name' of null")
     case (s: String, "length") => s.length.toDouble
     case (l: java.util.ArrayList[_], "length") => l.size.toDouble
+    case (MathNs, "PI") => math.Pi
+    case (MathNs, "E") => math.E
     case (JavaNs, "type") => JavaNs // resolved at the call site
     case (m: java.util.Map[_, _], _) =>
       m.asInstanceOf[java.util.Map[String, Any]].get(name)
@@ -633,6 +639,24 @@ object JsInterp {
         "(row scripts may use java.util.HashMap / java.util.ArrayList)")
       case None => throw new JsError("Java.type requires a class name")
     }
+    case (MathNs, f) =>
+      def n(i: Int) = toNumber(args.lift(i).orNull)
+      f match {
+        case "floor" => math.floor(n(0))
+        case "ceil" => math.ceil(n(0))
+        case "abs" => math.abs(n(0))
+        case "round" => math.floor(n(0) + 0.5) // JS rounds half UP, incl. negatives
+        case "sqrt" => math.sqrt(n(0))
+        case "pow" => math.pow(n(0), n(1))
+        case "max" => if (args.isEmpty) Double.NegativeInfinity
+          else args.map(toNumber).max
+        case "min" => if (args.isEmpty) Double.PositiveInfinity
+          else args.map(toNumber).min
+        case "trunc" => if (n(0) < 0) math.ceil(n(0)) else math.floor(n(0))
+        case "log" => math.log(n(0))
+        case "exp" => math.exp(n(0))
+        case other => throw new JsError(s"Math.$other is not supported")
+      }
     case (m: java.util.Map[String @unchecked, Any @unchecked], "put") =>
       m.put(jsToString(args.head), args(1))
     case (m: java.util.Map[String @unchecked, Any @unchecked], "get") =>

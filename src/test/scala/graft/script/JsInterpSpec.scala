@@ -164,6 +164,18 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     eval("var o = {}; o.put('k', 9); o.k;") shouldBe 9.0
   }
 
+  test("Math object: functions, constants, JS half-up rounding") {
+    eval("Math.floor(3.7) + Math.ceil(3.2);") shouldBe 7.0
+    eval("Math.abs(-5) + Math.sqrt(16);") shouldBe 9.0
+    eval("Math.round(2.5);") shouldBe 3.0
+    eval("Math.round(-2.5);") shouldBe -2.0 // JS half-up, not half-away
+    eval("Math.max(1, 9, 4) - Math.min(1, 9, 4);") shouldBe 8.0
+    eval("Math.pow(2, 10);") shouldBe 1024.0
+    eval("Math.trunc(-3.9);") shouldBe -3.0
+    eval("Math.PI > 3.14 && Math.PI < 3.15;") shouldBe true
+    a[JsInterp.JsError] should be thrownBy eval("Math.random();") // nondeterministic → rejected
+  }
+
   test("ternary expressions") {
     eval("var x = 5; x > 3 ? 'big' : 'small';") shouldBe "big"
     eval("(0 ? 1 : 2) + (1 ? 10 : 20);") shouldBe 12.0
