@@ -8,7 +8,7 @@ import scala.collection.mutable
   * attributes; subscribers register a filter map and receive only matching
   * events — SNS subscription filter-policy semantics, in process.
   */
-final class EventBus {
+final class EventBus(maxRetained: Int = 100000) {
 
   final case class Notification(
       dataset: String,
@@ -31,7 +31,15 @@ final class EventBus {
     synchronized { subscribers += filter -> callback }
 
   def publish(n: Notification): Unit = {
-    val subs = synchronized { published += n; subscribers.toVector }
+    val subs = synchronized {
+      published += n
+      // bounded history: a long-lived service must not grow without limit
+      // (the reference's SNS has no history; ours exists for observability).
+      // Chunked trim keeps the amortized cost O(1) per publish.
+      if (published.length > maxRetained + maxRetained / 10)
+        published.remove(0, published.length - maxRetained)
+      subscribers.toVector
+    }
     val attrs = n.attributes ++ Map(
       "dataset" -> n.dataset, "destination" -> n.destination,
       "database" -> n.database, "table" -> n.table)

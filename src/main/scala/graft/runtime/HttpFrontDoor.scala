@@ -52,15 +52,17 @@ final class HttpFrontDoor(
   /** Bound port (useful with port=0 for an ephemeral choice). */
   def boundPort: Int = server.getAddress.getPort
 
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   def start(): HttpFrontDoor = {
     Files.createDirectories(landingDir)
     server.createContext("/", (ex: HttpExchange) => route(ex))
-    server.setExecutor(null) // the default single-threaded executor
+    server.setExecutor(pool) // status/list calls never queue behind a poll
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ------------------------------------------------------------- routing ----
 
@@ -172,11 +174,17 @@ final class HttpFrontDoor(
         respond(ex, 404, notConfigured(query(ex, "dataset").getOrElse("?")))
     }
 
+  private val pollLock = new Object
+
   /** One watcher scan over the landing dir with the CURRENT dataset registry
     * (a fresh Watcher per poll — the ledger on disk carries the state).
+    * Serialized: two concurrent polls would both read the ledger before
+    * either records, double-processing every pending file.
     */
   private def poll(ex: HttpExchange): Unit = {
-    val results = new Watcher(spark, landingDir, specs.toMap, ledgerPath).poll()
+    val results = pollLock.synchronized {
+      new Watcher(spark, landingDir, specs.toMap, ledgerPath).poll()
+    }
     val items = results.map { p =>
       val (ok, detail) = p.result match {
         case Right(r) => (true, s""""pipelineToken": ${jsonStr(r.pipelineToken)}, "rowsWritten": ${r.rowsWritten}""")

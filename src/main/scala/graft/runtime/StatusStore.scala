@@ -9,7 +9,7 @@ import scala.collection.mutable
   * as a DataFrame for SQL over run history — the local stand-in for the
   * reference's DynamoDB status table.
   */
-final class StatusStore {
+final class StatusStore(maxRetained: Int = 200000) {
 
   final case class StatusRow(
       pipelineToken: String,
@@ -35,6 +35,11 @@ final class StatusStore {
   private def add(token: String, dataset: String, step: String, level: String,
       msg: String): Unit = synchronized {
     rows += StatusRow(token, dataset, process, step, level, msg, Instant.now())
+    // bounded retention — the reference's DynamoDB status table has a TTL;
+    // an in-process store in a long-lived service needs the same discipline.
+    // Chunked trim keeps the amortized cost O(1) per row.
+    if (rows.length > maxRetained + maxRetained / 10)
+      rows.remove(0, rows.length - maxRetained)
   }
 
   def all: Seq[StatusRow] = synchronized { rows.toVector }
