@@ -30,22 +30,38 @@ import java.util.Comparator
   */
 object ObjectStoreSink {
 
-  def write(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String = {
-    val fq = s"${spec.database}.${spec.table}"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
-    val tableDir = Paths.get(spec.path, spec.database, spec.table)
-    Files.createDirectories(tableDir.getParent)
+  /** One commit at a time per table (within this JVM): concurrent merges
+    * would read the same base version and both pick the same next version
+    * dir — last-writer-wins lost updates and a dir collision. The watcher
+    * pool and the HTTP front door can both trigger loads concurrently, so
+    * the whole read→merge→commit sequence serializes here. Locks are
+    * reentrant (replaceTable under write() re-enters). Cross-DRIVER
+    * serialization is the ACID table format's job — the same seam where
+    * Iceberg/Delta replace the versioned-dir commit.
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(spec: ObjectStoreSpec): Object =
+    tableLocks.computeIfAbsent(
+      Paths.get(spec.path, spec.database, spec.table).toString, _ => new Object)
 
-    if (spec.deleteBeforeWrite && Files.exists(tableDir)) {
-      spark.sql(s"DROP TABLE IF EXISTS $fq")
-      deleteTree(tableDir)
+  def write(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String =
+    lockFor(spec).synchronized {
+      val fq = s"${spec.database}.${spec.table}"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
+      val tableDir = Paths.get(spec.path, spec.database, spec.table)
+      Files.createDirectories(tableDir.getParent)
+
+      if (spec.deleteBeforeWrite && Files.exists(tableDir)) {
+        spark.sql(s"DROP TABLE IF EXISTS $fq")
+        deleteTree(tableDir)
+      }
+
+      val exists = spark.catalog.tableExists(fq)
+      if (spec.keyFields.nonEmpty && exists) mergeInto(spark, df, spec, fq, tableDir)
+      else plainWrite(spark, df, spec, fq, tableDir, exists)
+      fq
     }
-
-    val exists = spark.catalog.tableExists(fq)
-    if (spec.keyFields.nonEmpty && exists) mergeInto(spark, df, spec, fq, tableDir)
-    else plainWrite(spark, df, spec, fq, tableDir, exists)
-    fq
-  }
 
   private def plainWrite(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec,
       fq: String, tableDir: Path, exists: Boolean): Unit = {
@@ -124,20 +140,21 @@ object ObjectStoreSink {
     *   3. retire old versions, keeping the previous one as a grace copy for
     *      readers that resolved the old location mid-swap.
     */
-  def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String = {
-    val fq = s"${spec.database}.${spec.table}"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
-    val tableDir = Paths.get(spec.path, spec.database, spec.table)
-    Files.createDirectories(tableDir)
-    val next = nextVersionDir(tableDir)
-    val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
-    val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
-    sw.save(next.toString) // materialize BEFORE touching the live table
-    val reread = spark.read.format(spec.fileFormat).load(next.toString)
-    repoint(spark, fq, spec, next, reread)
-    retireOldVersions(tableDir, keep = 2)
-    fq
-  }
+  def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String =
+    lockFor(spec).synchronized {
+      val fq = s"${spec.database}.${spec.table}"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
+      val tableDir = Paths.get(spec.path, spec.database, spec.table)
+      Files.createDirectories(tableDir)
+      val next = nextVersionDir(tableDir)
+      val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
+      val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
+      sw.save(next.toString) // materialize BEFORE touching the live table
+      val reread = spark.read.format(spec.fileFormat).load(next.toString)
+      repoint(spark, fq, spec, next, reread)
+      retireOldVersions(tableDir, keep = 2)
+      fq
+    }
 
   /** Point the catalog entry for `fq` at `newLoc`. Schema-preserving swaps
     * take the atomic path (ALTER ... SET LOCATION + partition re-sync);

@@ -141,6 +141,26 @@ class SinksSpec extends SparkSpec {
     rows(1).getDouble(2) shouldBe 9.5
   }
 
+  test("concurrent merge writers: all batches land exactly once") {
+    val root = scratchDir("lakeconcw").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_tcw", table = "cw",
+      keyFields = Seq("id"))
+    ObjectStoreSink.write(spark, Seq((-1, "seed")).toDF("id", "v"), spec)
+    // 4 writers merge disjoint key batches concurrently; without commit
+    // serialization they read the same base version and lose updates
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val batch = (0 until 25).map(i => (t * 100 + i, s"w$t")).toDF("id", "v")
+        ObjectStoreSink.write(spark, batch, spec): Unit
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val rows = spark.table("graft_tcw.cw")
+    rows.count() shouldBe 101 // seed + 4×25, nothing lost, nothing doubled
+    rows.select("id").distinct().count() shouldBe 101
+  }
+
   test("versioned swap: concurrent readers never observe a missing table") {
     val root = scratchDir("lakeconc").getAbsolutePath
     val spec = ObjectStoreSpec(path = root, database = "graft_t5", table = "live")
