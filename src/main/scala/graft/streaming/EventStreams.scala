@@ -39,6 +39,19 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Streaming deduplication — the intake twin of the batch dedup family:
+    * drop re-deliveries of the same key within the watermark horizon
+    * (`dropDuplicates` keeps per-key state; the watermark bounds it, so
+    * state is O(keys per horizon), not O(stream)). `keys` should be the
+    * natural identity (doc id, content hash); include the event-time
+    * column implicitly via the watermark.
+    */
+  def dedupeStream(events: DataFrame, tsCol: String, keys: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates(keys :+ tsCol)
+
   /** Running per-user session state carried between micro-batches. */
   final case class SessionState(
       start: Long, last: Long, n: Long, firstEvent: String, lastEvent: String)

@@ -59,6 +59,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream: re-delivered keys dropped within the watermark horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "doc_id", "payload")
+    val q = EventStreams.dedupeStream(events, "ts", Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2026-08-12 10:00:00"), 1L, "a"),
+        (ts("2026-08-12 10:00:00"), 1L, "a-redelivered"), // same key+ts → dropped
+        (ts("2026-08-12 10:05:00"), 2L, "b"))
+      q.processAllAvailable()
+      // re-delivery in a LATER batch is dropped too (state store)
+      in.addData((ts("2026-08-12 10:00:00"), 1L, "a-again"))
+      q.processAllAvailable()
+      spark.table("dedup_test").select("doc_id").as[Long].collect()
+        .toSeq.sorted shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("closedSessions: flatMapGroupsWithState emits on close with first/last event") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
