@@ -25,12 +25,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     comps shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a")
   }
 
-  test("non-convergence within maxIters fails loudly") {
-    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("iterative fallback (localBound=0) agrees with the single-task path") {
+    // chains + stars + isolated pair, enough to need real propagation
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 200L), (100L, 300L), (100L, 400L), (500L, 501L)))
+      .toDF("id_a", "id_b")
+    val fast = ConnectedComponents.components(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val iter = ConnectedComponents
+      .components(edges, "id_a", "id_b", localBound = 0)
+      .as[(Long, Long)].collect().toMap
+    iter shouldBe fast
+    fast.filter(_._1 <= 40L).values.toSet shouldBe Set(1L)
+    fast(400L) shouldBe 100L
+    fast(501L) shouldBe 500L
+  }
+
+  test("non-convergence within maxIters fails loudly (iterative path)") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     an[IllegalStateException] should be thrownBy
-      ConnectedComponents.components(chain, "id_a", "id_b", maxIters = 2)
+      ConnectedComponents.components(chain, "id_a", "id_b", maxIters = 2,
+        localBound = 0)
     // enough rounds → converges
-    ConnectedComponents.components(chain, "id_a", "id_b", maxIters = 10)
+    ConnectedComponents.components(chain, "id_a", "id_b", localBound = 0)
       .as[(Long, Long)].collect().toMap.values.toSet shouldBe Set(1L)
   }
 }
