@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHashSig, TopKByScore, WinnowFingerprint}
+import graft.functions.{DotProduct, KmvDistinct, MinHashSig, SimHashSig, TopKByScore, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -75,6 +75,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "topk_by_score(score, id, k)")
         TopKByScore(args(0), args(1), intArg(args(2), "topk_by_score"))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch(hash, k)")
+        KmvDistinct(args(0), intArg(args(1), "kmv_sketch"))
           .toAggregateExpression()
       }))
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.ObjectStoreSpec
+import graft.sinks.ObjectStoreSink
+
+/** Small-file compaction for catalog tables — the maintenance operator any
+  * long-running ingest accumulates a need for: streaming micro-batches,
+  * partition-scoped CDC rewrites, and per-file pipeline loads each land a
+  * few files, and a year of minute-batches turns a scan into millions of
+  * tiny reads (open/seek-bound, not bandwidth-bound; at 100 TB the
+  * NameNode/liststatus cost alone dominates).
+  *
+  * `compact` rewrites the table's current image into ~`targetBytes` files
+  * and commits via [[ObjectStoreSink.replaceTable]]'s versioned-directory
+  * swap — concurrent readers keep the old version until the catalog
+  * repoints, the same no-gap guarantee as every other table commit in the
+  * engine (the plain-parquet stand-in for an ACID format's rewrite-files
+  * action, e.g. Iceberg's RewriteDataFiles).
+  *
+  * Sizing: the file count is derived from the CURRENT on-disk byte size
+  * (post-compression), not row counts — `ceil(bytes / targetBytes)` output
+  * files for unpartitioned tables via `repartition(n)` (round-robin, even
+  * sizes); partitioned tables repartition by the partition columns so each
+  * live partition collapses to one file per populated partition (its
+  * writers were the fragmentation source), preserving pruning.
+  */
+object Compaction {
+
+  /** Bytes currently under the table's live location. */
+  def liveBytes(spark: SparkSession, spec: ObjectStoreSpec): Long = {
+    val fq = s"${spec.database}.${spec.table}"
+    dataFiles(locationOf(spark, fq)).map(p => Files.size(p)).sum
+  }
+
+  /** Data files (non-hidden) under the table's live location. */
+  def liveFileCount(spark: SparkSession, spec: ObjectStoreSpec): Int =
+    dataFiles(locationOf(spark, s"${spec.database}.${spec.table}")).size
+
+  /** Rewrite the table into ~targetBytes files; returns the new file
+    * count. No-op (returns current count) when already compact.
+    */
+  def compact(spark: SparkSession, spec: ObjectStoreSpec,
+      targetBytes: Long = 128L << 20): Int = {
+    val fq = s"${spec.database}.${spec.table}"
+    val bytes = liveBytes(spark, spec)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (liveFileCount(spark, spec) <= nFiles &&
+        spec.partitionBy.isEmpty) return liveFileCount(spark, spec)
+    val current = spark.table(fq)
+    val packed =
+      if (spec.partitionBy.nonEmpty)
+        current.repartition(spec.partitionBy.map(col): _*)
+      else current.repartition(nFiles)
+    ObjectStoreSink.replaceTable(spark, packed, spec)
+    liveFileCount(spark, spec)
+  }
+
+  private def locationOf(spark: SparkSession, fq: String): Path = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $fq")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    Paths.get(java.net.URI.create(loc))
+  }
+
+  private def dataFiles(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val out = Seq.newBuilder[Path]
+    Files.walk(dir).forEach { p =>
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
+        out += p
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.model.ObjectStoreSpec
+import graft.operators.{Compaction, DatasetSplit}
+import graft.sinks.ObjectStoreSink
+
+/** Training-data curation operators past dedup: deterministic dataset
+  * splits, per-domain quota sampling, PII scrubbing, eval-set
+  * decontamination, KMV cardinality sketching, and small-file compaction —
+  * each DuckDB-oracled end to end.
+  *
+  * Shared conventions: the engine-wide md5-prefix hash contract (both
+  * engines compute identical 60-bit hashes), no raw double aggregation,
+  * total ORDER BY everywhere.
+  */
+object CurationOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** 60-bit hash of a string — the engine-wide md5-prefix convention. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  private def hash60Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- 8-gram shingles (decontamination wants long n-grams: a match means
+  // a verbatim 8-token passage is shared, the standard eval-overlap test —
+  // 3-grams would flag benign phrase reuse). Built with shifted slices +
+  // zip_with like Dedup.docTokens (HOF lambdas re-evaluate expressions per
+  // element, so the regex split must be referenced a constant number of
+  // times per row, not once per gram).
+  private val GramN = 8
+  private def grams8(s: SparkSession, d: String): DataFrame = {
+    val ta = split(trim(col("text")), "\\s+")
+    val n = size(ta)
+    val parts = (1 to GramN).map(j => slice(ta, lit(j), n - lit(GramN - 1)))
+    val joined = parts.reduceLeft((acc, p) =>
+      zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    val grams = when(n >= GramN, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+  }
+
+  private val grams8Sql: String =
+    s"""SELECT doc_id, ${hash60Sql("gram")} AS gh FROM (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+       |    range(1, greatest(length(ta) - ${GramN - 2}, 1)),
+       |    i -> ${(0 until GramN).map(o => s"ta[i+$o]").mkString(" || ' ' || ")}))) AS gram
+       |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ta
+       |        FROM documents))""".stripMargin
+
+  // ---- PII patterns (Java regex ⊆ RE2-compatible subset so Spark and
+  // DuckDB agree; DuckDB needs the 'g' flag to match Spark's replace-all).
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1-555-[0-9]{4}"
+  private val IpPat = "10\\.[0-9]{1,3}\\.0\\.1"
+
+  private def freshLake(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deterministic train/val/test assignment --------------------------
+    // Hash-of-id buckets, not randomSplit: stable under repartition and
+    // corpus growth, reproducible by the oracle, leak-safe across tables
+    // keyed by the same id. A narrow map — no shuffle at any scale.
+    QueryDef(
+      "q_split_assign",
+      (s, d) =>
+        DatasetSplit.assign(t(s, d, "documents"), "doc_id")
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${DatasetSplit.bucketSql("doc_id")} AS bucket,
+              |${DatasetSplit.splitSql("doc_id")} AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-domain quota sampling (domain mixing) ------------------------
+    // Cap documents per source with a DETERMINISTIC priority (hash bucket,
+    // then id). Selection runs through the bounded TopKByScore aggregate:
+    // map-side partial keeps ≤ quota rows per domain, so the shuffle is
+    // quota·|domains| — a row_number window would shuffle and sort the
+    // whole corpus per domain.
+    QueryDef(
+      "q_domain_quota",
+      (s, d) => {
+        import graft.functions.TopKByScore.topk
+        val quota = 25
+        val prio = DatasetSplit.bucket(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), prio.as("bucket"))
+          .groupBy("source")
+          // score = -bucket (topk orders score DESC, id ASC) ⇒ bucket ASC,
+          // doc_id ASC — the exact priority the oracle's window replays
+          .agg(topk(-col("bucket").cast("double"), col("doc_id"), quota).as("top"))
+          .select(col("source"), explode(col("top")).as("t"))
+          .select(col("source"), col("t.id").as("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""SELECT source, doc_id FROM (
+              |  SELECT source, doc_id,
+              |         row_number() OVER (PARTITION BY source
+              |           ORDER BY ${DatasetSplit.bucketSql("doc_id")}, doc_id) AS rn
+              |  FROM documents) q
+              |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- PII scrubbing ----------------------------------------------------
+    // The synthetic corpus carries no real PII, so the query plants
+    // deterministic contact strings derived from each row and then scrubs
+    // them — the masking pipeline (regexp_replace chain, codegen'd, no
+    // UDFs) is what's under test. Counts come from the pre-scrub text.
+    QueryDef(
+      "q_pii_scrub",
+      (s, d) => {
+        val planted = concat(
+          lit("user"), col("doc_id").cast("string"), lit("@example.com +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1 "),
+          substring(col("text"), 1, 40))
+        val scrubbed = regexp_replace(
+          regexp_replace(
+            regexp_replace(planted, EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          IpPat, "<IP>")
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            regexp_count(planted, lit(EmailPat)).as("n_emails"),
+            regexp_count(planted, lit(PhonePat)).as("n_phones"),
+            scrubbed.as("masked"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(planted, '$EmailPat')) AS INT) AS n_emails,
+              |  CAST(len(regexp_extract_all(planted, '$PhonePat')) AS INT) AS n_phones,
+              |  regexp_replace(regexp_replace(regexp_replace(planted,
+              |    '$EmailPat', '<EMAIL>', 'g'),
+              |    '$PhonePat', '<PHONE>', 'g'),
+              |    '$IpPat', '<IP>', 'g') AS masked
+              |FROM (
+              |  SELECT doc_id,
+              |    'user' || CAST(doc_id AS VARCHAR) || '@example.com +1-555-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' ||
+              |    substring(text, 1, 40) AS planted
+              |  FROM documents) p
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- eval-set decontamination -----------------------------------------
+    // Drop training documents sharing any verbatim 8-token passage with the
+    // held-out eval slice (doc_id % 20 = 0 stands in for the eval set).
+    // The eval gram set is broadcast — eval sets are small by construction
+    // (that is the premise of holding them out), so the probe corpus never
+    // shuffles; at 100 TB this is a map-side semi-join over the scan.
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        val g = grams8(s, d)
+        val evalG = g.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+        val contaminated = g.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(evalG), "gh")
+          .select("doc_id").distinct()
+        t(s, d, "documents").filter(col("doc_id") % 20 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH g AS ($grams8Sql),
+              |evalg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+              |contaminated AS (
+              |  SELECT DISTINCT doc_id FROM g
+              |  WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM evalg))
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id % 20 <> 0
+              |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- KMV distinct-cardinality sketch ----------------------------------
+    // Estimate the corpus's distinct-shingle count from the k smallest
+    // md5 hashes (kmv_sketch aggregate: map-side bounded, shuffle = k
+    // longs). Deterministic hash ⇒ the oracle replays the exact sketch;
+    // the exact distinct count rides along as the quality reference.
+    QueryDef(
+      "q_kmv_distinct",
+      (s, d) => {
+        import graft.functions.KmvDistinct.kmv
+        val k = 1024
+        val toks = Dedup.docTokensPublic(s, d)
+          .select(hash60(col("token")).as("gh"))
+        val sk = toks.agg(kmv(col("gh"), k).as("sk"))
+          .select(
+            lit(k).as("k"),
+            size(col("sk")).cast("long").as("n_kept"),
+            element_at(col("sk"), size(col("sk"))).as("kth_hash"))
+          .withColumn("est_distinct",
+            when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (col("kth_hash").cast("double") / pow(lit(2.0), lit(60.0)))))
+        val exact = toks.agg(countDistinct(col("gh")).as("exact_distinct"))
+        sk.crossJoin(exact)
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT ${hash60Sql("token")} AS gh
+              |           FROM (${Dedup.docTokensSqlPublic})),
+              |sk AS (SELECT gh FROM h ORDER BY gh LIMIT 1024),
+              |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |               MAX(gh) AS kth_hash FROM sk),
+              |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM h)
+              |SELECT 1024 AS k, n_kept, kth_hash,
+              |  CASE WHEN n_kept < 1024 THEN CAST(n_kept AS DOUBLE)
+              |       ELSE 1023.0 / (CAST(kth_hash AS DOUBLE) / POWER(2, 60))
+              |  END AS est_distinct,
+              |  exact_distinct
+              |FROM agg, ex""".stripMargin)),
+
+    // ---- small-file compaction roundtrip ----------------------------------
+    // Land a deliberately fragmented table (40 files), compact it through
+    // the versioned-directory commit, and read the result back — the oracle
+    // is the source content itself (compaction must be a pure layout
+    // change). File-count physics are pinned in CompactionSpec.
+    QueryDef(
+      "q_compact_roundtrip",
+      (s, d) => {
+        val spec = ObjectStoreSpec(path = freshLake("compact"),
+          database = "graft_tmp", table = s"compact_rt_${System.nanoTime()}")
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        ObjectStoreSink.replaceTable(s, cust.repartition(40), spec)
+        Compaction.compact(s, spec, targetBytes = 1L << 30)
+        s.table(s"${spec.database}.${spec.table}")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)))
+}

@@ -58,6 +58,7 @@ object Dedup {
     */
   def docTokensPublic(s: SparkSession, d: String): DataFrame = docTokens(s, d)
   def baseHashPublic(c: Column): Column = baseHash(c)
+  def docTokensSqlPublic: String = docTokensSql
 
   private def docTokens(s: SparkSession, d: String): DataFrame = {
     // Shingles via zip_with over three shifted slices — NOT via
