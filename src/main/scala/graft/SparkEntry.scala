@@ -15,6 +15,7 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Embeddings.defs ++
       Embeddings.recallDefs ++ Dedup.defs ++ Dedup.clusterDefs ++
+      Dedup.incrementalDefs ++
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
       MultimodalQueries.defs

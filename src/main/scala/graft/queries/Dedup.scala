@@ -59,6 +59,13 @@ object Dedup {
   def docTokensPublic(s: SparkSession, d: String): DataFrame = docTokens(s, d)
   def baseHashPublic(c: Column): Column = baseHash(c)
   def docTokensSqlPublic: String = docTokensSql
+  // shared-contract accessors for the incremental-dedup operator/oracle
+  def docShingleArraysPublic(s: SparkSession, d: String): DataFrame =
+    docShingleArrays(s, d)
+  def baseHashSqlPublic(token: String): String = baseHashSql(token)
+  def minhashSigSqlPublic: String = minhashSigSql
+  def bandHashPublic(b: Int): Column = bandHash(b)
+  def bandHashSqlPublic(b: Int): String = bandHashSql(b)
 
   private def docTokens(s: SparkSession, d: String): DataFrame = {
     // Shingles via zip_with over three shifted slices — NOT via
@@ -428,6 +435,47 @@ object Dedup {
               |       id = MIN(comp) AS is_canonical
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
   }
+
+  /** Incremental near-dup detection: the newest ~20% of documents arrive
+    * as a batch against a standing index of the rest (operator:
+    * [[graft.operators.IncrementalDedup]]). The oracle replays the
+    * one-shot pipeline over the grown corpus and keeps only batch-involved
+    * pairs — by construction the incremental path must produce EXACTLY the
+    * pairs the batch path would (same sketches, same combined hot-bucket
+    * cap, same verify), which is the property that makes index reuse safe.
+    */
+  val incrementalDefs: Seq[QueryDef] = Seq(QueryDef(
+    "q_incremental_dedup",
+    (s, d) => {
+      import graft.operators.IncrementalDedup
+      val arrays = docShingleArrays(s, d)
+      val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)
+      val cutoff = (maxId + 1) * 4 / 5 // integer arithmetic on both engines
+      val index = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") < cutoff))
+      val batch = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") >= cutoff))
+      IncrementalDedup.newPairs(index, batch).orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH cand0 AS ($lshCandidatesSql),
+            |cutoff AS (SELECT (MAX(doc_id)+1)*4//5 AS c FROM documents),
+            |cand AS (SELECT id_a, id_b FROM cand0, cutoff WHERE id_b >= c),
+            |toks AS (SELECT * FROM ($docTokensSql)),
+            |hashes AS (SELECT DISTINCT doc_id, ${baseHashSql("token")} AS h FROM toks),
+            |counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM hashes GROUP BY doc_id),
+            |common AS (
+            |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            |  FROM cand c
+            |  JOIN hashes a ON a.doc_id = c.id_a
+            |  JOIN hashes b ON b.doc_id = c.id_b AND b.h = a.h
+            |  GROUP BY 1, 2)
+            |SELECT id_a, id_b,
+            |       ROUND(CAST(n_common AS DOUBLE) /
+            |             CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) AS jaccard
+            |FROM common
+            |JOIN counts ca ON ca.doc_id = id_a
+            |JOIN counts cb ON cb.doc_id = id_b
+            |WHERE ROUND(CAST(n_common AS DOUBLE) /
+            |            CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) > 0.3
+            |ORDER BY id_a, id_b""".stripMargin)))
 
   // lazy: referenced by `defs` above, which initializes first in the object
   private lazy val simhash60Sql: String = {

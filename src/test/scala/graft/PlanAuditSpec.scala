@@ -99,5 +99,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_domain_quota: bounded aggregate, not a corpus-wide window sort") {
+    val plan = planString(q("q_domain_quota"))
+    plan should include ("ObjectHashAggregate")   // TypedImperativeAggregate
+    plan should include ("partial_")              // map-side bounded partials
+    (plan should not).include("Window")           // no row_number over the corpus
+  }
+
+  test("q_kmv_distinct: sketch aggregates map-side; no global sort+limit") {
+    val plan = planString(q("q_kmv_distinct"))
+    plan should include ("ObjectHashAggregate")
+    plan should include ("partial_")
+    (plan should not).include("GlobalLimit")      // the k-smallest never sort-limits
+  }
+
+  test("q_split_assign: pure narrow map — no join, no aggregate exchange") {
+    val plan = planString(q("q_split_assign"))
+    (plan should not).include("Join")
+    (plan should not).include("HashAggregate")
+  }
+
+  test("q_decontaminate: eval gram set broadcasts; corpus probe never SMJs") {
+    val plan = planString(q("q_decontaminate"))
+    plan should include ("BroadcastHashJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
