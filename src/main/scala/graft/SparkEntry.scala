@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator queries, grouped by domain. */
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Embeddings.defs ++
-      Embeddings.recallDefs ++ Dedup.defs ++ Dedup.clusterDefs ++
+      Embeddings.recallDefs ++ Embeddings.quantDefs ++
+      Dedup.defs ++ Dedup.clusterDefs ++
       Dedup.incrementalDefs ++
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++

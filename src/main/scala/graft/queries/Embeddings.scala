@@ -347,6 +347,122 @@ object Embeddings {
     * entries; at scale this runs over a sampled query set as the
     * index-quality monitor.
     */
+  /** Per-vector int8 quantization codes: scale = max |x|, code_i =
+    * floor(x_i / scale · 127). floor (not round) on both engines — Spark
+    * truncates double→int casts where DuckDB rounds, so floor is the one
+    * engine-neutral quantizer (see the verify gotchas). Codes land in
+    * [-127, 127]; |x| ≤ scale makes the ratio ≤ 1.0 exactly, so no clamp.
+    */
+  private def int8Codes(s: SparkSession, d: String) = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    // scale is referenced inside the codes lambda: HOFs re-evaluate outer
+    // expressions per element (no CSE), which is O(dim²) per row — fine at
+    // dim=64, and the projection boundary keeps the intent readable.
+    t(s, d, "embeddings")
+      .select(col("vec_id"), xd.as("xd"),
+        array_max(transform(xd, x => abs(x))).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("xd"), x =>
+          when(col("scale") === 0, lit(0L))
+            .otherwise(floor(x / col("scale") * 127))).as("codes"))
+  }
+
+  /** DuckDB twin of [[int8Codes]], as a CTE body: cod(vec_id, scale, codes). */
+  private val int8CodesSql: String =
+    """SELECT vec_id, scale,
+      |  list_transform(xd, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(floor(x / scale * 127) AS BIGINT) END) AS codes
+      |FROM (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+      |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |      FROM embeddings)""".stripMargin
+
+  /** Int8 quantization + quantized ANN — the memory-footprint scale path
+    * (64 B/vector instead of 256 B; at 100 TB the difference between an
+    * in-memory index and a disk-bound one).
+    */
+  val quantDefs: Seq[QueryDef] = {
+    def parent(name: String) = defs.find(_.name == name).get
+    val brute = parent("q_knn_brute")
+    Seq(
+      QueryDef(
+        "q_embed_quantize",
+        (s, d) =>
+          int8Codes(s, d)
+            .select(col("vec_id"), round(col("scale"), 6).as("scale6"),
+              element_at(col("codes"), 1).as("c0"),
+              element_at(col("codes"), 2).as("c1"),
+              element_at(col("codes"), 3).as("c2"),
+              aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+              size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
+            .orderBy("vec_id"),
+        Some(s"""WITH cod AS ($int8CodesSql)
+                |SELECT vec_id, round(scale, 6) AS scale6,
+                |  codes[1] AS c0, codes[2] AS c1, codes[3] AS c2,
+                |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+                |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INT) AS n_sat
+                |FROM cod ORDER BY vec_id""".stripMargin)),
+
+      // recall@5 of int8-quantized brute force vs the exact baseline — the
+      // quality monitor that decides whether the 4× memory saving is free.
+      // Integer dot products are exact on both engines (≤ 64·127² ≪ 2^53
+      // in doubles), so ranking is deterministic.
+      QueryDef(
+        "q_knn_quantized",
+        (s, d) => {
+          import graft.functions.TopKByScore.topk
+          val cod = int8Codes(s, d)
+            .select(col("vec_id"), col("codes"),
+              aggregate(transform(col("codes"), c => c * c), lit(0L),
+                (a, c) => a + c).as("n2"))
+          val q = cod.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+              col("n2").as("qn2"))
+          val sim = cod.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(
+                aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
+                  lit(0L), (a, c) => a + c).cast("double") /
+                  (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
+                6).as("sim"))
+          val quant = sim.groupBy("query_id")
+            .agg(topk(col("sim"), col("neighbor_id"), 5).as("top"))
+            .select(col("query_id"), explode(col("top")).as("t"))
+            .select(col("query_id"), col("t.id").as("neighbor_id"))
+          val b = brute.query(s, d).select(col("query_id"), col("neighbor_id"))
+          b.join(quant, Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+            .select(col("query_id"),
+              (col("n_hit").cast("double") / 5.0).as("recall_at_5"))
+            .orderBy("query_id")
+        },
+        Some(s"""WITH cod AS ($int8CodesSql),
+                |cn AS (SELECT vec_id, codes,
+                |         list_dot_product(codes::DOUBLE[], codes::DOUBLE[]) AS n2
+                |       FROM cod),
+                |q AS (SELECT vec_id AS query_id, codes AS qc, n2 AS qn2
+                |      FROM cn WHERE vec_id < 8),
+                |sims AS (
+                |  SELECT query_id, vec_id AS neighbor_id,
+                |         ROUND(list_dot_product(qc::DOUBLE[], codes::DOUBLE[]) /
+                |               (sqrt(qn2) * sqrt(n2)), 6) AS sim
+                |  FROM cn, q WHERE vec_id <> query_id),
+                |quant AS (
+                |  SELECT query_id, neighbor_id FROM (
+                |    SELECT query_id, neighbor_id,
+                |           ROW_NUMBER() OVER (PARTITION BY query_id
+                |             ORDER BY sim DESC, neighbor_id) AS rank
+                |    FROM sims) r WHERE rank <= 5),
+                |brute AS (${brute.oracle.get})
+                |SELECT b.query_id,
+                |       CAST(COUNT(*) AS DOUBLE) / 5.0 AS recall_at_5
+                |FROM brute b
+                |JOIN quant t ON t.query_id = b.query_id
+                |            AND t.neighbor_id = b.neighbor_id
+                |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)))
+  }
+
   val recallDefs: Seq[QueryDef] = {
     def parent(name: String) = defs.find(_.name == name).get
     val brute = parent("q_knn_brute")
