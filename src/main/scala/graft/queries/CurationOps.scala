@@ -218,6 +218,135 @@ object CurationOps {
               |  exact_distinct
               |FROM agg, ex""".stripMargin)),
 
+    // ---- text normalization -----------------------------------------------
+    // The standard pretraining canonicalization chain: lowercase, strip
+    // non-alphanumerics to spaces, collapse whitespace, trim — one
+    // codegen'd expression tree, no UDFs, no shuffle.
+    QueryDef(
+      "q_text_normalize",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+          "\\s+", " "))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            length(col("text")).as("n_before"),
+            length(norm).as("n_after"),
+            substring(norm, 1, 80).as("head80"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  LENGTH(text) AS n_before,
+             |  LENGTH(norm) AS n_after,
+             |  substring(norm, 1, 80) AS head80
+             |FROM (
+             |  SELECT doc_id, text, TRIM(regexp_replace(
+             |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+             |    '\s+', ' ', 'g')) AS norm
+             |  FROM documents) n
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- repetition scoring (Gopher-style duplicate-n-gram fraction) ------
+    // Quality signal: the fraction of a document's 3-grams that are
+    // repeats (1 - distinct/total). High values flag boilerplate/spam-like
+    // repetition. Ordered shingles with duplicates PRESERVED — the same
+    // slice/zip_with build as the dedup family, minus the distinct.
+    QueryDef(
+      "q_text_repetition",
+      (s, d) => {
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val s1 = slice(ta, lit(1), n - 2)
+        val s2 = slice(ta, lit(2), n - 2)
+        val s3 = slice(ta, lit(3), n - 2)
+        val grams = when(n >= 3,
+          zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+            (ab, c) => concat(ab, lit(" "), c)))
+          .otherwise(array().cast("array<string>"))
+        t(s, d, "documents")
+          .select(col("doc_id"), size(grams).as("n_grams"),
+            size(array_distinct(grams)).as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            when(col("n_grams") > 0,
+              round((col("n_grams") - col("n_distinct")).cast("double") /
+                col("n_grams").cast("double"), 6)).otherwise(0.0)
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_grams, n_distinct,
+             |  CASE WHEN n_grams > 0 THEN
+             |    ROUND(CAST(n_grams - n_distinct AS DOUBLE) /
+             |          CAST(n_grams AS DOUBLE), 6)
+             |  ELSE 0.0 END AS dup_frac
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(grams) AS INT) AS n_grams,
+             |    CAST(len(list_distinct(grams)) AS INT) AS n_distinct
+             |  FROM (
+             |    SELECT doc_id, list_transform(
+             |      range(1, greatest(length(ta) - 1, 1)),
+             |      i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) AS grams
+             |    FROM (SELECT doc_id,
+             |            regexp_split_to_array(TRIM(text), '\s+') AS ta
+             |          FROM documents) t0) t1) t2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic sharded training order -----------------------------
+    // "Shuffle the dataset" as a pure function of the data: shard by hash
+    // bucket, order within each shard by (hash, id). Per-shard windows keep
+    // the sort distributed (a single global row_number would funnel the
+    // corpus through one task); training consumers read shards in shard
+    // order. Re-runs produce byte-identical order — resumable data loading.
+    QueryDef(
+      "q_train_order",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8
+        val b = DatasetSplit.bucket(col("doc_id"))
+        val w = Window.partitionBy("shard").orderBy("bucket", "doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), b.as("bucket"),
+            (b % nShards).as("shard"))
+          .withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some(s"""SELECT doc_id, shard,
+              |  CAST(row_number() OVER (PARTITION BY shard
+              |    ORDER BY bucket, doc_id) AS INT) AS pos
+              |FROM (SELECT doc_id,
+              |        ${DatasetSplit.bucketSql("doc_id")} AS bucket,
+              |        ${DatasetSplit.bucketSql("doc_id")} % 8 AS shard
+              |      FROM documents) b
+              |ORDER BY shard, pos""".stripMargin)),
+
+    // ---- weighted domain mixing -------------------------------------------
+    // Per-source sampling rates (the domain-mixing knob of a pretraining
+    // recipe) applied as hash thresholds: keep a doc iff its bucket clears
+    // the source's per-mille rate. Deterministic, stable, and a narrow
+    // map — reweighting a 100 TB corpus is a filter, not a shuffle.
+    QueryDef(
+      "q_domain_mix",
+      (s, d) => {
+        val rate = when(col("source") === "src0", 1000)
+          .when(col("source") === "src1", 500)
+          .when(col("source") === "src2", 250)
+          .otherwise(100)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), rate.as("rate_pm"),
+            DatasetSplit.bucket(col("doc_id")).as("bucket"))
+          .filter(col("bucket") < col("rate_pm"))
+          .select(col("doc_id"), col("source"), col("rate_pm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, rate_pm FROM (
+              |  SELECT doc_id, source,
+              |    CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+              |      WHEN 'src2' THEN 250 ELSE 100 END AS rate_pm,
+              |    ${DatasetSplit.bucketSql("doc_id")} AS bucket
+              |  FROM documents) r
+              |WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin)),
+
     // ---- small-file compaction roundtrip ----------------------------------
     // Land a deliberately fragmented table (40 files), compact it through
     // the versioned-directory commit, and read the result back — the oracle
