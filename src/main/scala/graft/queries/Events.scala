@@ -119,6 +119,50 @@ object Events {
              |  COUNT(*) FILTER (event_type = 'view')     AS n_view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- ordered funnel analysis (view → click → purchase) ---------------
+    // Stage timestamps must be ORDERED per user (the click counts only
+    // after the first view, the purchase only after that click) — the
+    // sequence constraint pivot counts can't express. Three min-aggregates
+    // chained on user_id: every join/agg shares the same shuffle key, so
+    // the whole funnel is one partitioning of the event table. Nanosecond
+    // longs on both engines (Spark reads TIMESTAMP(NANOS) as ns longs,
+    // DuckDB via epoch_ns) — exact integers, no float time math.
+    QueryDef(
+      "q_events_funnel",
+      (s, d) => {
+        // µs from the first projection on: DuckDB reads TIMESTAMP(NANOS)
+        // at µs precision, so BOTH the stage comparisons and the output
+        // run on the same truncated clock (a ns-side comparison could
+        // order two same-µs events differently than the oracle)
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("tv"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("tus") > col("tv"))
+          .groupBy("user_id").agg(min("tus").as("tc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("tus") > col("tc"))
+          .groupBy("user_id").agg(min("tus").as("tp"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("tv"), col("tc"), col("tp"),
+            (lit(1) + when(col("tc").isNotNull, 1).otherwise(0) +
+              when(col("tp").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tns FROM events),
+             |v AS (SELECT user_id, MIN(tns) AS tv FROM e
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(tns) AS tc FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND tns > tv GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(tns) AS tp FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND tns > tc GROUP BY 1)
+             |SELECT v.user_id, tv, tc, tp,
+             |  CAST(1 + CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END +
+             |           CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // ---- as-of join (point-in-time: each purchase ↔ latest prior click) --
     // Spark lacks ASOF JOIN; operators.AsofJoin composes it as ONE shuffle
     // (union + sorted carry-forward window) — no range join, which Spark
