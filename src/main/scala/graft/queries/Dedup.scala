@@ -448,7 +448,10 @@ object Dedup {
     "q_incremental_dedup",
     (s, d) => {
       import graft.operators.IncrementalDedup
+      // the shingle build feeds six consumers (bands/hashes/counts for
+      // both sides) — stage it once, like the jaccard query's toks table
       val arrays = docShingleArrays(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)
       val cutoff = (maxId + 1) * 4 / 5 // integer arithmetic on both engines
       val index = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") < cutoff))
