@@ -163,6 +163,48 @@ object Events {
              |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- cohort retention matrix ------------------------------------------
+    // Users cohorted by first-seen epoch-week; for each (cohort, week
+    // offset) the fraction of the cohort active that week. Week ids come
+    // straight from the ns clock (floor composition makes ns-side and the
+    // oracle's µs-side division agree for every value). Two aggregations
+    // and one join, all on bounded keys — cohorts × offsets output rows.
+    QueryDef(
+      "q_events_retention",
+      (s, d) => {
+        val weekNs = 604800L * 1000000000L
+        val e = t(s, d, "events")
+          .select(col("user_id"), expr(s"ts div $weekNs").as("week"))
+        val first = e.groupBy("user_id").agg(min("week").as("cohort"))
+        val active = e.distinct()
+        val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+        active.join(first, "user_id")
+          .select(col("cohort"), (col("week") - col("cohort")).as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("week_offset"), col("n_active"), col("n_cohort"),
+            round(col("n_active").cast("double") /
+              col("n_cohort").cast("double"), 6).as("retention"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+             |           FROM events),
+             |fw AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY 1),
+             |active AS (SELECT DISTINCT user_id, week FROM e),
+             |sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM fw GROUP BY 1),
+             |m AS (
+             |  SELECT cohort, week - cohort AS week_offset,
+             |         COUNT(DISTINCT a.user_id) AS n_active
+             |  FROM active a JOIN fw f USING (user_id)
+             |  GROUP BY 1, 2)
+             |SELECT cohort, week_offset, n_active, n_cohort,
+             |       ROUND(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+             |         AS retention
+             |FROM m JOIN sizes USING (cohort)
+             |ORDER BY cohort, week_offset""".stripMargin)),
+
     // ---- as-of join (point-in-time: each purchase ↔ latest prior click) --
     // Spark lacks ASOF JOIN; operators.AsofJoin composes it as ONE shuffle
     // (union + sorted carry-forward window) — no range join, which Spark
