@@ -42,20 +42,30 @@ object Compaction {
     dataFiles(locationOf(spark, s"${spec.database}.${spec.table}")).size
 
   /** Rewrite the table into ~targetBytes files; returns the new file
-    * count. No-op (returns current count) when already compact.
+    * count. No-op (returns current count) when already compact —
+    * unpartitioned: at most the byte-derived file count; partitioned: at
+    * most one file per populated partition directory.
     */
   def compact(spark: SparkSession, spec: ObjectStoreSpec,
       targetBytes: Long = 128L << 20): Int = {
     val fq = s"${spec.database}.${spec.table}"
-    val bytes = liveBytes(spark, spec)
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    if (liveFileCount(spark, spec) <= nFiles &&
-        spec.partitionBy.isEmpty) return liveFileCount(spark, spec)
+    val files = dataFiles(locationOf(spark, fq))
+    val alreadyCompact =
+      if (spec.partitionBy.isEmpty) {
+        val bytes = files.map(Files.size).sum
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        files.size <= nFiles
+      } else files.size <= files.map(_.getParent).distinct.size
+    if (alreadyCompact) return files.size
     val current = spark.table(fq)
     val packed =
       if (spec.partitionBy.nonEmpty)
         current.repartition(spec.partitionBy.map(col): _*)
-      else current.repartition(nFiles)
+      else {
+        val bytes = files.map(Files.size).sum
+        current.repartition(
+          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+      }
     ObjectStoreSink.replaceTable(spark, packed, spec)
     liveFileCount(spark, spec)
   }
@@ -70,11 +80,12 @@ object Compaction {
   private def dataFiles(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
     val out = Seq.newBuilder[Path]
-    Files.walk(dir).forEach { p =>
+    val walk = Files.walk(dir)
+    try walk.forEach { p =>
       val n = p.getFileName.toString
       if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
         out += p
-    }
+    } finally walk.close()
     out.result()
   }
 }

@@ -45,6 +45,14 @@ class CompactionSpec extends SparkSpec {
     back.count() shouldBe 1000
     back.groupBy("p").count().as[(String, Long)].collect().toMap shouldBe
       Map("0" -> 250L, "1" -> 250L, "2" -> 250L, "3" -> 250L)
+    // second compact is a no-op: one file per populated partition already,
+    // so no new table version appears
+    def versions = java.nio.file.Files.list(
+      java.nio.file.Paths.get(spec.path, spec.database, spec.table))
+      .filter(p => p.getFileName.toString.startsWith("v")).count()
+    val before = versions
+    Compaction.compact(spark, spec, targetBytes = 1L << 30) shouldBe 4
+    versions shouldBe before
   }
 
   test("targetBytes slices an unpartitioned table into multiple files") {
