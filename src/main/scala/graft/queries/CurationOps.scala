@@ -347,6 +347,35 @@ object CurationOps {
               |  FROM documents) r
               |WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus datasheet -------------------------------------------------
+    // The per-source summary every curation run publishes: volume, exact-
+    // duplicate pressure (distinct text fingerprints vs docs), token
+    // totals, language mix, size profile. One partial-aggregated groupBy —
+    // the 100 TB datasheet is one shuffle of |sources| rows.
+    QueryDef(
+      "q_corpus_report",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_uniq_text"),
+            sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+              .as("total_tokens"),
+            count(when(col("lang") === "en", 1)).as("n_en"),
+            round(sum(col("n_chars")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_chars"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |  COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT md5(text)) AS n_uniq_text,
+             |  CAST(SUM(LENGTH(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT)
+             |    AS total_tokens,
+             |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+             |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS mean_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- small-file compaction roundtrip ----------------------------------
     // Land a deliberately fragmented table (40 files), compact it through
     // the versioned-directory commit, and read the result back — the oracle
