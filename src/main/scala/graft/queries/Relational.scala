@@ -336,6 +336,32 @@ object Relational {
               |WHERE l_orderkey % 7 = 0
               |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- skew diagnostics: heaviest join keys -----------------------------
+    // The report that DECIDES when the skew toolkit applies: top-N heaviest
+    // keys of a join column with their frequencies. Rides the bounded
+    // TopKByScore aggregate over the per-key counts — the heavy-hitter
+    // scan is one partial-aggregated pass plus a k-row shuffle, never a
+    // full sort (at 100 TB you run this continuously on ingest, not as an
+    // offline sort job).
+    QueryDef(
+      "q_skew_report",
+      (s, d) => {
+        import graft.functions.TopKByScore.topk
+        t(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+          .agg(topk(col("cnt").cast("double"), col("l_orderkey"), 10).as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "t")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("t.id").as("l_orderkey"),
+            col("t.score").cast("long").as("cnt"))
+          .orderBy("rank")
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l_orderkey) AS INT)
+             |         AS rank,
+             |       l_orderkey, cnt
+             |FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) c
+             |ORDER BY cnt DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // ---- §2.5 rollup (grouping-set aggregation surface) -------------------
     QueryDef(
       "q_rollup",

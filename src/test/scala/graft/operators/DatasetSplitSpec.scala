@@ -46,4 +46,15 @@ class DatasetSplitSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       DatasetSplit.split(lit(1L), trainPm = 800, valPm = 300)
   }
+
+  test("string ids bucket identically to their numeric string form") {
+    // bucket(id) hashes the id's string rendering, so "42" and 42L agree —
+    // a corpus can migrate id types without resplitting
+    val asLong = DatasetSplit.assign(Seq(42L, 7L).toDF("id"), "id")
+      .select(col("id").cast("string").as("id"), col("split"))
+    val asStr = DatasetSplit.assign(Seq("42", "7").toDF("id"), "id")
+      .select("id", "split")
+    asLong.except(asStr).count() shouldBe 0
+    asStr.except(asLong).count() shouldBe 0
+  }
 }
