@@ -362,6 +362,44 @@ object Relational {
              |FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) c
              |ORDER BY cnt DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // ---- range-partition boundary planner ---------------------------------
+    // Boundary selection for range-partitioned sorts/layouts, the way
+    // Spark's own RangePartitioner does it: exact order statistics over a
+    // DETERMINISTIC sample (1-in-20 by key), boundary k = the sample value
+    // at rank floor(k·n/8). The global row_number runs on the SAMPLE only
+    // (bounded by construction — that is the whole point of sampling the
+    // planner input); ties break on the unique key so both engines pick
+    // the identical row.
+    QueryDef(
+      "q_range_boundaries",
+      (s, d) => {
+        val smp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0)
+          .select(col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber"))
+        val n = smp.count()
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("price", "l_orderkey", "l_linenumber")
+        val ranked = smp.withColumn("rn", row_number().over(w))
+        val ks = s.range(1, 8).select(col("id").cast("int").as("k"))
+        ks.join(ranked,
+            col("rn") === floor(col("k") * lit(n) / 8).cast("int"))
+          .select(col("k"), col("price").as("boundary"))
+          .orderBy("k")
+      },
+      Some("""WITH s AS (
+             |  SELECT l_extendedprice AS price, l_orderkey, l_linenumber
+             |  FROM lineitem WHERE l_orderkey % 20 = 0),
+             |n AS (SELECT COUNT(*) AS c FROM s),
+             |r AS (SELECT price,
+             |        row_number() OVER (ORDER BY price, l_orderkey, l_linenumber)
+             |          AS rn
+             |      FROM s),
+             |ks AS (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS k)
+             |SELECT k, price AS boundary
+             |FROM ks CROSS JOIN n JOIN r ON rn = CAST(FLOOR(k * c / 8) AS INT)
+             |ORDER BY k""".stripMargin)),
+
     // ---- §2.5 rollup (grouping-set aggregation surface) -------------------
     QueryDef(
       "q_rollup",
