@@ -119,4 +119,48 @@ object EventStreams {
           }
         })
   }
+
+  /** Per-user funnel progress carried across micro-batches (-1 = stage not
+    * reached): the streaming twin of the batch `q_events_funnel`.
+    */
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+
+  final case class FunnelProgress(
+      user_id: Long, stage: Int, tv: Long, tc: Long, tp: Long)
+
+  /** Streaming funnel: a per-user state machine over view → click →
+    * purchase, advanced in ARRIVAL order (micro-batch semantics, like the
+    * CDC path — a late-arriving earlier view does not retract an accepted
+    * click; the batch query is the event-time-exact reference). State per
+    * user is three longs; output mode Update emits each user's current
+    * stage whenever it advances.
+    */
+  def funnelProgress(events: DataFrame): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("ts"), col("user_id").cast("long"), col("event_type"))
+      .as[(Timestamp, Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, batch: Iterator[(Timestamp, Long, String)],
+         state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          batch.toSeq.sortBy(_._1.getTime).foreach { case (t, _, tpe) =>
+            val ms = t.getTime
+            tpe match {
+              case "view" if st.tv < 0 => st = st.copy(tv = ms)
+              case "click" if st.tv >= 0 && st.tc < 0 && ms > st.tv =>
+                st = st.copy(tc = ms)
+              case "purchase" if st.tc >= 0 && st.tp < 0 && ms > st.tc =>
+                st = st.copy(tp = ms)
+              case _ => // out-of-order or repeated stage: ignored
+            }
+          }
+          state.update(st)
+          val stage = (if (st.tv >= 0) 1 else 0) +
+            (if (st.tc >= 0) 1 else 0) + (if (st.tp >= 0) 1 else 0)
+          FunnelProgress(user, stage, st.tv, st.tc, st.tp)
+        })
+  }
 }

@@ -80,6 +80,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress: per-user stage machine advances across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.funnelProgress(events)
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("update").start()
+    try {
+      // user 1 views then clicks; user 2 clicks with no prior view (stays 0)
+      in.addData(
+        (ts("2026-08-12 10:00:00"), 1L, "view"),
+        (ts("2026-08-12 10:05:00"), 1L, "click"),
+        (ts("2026-08-12 10:00:00"), 2L, "click"))
+      q.processAllAvailable()
+      // user 1 purchases in a LATER micro-batch — state carries the funnel
+      in.addData((ts("2026-08-12 11:00:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_test")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      rows(1L) shouldBe 3
+      rows(2L) shouldBe 0
+    } finally q.stop()
+  }
+
   test("closedSessions: flatMapGroupsWithState emits on close with first/last event") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
