@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.defs ++ Events.defs ++ Text.defs ++ Embeddings.defs ++
       Embeddings.recallDefs ++ Embeddings.quantDefs ++
       Dedup.defs ++ Dedup.clusterDefs ++
-      Dedup.incrementalDefs ++
+      Dedup.incrementalDefs ++ Dedup.containmentDefs ++
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
       MultimodalQueries.defs

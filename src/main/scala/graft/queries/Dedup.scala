@@ -436,6 +436,75 @@ object Dedup {
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
   }
 
+  /** Containment pairs — the ASYMMETRIC near-dup relation Jaccard misses:
+    * containment(A→B) = |A∩B| / |A| is high when the smaller document is
+    * quoted/embedded inside the larger one even though their symmetric
+    * Jaccard is low (a 100-shingle doc inside a 10k-shingle doc scores
+    * J≈0.01 but containment≈1.0). Candidates come from the same LSH band
+    * join; the verify stage just normalizes by the contained side. Output
+    * is directional: (contained, container, containment).
+    */
+  val containmentDefs: Seq[QueryDef] = Seq(QueryDef(
+    "q_containment_pairs",
+    (s, d) => {
+      val toks = docTokens(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hashes = toks
+        .select(col("doc_id"), baseHash(col("token")).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = hashes.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val cand = lshCandidates(s, d, Some(toks))
+      val a = hashes.select(col("doc_id").as("id_a"), col("h"))
+      val b = hashes.select(col("doc_id").as("id_b"), col("h"))
+      val common = cand.join(a, "id_a").join(b, Seq("id_b", "h"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      val scored = common
+        .join(counts.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n_tok", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("n_tok", "n_b"), "id_b")
+      // emit both directions; keep the strong ones
+      val ab = scored.select(col("id_a").as("contained"),
+        col("id_b").as("container"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment"))
+      val ba = scored.select(col("id_b").as("contained"),
+        col("id_a").as("container"),
+        round(col("n_common").cast("double") / col("n_b").cast("double"), 6)
+          .as("containment"))
+      ab.unionByName(ba)
+        .filter(col("containment") >= 0.8)
+        .orderBy("contained", "container")
+    },
+    Some(s"""WITH toks AS (SELECT * FROM ($docTokensSql)),
+            |hashes AS (SELECT DISTINCT doc_id, ${baseHashSql("token")} AS h FROM toks),
+            |counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM hashes GROUP BY doc_id),
+            |cand AS ($lshCandidatesSql),
+            |common AS (
+            |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            |  FROM cand c
+            |  JOIN hashes a ON a.doc_id = c.id_a
+            |  JOIN hashes b ON b.doc_id = c.id_b AND b.h = a.h
+            |  GROUP BY 1, 2),
+            |scored AS (
+            |  SELECT id_a, id_b, n_common, ca.n_tok AS n_a, cb.n_tok AS n_b
+            |  FROM common
+            |  JOIN counts ca ON ca.doc_id = id_a
+            |  JOIN counts cb ON cb.doc_id = id_b),
+            |directional AS (
+            |  SELECT id_a AS contained, id_b AS container,
+            |         ROUND(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+            |           AS containment
+            |  FROM scored
+            |  UNION ALL
+            |  SELECT id_b, id_a,
+            |         ROUND(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+            |  FROM scored)
+            |SELECT contained, container, containment FROM directional
+            |WHERE containment >= 0.8
+            |ORDER BY contained, container""".stripMargin)))
+
   /** Incremental near-dup detection: the newest ~20% of documents arrive
     * as a batch against a standing index of the rest (operator:
     * [[graft.operators.IncrementalDedup]]). The oracle replays the
