@@ -68,12 +68,23 @@ final case class PipelineSpec(
     }
     val dup = source.schema.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
     if (dup.nonEmpty) fail(s"duplicate source field(s): ${dup.mkString(", ")}")
-    val destNames = destination.schema.map(_.name).toSet
+    // a configured split appends bucket/split AFTER the destination cast,
+    // so they are legal partition/key columns for the sink
+    val splitNames: Set[String] =
+      if (transformation.exists(_.split.isDefined)) Set("bucket", "split")
+      else Set.empty
+    val destNames = destination.schema.map(_.name).toSet ++ splitNames
     destination.objectStore.foreach { o =>
       o.partitionBy.filterNot(destNames).foreach(c =>
         fail(s"partitionBy column '$c' not in destination schema"))
       o.keyFields.filterNot(destNames).foreach(c =>
         fail(s"keyFields column '$c' not in destination schema"))
+    }
+    transformation.flatMap(_.split).foreach { sp =>
+      if (sp.trainPm < 0 || sp.valPm < 0 || sp.trainPm + sp.valPm > 1000)
+        fail(s"split per-mille thresholds must fit in [0, 1000]")
+      if (!destination.schema.map(_.name).contains(sp.idField))
+        fail(s"split.idField '${sp.idField}' is not a destination column")
     }
     source.file.foreach { f =>
       if (f.json.isDefined || f.xml.isDefined) {
@@ -167,7 +178,19 @@ final case class ColumnRuleSpec(
 final case class TransformSpec(
     trimColumnWhitespace: Boolean = false,
     deduplicate: Boolean = false,
-    rowFunctions: Seq[RowFunctionSpec] = Nil)
+    rowFunctions: Seq[RowFunctionSpec] = Nil,
+    /** Deterministic train/val/test assignment appended AFTER the
+      * destination cast (`bucket` + `split` columns; see
+      * [[graft.operators.DatasetSplit]]). Combine with
+      * `objectStore.partitionBy: ["split"]` to land each split in its own
+      * partition directory — downstream readers prune to one split.
+      */
+    split: Option[SplitSpec] = None)
+
+final case class SplitSpec(
+    idField: String,
+    trainPm: Int = 900,
+    valPm: Int = 50)
 
 final case class RowFunctionSpec(function: String, parameters: Seq[String] = Nil)
 

@@ -129,8 +129,21 @@ object Pipeline {
 
       // ---- destination cast + sinks ----------------------------------------
       status.overrideProcessName("Load")
-      val outDf = FileSources.applyDestinationSchema(df, spec.destination.schema,
+      val castDf = FileSources.applyDestinationSchema(df, spec.destination.schema,
         spec.decimalCompat)
+      // split assignment rides AFTER the cast so the configured id field is
+      // addressed by its destination name; the appended bucket/split columns
+      // extend the destination schema (partitionBy("split") → per-split dirs)
+      val outDf = spec.transformation.flatMap(_.split) match {
+        case Some(sp) =>
+          if (!castDf.columns.contains(sp.idField))
+            throw new PipelineSpecException(
+              s"split.idField '${sp.idField}' is not a destination column " +
+                s"of dataset ${spec.name}")
+          info("processing", s"Assigning train/val/test split on ${sp.idField}")
+          graft.operators.DatasetSplit.assign(castDf, sp.idField, sp.trainPm, sp.valPm)
+        case None => castDf
+      }
       val anySink = spec.destination.objectStore.nonEmpty ||
         spec.destination.database.nonEmpty
       // the sink write materializes the cache; rowsWritten then reads it

@@ -62,6 +62,50 @@ class PipelineRunSpec extends SparkSpec {
     seen.map(_.table) shouldBe Seq("stock_price_transform")
   }
 
+  test("config-driven split: assignment lands partitioned by split") {
+    val root = scratchDir("split").getAbsolutePath
+    val spec = PipelineSpec(
+      name = "stock_split",
+      source = SourceSpec(schema = stockSchema,
+        file = Some(FileSpec(csv = Some(CsvSpec())))),
+      transformation = Some(TransformSpec(
+        split = Some(SplitSpec(idField = "symbol")))),
+      destination = DestinationSpec(
+        schema = stockSchema,
+        objectStore = Some(ObjectStoreSpec(path = root, database = "graft_e2e",
+          table = "stock_split", partitionBy = Seq("split")))))
+    Pipeline.run(spark, spec,
+      "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+    val out = spark.table("graft_e2e.stock_split")
+    out.columns should contain allOf ("bucket", "split")
+    out.count() shouldBe 4
+    // deterministic: re-deriving the split from the id gives the same label
+    import org.apache.spark.sql.functions.col
+    out.filter(graft.operators.DatasetSplit.split(col("symbol")) =!= col("split"))
+      .count() shouldBe 0
+    // split is a partition directory → pruning reads only that slice
+    val trains = out.filter(col("split") === "train")
+    if (trains.count() > 0)
+      all(trains.inputFiles.toSeq) should include ("split=train")
+  }
+
+  test("split.idField must be a destination column") {
+    val root = scratchDir("splitbad").getAbsolutePath
+    val spec = PipelineSpec(
+      name = "stock_split_bad",
+      source = SourceSpec(schema = stockSchema,
+        file = Some(FileSpec(csv = Some(CsvSpec())))),
+      transformation = Some(TransformSpec(
+        split = Some(SplitSpec(idField = "nope")))),
+      destination = DestinationSpec(
+        schema = stockSchema,
+        objectStore = Some(ObjectStoreSpec(path = root, database = "graft_e2e",
+          table = "stock_split_bad"))))
+    a[PipelineSpecException] should be thrownBy
+      Pipeline.run(spark, spec,
+        "/root/repo/fixtures/stock_price.20170102.small.dataset.csv")
+  }
+
   test("merge keyFields: second run upserts instead of duplicating") {
     val root = scratchDir("e2em").getAbsolutePath
     val spec0 = transformSpec(root)
