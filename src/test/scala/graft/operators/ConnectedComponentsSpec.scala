@@ -41,6 +41,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     fast(501L) shouldBe 500L
   }
 
+  test("randomized graphs: both paths match a local union-find reference") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300
+      val edges = Seq.fill(400)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("id_a", "id_b")
+
+      // in-memory reference: textbook union-find with min representative
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ref = parent.keys.map(k => k -> find(k)).toMap
+
+      val fast = ConnectedComponents.components(df, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val iter = ConnectedComponents
+        .components(df, "id_a", "id_b", localBound = 0)
+        .as[(Long, Long)].collect().toMap
+      withClue(s"seed=$seed fast: ") { fast shouldBe ref }
+      withClue(s"seed=$seed iter: ") { iter shouldBe ref }
+    }
+  }
+
   test("non-convergence within maxIters fails loudly (iterative path)") {
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     an[IllegalStateException] should be thrownBy
