@@ -347,6 +347,59 @@ object CurationOps {
               |  FROM documents) r
               |WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-source distinct-shingle cardinality (grouped KMV sketches) ---
+    // The grouped form of q_kmv_distinct: one kmv_sketch aggregate per
+    // source — the shuffle is k longs per source, and the per-group merge
+    // is the sketch union, so per-domain cardinality monitoring costs the
+    // same map-side pass as a count.
+    QueryDef(
+      "q_kmv_by_source",
+      (s, d) => {
+        import graft.functions.KmvDistinct.kmv
+        val k = 256
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val s1 = slice(ta, lit(1), n - 2)
+        val s2 = slice(ta, lit(2), n - 2)
+        val s3 = slice(ta, lit(3), n - 2)
+        val shingles = when(n >= 3,
+          zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+            (ab, c) => concat(ab, lit(" "), c)))
+          .otherwise(array().cast("array<string>"))
+        t(s, d, "documents")
+          .select(col("source"), explode(shingles).as("gram"))
+          .select(col("source"), hash60(col("gram")).as("gh"))
+          .groupBy("source")
+          .agg(kmv(col("gh"), k).as("sk"))
+          .select(col("source"),
+            size(col("sk")).cast("long").as("n_kept"),
+            element_at(col("sk"), size(col("sk"))).as("kth_hash"))
+          .withColumn("est_distinct",
+            when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (col("kth_hash").cast("double") / pow(lit(2.0), lit(60.0)))))
+          .orderBy("source")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT source, UNNEST(list_transform(
+              |    range(1, greatest(length(ta) - 1, 1)),
+              |    i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) AS gram
+              |  FROM (SELECT source, regexp_split_to_array(TRIM(text), '\\s+') AS ta
+              |        FROM documents)),
+              |h AS (SELECT DISTINCT source, ${hash60Sql("gram")} AS gh FROM g),
+              |sk AS (SELECT source, gh FROM (
+              |    SELECT source, gh, row_number() OVER (PARTITION BY source
+              |      ORDER BY gh) AS rn FROM h) r
+              |  WHERE rn <= 256),
+              |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |               MAX(gh) AS kth_hash
+              |        FROM sk GROUP BY source)
+              |SELECT source, n_kept, kth_hash,
+              |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+              |       ELSE 255.0 / (CAST(kth_hash AS DOUBLE) / POWER(2, 60))
+              |  END AS est_distinct
+              |FROM agg ORDER BY source""".stripMargin)),
+
     // ---- corpus datasheet -------------------------------------------------
     // The per-source summary every curation run publishes: volume, exact-
     // duplicate pressure (distinct text fingerprints vs docs), token

@@ -146,6 +146,32 @@ object Text {
              |      FROM documents)
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // ---- adjacent-token bigram frequencies (the BPE merge-step statistic:
+    // each learned merge is the currently most frequent adjacent pair) ----
+    QueryDef(
+      "q_token_bigrams",
+      (s, d) => {
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val bigrams = when(n >= 2,
+          zip_with(slice(ta, lit(1), n - 1), slice(ta, lit(2), n - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        t(s, d, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""SELECT bigram, COUNT(*) AS n FROM (
+             |  SELECT UNNEST(list_transform(
+             |    range(1, greatest(length(ta), 1)),
+             |    i -> ta[i] || ' ' || ta[i+1])) AS bigram
+             |  FROM (SELECT regexp_split_to_array(TRIM(text), '\s+') AS ta
+             |        FROM documents))
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
     // ---- exact deduplication (hash-groupBy; keeps lowest doc_id) ----------
     // The 100 TB shape: group on md5(text) — fixed-width shuffle key instead
     // of shuffling full document bodies.
