@@ -295,6 +295,51 @@ object PipelineQueries {
     */
   val infraDefs: Seq[QueryDef] = Seq(
 
+    // ---- K7: CSV text-sink roundtrip (exercises F11 escaping end-to-end:
+    // the constructed note column carries commas and quotes through the
+    // writer's quoting and back) ------------------------------------------
+    QueryDef(
+      "q_text_sink_roundtrip",
+      (s, d) => {
+        val dir = freshLake("textsink")
+        val nation = graft.Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+            concat(col("n_name"), lit(", \"quoted\" note")).as("note"))
+        graft.sinks.TextSink.writeCsv(nation, dir, header = true)
+        s.read
+          .option("header", true)
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT, note STRING")
+          .csv(dir)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+             |       n_name || ', "quoted" note' AS note
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // ---- S4: semi-structured read — jsonl through the _json column path --
+    // documents → to_json lines → TextSink.writeText → readSemiStructured
+    // (`everyRowContainsObject`) → field extraction; the oracle reads the
+    // source table directly, so the whole write/read/extract loop must be
+    // lossless.
+    QueryDef(
+      "q_json_column_read",
+      (s, d) => {
+        val dir = freshLake("jsonl")
+        val docs = graft.Tables.load(s, d, "documents")
+          .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as("_json"))
+        graft.sinks.TextSink.writeText(docs, "_json", dir)
+        FileSources.readSemiStructured(s, dir, "_json",
+          SemiStructuredSpec(everyRowContainsObject = true))
+          .select(
+            get_json_object(col("_json"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("_json"), "$.lang").as("lang"),
+            get_json_object(col("_json"), "$.n_chars").cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- S5: xlsx read equals the csv it was generated from ---------------
     QueryDef(
       "q_xlsx_read",
