@@ -400,6 +400,52 @@ object CurationOps {
               |  END AS est_distinct
               |FROM agg ORDER BY source""".stripMargin)),
 
+    // ---- per-source size-distribution profile -----------------------------
+    // Exact order statistics per domain (median + p90 token counts, integer
+    // rank arithmetic so both engines pick the identical row). Quantiles
+    // run inside per-source windows — the corpus partitions by domain, no
+    // global sort; the ranks are ties-broken on doc_id.
+    QueryDef(
+      "q_quality_profile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+        val ranked = stats.withColumn("rn", row_number().over(w))
+        val counts = stats.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        ranked.join(counts, "source")
+          .withColumn("med_rn", ((col("n_docs") + 1) / 2).cast("int"))
+          .withColumn("p90_rn",
+            greatest(lit(1), (col("n_docs") * 9 / 10).cast("int")))
+          .groupBy("source")
+          .agg(max("n_docs").as("n_docs"),
+            max(when(col("rn") === col("med_rn"), col("n_tokens")))
+              .as("median_tokens"),
+            max(when(col("rn") === col("p90_rn"), col("n_tokens")))
+              .as("p90_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH stats AS (
+             |  SELECT source, doc_id,
+             |    CAST(LENGTH(regexp_split_to_array(TRIM(text), '\s+')) AS INT)
+             |      AS n_tokens
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT source, n_tokens,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_tokens, doc_id) AS rn
+             |  FROM stats),
+             |counts AS (SELECT source, COUNT(*) AS n_docs FROM stats GROUP BY 1)
+             |SELECT source, MAX(n_docs) AS n_docs,
+             |  MAX(CASE WHEN rn = CAST((n_docs + 1) // 2 AS INT)
+             |      THEN n_tokens END) AS median_tokens,
+             |  MAX(CASE WHEN rn = GREATEST(1, CAST(n_docs * 9 // 10 AS INT))
+             |      THEN n_tokens END) AS p90_tokens
+             |FROM ranked JOIN counts USING (source)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- corpus datasheet -------------------------------------------------
     // The per-source summary every curation run publishes: volume, exact-
     // duplicate pressure (distinct text fingerprints vs docs), token
