@@ -27,10 +27,17 @@ object AsofJoin {
     * @param leftTs    left ordering column name
     * @param rightTs   right ordering column name
     * @param rightPrefix prefix for the matched right columns in the output
+    * @param tolerance max staleness `leftTs - rightTs` in the ts columns'
+    *                  own units (numeric ts); a match older than this is
+    *                  reported as NO match (nulled right columns) — pandas
+    *                  merge_asof's `tolerance`. None = unbounded lookback.
     */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, rightPrefix: String = "asof_"): DataFrame = {
+      leftTs: String, rightTs: String, rightPrefix: String = "asof_",
+      tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(tolerance.forall(_ => !keys.contains(rightTs)),
+      "tolerance needs the right ts column in the payload (not a key)")
     val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
     val leftCols = left.columns.toSeq
 
@@ -55,10 +62,19 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts"), col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedRight.unionByName(taggedLeft)
+    val matched = taggedRight.unionByName(taggedLeft)
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
-      .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"_asof_match.$c").as(s"$rightPrefix$c")): _*)
+    // tolerance: a too-stale match degrades to no-match (payload → null);
+    // a `when` without `otherwise` nulls both the stale and the already-
+    // unmatched case in one expression
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("_asof_match",
+        when(col("_asof_ts") - col("_asof_match").getField(rightTs) <= tol,
+          col("_asof_match")))
+      case None => matched
+    }
+    bounded.select(leftCols.map(col) ++
+      rightPayload.map(c => col(s"_asof_match.$c").as(s"$rightPrefix$c")): _*)
   }
 }

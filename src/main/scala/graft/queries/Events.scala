@@ -236,6 +236,44 @@ object Events {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- as-of join with tolerance (latest prior click ≤ 30 min old) ------
+    // merge_asof's `tolerance`: a match staler than the bound degrades to
+    // no-match. The whole comparison runs on the µs clock so both engines
+    // agree on the boundary.
+    QueryDef(
+      "q_asof_tolerance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id").as("click_id"))
+        graft.operators.AsofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "ts_us",
+          tolerance = Some(1800000000L)) // 30 min in µs
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("asof_click_id"), col("asof_ts_us").as("click_ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             |             event_id AS click_id
+             |      FROM events WHERE event_type = 'click'),
+             |m AS (
+             |  SELECT p.user_id, p.event_id, p.ts_us,
+             |         c.click_id, c.ts_us AS click_ts_us
+             |  FROM p ASOF LEFT JOIN c
+             |    ON p.user_id = c.user_id AND p.ts_us >= c.ts_us)
+             |SELECT user_id, event_id, ts_us,
+             |  CASE WHEN ts_us - click_ts_us <= 1800000000
+             |       THEN click_id END AS asof_click_id,
+             |  CASE WHEN ts_us - click_ts_us <= 1800000000
+             |       THEN click_ts_us END AS click_ts_us
+             |FROM m ORDER BY event_id""".stripMargin)),
+
     // ---- bucketed range join (clicks within 1h after a signup) ------------
     // operators.RangeJoin bucketizes the time axis (15-min buckets) so the
     // range condition becomes an equi-join on (user, bucket) + residual

@@ -33,6 +33,24 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(col("id_b") < cutoff).count() shouldBe 0
   }
 
+  test("bucket that goes hot only after the batch arrives is capped on both paths") {
+    val ss = spark
+    import ss.implicits._
+    // five docs with identical token sets share every LSH band bucket;
+    // two sit in the index, three arrive in the batch → combined bucket
+    // population 5 exceeds cap 4 only after the batch lands
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, Seq.fill(30)("shared token block").zipWithIndex
+        .map { case (t, j) => s"$t $j" })).toDF("doc_id", "tokens")
+    val index = IncrementalDedup.buildIndex(docs(Seq(1L, 2L)))
+    val batch = IncrementalDedup.buildIndex(docs(Seq(10L, 11L, 12L)))
+    val capped = IncrementalDedup.newPairs(index, batch, maxBucketSize = 4)
+    capped.count() shouldBe 0 // every bucket degenerate → all candidates dropped
+    val uncapped = IncrementalDedup.newPairs(index, batch, maxBucketSize = 64)
+    // all batch-involved pairs of the 5 identical docs: 2*3 old-new + 3 new-new
+    uncapped.count() shouldBe 9
+  }
+
   test("index round-trips through parquet (persistable state)") {
     val cutoff = 400L
     val dir = scratchDir("dedupidx").getAbsolutePath
