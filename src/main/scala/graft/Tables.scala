@@ -24,20 +24,28 @@ object Tables {
   /** Dimension tables small enough that a single-task scan is correct. */
   private val dims = Set("region", "nation")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (dims(name)) df
-    else {
-      // The driver's test parquet is one file with one row group per table,
-      // so the scan cannot split: every downstream pipeline would run on a
-      // single core. Rebalance only when the scan is degenerate relative to
-      // the session's parallelism — on a real multi-file/multi-row-group
-      // layout (the 100 TB case) this branch is never taken and plans keep
-      // their scan-attached pipelines with no extra exchange.
-      val target = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
-    }
-  }
+  // The degenerate-scan probe (df.rdd.getNumPartitions) plans the scan on
+  // the driver each time; with ~80 queries × several loads each, that adds
+  // seconds of pure planning to a suite run. The decision is a property of
+  // (session, dir, table) — memoize the loaded frame.
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loadCache.computeIfAbsent((spark, sfDir, name), _ => {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (dims(name)) df
+      else {
+        // The driver's test parquet is one file with one row group per table,
+        // so the scan cannot split: every downstream pipeline would run on a
+        // single core. Rebalance only when the scan is degenerate relative to
+        // the session's parallelism — on a real multi-file/multi-row-group
+        // layout (the 100 TB case) this branch is never taken and plans keep
+        // their scan-attached pipelines with no extra exchange.
+        val target = spark.sparkContext.defaultParallelism
+        if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+      }
+    })
 
   /** Register all tables as temp views so spark.sql(...) parity queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

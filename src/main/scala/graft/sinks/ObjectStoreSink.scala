@@ -250,8 +250,22 @@ object ObjectStoreSink {
     * writes are older than the just-committed version, so they are swept
     * here too — every successful commit self-heals prior failures.
     */
-  private def retireOldVersions(tableDir: Path, keep: Int): Unit =
-    versionDirs(tableDir).dropRight(keep).foreach(deleteTree)
+  /** Grace window before a superseded version's files are deleted. Count-
+    * based retention alone has a race: a reader that resolved version v(i)
+    * can still be scanning it when two rapid swaps retire it. Requiring a
+    * version to ALSO be old enough means any read that started while it
+    * was current (or previous) survives a swap burst shorter than the
+    * grace — the plain-parquet analogue of snapshot-expiry retention in an
+    * ACID table format. Tests shrink it to exercise deletion.
+    */
+  @volatile private[graft] var retireGraceMs: Long = 60000L
+
+  private def retireOldVersions(tableDir: Path, keep: Int): Unit = {
+    val now = System.currentTimeMillis()
+    versionDirs(tableDir).dropRight(keep)
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis > retireGraceMs)
+      .foreach(deleteTree)
+  }
 
   /** CREATE TABLE ... USING fmt LOCATION ... (+ PARTITIONED BY). Datasource
     * tables declare partition columns inside the column list and reference

@@ -185,10 +185,20 @@ class SinksSpec extends SparkSpec {
     } finally { stop = true; reader.join(30000) }
     failure.foreach(t => fail(s"concurrent reader failed mid-swap: $t"))
     spark.table("graft_t5.live").count() shouldBe 8
-    // old versions retired: at most 2 version dirs remain
-    val vdirs = new java.io.File(s"$root/graft_t5/live").listFiles()
+    // during the burst the retire GRACE retains superseded versions (that
+    // is what shields in-flight readers); with the grace elapsed (forced to
+    // zero) the next swap retires down to the keep count
+    def vdirs = new java.io.File(s"$root/graft_t5/live").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    vdirs.length should be >= 2
+    val saved = ObjectStoreSink.retireGraceMs
+    try {
+      ObjectStoreSink.retireGraceMs = 0L
+      ObjectStoreSink.replaceTable(spark,
+        (1 to 9).map(j => (j, j * 10.0)).toDF("id", "v"), spec)
+    } finally ObjectStoreSink.retireGraceMs = saved
     vdirs.length should be <= 2
+    spark.table("graft_t5.live").count() shouldBe 9
   }
 
   test("recoverTable: catalog entry lost mid-swap is rebuilt from versioned data") {
