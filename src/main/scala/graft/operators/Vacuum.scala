@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.sinks.ObjectStoreSink
+
+/** Lake-wide storage reclamation — the VACUUM companion to the versioned-
+  * directory commit and [[Compaction]]: every table swap leaves its
+  * predecessor on disk (reader-safety grace + crash recovery), so a
+  * long-running lake accumulates superseded version directories. `vacuum`
+  * walks `lakeRoot/<database>/<table>` and retires, per table, every
+  * version beyond the newest `keep` that is also older than the
+  * grace window — the same retention rule the commit path applies, run as
+  * a maintenance sweep (the plain-parquet analogue of an ACID format's
+  * expire-snapshots action).
+  *
+  * Driver-side directory walking only — version metadata is O(tables ×
+  * versions), never data-proportional; no Spark jobs run.
+  */
+object Vacuum {
+
+  final case class Report(tablesScanned: Int, versionsRetired: Int,
+      bytesFreed: Long)
+
+  /** Sweep every table under the lake root. `graceMs` defaults to the
+    * commit path's reader-safety grace.
+    */
+  def vacuum(lakeRoot: String, keep: Int = 2,
+      graceMs: Long = ObjectStoreSink.retireGraceMs): Report = {
+    require(keep >= 1, "vacuum must keep at least the live version")
+    var tables = 0
+    var retired = 0
+    var freed = 0L
+    val now = System.currentTimeMillis()
+    for {
+      db <- listDirs(Paths.get(lakeRoot))
+      table <- listDirs(db)
+    } {
+      val versions = listVersionDirs(table)
+      if (versions.nonEmpty) {
+        tables += 1
+        versions.dropRight(keep)
+          .filter(p => now - Files.getLastModifiedTime(p).toMillis > graceMs)
+          .foreach { p =>
+            freed += treeBytes(p)
+            deleteTree(p)
+            retired += 1
+          }
+      }
+    }
+    Report(tables, retired, freed)
+  }
+
+  private def listDirs(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      } finally s.close()
+    }
+
+  private def listVersionDirs(tableDir: Path): Seq[Path] =
+    listDirs(tableDir)
+      .filter(_.getFileName.toString.matches("v-\\d{6}"))
+      .sortBy(_.getFileName.toString)
+
+  private def treeBytes(dir: Path): Long = {
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+    } finally s.close()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val s = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    } finally s.close()
+  }
+}

@@ -120,6 +120,20 @@ object EventStreams {
         })
   }
 
+  /** Stream-static enrichment: join the unbounded stream with a bounded
+    * dimension (user profile, source registry). Spark plans this
+    * STATELESSLY — the static side is re-resolved per micro-batch (a
+    * catalog-table dim picks up table swaps between batches) and a small
+    * dim broadcasts, so the stream side never shuffles. `how` may be
+    * "inner" or "left_outer" (the stream side must drive an outer join).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      how: String = "left_outer"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(how),
+      s"stream-static enrichment supports inner/left_outer, got '$how'")
+    stream.join(broadcast(dim), keys, how)
+  }
+
   /** Per-user funnel progress carried across micro-batches (-1 = stage not
     * reached): the streaming twin of the batch `q_events_funnel`.
     */

@@ -80,6 +80,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich: stream-static join decorates events; unmatched keys survive") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2026-08-12 10:00:00"), 1L, "view"),
+        (ts("2026-08-12 10:01:00"), 9L, "view")) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select("user_id", "tier").as[(Long, Option[String])]
+        .collect().toMap
+      rows(1L) shouldBe Some("gold")
+      rows(9L) shouldBe None
+    } finally q.stop()
+  }
+
   test("funnelProgress: per-user stage machine advances across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
