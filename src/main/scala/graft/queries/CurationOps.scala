@@ -475,6 +475,30 @@ object CurationOps {
              |    AS mean_chars
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- vacuum roundtrip: retention sweep is metadata-only ---------------
+    // Three swaps accumulate versions (reader-safety grace retains them);
+    // vacuum retires the superseded ones — and the LIVE content must be
+    // byte-for-byte the last write (the oracle replays the final image).
+    QueryDef(
+      "q_vacuum_roundtrip",
+      (s, d) => {
+        import graft.operators.Vacuum
+        val spec = ObjectStoreSpec(path = freshLake("vacrt"),
+          database = "graft_tmp", table = s"vac_rt_${System.nanoTime()}")
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        Seq(100, 300, 500).foreach { lim =>
+          ObjectStoreSink.replaceTable(s, cust.filter(col("c_custkey") < lim), spec)
+        }
+        Vacuum.vacuum(spec.path, keep = 1, graceMs = 0L)
+        s.table(s"${spec.database}.${spec.table}")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer WHERE c_custkey < 500
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- small-file compaction roundtrip ----------------------------------
     // Land a deliberately fragmented table (40 files), compact it through
     // the versioned-directory commit, and read the result back — the oracle
