@@ -295,6 +295,43 @@ object PipelineQueries {
     */
   val infraDefs: Seq[QueryDef] = Seq(
 
+    // ---- config-driven split through the full pipeline --------------------
+    // TransformSpec.split → bucket/split columns appended post-cast and the
+    // table PARTITIONED BY split; the oracle replays the md5-bucket split
+    // function over the same CSV (the split is a pure function of the id —
+    // that is the property that makes it oracle-able at all).
+    QueryDef(
+      "q_pipeline_split",
+      (s, _) => {
+        val spec = PipelineSpec(
+          name = "q_pipeline_split",
+          source = SourceSpec(schema = stockFields,
+            file = Some(FileSpec(csv = Some(CsvSpec())))),
+          transformation = Some(TransformSpec(
+            deduplicate = true,
+            split = Some(SplitSpec(idField = "symbol")))),
+          destination = DestinationSpec(
+            schema = stockFields,
+            objectStore = Some(ObjectStoreSpec(path = freshLake("psplit"),
+              database = "graft_q", table = "q_pipeline_split",
+              partitionBy = Seq("split"), writeMode = "overwrite",
+              deleteBeforeWrite = true))))
+        val res = Pipeline.run(s, spec, BigCsv)
+        s.table(res.table.get)
+          .select(col("symbol"), col("date"), col("volume"),
+            col("bucket"), col("split"))
+          .orderBy("symbol", "date", "volume")
+      },
+      Some(s"""WITH dedup AS (SELECT DISTINCT * FROM ${srcSql(BigCsv)})
+              |SELECT symbol, date, TRY_CAST(volume AS INTEGER) AS volume,
+              |  CAST(('0x' || substring(md5(CAST(symbol AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+              |    AS bucket,
+              |  CASE WHEN CAST(('0x' || substring(md5(CAST(symbol AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 900 THEN 'train'
+              |       WHEN CAST(('0x' || substring(md5(CAST(symbol AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 950 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM dedup
+              |ORDER BY symbol, date, volume""".stripMargin)),
+
     // ---- K7: CSV text-sink roundtrip (exercises F11 escaping end-to-end:
     // the constructed note column carries commas and quotes through the
     // writer's quoting and back) ------------------------------------------
