@@ -336,6 +336,91 @@ object Relational {
               |WHERE l_orderkey % 7 = 0
               |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- TPC-H Q3 shape: shipping-priority top-N --------------------------
+    // The classic 3-way selective join + grouped revenue + top-10: segment
+    // filter prunes customers before the join, both date predicates push to
+    // the scans, revenue is the decimal-exact dsum, and the top-10 rides
+    // (revenue desc, orderkey) for a unique order.
+    QueryDef(
+      "q_tpch_q3",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey,
+              |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              |  o_orderpriority,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |  AND l_shipdate > TIMESTAMP '1998-01-01'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q5 shape: local-supplier volume per nation -----------------
+    // Five-way join with the customer-and-supplier-same-nation equality and
+    // a region gate — the join-order stress test: the two dims broadcast,
+    // the fact side shuffles once per surviving key, and the nation
+    // equality collapses the supplier probe.
+    QueryDef(
+      "q_tpch_q5",
+      (s, d) => {
+        val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val nat = t(s, d, "nation")
+          .join(asia, col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1999-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |              AND s_nationkey = c_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+              |  AND o_orderdate < TIMESTAMP '1999-01-01'
+              |GROUP BY n_name
+              |ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // ---- skew diagnostics: heaviest join keys -----------------------------
     // The report that DECIDES when the skew toolkit applies: top-N heaviest
     // keys of a join column with their frequencies. Rides the bounded
