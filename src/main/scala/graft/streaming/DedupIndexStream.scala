@@ -48,10 +48,13 @@ object DedupIndexStream {
       pairsDir: String, threshold: Double): Unit = synchronized {
     val existing = loadIndex(spark, indexDir)
     // idempotence: drop docs the index already holds (crash-replayed batch)
+    // and collapse same-id re-deliveries WITHIN the batch — either would
+    // double the doc's index rows and corrupt the verify counts
+    val deduped = batchDf.dropDuplicates("doc_id")
     val fresh = existing match {
       case Some(idx) =>
-        batchDf.join(idx.counts.select("doc_id"), Seq("doc_id"), "left_anti")
-      case None => batchDf
+        deduped.join(idx.counts.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => deduped
     }
     val batchIdx = IncrementalDedup.buildIndex(fresh)
     // cache the (small) batch index once: pairs + three appends read it

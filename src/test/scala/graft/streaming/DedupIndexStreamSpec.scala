@@ -51,4 +51,15 @@ class DedupIndexStreamSpec extends SparkSpec {
     spark.read.parquet(s"$dir/pairs")
       .filter(col("id_a") === 5L && col("id_b") === 6L).count() shouldBe 1
   }
+
+  test("same-id re-delivery within one batch indexes the doc once") {
+    val dir = scratchDir("dedupintra").getAbsolutePath
+    val batch = Seq((7L, toks(0 until 30, "y")), (7L, toks(0 until 30, "y")))
+      .toDF("doc_id", "tokens")
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs", 0.3)
+    spark.read.parquet(s"$dir/index/counts").count() shouldBe 1
+    spark.read.parquet(s"$dir/index/counts")
+      .select("n_tok").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head() shouldBe 30L
+  }
 }
