@@ -446,6 +446,85 @@ object CurationOps {
              |FROM ranked JOIN counts USING (source)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- pairwise domain overlap from KMV sketches ------------------------
+    // Sketch ALGEBRA: the per-source KMV sketches are mergeable summaries,
+    // so cross-domain Jaccard estimates come from k-long arrays — never a
+    // rescan of the corpus. Estimator (Beyer et al.): take the k smallest
+    // of the UNION of two sketches; the fraction of those present in both
+    // estimates J(A,B). Everything is deterministic given the md5 hash
+    // contract, so the oracle replays the exact estimates.
+    QueryDef(
+      "q_domain_overlap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.KmvDistinct.kmv
+        val k = 256
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val s1 = slice(ta, lit(1), n - 2)
+        val s2 = slice(ta, lit(2), n - 2)
+        val s3 = slice(ta, lit(3), n - 2)
+        val shingles = when(n >= 3,
+          zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+            (ab, c) => concat(ab, lit(" "), c)))
+          .otherwise(array().cast("array<string>"))
+        val sk = t(s, d, "documents")
+          .select(col("source"), explode(shingles).as("gram"))
+          .select(col("source"), hash60(col("gram")).as("gh"))
+          .groupBy("source").agg(kmv(col("gh"), k).as("sk"))
+          .select(col("source"), explode(col("sk")).as("gh"))
+          .persist()
+        val names = sk.select("source").distinct()
+        // every sketch row lands in every pair its source belongs to; a
+        // union value present in both sketches shows up from two sources
+        val expanded = sk.crossJoin(broadcast(
+            names.withColumnRenamed("source", "other")))
+          .filter(col("source") =!= col("other"))
+          .select(least(col("source"), col("other")).as("src_a"),
+            greatest(col("source"), col("other")).as("src_b"),
+            col("gh"), col("source").as("frm"))
+        val perValue = expanded.groupBy("src_a", "src_b", "gh")
+          .agg((countDistinct("frm") === 2).cast("int").as("in_both"))
+        val w = Window.partitionBy("src_a", "src_b").orderBy("gh")
+        perValue.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .groupBy("src_a", "src_b")
+          .agg((sum("in_both") / k.toDouble).as("jaccard_est"))
+          .orderBy(col("jaccard_est").desc, col("src_a"), col("src_b"))
+          .limit(20)
+      },
+      Some(s"""WITH g AS (
+              |  SELECT source, UNNEST(list_transform(
+              |    range(1, greatest(length(ta) - 1, 1)),
+              |    i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) AS gram
+              |  FROM (SELECT source, regexp_split_to_array(TRIM(text), '\\s+') AS ta
+              |        FROM documents)),
+              |h AS (SELECT DISTINCT source, ${hash60Sql("gram")} AS gh FROM g),
+              |sk AS (SELECT source, gh FROM (
+              |    SELECT source, gh, row_number() OVER (PARTITION BY source
+              |      ORDER BY gh) AS rn FROM h) r
+              |  WHERE rn <= 256),
+              |names AS (SELECT DISTINCT source FROM sk),
+              |expanded AS (
+              |  SELECT LEAST(s.source, o.source) AS src_a,
+              |         GREATEST(s.source, o.source) AS src_b,
+              |         s.gh, s.source AS frm
+              |  FROM sk s JOIN names o ON o.source <> s.source),
+              |per_value AS (
+              |  SELECT src_a, src_b, gh,
+              |         CASE WHEN COUNT(DISTINCT frm) = 2 THEN 1 ELSE 0 END
+              |           AS in_both
+              |  FROM expanded GROUP BY 1, 2, 3),
+              |voted AS (
+              |  SELECT src_a, src_b, in_both,
+              |         row_number() OVER (PARTITION BY src_a, src_b
+              |           ORDER BY gh) AS rn
+              |  FROM per_value)
+              |SELECT src_a, src_b, SUM(in_both) / 256.0 AS jaccard_est
+              |FROM voted WHERE rn <= 256
+              |GROUP BY src_a, src_b
+              |ORDER BY jaccard_est DESC, src_a, src_b LIMIT 20""".stripMargin)),
+
     // ---- corpus datasheet -------------------------------------------------
     // The per-source summary every curation run publishes: volume, exact-
     // duplicate pressure (distinct text fingerprints vs docs), token
