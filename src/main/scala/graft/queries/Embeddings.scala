@@ -467,7 +467,31 @@ object Embeddings {
     def parent(name: String) = defs.find(_.name == name).get
     val brute = parent("q_knn_brute")
     val ivf = parent("q_knn_ivf")
-    Seq(QueryDef(
+    Seq(
+      // ---- incremental ANN index: the grown index answers like a fresh
+      // build. The newest 20% of vectors are ADDED to an index built on
+      // the rest (AnnIndex.addVectors: new ids only, existing rows
+      // untouched); the oracle is q_knn_ivf's oracle VERBATIM — assignment
+      // being a pure per-vector function of the fixed centroids is what
+      // makes index extension exact, and this query gates it end to end.
+      QueryDef(
+        "q_knn_incremental",
+        (s, d) => {
+          import graft.operators.AnnIndex
+          val sq = s
+          import sq.implicits._
+          val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          val cent = kmeansCentroids(s, d).toDF("cid", "ce")
+          val maxId = e.agg(max("vec_id")).head().getLong(0)
+          val cutoff = (maxId + 1) * 4 / 5
+          val base = AnnIndex.build(e.filter(col("vec_id") < cutoff), cent)
+          val grown = AnnIndex.addVectors(base, e.filter(col("vec_id") >= cutoff))
+          val q = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          AnnIndex.topK(grown, q).orderBy("query_id", "rank")
+        },
+        ivf.oracle), // the full-build oracle IS the contract
+      QueryDef(
       "q_knn_recall",
       (s, d) => {
         val b = brute.query(s, d).select(col("query_id"), col("neighbor_id"))
