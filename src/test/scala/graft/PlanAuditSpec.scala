@@ -125,5 +125,20 @@ class PlanAuditSpec extends SparkSpec {
     (plan should not).include("CartesianProduct")
   }
 
+  test("q_tpch_q3: both date predicates and the segment filter reach the scans") {
+    val plan = planString(q("q_tpch_q3"))
+    plan should include regex "PushedFilters: \\[.*GreaterThan\\(l_shipdate"
+    plan should include regex "PushedFilters: \\[.*LessThan\\(o_orderdate"
+    plan should include regex "PushedFilters: \\[.*EqualTo\\(c_mktsegment,BUILDING"
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("q_tpch_q5: five-way join plans with no cartesian or nested loop") {
+    val plan = planString(q("q_tpch_q5"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    plan should include ("HashJoin") // every join keyed
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
