@@ -77,15 +77,24 @@ object IncrementalDedup {
     val oldB = index.bands.join(broadcast(hot), Seq("band_idx", "h"), "left_anti")
     val newB = batch.bands.join(broadcast(hot), Seq("band_idx", "h"), "left_anti")
 
-    val oldVsNew = oldB.select(col("band_idx"), col("h"), col("doc_id").as("id_a"))
-      .join(newB.select(col("band_idx"), col("h"), col("doc_id").as("id_b")),
+    // old-vs-new joins ONE orientation (old ⋈ new), so the pair must be
+    // canonicalized with least/greatest — a `id_a < id_b` filter here would
+    // silently drop every pair whose indexed doc id exceeds the batch doc id
+    // (doc ids carry no arrival-order contract). new-vs-new is a symmetric
+    // self-join producing both orientations, so the ordering filter is the
+    // correct dedup there.
+    val oldVsNew = oldB.select(col("band_idx"), col("h"), col("doc_id").as("old_id"))
+      .join(newB.select(col("band_idx"), col("h"), col("doc_id").as("new_id")),
         Seq("band_idx", "h"))
+      .filter(col("old_id") =!= col("new_id"))
+      .select(least(col("old_id"), col("new_id")).as("id_a"),
+        greatest(col("old_id"), col("new_id")).as("id_b"))
     val newVsNew = newB.select(col("band_idx"), col("h"), col("doc_id").as("id_a"))
       .join(newB.select(col("band_idx"), col("h"), col("doc_id").as("id_b")),
         Seq("band_idx", "h"))
-    val cand = oldVsNew.unionByName(newVsNew)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val cand = oldVsNew.unionByName(newVsNew).distinct()
 
     // Jaccard verify over candidate ids only, same shape as the batch
     // verify stage (hash-set intersection on 8-byte keys); per-doc counts

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.IncrementalDedup
@@ -12,23 +13,28 @@ import graft.operators.IncrementalDedup.DedupIndex
 /** Continuous corpus ingestion with ONLINE near-dup detection — the
   * streaming twin of [[graft.operators.IncrementalDedup]]: each
   * micro-batch of (doc_id, tokens) sketches its own documents, probes the
-  * parquet-backed standing index, appends detected pairs to `pairsDir`,
-  * and extends the index — per-batch cost O(batch + matched buckets),
-  * never O(corpus), no matter how long the stream runs.
+  * parquet-backed standing index, writes detected pairs, and extends the
+  * index — per-batch cost O(batch + matched buckets), never O(corpus), no
+  * matter how long the stream runs.
   *
-  * Recovery semantics: foreachBatch replays a batch after a crash, so
-  * every index append is made idempotent by anti-joining the batch's
-  * doc_ids against the already-indexed counts table — a replayed document
-  * is skipped (doc_ids are the intake identity, the same contract as the
-  * watcher ledger). The INDEX is therefore exactly-once per doc; the PAIR
-  * log is at-least-once (a crash between the pair write and the index
-  * append replays the pair derivation) — readers key on (id_a, id_b),
-  * which is naturally idempotent downstream (clustering is set-based).
+  * Commit protocol (exactly-once for BOTH the index and the pair log):
+  * each batch's index rows land under their own
+  * `indexDir/batches/<key>/{bands,hashes,counts}` directory, with a
+  * `_COMMIT` marker written LAST; readers union only committed batch
+  * directories, so a crash between the three writes can never surface a
+  * partial batch (the uncommitted directory is deleted and rewritten on
+  * replay). Pairs go to `pairsDir/batch=<key>` in overwrite mode — a
+  * replayed batch overwrites its own partition rather than appending a
+  * duplicate, so the pair log is exactly-once per batch key. Documents
+  * redelivered under a DIFFERENT batch key are dropped by an anti-join
+  * against the committed counts ledger (doc_id is the intake identity,
+  * the same contract as the watcher ledger).
   */
 object DedupIndexStream {
 
   /** Start the stream. `docs` must be a streaming DataFrame with
-    * (doc_id long, tokens array<string>).
+    * (doc_id long, tokens array<string>). The checkpointed foreachBatch
+    * batchId — stable across crash replays — is the batch key.
     */
   def start(spark: SparkSession, docs: DataFrame, indexDir: String,
       pairsDir: String, checkpointDir: String,
@@ -36,62 +42,101 @@ object DedupIndexStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
-      .foreachBatch { (batchDf: DataFrame, _: Long) =>
-        applyBatch(spark, batchDf, indexDir, pairsDir, threshold)
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        applyBatch(spark, batchDf, indexDir, pairsDir, threshold, s"b$batchId")
       }
       .start()
 
-  /** One micro-batch: dedupe against the ledger, probe, append, extend.
-    * Exposed for AvailableNow-style catch-up use and the spec.
+  /** One micro-batch: dedupe against the ledger, probe, write pairs,
+    * extend the index, commit. Exposed for AvailableNow-style catch-up
+    * use and the spec. `batchKey` must be stable across replays of the
+    * same batch (foreachBatch's checkpointed batchId provides that).
     */
   def applyBatch(spark: SparkSession, batchDf: DataFrame, indexDir: String,
-      pairsDir: String, threshold: Double): Unit = synchronized {
-    val existing = loadIndex(spark, indexDir)
-    // idempotence: drop docs the index already holds (crash-replayed batch)
-    // and collapse same-id re-deliveries WITHIN the batch — either would
-    // double the doc's index rows and corrupt the verify counts
-    val deduped = batchDf.dropDuplicates("doc_id")
-    val fresh = existing match {
-      case Some(idx) =>
-        deduped.join(idx.counts.select("doc_id"), Seq("doc_id"), "left_anti")
-      case None => deduped
-    }
-    val batchIdx = IncrementalDedup.buildIndex(fresh)
-    // cache the (small) batch index once: pairs + three appends read it
-    batchIdx.bands.persist(); batchIdx.hashes.persist(); batchIdx.counts.persist()
-    try {
-      if (batchIdx.counts.isEmpty) return
-      existing match {
+      pairsDir: String, threshold: Double, batchKey: String): Unit =
+    synchronized {
+      val batchDir = Paths.get(indexDir, "batches", batchKey)
+      val marker = batchDir.resolve("_COMMIT")
+      if (Files.exists(marker)) return // replayed, already fully applied
+      // a crashed earlier attempt may have left uncommitted partial writes
+      deleteTree(batchDir)
+
+      val existing = loadIndex(spark, indexDir)
+      // drop docs the committed index already holds (same doc redelivered
+      // under a new batch key) and collapse same-id re-deliveries WITHIN
+      // the batch — either would double the doc's index rows and corrupt
+      // the verify counts
+      val deduped = batchDf.dropDuplicates("doc_id")
+      val fresh = existing match {
         case Some(idx) =>
-          val pairs = IncrementalDedup.newPairs(idx, batchIdx, threshold)
-          pairs.write.mode(SaveMode.Append).parquet(pairsDir)
-        case None =>
-          // first batch: only batch-internal pairs exist
-          val empty = emptyIndex(spark, batchIdx)
-          val pairs = IncrementalDedup.newPairs(empty, batchIdx, threshold)
-          pairs.write.mode(SaveMode.Append).parquet(pairsDir)
+          deduped.join(idx.counts.select("doc_id"), Seq("doc_id"), "left_anti")
+        case None => deduped
       }
-      batchIdx.bands.write.mode(SaveMode.Append).parquet(s"$indexDir/bands")
-      batchIdx.hashes.write.mode(SaveMode.Append).parquet(s"$indexDir/hashes")
-      batchIdx.counts.write.mode(SaveMode.Append).parquet(s"$indexDir/counts")
-    } finally {
-      batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
-      batchIdx.counts.unpersist(): Unit
+      val batchIdx = IncrementalDedup.buildIndex(fresh)
+      // cache the (small) batch index once: pairs + three writes read it
+      batchIdx.bands.persist(); batchIdx.hashes.persist()
+      batchIdx.counts.persist()
+      try {
+        // nothing fresh: no state to commit, replay re-derives the same
+        if (batchIdx.counts.isEmpty) return
+        val idx = existing.getOrElse(emptyIndex(spark, batchIdx))
+        val pairs = IncrementalDedup.newPairs(idx, batchIdx, threshold)
+        pairs.persist()
+        try {
+          if (!pairs.isEmpty)
+            pairs.write.mode(SaveMode.Overwrite)
+              .parquet(s"$pairsDir/batch=$batchKey")
+        } finally pairs.unpersist(): Unit
+        batchIdx.bands.write.parquet(s"$batchDir/bands")
+        batchIdx.hashes.write.parquet(s"$batchDir/hashes")
+        batchIdx.counts.write.parquet(s"$batchDir/counts")
+        Files.write(marker, Array.emptyByteArray) // the commit point
+        ()
+      } finally {
+        batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
+        batchIdx.counts.unpersist(): Unit
+      }
     }
+
+  /** The standing index: the union of COMMITTED batch directories.
+    * Uncommitted (crashed mid-write) batches are invisible. Batch count
+    * grows with stream lifetime — compact by rebuilding via
+    * [[IncrementalDedup.buildIndex]] over the corpus when the file count
+    * matters (metadata-only concern; the per-batch probe never scans
+    * old×old regardless).
+    */
+  def loadIndex(spark: SparkSession, indexDir: String): Option[DedupIndex] = {
+    val base = Paths.get(indexDir, "batches")
+    if (!Files.isDirectory(base)) return None
+    val committed = {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_COMMIT")))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    if (committed.isEmpty) None
+    else Some(DedupIndex(
+      spark.read.parquet(committed.map(_ + "/bands"): _*),
+      spark.read.parquet(committed.map(_ + "/hashes"): _*),
+      spark.read.parquet(committed.map(_ + "/counts"): _*)))
   }
 
-  /** The standing index, if any batch has landed yet. */
-  def loadIndex(spark: SparkSession, indexDir: String): Option[DedupIndex] =
-    if (Files.exists(Paths.get(indexDir, "counts")))
-      Some(DedupIndex(
-        spark.read.parquet(s"$indexDir/bands"),
-        spark.read.parquet(s"$indexDir/hashes"),
-        spark.read.parquet(s"$indexDir/counts")))
-    else None
+  /** All detected pairs so far: (id_a, id_b, jaccard, batch). */
+  def loadPairs(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir)
 
   private def emptyIndex(spark: SparkSession, like: DedupIndex): DedupIndex =
     DedupIndex(
-      like.bands.filter(lit(false)),
-      like.hashes.filter(lit(false)),
-      like.counts.filter(lit(false)))
+      like.bands.filter(org.apache.spark.sql.functions.lit(false)),
+      like.hashes.filter(org.apache.spark.sql.functions.lit(false)),
+      like.counts.filter(org.apache.spark.sql.functions.lit(false)))
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

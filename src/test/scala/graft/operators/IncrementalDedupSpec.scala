@@ -51,6 +51,24 @@ class IncrementalDedupSpec extends SparkSpec {
     uncapped.count() shouldBe 9
   }
 
+  test("batch doc with SMALLER id than its indexed near-dup still pairs") {
+    // regression: the old-vs-new join has one orientation (old→a, new→b);
+    // an id_a < id_b filter there silently dropped every pair whose
+    // indexed id exceeded the batch id. Canonicalization must use
+    // least/greatest — doc ids carry no arrival-order contract.
+    val ss = spark
+    import ss.implicits._
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, (0 until 30).map(j => s"tok shared $j")))
+        .toDF("doc_id", "tokens")
+    val index = IncrementalDedup.buildIndex(docs(Seq(100L)))
+    val batch = IncrementalDedup.buildIndex(docs(Seq(10L)))
+    val pairs = IncrementalDedup.newPairs(index, batch)
+      .select("id_a", "id_b").collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((10L, 100L))
+  }
+
   test("index round-trips through parquet (persistable state)") {
     val cutoff = 400L
     val dir = scratchDir("dedupidx").getAbsolutePath

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
+
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -28,38 +30,114 @@ class DedupIndexStreamSpec extends SparkSpec {
       in.addData((10L, toks(0 until 39, "a") ++ Seq("x1", "x2")))
       q.processAllAvailable()
 
-      val pairs = spark.read.parquet(s"$dir/pairs")
+      val pairs = DedupIndexStream.loadPairs(spark, s"$dir/pairs")
       pairs.filter(col("id_a") === 1L && col("id_b") === 10L)
         .count() shouldBe 1
       // unrelated docs never pair
       pairs.filter(col("id_b") === 2L or col("id_b") === 3L)
         .count() shouldBe 0
       // index holds all four docs exactly once
-      spark.read.parquet(s"$dir/index/counts")
-        .select("doc_id").as[Long].collect().sorted shouldBe
+      DedupIndexStream.loadIndex(spark, s"$dir/index").get
+        .counts.select("doc_id").as[Long].collect().sorted shouldBe
         Seq(1L, 2L, 3L, 10L)
     } finally q.stop()
   }
 
-  test("replayed batch is idempotent on the index (no duplicate docs/pairs)") {
+  test("batch doc with an id BELOW an indexed near-dup's id still pairs") {
+    // regression for the one-orientation candidate join: ids carry no
+    // arrival-order contract, so a later batch may hold the smaller id
+    val dir = scratchDir("deduporder").getAbsolutePath
+    DedupIndexStream.applyBatch(spark,
+      Seq((500L, toks(0 until 30, "q"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    DedupIndexStream.applyBatch(spark,
+      Seq((4L, toks(0 until 30, "q"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b1")
+    val got = DedupIndexStream.loadPairs(spark, s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((4L, 500L))
+  }
+
+  test("replayed batch key is a no-op (index and pair log exactly-once)") {
     val dir = scratchDir("dedupreplay").getAbsolutePath
     val batch = Seq((5L, toks(0 until 30, "z")), (6L, toks(0 until 30, "z")))
       .toDF("doc_id", "tokens")
-    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs", 0.3)
-    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs", 0.3)
-    spark.read.parquet(s"$dir/index/counts").count() shouldBe 2
-    spark.read.parquet(s"$dir/pairs")
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    val idx = DedupIndexStream.loadIndex(spark, s"$dir/index").get
+    idx.counts.count() shouldBe 2
+    DedupIndexStream.loadPairs(spark, s"$dir/pairs")
       .filter(col("id_a") === 5L && col("id_b") === 6L).count() shouldBe 1
+  }
+
+  test("docs redelivered under a NEW batch key are dropped by the ledger") {
+    val dir = scratchDir("dedupredeliver").getAbsolutePath
+    val batch = Seq((5L, toks(0 until 30, "z")), (6L, toks(0 until 30, "z")))
+      .toDF("doc_id", "tokens")
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b1")
+    val idx = DedupIndexStream.loadIndex(spark, s"$dir/index").get
+    idx.counts.count() shouldBe 2
+    idx.hashes.count() shouldBe 60 // 30 distinct hashes per doc, once each
+    DedupIndexStream.loadPairs(spark, s"$dir/pairs")
+      .filter(col("id_a") === 5L && col("id_b") === 6L).count() shouldBe 1
+  }
+
+  test("crash between index writes leaves no partial batch visible; replay heals") {
+    val dir = scratchDir("dedupcrash").getAbsolutePath
+    val batch = Seq((7L, toks(0 until 30, "w")), (8L, toks(0 until 30, "w")))
+      .toDF("doc_id", "tokens")
+    // simulate a crash AFTER the bands write but BEFORE counts + _COMMIT:
+    // hand-write a partial uncommitted batch directory
+    val partial = Paths.get(s"$dir/index/batches/b0")
+    graft.operators.IncrementalDedup.buildIndex(batch)
+      .bands.write.parquet(partial.resolve("bands").toString)
+    // no _COMMIT → the partial batch must be invisible to readers
+    DedupIndexStream.loadIndex(spark, s"$dir/index") shouldBe None
+    // replay of the same batch key: partial state is discarded, rewritten
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    val idx = DedupIndexStream.loadIndex(spark, s"$dir/index").get
+    idx.counts.count() shouldBe 2
+    // bands hold each doc exactly once per band — no duplicated rows from
+    // the crashed attempt
+    idx.bands.groupBy("doc_id", "band_idx").count()
+      .filter(col("count") > 1).count() shouldBe 0
+    Files.exists(partial.resolve("_COMMIT")) shouldBe true
+  }
+
+  test("crash after pair write but before commit does not duplicate pairs") {
+    val dir = scratchDir("dedupcrashpairs").getAbsolutePath
+    val first = Seq((1L, toks(0 until 30, "p"))).toDF("doc_id", "tokens")
+    DedupIndexStream.applyBatch(spark, first, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    val second = Seq((2L, toks(0 until 30, "p"))).toDF("doc_id", "tokens")
+    DedupIndexStream.applyBatch(spark, second, s"$dir/index", s"$dir/pairs",
+      0.3, "b1")
+    // simulate the crash: pairs for b1 landed but the index commit did not
+    DedupIndexStream.loadPairs(spark, s"$dir/pairs").count() shouldBe 1
+    val b1 = Paths.get(s"$dir/index/batches/b1")
+    Files.delete(b1.resolve("_COMMIT"))
+    // replay b1: the pair partition is OVERWRITTEN, not appended
+    DedupIndexStream.applyBatch(spark, second, s"$dir/index", s"$dir/pairs",
+      0.3, "b1")
+    DedupIndexStream.loadPairs(spark, s"$dir/pairs").count() shouldBe 1
   }
 
   test("same-id re-delivery within one batch indexes the doc once") {
     val dir = scratchDir("dedupintra").getAbsolutePath
     val batch = Seq((7L, toks(0 until 30, "y")), (7L, toks(0 until 30, "y")))
       .toDF("doc_id", "tokens")
-    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs", 0.3)
-    spark.read.parquet(s"$dir/index/counts").count() shouldBe 1
-    spark.read.parquet(s"$dir/index/counts")
-      .select("n_tok").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    val idx = DedupIndexStream.loadIndex(spark, s"$dir/index").get
+    idx.counts.count() shouldBe 1
+    idx.counts.select("n_tok")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .head() shouldBe 30L
   }
 }
