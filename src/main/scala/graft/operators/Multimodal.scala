@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * streamed through), an explicit output schema, and a partition-preserving
   * plan (no shuffle — feature extraction is embarrassingly parallel).
   *
-  * The DECODE step is a deterministic STUB: this container ships no image/
-  * audio codecs, so [[decode]] parses the engine's synthetic `GFT1` header
-  * and sniffs real magic numbers (JPEG/PNG/GIF/WAV) for format only. On a
-  * real deployment, swap [[decode]]'s body for the codec call (e.g. via
-  * javax.imageio / ffmpeg bindings) — every signature stays the same.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK and decodes
+  * PNG/JPEG/GIF/BMP offline — [[decode]] returns true dimensions and band
+  * counts, and [[pixelFeatures]] computes exact per-channel pixel sums
+  * (value-checked against the DuckDB oracle via lossless PNG round-trips,
+  * q_multimodal_features). Audio/video decode stays a deterministic STUB
+  * ([[synthesize]]'s `GFT1` container + WAV magic sniff) — no media codecs
+  * beyond ImageIO exist in this container; a real deployment swaps only
+  * the per-format branch (e.g. ffmpeg bindings), every signature stays.
   */
 object Multimodal {
 
@@ -44,27 +47,45 @@ object Multimodal {
       .put(body).array()
   }
 
-  /** STUB decode — synthetic header parse + magic-number sniff. Real codec
-    * integration replaces only this body.
-    */
-  def decode(bytes: Array[Byte]): MediaMeta = {
-    if (bytes == null || bytes.length < 4)
-      return MediaMeta("unknown", 0, 0, 0, valid = false)
+  /** Container-format sniff from magic numbers alone — no decode. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return "unknown"
     val magic = new String(bytes.take(4).map(b => (b & 0xff).toChar))
-    if (magic == "GFT1" && bytes.length >= 16) {
-      val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
-      MediaMeta("gft", bb.getInt, bb.getInt, bb.getInt, valid = true)
-    }
-    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
-      MediaMeta("jpeg", 0, 0, 0, valid = true) // dims need the codec
-    else if ((bytes(0) & 0xff) == 0x89 && magic.drop(1).startsWith("PN"))
-      MediaMeta("png", 0, 0, 0, valid = true)
-    else if (magic.startsWith("GIF"))
-      MediaMeta("gif", 0, 0, 0, valid = true)
-    else if (magic == "RIFF")
-      MediaMeta("wav", 0, 0, 0, valid = true)
-    else MediaMeta("unknown", 0, 0, 0, valid = false)
+    if (magic == "GFT1") "gft"
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if ((bytes(0) & 0xff) == 0x89 && magic.drop(1).startsWith("PN")) "png"
+    else if (magic.startsWith("GIF")) "gif"
+    else if (magic.startsWith("BM")) "bmp"
+    else if (magic == "RIFF") "wav"
+    else "unknown"
   }
+
+  /** Decode media metadata. Images (png/jpeg/gif/bmp) decode for REAL via
+    * the JDK's ImageIO — true width/height and raster band count. The
+    * synthetic `GFT1` container parses its header; WAV is sniffed only
+    * (no audio codec shipped). `valid` means the payload actually decoded,
+    * not just that the magic matched.
+    */
+  def decode(bytes: Array[Byte]): MediaMeta = sniffFormat(bytes) match {
+    case "unknown" => MediaMeta("unknown", 0, 0, 0, valid = false)
+    case "gft" =>
+      if (bytes.length >= 16) {
+        val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+        MediaMeta("gft", bb.getInt, bb.getInt, bb.getInt, valid = true)
+      } else MediaMeta("gft", 0, 0, 0, valid = false)
+    case "wav" => MediaMeta("wav", 0, 0, 0, valid = true) // sniff-only
+    case fmt => // real ImageIO decode for png/jpeg/gif/bmp
+      val img = readImage(bytes)
+      if (img == null) MediaMeta(fmt, 0, 0, 0, valid = false)
+      else MediaMeta(fmt, img.getWidth, img.getHeight,
+        img.getRaster.getNumBands, valid = true)
+  }
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per row
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: java.io.IOException => null }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("format", StringType),
