@@ -87,6 +87,87 @@ object Multimodal {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     } catch { case _: java.io.IOException => null }
 
+  /** Deterministic RGB PNG test fixture: left half / right half of each
+    * channel filled with two seed-derived tones, so per-channel pixel sums
+    * have a closed form (`h * (w/2) * (left + right)`) that a SQL oracle can
+    * replay. PNG is lossless — the encode→decode round-trip through the JDK
+    * ImageIO codec preserves every sample exactly. `width` must be even.
+    */
+  def synthesizePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width % 2 == 0, "width must be even so the half-split is exact")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val left  = Array.tabulate(3)(c => ((seed * (c + 1)) % 256).toInt)
+    val right = Array.tabulate(3)(c => ((seed * (c + 1) + 97) % 256).toInt)
+    val lrgb = (left(0) << 16) | (left(1) << 8) | left(2)
+    val rrgb = (right(0) << 16) | (right(1) << 8) | right(2)
+    val half = width / 2
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, if (x < half) lrgb else rrgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  val pixelFeatureSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sum_c0", LongType),
+    StructField("sum_c1", LongType),
+    StructField("sum_c2", LongType)))
+
+  /** REAL pixel-level feature extraction: decodes each image payload with
+    * the JDK ImageIO codec and computes exact per-channel (R, G, B) pixel
+    * sums by raster traversal — the value-checked proof that the binary
+    * column actually decodes, not just that its header parses. Same
+    * per-partition decode-loop shape as [[features]]; no shuffle. Rows
+    * whose payload fails to decode keep the sniffed format with zeroed
+    * dimensions/sums (`channels = 0` marks them, mirroring `valid=false`).
+    */
+  def pixelFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val keep = df.schema.fields.filterNot(_.name == binCol)
+    val outSchema = StructType(keep ++ pixelFeatureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
+        val img = if (bytes == null) null else readImage(bytes)
+        val vals: Seq[Any] =
+          if (img == null) Seq(fmt, 0, 0, 0, 0L, 0L, 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var s0 = 0L; var s1 = 0L; var s2 = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y) // sRGB-normalized, exact for 8-bit
+                s0 += (rgb >> 16) & 0xff
+                s1 += (rgb >> 8) & 0xff
+                s2 += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Seq(fmt, w, h, img.getRaster.getNumBands, s0, s1, s2)
+          }
+        Row.fromSeq(keepIdx.toIndexedSeq.map(row.get) ++ vals)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),

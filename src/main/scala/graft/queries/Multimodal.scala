@@ -13,13 +13,20 @@ import org.apache.spark.sql.types._
   * files — the plumbing (binary columns, decode loop, feature schema,
   * no-shuffle plan) is exactly what real media would traverse.
   *
-  * No DuckDB oracle: the per-byte synthesis/statistics aren't expressible
-  * in portable SQL — the driver records the rows-only check, and
-  * MultimodalSpec pins the values in unit tests.
+  * Every query here is DuckDB-oracled, including the pixel path:
+  * q_multimodal_features generates deterministic two-tone PNGs (lossless),
+  * decodes them for REAL through the JDK ImageIO codec, and checks exact
+  * per-channel pixel sums against their closed form in SQL.
   */
 object MultimodalQueries {
 
   val defs: Seq[QueryDef] = Seq(
+    // REAL image decode, value-checked: per doc a two-tone RGB PNG whose
+    // per-channel pixel sums have a closed form (h * w/2 * (left+right)
+    // with left_c = id*(c+1) % 256, right_c = (id*(c+1)+97) % 256). The
+    // Spark side round-trips PNG encode → binary column → ImageIO decode →
+    // raster traversal; the oracle replays the arithmetic relationally.
+    // All-integer output — the hash compare is exact.
     QueryDef(
       "q_multimodal_features",
       (s, d) => {
@@ -27,18 +34,26 @@ object MultimodalQueries {
         val mediaSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("media", BinaryType)))
-        // ingestion: one synthetic media blob per document (deterministic)
         val media = docs.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            Row(id, MM.synthesize(id,
-              width = (id % 640).toInt + 16, height = (id % 480).toInt + 16,
-              channels = if (id % 7 == 0) 1 else 3))
+            Row(id, MM.synthesizePng(id,
+              width = 16 + (id % 8).toInt * 2, height = 16 + (id % 5).toInt))
           }
         }(Encoders.row(mediaSchema))
-        MM.features(media, "media").orderBy("doc_id")
+        MM.pixelFeatures(media, "media").orderBy("doc_id")
       },
-      None), // rows-only: byte-level synthesis isn't SQL-expressible
+      Some("""SELECT doc_id, 'png' AS format,
+             |  CAST(16 + (doc_id % 8) * 2 AS INTEGER) AS width,
+             |  CAST(16 + doc_id % 5 AS INTEGER) AS height,
+             |  CAST(3 AS INTEGER) AS channels,
+             |  CAST((16 + doc_id % 5) * (8 + doc_id % 8)
+             |    * (doc_id % 256 + (doc_id + 97) % 256) AS BIGINT) AS sum_c0,
+             |  CAST((16 + doc_id % 5) * (8 + doc_id % 8)
+             |    * ((doc_id * 2) % 256 + (doc_id * 2 + 97) % 256) AS BIGINT) AS sum_c1,
+             |  CAST((16 + doc_id % 5) * (8 + doc_id % 8)
+             |    * ((doc_id * 3) % 256 + (doc_id * 3 + 97) % 256) AS BIGINT) AS sum_c2
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // The decode METADATA path oracled: format/dimensions/byte-count are
     // pure functions of doc_id through synthesize → binary column →

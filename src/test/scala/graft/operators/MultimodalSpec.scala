@@ -45,6 +45,41 @@ class MultimodalSpec extends SparkSpec {
     rows(2).getLong(5) shouldBe 0L
   }
 
+  test("decode: real ImageIO decode of a generated PNG returns true dims/bands") {
+    val bytes = Multimodal.synthesizePng(seed = 5L, width = 20, height = 10)
+    val meta = Multimodal.decode(bytes)
+    meta shouldBe Multimodal.MediaMeta("png", 20, 10, 3, valid = true)
+    // truncated payload: magic matches but the codec fails → valid=false
+    Multimodal.decode(bytes.take(12)).valid shouldBe false
+  }
+
+  test("pixelFeatures: exact per-channel sums through a PNG codec round-trip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(9L, Multimodal.synthesizePng(9L, 18, 17)),
+      Row(2L, "junk-not-an-image".getBytes), // undecodable → zeroed row
+      Row(3L, null)
+    ).asJava, schema)
+    val out = Multimodal.pixelFeatures(df, "media")
+    out.columns.toSeq shouldBe Seq("id", "format", "width", "height",
+      "channels", "sum_c0", "sum_c1", "sum_c2")
+    val rows = out.orderBy("id").collect()
+    // id=9: left_c = 9(c+1) % 256, right_c = (9(c+1)+97) % 256; 17 rows × 9 left cols
+    def expected(c: Int): Long =
+      17L * 9L * ((9L * (c + 1)) % 256 + (9L * (c + 1) + 97) % 256)
+    val r9 = rows.find(_.getLong(0) == 9L).get
+    r9.getString(1) shouldBe "png"
+    (r9.getInt(2), r9.getInt(3), r9.getInt(4)) shouldBe ((18, 17, 3))
+    (r9.getLong(5), r9.getLong(6), r9.getLong(7)) shouldBe
+      ((expected(0), expected(1), expected(2)))
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    r2.getInt(4) shouldBe 0 // channels=0 marks decode failure
+    (r2.getLong(5), r2.getLong(6), r2.getLong(7)) shouldBe ((0L, 0L, 0L))
+    rows.find(_.getLong(0) == 3L).get.getString(1) shouldBe "unknown"
+  }
+
   test("resize: header rewritten to target dims, byte budget scales, deterministic") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("media", BinaryType)))
