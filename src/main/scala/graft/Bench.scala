@@ -59,7 +59,15 @@ object Bench {
         .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, _, _, false)) => "\"" + k + "\"" }
     val total = results.values.collect { case (m, _, _, true) => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // Also land the line in a FILE: the driver captures only a truncated
+    // stdout tail, which has repeatedly surfaced the max-spread dict as
+    // phantom regressions (BENCH_r04 "parsed": null). File wins over tail.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
