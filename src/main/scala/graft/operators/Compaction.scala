@@ -31,15 +31,22 @@ import graft.sinks.ObjectStoreSink
   */
 object Compaction {
 
-  /** Bytes currently under the table's live location. */
+  /** Bytes currently under the table's live location — from the committed
+    * manifest when present (no directory walk, the O(1)-listing path at
+    * scale), else a filesystem walk.
+    */
   def liveBytes(spark: SparkSession, spec: ObjectStoreSpec): Long = {
-    val fq = s"${spec.database}.${spec.table}"
-    dataFiles(locationOf(spark, fq)).map(p => Files.size(p)).sum
+    val loc = locationOf(spark, s"${spec.database}.${spec.table}")
+    graft.sinks.TableManifest.read(loc).map(_.totalBytes)
+      .getOrElse(dataFiles(loc).map(p => Files.size(p)).sum)
   }
 
-  /** Data files (non-hidden) under the table's live location. */
-  def liveFileCount(spark: SparkSession, spec: ObjectStoreSpec): Int =
-    dataFiles(locationOf(spark, s"${spec.database}.${spec.table}")).size
+  /** Data-file count under the table's live location (manifest-first). */
+  def liveFileCount(spark: SparkSession, spec: ObjectStoreSpec): Int = {
+    val loc = locationOf(spark, s"${spec.database}.${spec.table}")
+    graft.sinks.TableManifest.read(loc).map(_.files.size)
+      .getOrElse(dataFiles(loc).size)
+  }
 
   /** Rewrite the table into ~targetBytes files; returns the new file
     * count. No-op (returns current count) when already compact —
@@ -49,23 +56,31 @@ object Compaction {
   def compact(spark: SparkSession, spec: ObjectStoreSpec,
       targetBytes: Long = 128L << 20): Int = {
     val fq = s"${spec.database}.${spec.table}"
-    val files = dataFiles(locationOf(spark, fq))
+    val loc = locationOf(spark, fq)
+    // (relative path, bytes) per data file — manifest-first, walk fallback
+    val files = graft.sinks.TableManifest.read(loc)
+      .map(_.files.map(e => (e.path, e.bytes)))
+      .getOrElse(dataFiles(loc).map(p =>
+        (loc.relativize(p).toString, Files.size(p))))
+    val bytes = files.map(_._2).sum
     val alreadyCompact =
       if (spec.partitionBy.isEmpty) {
-        val bytes = files.map(Files.size).sum
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         files.size <= nFiles
-      } else files.size <= files.map(_.getParent).distinct.size
+      } else {
+        val parents = files.map { case (rel, _) =>
+          val i = rel.lastIndexOf('/'); if (i < 0) "" else rel.substring(0, i)
+        }.distinct.size
+        files.size <= parents
+      }
     if (alreadyCompact) return files.size
     val current = spark.table(fq)
     val packed =
       if (spec.partitionBy.nonEmpty)
         current.repartition(spec.partitionBy.map(col): _*)
-      else {
-        val bytes = files.map(Files.size).sum
+      else
         current.repartition(
           math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
-      }
     ObjectStoreSink.replaceTable(spark, packed, spec)
     liveFileCount(spark, spec)
   }

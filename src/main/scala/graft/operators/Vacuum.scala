@@ -39,8 +39,11 @@ object Vacuum {
       val versions = listVersionDirs(table)
       if (versions.nonEmpty) {
         tables += 1
+        // same retention rule as the commit path: committed versions retire
+        // graceMs after their _superseded stamp (never from write mtime);
+        // uncommitted crash leftovers once quiescent for the grace
         versions.dropRight(keep)
-          .filter(p => now - Files.getLastModifiedTime(p).toMillis > graceMs)
+          .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
           .foreach { p =>
             freed += treeBytes(p)
             deleteTree(p)

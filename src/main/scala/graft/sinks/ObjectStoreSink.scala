@@ -93,8 +93,19 @@ object ObjectStoreSink {
       val cat = spark.table(fq).columns
       df.select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         .write.mode(mode).insertInto(fq)
+      refreshManifest(spark, fq, spec)
     }
   }
+
+  /** Republish the live version's manifest after an in-place write (append
+    * / CDC dynamic partition overwrite) so the manifest stays the source of
+    * truth for the committed file set. Serialized per table by the caller's
+    * lock (write()) or taken here for external callers (CdcStream).
+    */
+  def refreshManifest(spark: SparkSession, fq: String, spec: ObjectStoreSpec): Unit =
+    lockFor(spec).synchronized {
+      TableManifest.refresh(currentLocation(spark, fq), spec.fileFormat): Unit
+    }
 
   /** Field names or types differ from the registered table (order-blind on
     * names, partition reorder ignored) → new table version needed.
@@ -151,10 +162,23 @@ object ObjectStoreSink {
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       sw.save(next.toString) // materialize BEFORE touching the live table
       val reread = spark.read.format(spec.fileFormat).load(next.toString)
+      // the manifest IS the commit: one atomic rename after every data file
+      // is fully written — a version dir without it is an uncommitted crash
+      // leftover, invisible to recovery/vacuum (TableManifest protocol)
+      TableManifest.commit(next, schemaHash(reread), spec.fileFormat)
       repoint(spark, fq, spec, next, reread)
+      // stamp the versions this commit just replaced: retirement grace
+      // measures from the supersede TIME, not the dir's write mtime
+      versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
+        .foreach(TableManifest.markSuperseded)
       retireOldVersions(tableDir, keep = 2)
       fq
     }
+
+  private def schemaHash(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(df.schema.json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Point the catalog entry for `fq` at `newLoc`. Schema-preserving swaps
     * take the atomic path (ALTER ... SET LOCATION + partition re-sync);
@@ -191,7 +215,9 @@ object ObjectStoreSink {
     val fq = s"${spec.database}.${spec.table}"
     if (spark.catalog.tableExists(fq)) return true
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
-    versionDirs(tableDir).lastOption match {
+    // only a COMMITTED version (manifest present) is recoverable — a dir of
+    // files from a crashed write is never served, however complete it looks
+    versionDirs(tableDir).filter(TableManifest.isCommitted).lastOption match {
       case Some(latest) =>
         spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
         val reread = spark.read.format(spec.fileFormat).load(latest.toString)
@@ -246,24 +272,28 @@ object ObjectStoreSink {
     tableDir.resolve(f"v-${maxN + 1}%06d")
   }
 
-  /** Delete all but the newest `keep` version dirs. Orphans from crashed
-    * writes are older than the just-committed version, so they are swept
-    * here too — every successful commit self-heals prior failures.
-    */
   /** Grace window before a superseded version's files are deleted. Count-
     * based retention alone has a race: a reader that resolved version v(i)
     * can still be scanning it when two rapid swaps retire it. Requiring a
-    * version to ALSO be old enough means any read that started while it
-    * was current (or previous) survives a swap burst shorter than the
-    * grace — the plain-parquet analogue of snapshot-expiry retention in an
-    * ACID table format. Tests shrink it to exercise deletion.
+    * version to ALSO have been superseded for the grace means any read
+    * that started while it was current (or previous) survives a swap burst
+    * of ANY speed — grace measures from the `_superseded` stamp, never
+    * from the dir's write mtime (a long-lived version swapped out twice in
+    * quick succession still gets its full grace). The plain-parquet
+    * analogue of snapshot-expiry retention in an ACID table format. Tests
+    * shrink it to exercise deletion.
     */
   @volatile private[graft] var retireGraceMs: Long = 60000L
 
+  /** Delete all but the newest `keep` version dirs, once retirable under
+    * the manifest protocol: committed versions `retireGraceMs` after their
+    * supersede stamp; uncommitted crash leftovers once quiescent for the
+    * grace — every successful commit self-heals prior failures.
+    */
   private def retireOldVersions(tableDir: Path, keep: Int): Unit = {
     val now = System.currentTimeMillis()
     versionDirs(tableDir).dropRight(keep)
-      .filter(p => now - Files.getLastModifiedTime(p).toMillis > retireGraceMs)
+      .filter(p => TableManifest.retirable(p, now, retireGraceMs))
       .foreach(deleteTree)
   }
 

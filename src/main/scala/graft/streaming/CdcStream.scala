@@ -163,6 +163,9 @@ object CdcStream {
         deleteTree(dir)
       }
     }
+    // in-place partition rewrite changed the committed file set — republish
+    // the manifest so it stays the source of truth (TableManifest protocol)
+    graft.sinks.ObjectStoreSink.refreshManifest(spark, fq, sink)
     next.unpersist(): Unit
   }
 

@@ -1,0 +1,109 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.model.ObjectStoreSpec
+
+class TableManifestSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  private def versionDirs(root: String, db: String, table: String) =
+    Paths.get(root, db, table).toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+      .sortBy(_.getName)
+
+  test("commit publishes a manifest with exact files, bytes, and footer row count") {
+    val root = scratchDir("mfcommit").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m1", table = "t",
+      partitionBy = Seq("region"))
+    ObjectStoreSink.write(spark,
+      Seq((1, "us", 1.0), (2, "eu", 2.0), (3, "us", 3.0))
+        .toDF("id", "region", "v"), spec)
+    val live = versionDirs(root, "graft_m1", "t").last.toPath
+    val m = TableManifest.read(live).get
+    m.rowCount shouldBe 3 // parquet footer metadata, not a scan
+    m.files should not be empty
+    m.files.foreach { e =>
+      Files.exists(live.resolve(e.path)) shouldBe true
+      Files.size(live.resolve(e.path)) shouldBe e.bytes
+    }
+    m.totalBytes shouldBe m.files.map(_.bytes).sum
+    m.schemaHash should have length 32
+    // manifest lists exactly the non-hidden data files (source of truth)
+    TableManifest.dataFiles(live).map(p => live.relativize(p).toString) shouldBe
+      m.files.map(_.path)
+  }
+
+  test("a version dir without a manifest is an uncommitted crash leftover: never recovered") {
+    val root = scratchDir("mfcrash").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m2", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, 1.0)).toDF("id", "v"), spec)
+    // simulate a crashed writer: a NEWER version dir full of plausible data
+    // files but no manifest (died before the atomic manifest publish)
+    val live = versionDirs(root, "graft_m2", "t").last.toPath
+    val orphan = live.getParent.resolve("v-000999")
+    Seq((2, 2.0), (3, 3.0)).toDF("id", "v")
+      .write.parquet(orphan.toString)
+    TableManifest.isCommitted(orphan) shouldBe false
+    // catalog lost: recovery must serve the committed version, not the
+    // bigger-but-uncommitted orphan
+    spark.sql("DROP TABLE graft_m2.t")
+    ObjectStoreSink.recoverTable(spark, spec) shouldBe true
+    spark.table("graft_m2.t").as[(Int, Double)].collect().toSeq shouldBe Seq((1, 1.0))
+  }
+
+  test("supersede stamp, not write mtime, drives retirement (swap-burst race)") {
+    val root = scratchDir("mfgrace").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m3", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, 1.0)).toDF("id", "v"), spec)
+    val v1 = versionDirs(root, "graft_m3", "t").last.toPath
+    // v1 has been live for a long time (backdate every mtime far past grace)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 24 * 3600 * 1000L)
+    val walk = Files.walk(v1)
+    try walk.forEach(p => Files.setLastModifiedTime(p, old)) finally walk.close()
+    // two rapid swaps push v1 past keep=2 while the grace is large: under
+    // mtime-based grace v1 would be deleted instantly (now - mtime >> grace)
+    // with a reader potentially mid-scan — the supersede stamp is fresh, so
+    // it must survive
+    val saved = ObjectStoreSink.retireGraceMs
+    try {
+      ObjectStoreSink.retireGraceMs = 3600 * 1000L
+      ObjectStoreSink.replaceTable(spark, Seq((2, 2.0)).toDF("id", "v"), spec)
+      ObjectStoreSink.replaceTable(spark, Seq((3, 3.0)).toDF("id", "v"), spec)
+      Files.exists(v1) shouldBe true
+      TableManifest.supersededAt(v1).isDefined shouldBe true
+      // with the grace elapsed (stamp backdated), the next sweep retires it
+      Files.writeString(v1.resolve(TableManifest.SupersededName),
+        (System.currentTimeMillis() - 7200 * 1000L).toString)
+      ObjectStoreSink.replaceTable(spark, Seq((4, 4.0)).toDF("id", "v"), spec)
+      Files.exists(v1) shouldBe false
+    } finally ObjectStoreSink.retireGraceMs = saved
+  }
+
+  test("supersede stamp is idempotent: the first supersede time wins") {
+    val dir = scratchDir("mfstamp").toPath
+    TableManifest.markSuperseded(dir)
+    val first = TableManifest.supersededAt(dir).get
+    Thread.sleep(5)
+    TableManifest.markSuperseded(dir)
+    TableManifest.supersededAt(dir).get shouldBe first
+  }
+
+  test("in-place append refreshes the manifest: file set and row count stay truthful") {
+    val root = scratchDir("mfappend").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m4", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), spec)
+    val live = versionDirs(root, "graft_m4", "t").last.toPath
+    TableManifest.read(live).get.rowCount shouldBe 2
+    // append goes through insertInto INTO the live version dir
+    ObjectStoreSink.write(spark, Seq((3, 3.0)).toDF("id", "v"), spec)
+    val m = TableManifest.read(live).get
+    m.rowCount shouldBe 3
+    m.files.map(_.path) shouldBe
+      TableManifest.dataFiles(live).map(p => live.relativize(p).toString)
+  }
+}
