@@ -140,5 +140,59 @@ class PlanAuditSpec extends SparkSpec {
     plan should include ("HashJoin") // every join keyed
   }
 
+  /** Collect nodes across AQE query-stage boundaries (plan.collect stops at
+    * QueryStageExec, which hides most of the final tree).
+    */
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    def go(n: SparkPlan): Unit = {
+      if (pf.isDefinedAt(n)) out += pf(n)
+      n match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case _ =>
+      }
+      n.children.foreach(go)
+    }
+    go(p)
+    out.result()
+  }
+
+  test("q_lsh_pairs: hot-bucket blacklist is a broadcast anti-join; no Window over the band table") {
+    val df = q("q_lsh_pairs")
+    // the STATIC plan carries the stance: the blacklist side builds a
+    // broadcast and anti-joins without shuffling the band table. (At this
+    // SF no bucket exceeds the cap, so AQE's empty-relation propagation
+    // removes the anti-join from the FINAL plan entirely — also correct.)
+    val static = df.queryExecution.sparkPlan.toString
+    static should include regex "BroadcastHashJoin.*LeftAnti"
+    // the window-sort formulation this replaced (COUNT OVER the full band
+    // table before the self-join) must never come back, in either plan
+    (static should not).include("Window")
+    val fin = planString(df)
+    (fin should not).include("Window")
+    (fin should not).include("CartesianProduct")
+  }
+
+  test("q_containment_pairs: shingle stage materializes once; branches read the cache") {
+    val df = q("q_containment_pairs")
+    df.collect()
+    val plan = executed(df)
+    val fileScans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val cacheReads = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c }
+    // six consumers (counts, both jaccard join sides, cand's signature
+    // stage, both containment directions) — but the corpus parquet is
+    // scanned ONCE in the final tree (the signature kernel; the staged
+    // shingle cache is built off-tree). Per-branch re-explosion would put
+    // 4+ parquet scans back here.
+    withClue(s"parquet scans: ${fileScans.map(_.nodeName)}") {
+      fileScans.size should be <= 2
+    }
+    // the staged shingle/hash tables actually serve the branches
+    cacheReads.size should be >= 4
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
