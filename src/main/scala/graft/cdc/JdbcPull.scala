@@ -1,6 +1,6 @@
 package graft.cdc
 
-import graft.model.JdbcSourceSpec
+import graft.model.{JdbcSourceSpec, SecretRef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,11 +90,12 @@ object JdbcPull {
       s"SELECT $fields FROM ${spec.table}$where"
     }
     val reader = spark.read.format("jdbc")
-      .option("url", spec.url)
+      .option("url", SecretRef.resolve(spec.url))
       .option("dbtable", s"($baseSql) pull_q")
     spec.driver.foreach(reader.option("driver", _))
-    spec.user.foreach(reader.option("user", _))
-    spec.password.foreach(reader.option("password", _))
+    // credential indirection resolves here too (see model.SecretRef)
+    spec.user.foreach(u => reader.option("user", SecretRef.resolve(u)))
+    spec.password.foreach(pw => reader.option("password", SecretRef.resolve(pw)))
     // Snapshot the poll window in one JDBC read. Without this the DataFrame
     // is lazy and the source is re-queried by every downstream action — the
     // watermark aggregate, the sink, and any bookkeeping could each see a

@@ -44,15 +44,25 @@ final case class PipelineSpec(
     val destSchema0 =
       if (destination.schema.nonEmpty) destination.schema.map(_.normalized)
       else src.schema
+    // credential indirection resolves at load time — a dangling ${env:}/
+    // ${file:} reference fails HERE, before any data moves (SecretRef)
+    val srcR = src.copy(database = src.database.map(d => d.copy(
+      url = SecretRef.resolve(d.url),
+      user = SecretRef.resolveOpt(d.user),
+      password = SecretRef.resolveOpt(d.password))))
     copy(
       name = name.toLowerCase,
-      source = src,
+      source = srcR,
       destination = destination.copy(schema = destSchema0,
         objectStore = destination.objectStore.map(o =>
           o.copy(table = o.table.toLowerCase,
             database = o.database.toLowerCase,
             partitionBy = o.partitionBy.map(_.toLowerCase),
-            keyFields = o.keyFields.map(_.toLowerCase)))))
+            keyFields = o.keyFields.map(_.toLowerCase))),
+        database = destination.database.map(d => d.copy(
+          url = SecretRef.resolve(d.url),
+          user = SecretRef.resolveOpt(d.user),
+          password = SecretRef.resolveOpt(d.password)))))
   }
 
   /** Structural validation (reference DatasetValidatorUtil.scala:28-289

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import graft.model.JdbcSinkSpec
+import graft.model.{JdbcSinkSpec, SecretRef}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 import java.sql.{Connection, DriverManager}
@@ -36,7 +36,7 @@ object JdbcSink {
         withConnection(spec) { c =>
           exec(c, s"DELETE FROM ${spec.table}")
         }
-      df.write.mode(SaveMode.Append).jdbc(spec.url, spec.table, props)
+      df.write.mode(SaveMode.Append).jdbc(SecretRef.resolve(spec.url), spec.table, props)
     }
     runSql(spec, spec.postSql)
   }
@@ -76,7 +76,7 @@ object JdbcSink {
 
   private def mergeInto(df: DataFrame, spec: JdbcSinkSpec, props: Properties): Unit = {
     val stage = s"${spec.table}_stage_${java.util.UUID.randomUUID.toString.take(8)}"
-    df.write.mode(SaveMode.ErrorIfExists).jdbc(spec.url, stage, props)
+    df.write.mode(SaveMode.ErrorIfExists).jdbc(SecretRef.resolve(spec.url), stage, props)
     val cols = df.columns
     withConnection(spec) { c =>
       c.setAutoCommit(false)
@@ -121,16 +121,19 @@ object JdbcSink {
 
   private def connProps(spec: JdbcSinkSpec): Properties = {
     val p = new Properties()
-    spec.user.foreach(p.setProperty("user", _))
-    spec.password.foreach(p.setProperty("password", _))
+    // ${env:}/${file:} indirection resolves at connection time too, so
+    // programmatically-built specs get the same treatment as loaded JSON
+    spec.user.foreach(u => p.setProperty("user", SecretRef.resolve(u)))
+    spec.password.foreach(pw => p.setProperty("password", SecretRef.resolve(pw)))
     spec.driver.foreach(p.setProperty("driver", _))
     p
   }
 
   private def withConnection[A](spec: JdbcSinkSpec)(f: Connection => A): A = {
     spec.driver.foreach(Class.forName)
-    val c = DriverManager.getConnection(spec.url,
-      spec.user.orNull, spec.password.orNull)
+    val c = DriverManager.getConnection(SecretRef.resolve(spec.url),
+      spec.user.map(SecretRef.resolve(_)).orNull,
+      spec.password.map(SecretRef.resolve(_)).orNull)
     try f(c) finally c.close()
   }
 

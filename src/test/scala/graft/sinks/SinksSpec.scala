@@ -96,6 +96,17 @@ class SinksSpec extends SparkSpec {
     merged shouldBe Seq((9, "z2"), (10, "w"))
   }
 
+  test("jdbc sink resolves ${file:}/${env:} credential indirection at connect time") {
+    // the URL itself is indirected: if SecretRef did not resolve, neither
+    // the Spark JDBC write nor the DriverManager DDL path could connect
+    val urlFile = java.nio.file.Files.createTempFile("dburl", ".txt")
+    java.nio.file.Files.writeString(urlFile, derbyUrl + "\n")
+    JdbcSink.write(Seq((1, "s")).toDF("id", "name"),
+      jdbcSpec("secret_t").copy(url = s"$${file:$urlFile}"))
+    spark.read.format("jdbc").option("url", derbyUrl)
+      .option("dbtable", "secret_t").load().count() shouldBe 1
+  }
+
   test("jdbc sink dialect hooks: typed DDL, preSql/postSql with @table") {
     val df = Seq((1, """{"a":1}""", "x")).toDF("id", "payload", "note")
     val c = java.sql.DriverManager.getConnection(derbyUrl)
