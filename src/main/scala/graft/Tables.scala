@@ -28,8 +28,22 @@ object Tables {
   // the driver each time; with ~80 queries × several loads each, that adds
   // seconds of pure planning to a suite run. The decision is a property of
   // (session, dir, table) — memoize the loaded frame.
+  //
+  // CONTRACT: the parquet at a given (dir, name) is immutable for the
+  // lifetime of the session — true for the driver's generated testdata
+  // (written once per scale factor, never rewritten). A caller that DOES
+  // rewrite a path in-session must call [[invalidate]] or the memoized
+  // plan (and its degenerate-scan decision) is stale. Entries also pin
+  // their session until invalidated — fine for the engine's one-session-
+  // per-JVM mains (Verify/Bench/tests), not for a session-churning host.
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop memoized loads — all of them, one dir's, or one table's. */
+  def invalidate(sfDir: String = null, name: String = null): Unit =
+    loadCache.keySet.removeIf { case (_, d, n) =>
+      (sfDir == null || d == sfDir) && (name == null || n == name)
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     loadCache.computeIfAbsent((spark, sfDir, name), _ => {

@@ -188,8 +188,11 @@ object ConnectedComponents {
     case ShortType => (a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short]
     case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
     case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-    case FloatType => (a, b) => a.asInstanceOf[Float] < b.asInstanceOf[Float]
-    case DoubleType => (a, b) => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    // Float/Double ids are REJECTED on purpose: JVM `<` (NaN comparisons
+    // all false, union direction arbitrary) disagrees with the iterate
+    // path's SQL min()/max() (NaN largest), so a graph containing NaN ids
+    // could label nondeterministically depending on which path ran. Ids
+    // are identities — use integral, string, or decimal.
     case StringType => (a, b) =>
       a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
     case _: DecimalType => (a, b) =>
