@@ -19,7 +19,7 @@ object SparkEntry {
       Dedup.incrementalDefs ++ Dedup.containmentDefs ++
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++ OpsQueries.defs
 
   /** Flagship: the full config-driven pipeline (read → DQ → script
     * transform → cast → partitioned catalog table → SQL) — the engine's
