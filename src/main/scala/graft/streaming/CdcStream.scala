@@ -37,17 +37,62 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CdcStream {
 
+  /** True when the Kafka source provider is on the classpath
+    * (spark-sql-kafka is a separate artifact, absent in this offline
+    * container). [[fromKafka]] requires it; the file-envelope path never
+    * does.
+    */
+  lazy val kafkaAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Kafka-topic variant of [[start]] (reference DebeziumCDCRunner.scala:
+    * 37-121 — topic-regex subscribe): same checkpointed apply, the source
+    * line is the only difference. Fails fast with a capability error when
+    * the kafka-sql jars are absent — a config problem surfaced at submit
+    * time, not a stream that silently never starts. Untestable offline (no
+    * broker, no jars): `CdcStreamKafkaSpec` documents + pins the seam and
+    * skips itself when [[kafkaAvailable]] is false.
+    */
+  def fromKafka(spark: SparkSession, brokers: String, topicPattern: String,
+      sink: ObjectStoreSpec, keys: Seq[String], checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(kafkaAvailable,
+      "Kafka source not on the classpath: add the spark-sql-kafka artifact " +
+        "matching your Spark version (capability flag CdcStream.kafkaAvailable)")
+    val envelopes = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribePattern", topicPattern)
+      .option("startingOffsets", "earliest") // checkpoint owns progress after start
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+    applyStream(spark, envelopes, sink, keys, checkpointDir, trigger)
+  }
+
   /** Start the stream; AvailableNow processes the backlog then stops —
     * tests and batch-catchup use it; continuous deployments pass
     * `Trigger.ProcessingTime(...)`.
     */
   def start(spark: SparkSession, envelopeDir: String, sink: ObjectStoreSpec,
       keys: Seq[String], checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    applyStream(spark,
+      spark.readStream.option("maxFilesPerTrigger", 64).text(envelopeDir),
+      sink, keys, checkpointDir, trigger)
+
+  /** Source-agnostic tail of the job: any streaming DataFrame with a string
+    * `value` column of Debezium envelopes (file dir, Kafka, a test
+    * MemoryStream) gets the same parse → checkpointed MERGE apply.
+    */
+  private def applyStream(spark: SparkSession,
+      envelopes: DataFrame, sink: ObjectStoreSpec,
+      keys: Seq[String], checkpointDir: String,
+      trigger: Trigger): StreamingQuery = {
     val fq = s"${sink.database}.${sink.table}"
-    spark.readStream
-      .option("maxFilesPerTrigger", 64)
-      .text(envelopeDir)
+    envelopes
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
