@@ -523,8 +523,18 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)
       val cutoff = (maxId + 1) * 4 / 5 // integer arithmetic on both engines
-      val index = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") < cutoff))
-      val batch = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") >= cutoff))
+      // In production the index sides are parquet reads (cheap to consume
+      // twice); built in-query they are explode+distinct pipelines that the
+      // verify stage consumes three times (both join sides + counts) — stage
+      // them like the jaccard query stages `hashes`, or the corpus re-derives
+      // per consumer.
+      def staged(idx: IncrementalDedup.DedupIndex) = {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        IncrementalDedup.DedupIndex(idx.bands.persist(lvl),
+          idx.hashes.persist(lvl), idx.counts.persist(lvl))
+      }
+      val index = staged(IncrementalDedup.buildIndex(arrays.filter(col("doc_id") < cutoff)))
+      val batch = staged(IncrementalDedup.buildIndex(arrays.filter(col("doc_id") >= cutoff)))
       IncrementalDedup.newPairs(index, batch).orderBy("id_a", "id_b")
     },
     Some(s"""WITH cand0 AS ($lshCandidatesSql),

@@ -104,7 +104,8 @@ object ObjectStoreSink {
     */
   def refreshManifest(spark: SparkSession, fq: String, spec: ObjectStoreSpec): Unit =
     lockFor(spec).synchronized {
-      TableManifest.refresh(currentLocation(spark, fq), spec.fileFormat): Unit
+      TableManifest.refresh(currentLocation(spark, fq), spec.fileFormat,
+        Some(schemaHash(spark.table(fq)))): Unit
     }
 
   /** Field names or types differ from the registered table (order-blind on

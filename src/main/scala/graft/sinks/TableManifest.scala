@@ -76,10 +76,13 @@ object TableManifest {
   }
 
   /** Re-list and republish after an in-place write into a committed dir
-    * (append / dynamic partition overwrite). Keeps the original schema hash
-    * and commit time; row count is recomputed from footers.
+    * (append / dynamic partition overwrite). Keeps the original commit
+    * time; row count is recomputed from footers; the schema hash updates
+    * when the caller passes the current one (schema-change appends
+    * re-create the catalog entry over the same location).
     */
-  def refresh(versionDir: Path, fileFormat: String): Option[Manifest] =
+  def refresh(versionDir: Path, fileFormat: String,
+      schemaHash: Option[String] = None): Option[Manifest] =
     read(versionDir).map { old =>
       val files = dataFiles(versionDir)
       val entries = files.map(p =>
@@ -87,7 +90,7 @@ object TableManifest {
       val rows =
         if (fileFormat.equalsIgnoreCase("parquet")) parquetRowCount(files) else -1L
       val m = old.copy(files = entries, totalBytes = entries.map(_.bytes).sum,
-        rowCount = rows)
+        rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash))
       publish(versionDir, m)
       m
     }
