@@ -207,6 +207,47 @@ object ObjectStoreSink {
     }
   }
 
+  /** Committed-snapshot inventory for a table, oldest → newest — version
+    * number, commit/supersede times, and the manifest's exact row/byte
+    * accounting. Metadata-only (manifest reads, no data access, no Spark
+    * jobs): the versioned-dir analogue of an ACID format's snapshot log.
+    */
+  final case class Snapshot(version: Int, path: String, committedAtMs: Long,
+      supersededAtMs: Option[Long], rowCount: Long, totalBytes: Long,
+      nFiles: Int, live: Boolean)
+
+  def snapshots(spec: ObjectStoreSpec): Seq[Snapshot] = {
+    val tableDir = Paths.get(spec.path, spec.database, spec.table)
+    val committed = versionDirs(tableDir).filter(TableManifest.isCommitted)
+    committed.zipWithIndex.map { case (p, i) =>
+      val m = TableManifest.read(p).get
+      val v = p.getFileName.toString match { case VersionDir(n) => n.toInt }
+      Snapshot(v, p.toString, m.committedAtMs, TableManifest.supersededAt(p),
+        m.rowCount, m.totalBytes, m.files.size, live = i == committed.size - 1)
+    }
+  }
+
+  /** Time-travel read: the table AS OF a committed version (by version
+    * number, or the latest when `version` is None). Reads the version's
+    * own directory — immutable until retention retires it — so the result
+    * is stable regardless of later commits. The manifest gate means a
+    * crashed writer's directory can never be read.
+    */
+  def readVersion(spark: SparkSession, spec: ObjectStoreSpec,
+      version: Option[Int] = None): DataFrame = {
+    val snaps = snapshots(spec)
+    if (snaps.isEmpty) throw new PipelineSpecException(
+      s"no committed versions for ${spec.database}.${spec.table} under ${spec.path}")
+    val snap = version match {
+      case None => snaps.last
+      case Some(v) => snaps.find(_.version == v).getOrElse(
+        throw new PipelineSpecException(
+          s"version $v of ${spec.database}.${spec.table} does not exist or " +
+            s"is not committed (have: ${snaps.map(_.version).mkString(", ")})"))
+    }
+    spark.read.format(spec.fileFormat).load(snap.path)
+  }
+
   /** Re-register a table whose catalog entry is gone but whose versioned
     * data survives (e.g. a crash between DROP and CREATE of a schema-change
     * swap, or a fresh session over an existing lake). Returns true if the

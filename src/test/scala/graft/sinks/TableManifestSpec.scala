@@ -93,6 +93,27 @@ class TableManifestSpec extends SparkSpec {
     TableManifest.supersededAt(dir).get shouldBe first
   }
 
+  test("snapshots + time-travel: every committed version stays readable until retired") {
+    val root = scratchDir("mftravel").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m5", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, 1.0)).toDF("id", "v"), spec)
+    ObjectStoreSink.replaceTable(spark, Seq((1, 1.5), (2, 2.0)).toDF("id", "v"), spec)
+    val snaps = ObjectStoreSink.snapshots(spec)
+    snaps.map(_.version) shouldBe Seq(1, 2)
+    snaps.map(_.rowCount) shouldBe Seq(1, 2)
+    snaps.last.live shouldBe true
+    snaps.head.supersededAtMs.isDefined shouldBe true
+    snaps.last.supersededAtMs shouldBe None
+    // time travel: v1 readable and stable; latest = live table
+    ObjectStoreSink.readVersion(spark, spec, Some(1))
+      .as[(Int, Double)].collect().toSeq shouldBe Seq((1, 1.0))
+    ObjectStoreSink.readVersion(spark, spec)
+      .as[(Int, Double)].collect().toSeq.sorted shouldBe Seq((1, 1.5), (2, 2.0))
+    // an uncommitted orphan is not a snapshot and not readable
+    an[graft.model.PipelineSpecException] should be thrownBy
+      ObjectStoreSink.readVersion(spark, spec, Some(999))
+  }
+
   test("in-place append refreshes the manifest: file set and row count stay truthful") {
     val root = scratchDir("mfappend").getAbsolutePath
     val spec = ObjectStoreSpec(path = root, database = "graft_m4", table = "t")
