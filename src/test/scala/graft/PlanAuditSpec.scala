@@ -194,5 +194,38 @@ class PlanAuditSpec extends SparkSpec {
     cacheReads.size should be >= 4
   }
 
+  test("q_knn_brute: queries broadcast, corpus never shuffles; top-k aggregates map-side") {
+    val df = q("q_knn_brute")
+    df.collect()
+    val plan = executed(df).toString
+    // the scoring join is corpus ⋈ broadcast(queries) — the corpus side
+    // reaches the join straight from its scan, no Exchange
+    plan should include ("BroadcastNestedLoopJoin")
+    (plan should not).include("SortMergeJoin")
+    // ranking is the bounded TopKByScore aggregate with map-side partials
+    // (shuffle = k·queries), never a row_number window over corpus×queries
+    plan should include ("ObjectHashAggregate")
+    plan should include ("partial_")
+    (plan should not).include("Window")
+  }
+
+  test("q_knn_ivf: probed-bucket join, no cartesian, bounded top-k, no Window") {
+    val df = q("q_knn_ivf")
+    df.collect()
+    val plan = executed(df).toString
+    (plan should not).include("CartesianProduct")
+    plan should include ("ObjectHashAggregate")
+    (plan should not).include("Window")
+  }
+
+  test("q_embed_neardup: bucketed self-join only — no cartesian, no window") {
+    val df = q("q_embed_neardup")
+    df.collect()
+    val plan = executed(df).toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin") // blocked, not all-pairs
+    (plan should not).include("Window")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
