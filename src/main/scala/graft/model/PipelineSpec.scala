@@ -143,7 +143,10 @@ final case class SemiStructuredSpec(
     everyRowContainsObject: Boolean = false,
     encoding: String = "UTF-8")
 
-final case class XlsxSpec(worksheet: Int = 0)
+final case class XlsxSpec(worksheet: Int = 0,
+    /** Re-evaluate every formula cell instead of trusting cached results
+      * (POI-evaluator parity; stale caches in hand-edited files differ). */
+    evaluateFormulas: Boolean = false)
 
 final case class UnstructuredSpec(
     fileExtension: String,

@@ -24,10 +24,12 @@ import scala.collection.mutable.ArrayBuffer
 object XlsxSource {
 
   def read(spark: SparkSession, spec: PipelineSpec, path: String): DataFrame = {
-    val ws = spec.source.file.flatMap(_.xlsx).map(_.worksheet).getOrElse(0)
+    val xlsx = spec.source.file.flatMap(_.xlsx)
+    val ws = xlsx.map(_.worksheet).getOrElse(0)
+    val evalAll = xlsx.exists(_.evaluateFormulas)
     val rows =
       if (path.toLowerCase.endsWith(".xls")) XlsSource.readRows(path, ws)
-      else readRows(path, ws)
+      else readRows(path, ws, evalAll)
     rowsToDataFrame(spark, spec, rows, ws, path)
   }
 
@@ -53,8 +55,12 @@ object XlsxSource {
       schema)
   }
 
-  /** All rows of worksheet `index` (0-based) as string cells. */
-  private[sources] def readRows(path: String, index: Int): Vector[Vector[String]] = {
+  /** All rows of worksheet `index` (0-based) as string cells. Formula cells
+    * resolve through [[XlsxFormula]]: cached `<v>` wins unless absent (or
+    * `evaluateAll` re-evaluates everything, the POI-evaluator-parity mode).
+    */
+  private[sources] def readRows(path: String, index: Int,
+      evaluateAll: Boolean = false): Vector[Vector[String]] = {
     val zip = new ZipFile(path)
     try {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
@@ -63,7 +69,7 @@ object XlsxSource {
       val entry = Option(zip.getEntry(s"xl/worksheets/sheet${index + 1}.xml"))
         .getOrElse(throw new IllegalArgumentException(
           s"worksheet $index (xl/worksheets/sheet${index + 1}.xml) not found in $path"))
-      parseSheet(zip.getInputStream(entry), shared)
+      XlsxFormula.resolve(parseSheet(zip.getInputStream(entry), shared), evaluateAll)
     } finally zip.close()
   }
 
@@ -95,34 +101,41 @@ object XlsxSource {
     out.toVector
   }
 
-  private def parseSheet(in: InputStream, shared: Vector[String]): Vector[Vector[String]] = {
+  private def parseSheet(in: InputStream,
+      shared: Vector[String]): Vector[Vector[XlsxFormula.Cell]] = {
     val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
-    val rows = ArrayBuffer.empty[Vector[String]]
-    var row: ArrayBuffer[String] = null
+    val rows = ArrayBuffer.empty[Vector[XlsxFormula.Cell]]
+    var row: ArrayBuffer[XlsxFormula.Cell] = null
     var cellCol = -1
     var cellType = ""
     var inV = false
     var inIs = false
+    var inF = false
     val v = new StringBuilder
+    val f = new StringBuilder
+    val emptyCell = XlsxFormula.Cell("", None)
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => row = ArrayBuffer.empty[String]
+            case "row" => row = ArrayBuffer.empty[XlsxFormula.Cell]
             case "c" =>
               cellCol = Option(r.getAttributeValue(null, "r"))
                 .map(colIndex).getOrElse(row.length)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-              v.clear()
+              v.clear(); f.clear()
             case "v" => inV = true
+            case "f" => inF = true
             case "is" => inIs = true
             case "t" if inIs => inV = true
             case _ =>
           }
-        case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+        case XMLStreamConstants.CHARACTERS if inV || inF =>
+          if (inF) f.append(r.getText) else v.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "v" => inV = false
+            case "f" => inF = false
             case "t" if inIs => inV = false
             case "is" => inIs = false
             case "c" =>
@@ -132,8 +145,9 @@ object XlsxSource {
                 case "b" => if (raw.trim == "1") "true" else "false"
                 case _   => raw // n, str (cached formula result), inlineStr
               }
-              while (row.length < cellCol) row += "" // sparse cells → empty pads
-              row += value
+              while (row.length < cellCol) row += emptyCell // sparse cells
+              row += XlsxFormula.Cell(value,
+                Option(f.toString).filter(_.nonEmpty))
             case "row" => rows += row.toVector
             case _ =>
           }
@@ -142,7 +156,8 @@ object XlsxSource {
     }
     r.close()
     // Drop fully-empty trailing rows (Excel often stores phantom rows).
-    rows.toVector.reverse.dropWhile(_.forall(_.isEmpty)).reverse
+    rows.toVector.reverse
+      .dropWhile(_.forall(c => c.value.isEmpty && c.formula.isEmpty)).reverse
   }
 
   /** "BC12" → 0-based column index (A=0, Z=25, AA=26, ...). */
