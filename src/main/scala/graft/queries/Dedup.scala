@@ -123,13 +123,13 @@ object Dedup {
     * Catalyst kernel) — a narrow map over `documents`. The former
     * explode→groupBy formulation shuffled the exploded token table (~20×
     * the corpus bytes) to compute 16 MIN aggregates; at 100 TB that
-    * shuffle WAS the signature stage's cost. `toks` is accepted for
-    * callers that share the exploded table for their verify stage, but
-    * signatures no longer need it.
+    * shuffle WAS the signature stage's cost. Callers that also need the
+    * exploded table (the verify stage) pass their STAGED shingle-array
+    * DataFrame via `arrays` so the corpus is scanned and shingled once.
     */
   def minhashSignatures(s: SparkSession, d: String,
-      toks: Option[DataFrame] = None): DataFrame = {
-    val sig = docShingleArrays(s, d)
+      arrays: Option[DataFrame] = None): DataFrame = {
+    val sig = arrays.getOrElse(docShingleArrays(s, d))
       .select(col("doc_id"),
         graft.functions.MinHashSig.sig(col("tokens"), NumHashes).as("sig"))
     sig.select(col("doc_id") +:
@@ -174,8 +174,8 @@ object Dedup {
     * (buckets above [[MaxBucketSize]] are dropped before the self-join).
     */
   def lshCandidates(s: SparkSession, d: String,
-      toks: Option[DataFrame] = None): DataFrame = {
-    val sig = minhashSignatures(s, d, toks)
+      arrays: Option[DataFrame] = None): DataFrame = {
+    val sig = minhashSignatures(s, d, arrays)
     val allBands = sig.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map(b =>
         struct(lit(b).as("band_idx"), bandHash(b).as("h"))): _*)).as("bd"))
@@ -236,22 +236,24 @@ object Dedup {
     QueryDef(
       "q_jaccard_pairs",
       (s, d) => {
-        // The shingle table feeds four plan branches (counts, both join
-        // sides, and the LSH candidate stage); persist it once instead of
-        // re-exploding the corpus per branch. At warehouse scale this is the
-        // staged shingle table every dedup pass shares. The set-intersection
-        // join runs on the 8-byte shingle hash, not the shingle string —
-        // fixed-width shuffle keys instead of ~25-byte text (hash collisions
-        // are applied identically on both engines, so the oracle still
-        // matches bit-for-bit).
-        val toks = docTokens(s, d)
+        // The COMPACT shingle-array table is staged once and feeds every
+        // branch: the signature kernel reads it directly and the verify
+        // stage explodes it — one corpus scan, one shingle computation
+        // (the regex-split+zip_with is the expensive part; the exploded
+        // ~20× token table itself is a cheap narrow explode, NOT worth
+        // caching). The set-intersection join runs on the 8-byte shingle
+        // hash, not the shingle string — fixed-width shuffle keys instead
+        // of ~25-byte text (hash collisions are applied identically on
+        // both engines, so the oracle still matches bit-for-bit).
+        val arrays = docShingleArrays(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val toks = arrays.select(col("doc_id"), explode(col("tokens")).as("token"))
         val hashes = toks
           .select(col("doc_id"), baseHash(col("token")).as("h"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val counts = hashes.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-        val cand = lshCandidates(s, d, Some(toks))
+        val cand = lshCandidates(s, d, Some(arrays))
         val a = hashes.select(col("doc_id").as("id_a"), col("h"))
         val b = hashes.select(col("doc_id").as("id_b"), col("h"))
         // cand grows with corpus size (super-linearly under skew) — no
@@ -447,14 +449,16 @@ object Dedup {
   val containmentDefs: Seq[QueryDef] = Seq(QueryDef(
     "q_containment_pairs",
     (s, d) => {
-      val toks = docTokens(s, d)
+      // staged compact arrays feed kernel + explode — see q_jaccard_pairs
+      val arrays = docShingleArrays(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = arrays.select(col("doc_id"), explode(col("tokens")).as("token"))
       val hashes = toks
         .select(col("doc_id"), baseHash(col("token")).as("h"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = hashes.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      val cand = lshCandidates(s, d, Some(toks))
+      val cand = lshCandidates(s, d, Some(arrays))
       val a = hashes.select(col("doc_id").as("id_a"), col("h"))
       val b = hashes.select(col("doc_id").as("id_b"), col("h"))
       val common = cand.join(a, "id_a").join(b, Seq("id_b", "h"))
