@@ -244,6 +244,15 @@ class CdcSpec extends SparkSpec {
       .toSeq.sorted shouldBe Seq(1, 4)
     location().resolve("region=eu").toFile.exists() shouldBe false
 
+    // the manifest stays the source of truth through in-place partition
+    // rewrites: file set re-listed, row count recomputed from footers
+    val manifest = graft.sinks.TableManifest.read(location()).get
+    manifest.rowCount shouldBe 2
+    manifest.files.map(_.path).toSet shouldBe
+      graft.sinks.TableManifest.dataFiles(location())
+        .map(p => location().relativize(p).toString).toSet
+    manifest.files.map(_.path).foreach(_ should not include "region=eu")
+
     // the slice predicate prunes the scan at PLANNING time: only the
     // touched partition's files are inputs (a broadcast semi-join slice
     // reads every partition — measured, DPP does not fire here)
