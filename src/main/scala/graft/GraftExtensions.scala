@@ -83,5 +83,29 @@ object GraftExtensions {
         require(args.length == 2, "kmv_sketch(hash, k)")
         KmvDistinct(args(0), intArg(args(1), "kmv_sketch"))
           .toAggregateExpression()
+      }),
+    // Spark's OWN bloom-filter expressions, exposed as SQL functions: the
+    // engine uses them for two-phase decontamination (Bloom prune + exact
+    // verify), but Spark registers them only for internal runtime-filter
+    // rewrites — the classes are public catalyst expressions, the SQL
+    // names are not. Surfacing them is registration, not reimplementation.
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_filter_agg(xxhash64(col), estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "might_contain(bloom, xxhash64(col))")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))
       }))
 }

@@ -181,6 +181,50 @@ object CurationOps {
               |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- decontamination, Bloom two-phase (the beyond-broadcast path) -----
+    // When the eval set outgrows a broadcast hash set, the scale path is a
+    // Bloom filter (bits ∝ n, not values): phase 1 prunes the corpus gram
+    // stream with `might_contain` (map-side, false-positive-only), phase 2
+    // removes the FPs with the exact join over the tiny survivor set. The
+    // result is EXACTLY the exact-join answer — which is the oracle: the
+    // Bloom layer may only ever cost extra verify work, never change the
+    // outcome. Spark-native bloom_filter_agg/might_contain, codegen'd.
+    QueryDef(
+      "q_decontaminate_bloom",
+      (s, d) => {
+        graft.GraftExtensions.register(s) // idempotent; exposes bloom fns
+        val g = grams8(s, d)
+        val evalG = g.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+        // build the filter distributedly (partial-agg bloom merge), then
+        // materialize the BITS on the driver: numBits/8 = 50 KB by
+        // construction — a bloom filter IS the bounded summary you ship to
+        // every task (might_contain requires a constant/scalar-subquery
+        // filter; at 100 TB this single-row collect stays 50 KB).
+        val bf = graft.functions.BloomOps.buildBloom(evalG, "gh",
+          expectedItems = 50000L, numBits = 400000L)
+        val candidates = g.filter(col("doc_id") % 20 =!= 0)
+          .filter(graft.functions.BloomOps.mightContain(bf, col("gh")))
+          .select("doc_id", "gh")
+        // exact verify over the pruned stream only
+        val contaminated = candidates
+          .join(broadcast(evalG), "gh")
+          .select("doc_id").distinct()
+        t(s, d, "documents").filter(col("doc_id") % 20 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      // identical answer to the exact path by construction
+      Some(s"""WITH g AS ($grams8Sql),
+              |evalg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+              |contaminated AS (
+              |  SELECT DISTINCT doc_id FROM g
+              |  WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM evalg))
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id % 20 <> 0
+              |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- KMV distinct-cardinality sketch ----------------------------------
     // Estimate the corpus's distinct-shingle count from the k smallest
     // md5 hashes (kmv_sketch aggregate: map-side bounded, shuffle = k
