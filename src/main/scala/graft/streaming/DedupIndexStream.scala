@@ -98,23 +98,17 @@ object DedupIndexStream {
       }
     }
 
-  /** The standing index: the union of COMMITTED batch directories.
-    * Uncommitted (crashed mid-write) batches are invisible. Batch count
-    * grows with stream lifetime — compact by rebuilding via
-    * [[IncrementalDedup.buildIndex]] over the corpus when the file count
-    * matters (metadata-only concern; the per-batch probe never scans
-    * old×old regardless).
+  /** The standing index: the union of COMMITTED batch directories (minus
+    * any superseded by a committed [[compactIndex]] merge). Uncommitted
+    * (crashed mid-write) batches are invisible. Batch count grows with
+    * stream lifetime — [[compactIndex]] merges it back to one directory
+    * (metadata-only concern; the per-batch probe never scans old×old
+    * regardless).
     */
   def loadIndex(spark: SparkSession, indexDir: String): Option[DedupIndex] = {
     val base = Paths.get(indexDir, "batches")
     if (!Files.isDirectory(base)) return None
-    val committed = {
-      val s = Files.list(base)
-      try s.iterator().asScala
-        .filter(p => Files.exists(p.resolve("_COMMIT")))
-        .map(_.toString).toList.sorted
-      finally s.close()
-    }
+    val committed = committedDirs(base).map(_.toString)
     if (committed.isEmpty) None
     else Some(DedupIndex(
       spark.read.parquet(committed.map(_ + "/bands"): _*),
@@ -125,6 +119,67 @@ object DedupIndexStream {
   /** All detected pairs so far: (id_a, id_b, jaccard, batch). */
   def loadPairs(spark: SparkSession, pairsDir: String): DataFrame =
     spark.read.parquet(pairsDir)
+
+  /** Compact the standing index: merge every committed batch directory
+    * into ONE, with the same crash-safe commit discipline as the stream —
+    * the merged batch materializes fully (marker written last) before the
+    * old directories retire, and a reader/crash at any point sees either
+    * the old committed set or the new one, never both or neither. Bounds
+    * the file-count growth of a long-lived stream (metadata-only concern;
+    * probe cost never depended on batch count). Returns the number of
+    * batch directories merged (0/1 = nothing to do).
+    *
+    * Run it from the same single-writer context as the stream (e.g. a
+    * maintenance trigger between micro-batches) — it shares the object
+    * lock with [[applyBatch]], so a concurrent batch can never interleave.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = synchronized {
+    val base = Paths.get(indexDir, "batches")
+    if (!Files.isDirectory(base)) return 0
+    val committed = committedDirs(base)
+    if (committed.size <= 1) return committed.size
+    // merged dir name never collides with the stream's b<id> keys
+    val target = base.resolve(
+      s"compact-${committed.last.getFileName.toString}-${committed.size}")
+    deleteTree(target) // crashed earlier attempt
+    val idx = loadIndex(spark, indexDir).get
+    idx.bands.repartition(1).write.parquet(s"$target/bands")
+    idx.hashes.repartition(spark.sparkContext.defaultParallelism / 4 max 1)
+      .write.parquet(s"$target/hashes")
+    idx.counts.repartition(1).write.parquet(s"$target/counts")
+    // the supersede list makes the commit ATOMIC for readers: the instant
+    // the marker lands, loadIndex serves the merged dir and EXCLUDES its
+    // inputs even if their trees still exist — there is no window where
+    // both (double counting) or neither (empty index) are visible
+    Files.writeString(target.resolve(MergesName),
+      committed.map(_.getFileName.toString).mkString("\n"))
+    Files.write(target.resolve("_COMMIT"), Array.emptyByteArray)
+    // retire the inputs at leisure; a crash here leaves excluded remnants
+    // that the next compaction (or this line on retry) sweeps
+    committed.foreach(deleteTree)
+    committed.size
+  }
+
+  private val MergesName = "_MERGES"
+
+  /** Committed batch dirs, minus any superseded by a committed compaction
+    * (its `_MERGES` list), oldest → newest.
+    */
+  private def committedDirs(base: Path): List[Path] = {
+    val all = {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_COMMIT")))
+        .toList.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val superseded = all.flatMap { p =>
+      val m = p.resolve(MergesName)
+      if (!Files.exists(m)) Nil
+      else Files.readString(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }.toSet
+    all.filterNot(p => superseded(p.getFileName.toString))
+  }
 
   private def emptyIndex(spark: SparkSession, like: DedupIndex): DedupIndex =
     DedupIndex(

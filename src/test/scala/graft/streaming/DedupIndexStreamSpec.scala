@@ -140,4 +140,68 @@ class DedupIndexStreamSpec extends SparkSpec {
       .as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .head() shouldBe 30L
   }
+
+  test("compactIndex merges committed batches into one, content-identical") {
+    val dir = scratchDir("dedupcompact").getAbsolutePath
+    for (b <- 0 until 4)
+      DedupIndexStream.applyBatch(spark,
+        Seq((b * 10L, toks(0 until 30, s"s$b"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, s"b$b")
+    val before = DedupIndexStream.loadIndex(spark, s"$dir/index").get
+    val beforeCounts = before.counts.orderBy("doc_id").collect().toSeq
+    val beforeBands = before.bands.count()
+
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 4
+    val base = Paths.get(s"$dir/index", "batches")
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(base).iterator().asScala.toList
+    dirs.size shouldBe 1 // originals retired
+
+    val after = DedupIndexStream.loadIndex(spark, s"$dir/index").get
+    after.counts.orderBy("doc_id").collect().toSeq shouldBe beforeCounts
+    after.bands.count() shouldBe beforeBands
+
+    // the stream keeps working against the compacted index
+    DedupIndexStream.applyBatch(spark,
+      Seq((99L, toks(0 until 30, "s0"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b9")
+    DedupIndexStream.loadPairs(spark, s"$dir/pairs")
+      .filter(col("id_a") === 0L && col("id_b") === 99L).count() shouldBe 1
+    // re-compaction folds the new batch in too
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 2
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.select("doc_id").as[Long].collect().sorted shouldBe
+      Seq(0L, 10L, 20L, 30L, 99L)
+  }
+
+  test("compactIndex crash windows: before-marker keeps originals; after-marker excludes them") {
+    val dir = scratchDir("dedupcrash2").getAbsolutePath
+    for (b <- 0 until 3)
+      DedupIndexStream.applyBatch(spark,
+        Seq((b + 1L, toks(0 until 25, s"t$b"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, s"b$b")
+    val base = Paths.get(s"$dir/index", "batches")
+
+    // crash BEFORE the merged dir commits: remnant without _COMMIT
+    val remnant = base.resolve("compact-crashed")
+    Files.createDirectories(remnant)
+    Files.writeString(remnant.resolve("_MERGES"), "b0\nb1\nb2")
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.select("doc_id").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 3L) // originals still served; remnant invisible
+
+    // crash AFTER the marker but before input deletion: do a real compact,
+    // then resurrect a fake original - the supersede list must exclude it
+    import scala.jdk.CollectionConverters._
+    Files.walk(remnant).iterator().asScala.toList.reverse.foreach(Files.delete)
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 3
+    val ghost = base.resolve("b0")
+    Files.createDirectories(ghost)
+    Seq((77L, toks(0 until 25, "ghost"))).toDF("doc_id", "tokens")
+      .write.parquet(ghost.resolve("hashes").toString)
+    Files.write(ghost.resolve("_COMMIT"), Array.emptyByteArray)
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.select("doc_id").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 3L) // ghost b0 is superseded by the compact dir's list
+  }
 }
