@@ -73,7 +73,11 @@ object JsInterp {
     /** Evaluate with the given variable bindings; returns the completion
       * value (null / String / Double / Boolean / java.util.HashMap / ...).
       */
-    def eval(bindings: Map[String, Any]): Any = JsInterp.run(this, bindings)
+    def eval(bindings: Map[String, Any]): Any =
+      try JsInterp.run(this, bindings)
+      catch { case _: StackOverflowError =>
+        throw new JsError("evaluation nesting too deep (runaway recursion?)")
+      }
   }
 
   final class JsError(msg: String) extends RuntimeException(msg)
@@ -140,7 +144,13 @@ object JsInterp {
   }
 
   // ------------------------------------------------------------- parser ----
-  def parse(src: String): Script = new Parser(lex(src)).parseProgram()
+  def parse(src: String): Script =
+    try new Parser(lex(src)).parseProgram()
+    catch { case _: StackOverflowError =>
+      // parser recursion is input-depth-bounded; absurd nesting in an
+      // operator-authored script is a config error, not a JVM crash
+      throw new JsError("expression nesting too deep to parse")
+    }
 
   private final class Parser(toks: Vector[Tok]) {
     private var p = 0
@@ -572,13 +582,29 @@ object JsInterp {
       }
   }
 
+  /** Call-depth budget: runaway recursion in an operator-authored script
+    * must surface as a catchable [[JsError]] (one bad row/script), never a
+    * raw StackOverflowError that can kill the executor thread mid-task.
+    * Thread-local — partitions evaluate scripts concurrently.
+    */
+  private val MaxCallDepth = 128
+  private val callDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
   private def invoke(f: JsFunction, args: List[Any]): Any = {
-    val local = new Env(f.closure)
-    f.params.zipWithIndex.foreach { case (p, i) =>
-      local.declare(p, if (i < args.size) args(i) else null)
-    }
-    try { evalStmt(f.body, local); null }
-    catch { case r: ReturnSignal => r.value }
+    val d = callDepth.get()
+    if (d >= MaxCallDepth)
+      throw new JsError(s"call depth limit exceeded ($MaxCallDepth — runaway recursion?)")
+    callDepth.set(d + 1)
+    try {
+      val local = new Env(f.closure)
+      f.params.zipWithIndex.foreach { case (p, i) =>
+        local.declare(p, if (i < args.size) args(i) else null)
+      }
+      try { evalStmt(f.body, local); null }
+      catch { case r: ReturnSignal => r.value }
+    } finally callDepth.set(d)
   }
 
   private def assignTo(target: Expr, value: Any, env: Env): Unit = target match {
