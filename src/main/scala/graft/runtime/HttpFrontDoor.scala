@@ -90,6 +90,7 @@ final class HttpFrontDoor(
         case ("POST", "/poll") => poll(ex)
         case ("GET", "/status") => status(ex)
         case ("GET", "/status/summary") => statusSummary(ex)
+        case ("GET", "/snapshots") => snapshots(ex)
         case (m, p) => respond(ex, 404, s"""{"error": "no route $m ${jsonEsc(p)}"}""")
       }
     } catch {
@@ -98,6 +99,31 @@ final class HttpFrontDoor(
     } finally ex.close()
 
   // ----------------------------------------------------------- endpoints ----
+
+  /** `GET /snapshots?dataset=x` — the dataset table's committed-version
+    * log from the manifest protocol (version, commit/supersede times,
+    * exact row/byte/file accounting, live flag). Metadata-only: manifest
+    * reads, no Spark jobs — the ops view behind time-travel reads.
+    */
+  private def snapshots(ex: HttpExchange): Unit =
+    query(ex, "dataset") match {
+      case None => respond(ex, 400, """{"error": "dataset param required"}""")
+      case Some(name) if !specs.contains(name) => respond(ex, 404, notConfigured(name))
+      case Some(name) =>
+        specs(name).destination.objectStore match {
+          case None => respond(ex, 400,
+            s"""{"error": "dataset ${jsonEsc(name)} has no objectStore destination"}""")
+          case Some(os) =>
+            val rows = graft.sinks.ObjectStoreSink.snapshots(os).map { sn =>
+              s"""{"version": ${sn.version}, "committedAtMs": ${sn.committedAtMs},
+                 | "supersededAtMs": ${sn.supersededAtMs.map(_.toString).getOrElse("null")},
+                 | "rowCount": ${sn.rowCount}, "totalBytes": ${sn.totalBytes},
+                 | "nFiles": ${sn.nFiles}, "live": ${sn.live}}""".stripMargin
+                .replace("\n", "")
+            }
+            respond(ex, 200, rows.mkString("[", ",", "]"))
+        }
+    }
 
   /** Reference rawFilename convention (FileUploadAPIController.scala:58-74):
     * `<dataset>[.<publishertoken>].<date>.<millis>.dataset.<ext>` — the

@@ -81,6 +81,15 @@ class HttpFrontDoorSpec extends SparkSpec {
       // an empty page far past the data
       get(s"$base/status/summary?dataset=stock_http&page=99").body() shouldBe "[]"
 
+      // snapshot log over the wire: one committed live version with the
+      // manifest's exact row accounting
+      val snaps = get(s"$base/snapshots?dataset=stock_http")
+      snaps.statusCode() shouldBe 200
+      snaps.body() should include (""""rowCount": 4""")
+      snaps.body() should include (""""live": true""")
+      get(s"$base/snapshots?dataset=nope").statusCode() shouldBe 404
+      get(s"$base/snapshots").statusCode() shouldBe 400
+
       // unregister
       client.send(HttpRequest.newBuilder(
         URI.create(s"$base/dataset?dataset=stock_http")).DELETE().build(),
