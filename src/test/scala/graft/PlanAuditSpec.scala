@@ -227,5 +227,19 @@ class PlanAuditSpec extends SparkSpec {
     (plan should not).include("Window")
   }
 
+  test("q_decontaminate_bloom: bloom prune is a literal probe; verify broadcasts") {
+    val df = q("q_decontaminate_bloom")
+    df.collect()
+    val plan = executed(df).toString
+    // the prune is a codegen'd might_contain over a LITERAL filter — a
+    // map-side Filter on the gram scan, no join/exchange for phase 1
+    plan should include ("might_contain")
+    // the exact verify joins only survivors, broadcast — never an SMJ of
+    // the corpus gram table against the eval set
+    plan should include ("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
