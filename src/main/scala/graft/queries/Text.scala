@@ -23,6 +23,67 @@ object Text {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- statistical LM quality signal: add-one bigram likelihood ---------
+    // The corpus-statistics quality score curation pipelines filter on
+    // (CCNet-style LM scoring, deterministic edition): per document, the
+    // average add-one-smoothed conditional bigram probability under the
+    // corpus's own bigram model — boilerplate and fluent text score high,
+    // token soup scores near 1/V. Two aggregation passes over the bigram
+    // occurrence stream (staged once) + joins back: c(w1,w2) joins on the
+    // bigram key (shuffle — bigram vocab grows with corpus), c(w1) joins
+    // BROADCAST (unigram vocab is language-bounded, and w1 is maximally
+    // skewed — broadcasting it removes the hot-key shuffle entirely).
+    // Determinism contract: probabilities are IEEE divisions of identical
+    // integers on both engines, rounded to 6dp, summed as DECIMAL (order-
+    // free), divided by the count — the house dsum pattern.
+    QueryDef(
+      "q_bigram_likelihood",
+      (s, d) => {
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val bigrams = when(n >= 2,
+          zip_with(slice(ta, lit(1), n - 1), slice(ta, lit(2), n - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val occ = t(s, d, "documents")
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cbg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+        val cw1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+        val vocab = t(s, d, "documents")
+          .select(explode(ta).as("w"))
+          .agg(countDistinct(col("w")).as("vn"))
+        val p = occ.join(cbg, "bg").join(broadcast(cw1), "w1")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            round((col("c_bg") + lit(1)) / (col("c_w1") + col("vn")), 6).as("p"))
+        p.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+              .cast("double") / count(lit(1)), 6).as("avg_bigram_p"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH occ AS (
+             |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+             |    SELECT doc_id, UNNEST(list_transform(
+             |      range(1, greatest(length(ta), 1)),
+             |      i -> ta[i] || ' ' || ta[i+1])) AS bg
+             |    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS ta
+             |          FROM documents))),
+             |cbg AS (SELECT bg, COUNT(*) AS c_bg FROM occ GROUP BY bg),
+             |cw1 AS (SELECT w1, COUNT(*) AS c_w1 FROM occ GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT w) AS vn FROM (
+             |  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+             |  FROM documents)),
+             |p AS (
+             |  SELECT doc_id, ROUND((c_bg + 1.0) / (c_w1 + vn), 6) AS p
+             |  FROM occ JOIN cbg USING (bg) JOIN cw1 USING (w1) CROSS JOIN v)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             |    AS avg_bigram_p
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- token counting + basic stats -------------------------------------
     QueryDef(
       "q_text_stats",
