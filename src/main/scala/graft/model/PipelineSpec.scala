@@ -44,25 +44,28 @@ final case class PipelineSpec(
     val destSchema0 =
       if (destination.schema.nonEmpty) destination.schema.map(_.normalized)
       else src.schema
-    // credential indirection resolves at load time — a dangling ${env:}/
-    // ${file:} reference fails HERE, before any data moves (SecretRef)
-    val srcR = src.copy(database = src.database.map(d => d.copy(
-      url = SecretRef.resolve(d.url),
-      user = SecretRef.resolveOpt(d.user),
-      password = SecretRef.resolveOpt(d.password))))
+    // credential indirection is CHECKED at load time — a dangling ${env:}/
+    // ${file:} reference fails HERE, before any data moves — but the
+    // resolved secret is DISCARDED: the stored spec keeps the reference
+    // (a registered spec is served back over GET /dataset, so plaintext
+    // credentials must never enter the document; JdbcPull/JdbcSink
+    // resolve again at connection time).
+    (src.database.toSeq ++ destination.database.toSeq.map(d =>
+      JdbcSourceSpec(url = d.url, user = d.user, password = d.password)))
+      .foreach { d =>
+        SecretRef.resolve(d.url): Unit
+        SecretRef.resolveOpt(d.user): Unit
+        SecretRef.resolveOpt(d.password): Unit
+      }
     copy(
       name = name.toLowerCase,
-      source = srcR,
+      source = src,
       destination = destination.copy(schema = destSchema0,
         objectStore = destination.objectStore.map(o =>
           o.copy(table = o.table.toLowerCase,
             database = o.database.toLowerCase,
             partitionBy = o.partitionBy.map(_.toLowerCase),
-            keyFields = o.keyFields.map(_.toLowerCase))),
-        database = destination.database.map(d => d.copy(
-          url = SecretRef.resolve(d.url),
-          user = SecretRef.resolveOpt(d.user),
-          password = SecretRef.resolveOpt(d.password)))))
+            keyFields = o.keyFields.map(_.toLowerCase)))))
   }
 
   /** Structural validation (reference DatasetValidatorUtil.scala:28-289

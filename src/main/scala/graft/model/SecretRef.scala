@@ -9,12 +9,14 @@ package graft.model
   *   - `${env:VAR}`   → value of environment variable VAR
   *   - `${file:path}` → trimmed contents of `path` (e.g. a mounted secret)
   *
-  * Resolution happens at spec-load time ([[PipelineSpec.normalized]] — a
-  * dangling reference fails fast with a [[PipelineSpecException]] before
-  * any data moves) AND at connection time in the JDBC source/sink, so
-  * programmatically-built specs get the same indirection. Resolution is
-  * idempotent on resolved values (a resolved secret is only re-resolved if
-  * it itself spells a `${env:...}`/`${file:...}` reference — don't do that).
+  * References are CHECKED at spec-load time ([[PipelineSpec.normalized]] —
+  * a dangling reference fails fast with a [[PipelineSpecException]] before
+  * any data moves) but the resolved secret is discarded there: the stored
+  * spec document keeps the reference, because registered specs are served
+  * back over the HTTP registry (`GET /dataset`) and plaintext credentials
+  * must never enter them. Actual resolution happens at CONNECTION time in
+  * the JDBC source/sink, so programmatically-built specs get the same
+  * indirection.
   */
 object SecretRef {
 

@@ -104,8 +104,12 @@ object ObjectStoreSink {
     */
   def refreshManifest(spark: SparkSession, fq: String, spec: ObjectStoreSpec): Unit =
     lockFor(spec).synchronized {
-      TableManifest.refresh(currentLocation(spark, fq), spec.fileFormat,
-        Some(schemaHash(spark.table(fq)))): Unit
+      val loc = currentLocation(spark, fq)
+      val hash = schemaHash(spark.table(fq))
+      if (TableManifest.refresh(loc, spec.fileFormat, Some(hash)).isEmpty)
+        // legacy manifest-less live dir (pre-manifest table, appended to
+        // after upgrade): adopt it into the protocol on first touch
+        TableManifest.commit(loc, hash, spec.fileFormat): Unit
     }
 
   /** Field names or types differ from the registered table (order-blind on
@@ -258,11 +262,21 @@ object ObjectStoreSink {
     if (spark.catalog.tableExists(fq)) return true
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
     // only a COMMITTED version (manifest present) is recoverable — a dir of
-    // files from a crashed write is never served, however complete it looks
-    versionDirs(tableDir).filter(TableManifest.isCommitted).lastOption match {
+    // files from a crashed write is never served, however complete it
+    // looks. Exception: a LEGACY table (pre-manifest layout, no manifest
+    // under ANY version) is adopted into the protocol by committing a
+    // manifest for its newest version — upgrading must not strand intact
+    // tables the previous release could recover.
+    val versions = versionDirs(tableDir)
+    val candidate = versions.filter(TableManifest.isCommitted).lastOption
+      .orElse(if (versions.exists(TableManifest.isCommitted)) None
+      else versions.lastOption)
+    candidate match {
       case Some(latest) =>
         spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
         val reread = spark.read.format(spec.fileFormat).load(latest.toString)
+        if (!TableManifest.isCommitted(latest)) // legacy adoption
+          TableManifest.commit(latest, schemaHash(reread), spec.fileFormat): Unit
         createExternal(spark, fq, spec, reread, latest)
         repairTable(spark, fq, spec)
         true

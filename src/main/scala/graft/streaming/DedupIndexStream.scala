@@ -58,6 +58,17 @@ object DedupIndexStream {
       val batchDir = Paths.get(indexDir, "batches", batchKey)
       val marker = batchDir.resolve("_COMMIT")
       if (Files.exists(marker)) return // replayed, already fully applied
+      // a batch key a compaction has already superseded means the stream's
+      // checkpoint was reset against a surviving index — continuing would
+      // SILENTLY exclude this batch from the index forever (its name is on
+      // a _MERGES list). Fail loudly: the operator needs a fresh index dir
+      // or a fresh batch-key namespace, not quiet under-deduplication.
+      if (Files.isDirectory(batchDir.getParent) &&
+          supersededNames(batchDir.getParent)(batchKey))
+        throw new IllegalStateException(
+          s"batch key '$batchKey' was merged into a compacted index — the " +
+            "stream checkpoint appears reset; use a fresh checkpoint WITH a " +
+            "fresh index dir, or a distinct batch-key namespace")
       // a crashed earlier attempt may have left uncommitted partial writes
       deleteTree(batchDir)
 
@@ -136,6 +147,11 @@ object DedupIndexStream {
   def compactIndex(spark: SparkSession, indexDir: String): Int = synchronized {
     val base = Paths.get(indexDir, "batches")
     if (!Files.isDirectory(base)) return 0
+    // sweep crash leftovers a prior compaction superseded but did not
+    // finish deleting (committedDirs already excludes them from reads)
+    val pastSuperseded = supersededNames(base)
+    allDirs(base).filter(p => pastSuperseded(p.getFileName.toString))
+      .foreach(deleteTree)
     val committed = committedDirs(base)
     if (committed.size <= 1) return committed.size
     // merged dir name never collides with the stream's b<id> keys
@@ -150,35 +166,47 @@ object DedupIndexStream {
     // the supersede list makes the commit ATOMIC for readers: the instant
     // the marker lands, loadIndex serves the merged dir and EXCLUDES its
     // inputs even if their trees still exist — there is no window where
-    // both (double counting) or neither (empty index) are visible
+    // both (double counting) or neither (empty index) are visible. The
+    // list carries FORWARD every name its inputs had superseded: deleting
+    // an input compact dir must not lose the record that ITS inputs'
+    // crash leftovers are dead (they would otherwise resurrect as
+    // duplicates once the only _MERGES naming them disappeared).
+    val supersedes =
+      committed.map(_.getFileName.toString).toSet ++ pastSuperseded
     Files.writeString(target.resolve(MergesName),
-      committed.map(_.getFileName.toString).mkString("\n"))
+      supersedes.toSeq.sorted.mkString("\n"))
     Files.write(target.resolve("_COMMIT"), Array.emptyByteArray)
     // retire the inputs at leisure; a crash here leaves excluded remnants
-    // that the next compaction (or this line on retry) sweeps
+    // that the sweep at the top of the next compaction removes
     committed.foreach(deleteTree)
     committed.size
   }
 
   private val MergesName = "_MERGES"
 
+  private def allDirs(base: Path): List[Path] = {
+    val s = Files.list(base)
+    try s.iterator().asScala.filter(Files.isDirectory(_))
+      .toList.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  /** Every batch name any committed compaction has superseded. */
+  private def supersededNames(base: Path): Set[String] =
+    allDirs(base).filter(p => Files.exists(p.resolve("_COMMIT")))
+      .flatMap { p =>
+        val m = p.resolve(MergesName)
+        if (!Files.exists(m)) Nil
+        else Files.readString(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      }.toSet
+
   /** Committed batch dirs, minus any superseded by a committed compaction
     * (its `_MERGES` list), oldest → newest.
     */
   private def committedDirs(base: Path): List[Path] = {
-    val all = {
-      val s = Files.list(base)
-      try s.iterator().asScala
-        .filter(p => Files.exists(p.resolve("_COMMIT")))
-        .toList.sortBy(_.getFileName.toString)
-      finally s.close()
-    }
-    val superseded = all.flatMap { p =>
-      val m = p.resolve(MergesName)
-      if (!Files.exists(m)) Nil
-      else Files.readString(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    }.toSet
-    all.filterNot(p => superseded(p.getFileName.toString))
+    val superseded = supersededNames(base)
+    allDirs(base).filter(p => Files.exists(p.resolve("_COMMIT")))
+      .filterNot(p => superseded(p.getFileName.toString))
   }
 
   private def emptyIndex(spark: SparkSession, like: DedupIndex): DedupIndex =

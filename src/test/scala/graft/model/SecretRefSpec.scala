@@ -32,7 +32,7 @@ class SecretRefSpec extends AnyFunSuite with Matchers {
       "jdbc:postgresql://h/db?password=a$b&ssl=true" // $ in secret survives
   }
 
-  test("spec load resolves credentials in source and sink database specs") {
+  test("spec load fail-fasts dangling refs but never stores resolved secrets") {
     val f = java.nio.file.Files.createTempFile("secret", ".txt")
     java.nio.file.Files.writeString(f, "filepw")
     val json =
@@ -42,9 +42,13 @@ class SecretRefSpec extends AnyFunSuite with Matchers {
          |"destination": {"database": {"url": "jdbc:derby:memory:y",
          |    "password": "$${file:$f}", "table": "t2"}}}""".stripMargin
     val spec = SpecJson.parse(json)
-    spec.source.database.get.password shouldBe Some("filepw")
-    spec.destination.database.get.password shouldBe Some("filepw")
-    // a dangling reference fails at LOAD time, before any data moves
+    // the stored document KEEPS the reference — a registered spec is served
+    // back over GET /dataset, so plaintext must never enter it; resolution
+    // happens again at connection time (JdbcPull/JdbcSink)
+    spec.source.database.get.password shouldBe Some(s"$${file:$f}")
+    spec.destination.database.get.password shouldBe Some(s"$${file:$f}")
+    (SpecJson.write(spec) should not).include("filepw")
+    // a dangling reference still fails at LOAD time, before any data moves
     an[PipelineSpecException] should be thrownBy
       SpecJson.parse(json.replace(s"$${file:$f}", "${env:GRAFT_DEFINITELY_UNSET}"))
   }

@@ -114,6 +114,28 @@ class TableManifestSpec extends SparkSpec {
       ObjectStoreSink.readVersion(spark, spec, Some(999))
   }
 
+  test("legacy pre-manifest table: recoverTable adopts it instead of stranding it") {
+    val root = scratchDir("mflegacy").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m6", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), spec)
+    val live = versionDirs(root, "graft_m6", "t").last.toPath
+    // simulate a pre-manifest lake: strip the protocol files
+    Files.deleteIfExists(live.resolve(TableManifest.ManifestName))
+    Files.deleteIfExists(live.resolve(TableManifest.SupersededName))
+    spark.sql("DROP TABLE graft_m6.t")
+    // recovery adopts the legacy dir: commits a manifest and serves it
+    ObjectStoreSink.recoverTable(spark, spec) shouldBe true
+    spark.table("graft_m6.t").count() shouldBe 2
+    TableManifest.read(live).get.rowCount shouldBe 2
+    // with ANY committed version present, an uncommitted dir stays a
+    // crash orphan — adoption applies only to fully-legacy layouts
+    val orphan = live.getParent.resolve("v-000900")
+    Seq((9, 9.0)).toDF("id", "v").write.parquet(orphan.toString)
+    spark.sql("DROP TABLE graft_m6.t")
+    ObjectStoreSink.recoverTable(spark, spec) shouldBe true
+    spark.table("graft_m6.t").count() shouldBe 2 // not the orphan's 1
+  }
+
   test("in-place append refreshes the manifest: file set and row count stay truthful") {
     val root = scratchDir("mfappend").getAbsolutePath
     val spec = ObjectStoreSpec(path = root, database = "graft_m4", table = "t")

@@ -204,4 +204,47 @@ class DedupIndexStreamSpec extends SparkSpec {
       .counts.select("doc_id").as[Long].collect().sorted shouldBe
       Seq(1L, 2L, 3L) // ghost b0 is superseded by the compact dir's list
   }
+
+  test("_MERGES carries forward: crash leftovers never resurrect through re-compaction") {
+    val dir = scratchDir("dedupcarry").getAbsolutePath
+    val base = Paths.get(s"$dir/index", "batches")
+    for (b <- 0 until 3)
+      DedupIndexStream.applyBatch(spark,
+        Seq((b + 1L, toks(0 until 25, s"c$b"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, s"b$b")
+    // crash-window simulation: compact, then resurrect input b1 as if the
+    // input deletion never ran
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 3
+    val ghost = base.resolve("b1")
+    Files.createDirectories(ghost)
+    Seq((2L, toks(0 until 25, "c1"))).toDF("doc_id", "tokens")
+      .write.parquet(ghost.resolve("hashes").toString)
+    Files.write(ghost.resolve("_COMMIT"), Array.emptyByteArray)
+    // new work arrives; a SECOND compaction deletes the first compact dir -
+    // its _MERGES must carry b1's name forward or the ghost resurrects
+    DedupIndexStream.applyBatch(spark,
+      Seq((9L, toks(0 until 25, "c9"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b8")
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 2
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.select("doc_id").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 3L, 9L) // doc 2 exactly once - ghost swept/excluded
+  }
+
+  test("a batch key a compaction superseded fails loudly (reset checkpoint)") {
+    val dir = scratchDir("dedupreset").getAbsolutePath
+    for (b <- 0 until 2)
+      DedupIndexStream.applyBatch(spark,
+        Seq((b + 1L, toks(0 until 25, s"r$b"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, s"b$b")
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 2
+    // checkpoint reset: batch ids restart at b0 with NEW documents - the
+    // index would silently exclude them forever; it must refuse instead
+    val e = intercept[IllegalStateException] {
+      DedupIndexStream.applyBatch(spark,
+        Seq((50L, toks(0 until 25, "new"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    }
+    e.getMessage should include ("checkpoint")
+  }
 }
