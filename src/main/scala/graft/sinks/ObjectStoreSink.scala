@@ -222,12 +222,21 @@ object ObjectStoreSink {
 
   def snapshots(spec: ObjectStoreSpec): Seq[Snapshot] = {
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
-    val committed = versionDirs(tableDir).filter(TableManifest.isCommitted)
-    committed.zipWithIndex.map { case (p, i) =>
-      val m = TableManifest.read(p).get
-      val v = p.getFileName.toString match { case VersionDir(n) => n.toInt }
-      Snapshot(v, p.toString, m.committedAtMs, TableManifest.supersededAt(p),
-        m.rowCount, m.totalBytes, m.files.size, live = i == committed.size - 1)
+    // runs WITHOUT the table lock: a concurrent replaceTable/Vacuum can
+    // retire a dir between the listing and the manifest read, so flatMap
+    // over read results — a dir that vanished mid-inventory is simply
+    // absent from the snapshot log, never a thrown 500
+    val snaps = versionDirs(tableDir).filter(TableManifest.isCommitted)
+      .flatMap { p =>
+        TableManifest.read(p).map { m =>
+          val v = p.getFileName.toString match { case VersionDir(n) => n.toInt }
+          Snapshot(v, p.toString, m.committedAtMs, TableManifest.supersededAt(p),
+            m.rowCount, m.totalBytes, m.files.size, live = false)
+        }
+      }
+    snaps match {
+      case init :+ last => init :+ last.copy(live = true)
+      case _ => snaps
     }
   }
 

@@ -105,13 +105,15 @@ object TableManifest {
   /** Stamp the supersede time (idempotent — the FIRST supersede wins, so
     * grace always measures from when the version stopped being current).
     */
-  def markSuperseded(versionDir: Path): Unit = {
-    val marker = versionDir.resolve(SupersededName)
-    if (!Files.exists(marker)) {
-      try Files.writeString(marker, System.currentTimeMillis().toString): Unit
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
-  }
+  def markSuperseded(versionDir: Path): Unit =
+    // CREATE_NEW makes the stamp atomic: two committers racing on the same
+    // older version cannot rewrite each other's marker (a plain writeString
+    // would truncate-and-replace, moving the grace window), so the FIRST
+    // supersede genuinely wins
+    try Files.writeString(versionDir.resolve(SupersededName),
+      System.currentTimeMillis().toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
   def supersededAt(versionDir: Path): Option[Long] = {
     val marker = versionDir.resolve(SupersededName)

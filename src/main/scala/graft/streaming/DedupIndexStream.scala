@@ -55,29 +55,56 @@ object DedupIndexStream {
   def applyBatch(spark: SparkSession, batchDf: DataFrame, indexDir: String,
       pairsDir: String, threshold: Double, batchKey: String): Unit =
     synchronized {
+      require(!batchKey.startsWith("compact-"),
+        "batch keys starting with 'compact-' are reserved for compactIndex")
       val batchDir = Paths.get(indexDir, "batches", batchKey)
       val marker = batchDir.resolve("_COMMIT")
-      if (Files.exists(marker)) return // replayed, already fully applied
-      // a batch key a compaction has already superseded means the stream's
-      // checkpoint was reset against a surviving index — continuing would
-      // SILENTLY exclude this batch from the index forever (its name is on
-      // a _MERGES list). Fail loudly: the operator needs a fresh index dir
-      // or a fresh batch-key namespace, not quiet under-deduplication.
-      if (Files.isDirectory(batchDir.getParent) &&
-          supersededNames(batchDir.getParent)(batchKey))
-        throw new IllegalStateException(
-          s"batch key '$batchKey' was merged into a compacted index — the " +
-            "stream checkpoint appears reset; use a fresh checkpoint WITH a " +
-            "fresh index dir, or a distinct batch-key namespace")
-      // a crashed earlier attempt may have left uncommitted partial writes
-      deleteTree(batchDir)
-
-      val existing = loadIndex(spark, indexDir)
       // drop docs the committed index already holds (same doc redelivered
       // under a new batch key) and collapse same-id re-deliveries WITHIN
       // the batch — either would double the doc's index rows and corrupt
       // the verify counts
       val deduped = batchDf.dropDuplicates("doc_id")
+      // order-independent content fingerprint of the incoming batch —
+      // replay-stable (computed BEFORE the anti-join against the index, so
+      // a replay whose docs are already indexed still reproduces it); lazy
+      // because only the rare replay/reset paths and the commit need it
+      lazy val incomingFp = fingerprint(deduped)
+      if (Files.exists(marker)) {
+        // replayed and already fully applied — unless the content differs,
+        // which means a reset checkpoint is REUSING a committed key name
+        parseFp(Files.readString(marker)) match {
+          case Some(fp) if fp != incomingFp =>
+            throw new IllegalStateException(
+              s"batch key '$batchKey' is committed with different content — " +
+                "the stream checkpoint appears reset; use a fresh checkpoint " +
+                "WITH a fresh index dir, or a distinct batch-key namespace")
+          case _ => return
+        }
+      }
+      // a batch key a compaction has superseded is EITHER a legitimate
+      // replay (batch committed + compacted, but the driver crashed before
+      // the streaming commit log recorded the epoch — fully applied, no-op)
+      // OR a reset checkpoint reusing key names against a surviving index
+      // (continuing would silently exclude this batch forever). The
+      // recorded content fingerprint tells them apart; without one
+      // (pre-fingerprint index) fail loudly — quiet under-deduplication is
+      // the one unacceptable outcome.
+      if (Files.isDirectory(batchDir.getParent)) {
+        supersededEntries(batchDir.getParent).get(batchKey) match {
+          case Some(Some(fp)) if fp == incomingFp => return // applied, compacted
+          case Some(_) =>
+            throw new IllegalStateException(
+              s"batch key '$batchKey' was merged into a compacted index with " +
+                "different (or unverifiable) content — the stream checkpoint " +
+                "appears reset; use a fresh checkpoint WITH a fresh index " +
+                "dir, or a distinct batch-key namespace")
+          case None => ()
+        }
+      }
+      // a crashed earlier attempt may have left uncommitted partial writes
+      deleteTree(batchDir)
+
+      val existing = loadIndex(spark, indexDir)
       val fresh = existing match {
         case Some(idx) =>
           deduped.join(idx.counts.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -101,7 +128,10 @@ object DedupIndexStream {
         batchIdx.bands.write.parquet(s"$batchDir/bands")
         batchIdx.hashes.write.parquet(s"$batchDir/hashes")
         batchIdx.counts.write.parquet(s"$batchDir/counts")
-        Files.write(marker, Array.emptyByteArray) // the commit point
+        // the commit point; the marker records the batch's content
+        // fingerprint so a post-compaction replay is distinguishable from
+        // a reset checkpoint reusing the key name
+        Files.writeString(marker, fpString(incomingFp))
         ()
       } finally {
         batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
@@ -147,17 +177,23 @@ object DedupIndexStream {
   def compactIndex(spark: SparkSession, indexDir: String): Int = synchronized {
     val base = Paths.get(indexDir, "batches")
     if (!Files.isDirectory(base)) return 0
-    // sweep crash leftovers a prior compaction superseded but did not
-    // finish deleting (committedDirs already excludes them from reads)
-    val pastSuperseded = supersededNames(base)
-    allDirs(base).filter(p => pastSuperseded(p.getFileName.toString))
-      .foreach(deleteTree)
+    // sweep crash leftovers: (a) dirs a prior compaction superseded but did
+    // not finish deleting (committedDirs already excludes them from reads);
+    // (b) UNCOMMITTED compact-* attempts — if new batches arrived since the
+    // crash, this attempt's target name differs and the leftover is on no
+    // _MERGES list, so only this sweep ever reclaims it ('compact-' is
+    // reserved: applyBatch rejects batch keys with the prefix)
+    val pastSuperseded = supersededEntries(base)
+    allDirs(base).filter { p =>
+      val n = p.getFileName.toString
+      pastSuperseded.contains(n) ||
+        (n.startsWith("compact-") && !Files.exists(p.resolve("_COMMIT")))
+    }.foreach(deleteTree)
     val committed = committedDirs(base)
     if (committed.size <= 1) return committed.size
     // merged dir name never collides with the stream's b<id> keys
     val target = base.resolve(
       s"compact-${committed.last.getFileName.toString}-${committed.size}")
-    deleteTree(target) // crashed earlier attempt
     val idx = loadIndex(spark, indexDir).get
     idx.bands.repartition(1).write.parquet(s"$target/bands")
     idx.hashes.repartition(spark.sparkContext.defaultParallelism / 4 max 1)
@@ -170,11 +206,16 @@ object DedupIndexStream {
     // list carries FORWARD every name its inputs had superseded: deleting
     // an input compact dir must not lose the record that ITS inputs'
     // crash leftovers are dead (they would otherwise resurrect as
-    // duplicates once the only _MERGES naming them disappeared).
-    val supersedes =
-      committed.map(_.getFileName.toString).toSet ++ pastSuperseded
+    // duplicates once the only _MERGES naming them disappeared). Each line
+    // keeps the batch's content fingerprint (from its _COMMIT marker) so a
+    // post-compaction replay of the key stays verifiable as a no-op.
+    val supersedes: Map[String, Option[(Long, Long)]] =
+      pastSuperseded ++ committed.map(p =>
+        p.getFileName.toString -> parseFp(Files.readString(p.resolve("_COMMIT"))))
     Files.writeString(target.resolve(MergesName),
-      supersedes.toSeq.sorted.mkString("\n"))
+      supersedes.toSeq.sortBy(_._1).map { case (n, fp) =>
+        fp.fold(n)(f => s"$n ${fpString(f)}")
+      }.mkString("\n"))
     Files.write(target.resolve("_COMMIT"), Array.emptyByteArray)
     // retire the inputs at leisure; a crash here leaves excluded remnants
     // that the sweep at the top of the next compaction removes
@@ -191,23 +232,48 @@ object DedupIndexStream {
     finally s.close()
   }
 
-  /** Every batch name any committed compaction has superseded. */
-  private def supersededNames(base: Path): Set[String] =
+  /** Every batch name any committed compaction has superseded, with the
+    * content fingerprint recorded for it (None for pre-fingerprint lines).
+    */
+  private def supersededEntries(base: Path): Map[String, Option[(Long, Long)]] =
     allDirs(base).filter(p => Files.exists(p.resolve("_COMMIT")))
       .flatMap { p =>
         val m = p.resolve(MergesName)
         if (!Files.exists(m)) Nil
         else Files.readString(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      }.toSet
+          .map { line =>
+            val name = line.split("\\s+").head
+            name -> parseFp(line.drop(name.length))
+          }
+      }.toMap
 
   /** Committed batch dirs, minus any superseded by a committed compaction
     * (its `_MERGES` list), oldest → newest.
     */
   private def committedDirs(base: Path): List[Path] = {
-    val superseded = supersededNames(base)
+    val superseded = supersededEntries(base)
     allDirs(base).filter(p => Files.exists(p.resolve("_COMMIT")))
-      .filterNot(p => superseded(p.getFileName.toString))
+      .filterNot(p => superseded.contains(p.getFileName.toString))
   }
+
+  /** Order-independent content fingerprint of a batch: (distinct doc
+    * count, XOR of xxhash64(doc_id)). XOR keeps the combine overflow-free
+    * and commutative; doc_ids are already distinct when this runs.
+    */
+  private def fingerprint(deduped: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = deduped.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def fpString(fp: (Long, Long)): String = s"v1 ${fp._1} ${fp._2}"
+
+  private def parseFp(s: String): Option[(Long, Long)] =
+    s.trim.split("\\s+") match {
+      case Array("v1", c, x) =>
+        scala.util.Try((c.toLong, x.toLong)).toOption
+      case _ => None
+    }
 
   private def emptyIndex(spark: SparkSession, like: DedupIndex): DedupIndex =
     DedupIndex(

@@ -99,12 +99,19 @@ class SinksSpec extends SparkSpec {
   test("jdbc sink resolves ${file:}/${env:} credential indirection at connect time") {
     // the URL itself is indirected: if SecretRef did not resolve, neither
     // the Spark JDBC write nor the DriverManager DDL path could connect
-    val urlFile = java.nio.file.Files.createTempFile("dburl", ".txt")
-    java.nio.file.Files.writeString(urlFile, derbyUrl + "\n")
-    JdbcSink.write(Seq((1, "s")).toDF("id", "name"),
-      jdbcSpec("secret_t").copy(url = s"$${file:$urlFile}"))
-    spark.read.format("jdbc").option("url", derbyUrl)
-      .option("dbtable", "secret_t").load().count() shouldBe 1
+    val root = java.nio.file.Files.createTempDirectory("secrets-root")
+    java.nio.file.Files.writeString(root.resolve("dburl"), derbyUrl + "\n")
+    val prev = sys.props.get("graft.secrets.root")
+    sys.props("graft.secrets.root") = root.toString
+    try {
+      JdbcSink.write(Seq((1, "s")).toDF("id", "name"),
+        jdbcSpec("secret_t").copy(url = "${file:dburl}"))
+      spark.read.format("jdbc").option("url", derbyUrl)
+        .option("dbtable", "secret_t").load().count() shouldBe 1
+    } finally prev match {
+      case Some(v) => sys.props("graft.secrets.root") = v
+      case None => sys.props -= "graft.secrets.root"
+    }
   }
 
   test("jdbc sink dialect hooks: typed DDL, preSql/postSql with @table") {

@@ -231,6 +231,67 @@ class DedupIndexStreamSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 9L) // doc 2 exactly once - ghost swept/excluded
   }
 
+  test("replay of a compacted batch key with IDENTICAL content is a no-op") {
+    // the legitimate crash window: batch b1 commits, compactIndex merges it,
+    // the driver dies BEFORE the streaming commit log records the epoch —
+    // restart replays b1 with the same data; that is fully applied, not a
+    // reset checkpoint, and the stream must keep making progress
+    val dir = scratchDir("dedupreplaycompact").getAbsolutePath
+    val batches = (0 until 2).map(b =>
+      Seq((b + 1L, toks(0 until 25, s"rc$b"))).toDF("doc_id", "tokens"))
+    batches.zipWithIndex.foreach { case (df, b) =>
+      DedupIndexStream.applyBatch(spark, df, s"$dir/index", s"$dir/pairs",
+        0.3, s"b$b")
+    }
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 2
+    // same key, same content → no-op (content fingerprint matches _MERGES)
+    DedupIndexStream.applyBatch(spark, batches(1), s"$dir/index",
+      s"$dir/pairs", 0.3, "b1")
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 2L)
+    // ...and the stream continues normally afterwards
+    DedupIndexStream.applyBatch(spark,
+      Seq((9L, toks(0 until 25, "rc9"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b2")
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.count() shouldBe 3
+  }
+
+  test("committed batch key replayed with DIFFERENT content fails loudly") {
+    val dir = scratchDir("dedupmarkerfp").getAbsolutePath
+    DedupIndexStream.applyBatch(spark,
+      Seq((1L, toks(0 until 25, "m0"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    val e = intercept[IllegalStateException] {
+      DedupIndexStream.applyBatch(spark,
+        Seq((50L, toks(0 until 25, "new"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    }
+    e.getMessage should include ("checkpoint")
+  }
+
+  test("uncommitted compact-* crash leftovers are swept by the next compaction") {
+    val dir = scratchDir("dedupsweep").getAbsolutePath
+    val base = Paths.get(s"$dir/index", "batches")
+    for (b <- 0 until 2)
+      DedupIndexStream.applyBatch(spark,
+        Seq((b + 1L, toks(0 until 25, s"sw$b"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, s"b$b")
+    // a compaction attempt that died before its _COMMIT: new batches have
+    // arrived since, so the next attempt's target NAME differs and only
+    // the sweep can ever reclaim this directory
+    val leftover = base.resolve("compact-b0-9")
+    Files.createDirectories(leftover.resolve("bands"))
+    Files.writeString(leftover.resolve("bands").resolve("junk"), "x")
+    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 2
+    Files.exists(leftover) shouldBe false
+    // reserved prefix: a stream cannot name a batch like a compaction dir
+    an[IllegalArgumentException] should be thrownBy
+      DedupIndexStream.applyBatch(spark,
+        Seq((9L, toks(0 until 25, "x"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, "compact-evil")
+  }
+
   test("a batch key a compaction superseded fails loudly (reset checkpoint)") {
     val dir = scratchDir("dedupreset").getAbsolutePath
     for (b <- 0 until 2)
