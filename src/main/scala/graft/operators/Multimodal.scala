@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/GIF/BMP offline — [[decode]] returns true dimensions and band
   * counts, and [[pixelFeatures]] computes exact per-channel pixel sums
   * (value-checked against the DuckDB oracle via lossless PNG round-trips,
-  * q_multimodal_features). Audio/video decode stays a deterministic STUB
-  * ([[synthesize]]'s `GFT1` container + WAV magic sniff) — no media codecs
-  * beyond ImageIO exist in this container; a real deployment swaps only
-  * the per-format branch (e.g. ffmpeg bindings), every signature stays.
+  * q_multimodal_features). AUDIO decode is REAL too:
+  * `javax.sound.sampled` ships in the JDK and decodes PCM WAV —
+  * [[audioFeatures]] computes exact per-channel sample sums
+  * (value-checked via lossless WAV round-trips, q_multimodal_audio).
+  * Only VIDEO decode stays a deterministic STUB ([[synthesize]]'s `GFT1`
+  * container) — no video codec exists in this container (no ffmpeg); a
+  * real deployment swaps only the per-format branch, every signature
+  * stays.
   */
 object Multimodal {
 
@@ -61,10 +65,12 @@ object Multimodal {
   }
 
   /** Decode media metadata. Images (png/jpeg/gif/bmp) decode for REAL via
-    * the JDK's ImageIO — true width/height and raster band count. The
-    * synthetic `GFT1` container parses its header; WAV is sniffed only
-    * (no audio codec shipped). `valid` means the payload actually decoded,
-    * not just that the magic matched.
+    * the JDK's ImageIO — true width/height and raster band count. WAV
+    * decodes for REAL via the JDK's javax.sound.sampled — for audio,
+    * `width` carries the frame count and `height` the sample rate (the
+    * audio analogues of the image dimensions). The synthetic `GFT1`
+    * container parses its header. `valid` means the payload actually
+    * decoded, not just that the magic matched.
     */
   def decode(bytes: Array[Byte]): MediaMeta = sniffFormat(bytes) match {
     case "unknown" => MediaMeta("unknown", 0, 0, 0, valid = false)
@@ -73,7 +79,13 @@ object Multimodal {
         val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
         MediaMeta("gft", bb.getInt, bb.getInt, bb.getInt, valid = true)
       } else MediaMeta("gft", 0, 0, 0, valid = false)
-    case "wav" => MediaMeta("wav", 0, 0, 0, valid = true) // sniff-only
+    case "wav" => // real javax.sound.sampled decode
+      readWav(bytes) match {
+        case Some((fmt, _, frames)) =>
+          MediaMeta("wav", frames.toInt, fmt.getSampleRate.toInt,
+            fmt.getChannels, valid = true)
+        case None => MediaMeta("wav", 0, 0, 0, valid = false)
+      }
     case fmt => // real ImageIO decode for png/jpeg/gif/bmp
       val img = readImage(bytes)
       if (img == null) MediaMeta(fmt, 0, 0, 0, valid = false)
@@ -114,6 +126,109 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM WAV test fixture, the audio twin of
+    * [[synthesizePng]]: per channel the first half of the frames holds one
+    * seed-derived tone and the second half another, so per-channel sample
+    * sums have a closed form (`frames/2 * (l + r)` with
+    * `l_c = seed*(c+1) % 3000`, `r_c = (seed*(c+1) + 977) % 3000`) that a
+    * SQL oracle can replay. PCM WAV is lossless — the encode→decode
+    * round-trip through the JDK javax.sound.sampled codec preserves every
+    * sample exactly. `frames` must be even.
+    */
+  def synthesizeWav(seed: Long, channels: Int, frames: Int,
+      sampleRate: Int): Array[Byte] = {
+    require(frames % 2 == 0, "frames must be even so the half-split is exact")
+    val half = frames / 2
+    val data = new Array[Byte](frames * channels * 2)
+    var f = 0
+    var o = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val l = ((seed * (c + 1)) % 3000).toInt
+        val v = if (f < half) l else (l + 977) % 3000
+        data(o) = (v & 0xff).toByte // little-endian 16-bit signed PCM
+        data(o + 1) = ((v >> 8) & 0xff).toByte
+        o += 2
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Real WAV decode via the JDK codec: (format, raw sample bytes, frame
+    * count), or None when the payload is not a decodable audio file.
+    */
+  private def readWav(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte], Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some((ais.getFormat, ais.readAllBytes(), ais.getFrameLength))
+      finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("sum_c0", LongType),
+    StructField("sum_c1", LongType)))
+
+  /** REAL sample-level audio feature extraction: decodes each WAV payload
+    * with the JDK javax.sound.sampled codec and computes exact per-channel
+    * signed-sample sums over the interleaved 16-bit PCM stream — the
+    * audio twin of [[pixelFeatures]], value-checked the same way. Same
+    * per-partition decode-loop shape; no shuffle. Rows that are not
+    * decodable 16-bit PCM keep the sniffed format with zeroed fields
+    * (`channels = 0` marks them). Mono payloads report `sum_c1 = 0`.
+    */
+  def audioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val keep = df.schema.fields.filterNot(_.name == binCol)
+    val outSchema = StructType(keep ++ audioFeatureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
+        val decoded = if (bytes == null) None else readWav(bytes)
+        val vals: Seq[Any] = decoded match {
+          case Some((af, data, frames))
+              if af.getSampleSizeInBits == 16 && af.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED =>
+            val ch = af.getChannels
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (af.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val sums = new Array[Long](ch)
+            val n = data.length / 2
+            var i = 0
+            while (i < n) {
+              sums(i % ch) += bb.getShort(i * 2)
+              i += 1
+            }
+            Seq("wav", af.getSampleRate.toInt, ch, frames,
+              sums(0), if (ch > 1) sums(1) else 0L)
+          case _ => Seq(fmt, 0, 0, 0L, 0L, 0L)
+        }
+        Row.fromSeq(keepIdx.toIndexedSeq.map(row.get) ++ vals)
+      }
+    }(Encoders.row(outSchema))
   }
 
   val pixelFeatureSchema: StructType = StructType(Seq(

@@ -55,6 +55,42 @@ object MultimodalQueries {
              |    * ((doc_id * 3) % 256 + (doc_id * 3 + 97) % 256) AS BIGINT) AS sum_c2
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode, value-checked: per doc a two-tone 16-bit PCM WAV
+    // whose per-channel sample sums have a closed form (frames/2 * (l+r)
+    // with l_c = id*(c+1) % 3000, r_c = (id*(c+1)+977) % 3000). The Spark
+    // side round-trips WAV encode → binary column → javax.sound.sampled
+    // decode → interleaved-sample traversal; the oracle replays the
+    // arithmetic relationally. All-integer output — the hash compare is
+    // exact. Mono docs (even ids) report sum_c1 = 0.
+    QueryDef(
+      "q_multimodal_audio",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+        val mediaSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val media = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, MM.synthesizeWav(id,
+              channels = 1 + (id % 2).toInt,
+              frames = 200 + (id % 50).toInt * 2,
+              sampleRate = 8000 + (id % 3).toInt * 4000))
+          }
+        }(Encoders.row(mediaSchema))
+        MM.audioFeatures(media, "media").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'wav' AS format,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             |  CAST(200 + (doc_id % 50) * 2 AS BIGINT) AS n_frames,
+             |  CAST((100 + doc_id % 50)
+             |    * (doc_id % 3000 + (doc_id + 977) % 3000) AS BIGINT) AS sum_c0,
+             |  CAST(CASE WHEN doc_id % 2 = 1 THEN (100 + doc_id % 50)
+             |    * ((doc_id * 2) % 3000 + (doc_id * 2 + 977) % 3000)
+             |    ELSE 0 END AS BIGINT) AS sum_c1
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // The decode METADATA path oracled: format/dimensions/byte-count are
     // pure functions of doc_id through synthesize → binary column →
     // mapPartitions decode, so DuckDB can replay them relationally — the

@@ -80,6 +80,49 @@ class MultimodalSpec extends SparkSpec {
     rows.find(_.getLong(0) == 3L).get.getString(1) shouldBe "unknown"
   }
 
+  test("decode: real javax.sound.sampled decode of a generated WAV") {
+    val bytes = Multimodal.synthesizeWav(seed = 5L, channels = 2,
+      frames = 100, sampleRate = 16000)
+    val meta = Multimodal.decode(bytes)
+    // for audio, width carries the frame count and height the sample rate
+    meta shouldBe Multimodal.MediaMeta("wav", 100, 16000, 2, valid = true)
+    // truncated payload: RIFF magic matches but the codec fails → valid=false
+    Multimodal.decode(bytes.take(10)).valid shouldBe false
+    // determinism: same seed → identical payload
+    Multimodal.synthesizeWav(5L, 2, 100, 16000).toSeq shouldBe bytes.toSeq
+  }
+
+  test("audioFeatures: exact per-channel sums through a WAV codec round-trip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(9L, Multimodal.synthesizeWav(9L, 2, 60, 8000)),
+      Row(4L, Multimodal.synthesizeWav(4L, 1, 40, 12000)), // mono → sum_c1=0
+      Row(2L, "RIFFjunk-not-audio".getBytes), // undecodable → zeroed row
+      Row(3L, null)
+    ).asJava, schema)
+    val out = Multimodal.audioFeatures(df, "media")
+    out.columns.toSeq shouldBe Seq("id", "format", "sample_rate", "channels",
+      "n_frames", "sum_c0", "sum_c1")
+    val rows = out.orderBy("id").collect()
+    def expected(seed: Long, c: Int, frames: Int): Long =
+      (frames / 2).toLong *
+        ((seed * (c + 1)) % 3000 + (seed * (c + 1) + 977) % 3000)
+    val r9 = rows.find(_.getLong(0) == 9L).get
+    (r9.getString(1), r9.getInt(2), r9.getInt(3), r9.getLong(4)) shouldBe
+      (("wav", 8000, 2, 60L))
+    (r9.getLong(5), r9.getLong(6)) shouldBe
+      ((expected(9L, 0, 60), expected(9L, 1, 60)))
+    val r4 = rows.find(_.getLong(0) == 4L).get
+    (r4.getInt(3), r4.getLong(5), r4.getLong(6)) shouldBe
+      ((1, expected(4L, 0, 40), 0L))
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    r2.getInt(3) shouldBe 0 // channels=0 marks decode failure
+    (r2.getString(1), r2.getLong(5)) shouldBe (("wav", 0L))
+    rows.find(_.getLong(0) == 3L).get.getString(1) shouldBe "unknown"
+  }
+
   test("resize: header rewritten to target dims, byte budget scales, deterministic") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("media", BinaryType)))
