@@ -42,13 +42,15 @@ object Vacuum {
         // same retention rule as the commit path: committed versions retire
         // graceMs after their _superseded stamp (never from write mtime);
         // uncommitted crash leftovers once quiescent for the grace
-        versions.dropRight(keep)
+        val retiring = versions.dropRight(keep)
           .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
-          .foreach { p =>
-            freed += treeBytes(p)
-            deleteTree(p)
-            retired += 1
-          }
+        retiring.foreach { p =>
+          freed += treeBytes(p)
+          deleteTree(p)
+          retired += 1
+        }
+        if (retiring.nonEmpty) // keep the commit log truthful post-retire
+          graft.sinks.CommitLog.prune(table, v => table.resolve(f"v-$v%06d"))
       }
     }
     Report(tables, retired, freed)

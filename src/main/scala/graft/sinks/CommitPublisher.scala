@@ -1,0 +1,110 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+
+/** The atomic-publish seam under every metadata commit in the versioned-
+  * directory table format (manifest files, supersede stamps, the table-root
+  * commit log).
+  *
+  * Locally the implementation is a POSIX rename, which IS atomic. Object
+  * stores have no atomic rename — real S3 "rename" is copy+delete, and a
+  * reader can observe the half-state — so a deployment against an object
+  * store swaps this seam for the store's native atomic primitive and
+  * nothing above it changes:
+  *
+  *   - `publish` → an unconditional PUT of the full object (single-object
+  *     PUTs are atomic on S3/GCS: readers see the old or the new body,
+  *     never a torn one), or a conditional PUT (`If-Match: <etag>`) when
+  *     last-writer-wins is not acceptable;
+  *   - `publishIfAbsent` → a conditional PUT with `If-None-Match: *`
+  *     (native on S3 since 2024, GCS `ifGenerationMatch=0`), or a DynamoDB/
+  *     metastore conditional write where the store lacks one.
+  *
+  * The reference delegates this exact problem to Iceberg's snapshot chain +
+  * Glue/Athena metastore swap (IcebergUtil.scala:28-157); this seam is the
+  * standalone equivalent.
+  */
+trait CommitPublisher {
+
+  /** Atomically make `content` visible as `dir/name`: a reader sees the
+    * previous committed content or the new one in full, never a partial or
+    * torn file. Replaces an existing object (last writer wins — callers
+    * needing first-writer-wins use [[publishIfAbsent]]).
+    */
+  def publish(dir: Path, name: String, content: String): Unit
+
+  /** Atomically create `dir/name` only if absent — the FIRST writer wins
+    * and later attempts change nothing. Returns true iff this call created
+    * the object.
+    */
+  def publishIfAbsent(dir: Path, name: String, content: String): Boolean
+}
+
+/** POSIX filesystems: write-to-temp + single atomic rename for replace;
+  * `CREATE_NEW` (atomic open-exclusive) for first-writer-wins.
+  */
+object PosixCommitPublisher extends CommitPublisher {
+
+  def publish(dir: Path, name: String, content: String): Unit = {
+    val tmp = dir.resolve(name + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, dir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def publishIfAbsent(dir: Path, name: String, content: String): Boolean =
+    try {
+      Files.writeString(dir.resolve(name), content,
+        StandardOpenOption.CREATE_NEW): Unit
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+}
+
+/** Table-root commit log: the ordered record of committed version numbers,
+  * republished atomically (through the [[CommitPublisher]] seam) on every
+  * commit and retirement. At object-store scale a directory LISTING is the
+  * wrong source of truth for "latest committed version" — listings can be
+  * eventually consistent and carry no commit order — so readers resolve
+  * versions from the log and use the listing only to pick up legacy
+  * pre-log tables (the union can only ADD versions the log predates, never
+  * reorder it). Single-writer per table (the sink's table lock), like the
+  * manifest protocol itself.
+  */
+object CommitLog {
+
+  val Name = "_commits.json"
+
+  /** Committed version numbers, ascending; None when the table predates
+    * the log (readers fall back to the directory listing).
+    */
+  def read(tableDir: Path): Option[Seq[Int]] = {
+    val f = tableDir.resolve(Name)
+    if (!Files.exists(f)) None
+    else
+      try {
+        import org.json4s._
+        implicit val formats: Formats = DefaultFormats
+        Some(org.json4s.jackson.JsonMethods.parse(Files.readString(f))
+          .extract[Seq[Int]].sorted)
+      } catch { case _: Exception => None }
+  }
+
+  /** Append a committed version (idempotent). */
+  def record(tableDir: Path, version: Int): Unit = {
+    val versions = (read(tableDir).getOrElse(Nil).toSet + version).toSeq.sorted
+    TableManifest.publisher.publish(tableDir, Name,
+      versions.mkString("[", ",", "]"))
+  }
+
+  /** Drop entries whose version directory no longer holds a committed
+    * manifest (called after retirement deletes the dirs). `dirFor` maps a
+    * version number to its directory.
+    */
+  def prune(tableDir: Path, dirFor: Int => Path): Unit =
+    read(tableDir).foreach { versions =>
+      val live = versions.filter(v => TableManifest.isCommitted(dirFor(v)))
+      if (live != versions)
+        TableManifest.publisher.publish(tableDir, Name,
+          live.mkString("[", ",", "]"))
+    }
+}

@@ -110,6 +110,12 @@ object ObjectStoreSink {
         // legacy manifest-less live dir (pre-manifest table, appended to
         // after upgrade): adopt it into the protocol on first touch
         TableManifest.commit(loc, hash, spec.fileFormat): Unit
+      // keep the commit log covering the live version (legacy tables gain
+      // a log the first time they are touched)
+      loc.getFileName.toString match {
+        case VersionDir(n) => CommitLog.record(loc.getParent, n.toInt)
+        case _ => ()
+      }
     }
 
   /** Field names or types differ from the registered table (order-blind on
@@ -167,10 +173,13 @@ object ObjectStoreSink {
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       sw.save(next.toString) // materialize BEFORE touching the live table
       val reread = spark.read.format(spec.fileFormat).load(next.toString)
-      // the manifest IS the commit: one atomic rename after every data file
+      // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
       TableManifest.commit(next, schemaHash(reread), spec.fileFormat)
+      // ...and the table-root commit log records the version, so "latest
+      // committed" never depends on directory-listing order/completeness
+      CommitLog.record(tableDir, versionNumber(next))
       repoint(spark, fq, spec, next, reread)
       // stamp the versions this commit just replaced: retirement grace
       // measures from the supersede TIME, not the dir's write mtime
@@ -222,17 +231,23 @@ object ObjectStoreSink {
 
   def snapshots(spec: ObjectStoreSpec): Seq[Snapshot] = {
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
+    // version resolution: the commit LOG is the source of truth (listings
+    // are eventually consistent and carry no commit order at object-store
+    // scale); the listing is unioned in only to adopt legacy pre-log
+    // tables — it can add versions the log predates, never reorder it
+    val logged = CommitLog.read(tableDir).getOrElse(Nil)
+    val listed = versionDirs(tableDir).filter(TableManifest.isCommitted)
+      .map(p => p.getFileName.toString match { case VersionDir(n) => n.toInt })
     // runs WITHOUT the table lock: a concurrent replaceTable/Vacuum can
-    // retire a dir between the listing and the manifest read, so flatMap
+    // retire a dir between resolution and the manifest read, so flatMap
     // over read results — a dir that vanished mid-inventory is simply
     // absent from the snapshot log, never a thrown 500
-    val snaps = versionDirs(tableDir).filter(TableManifest.isCommitted)
-      .flatMap { p =>
-        TableManifest.read(p).map { m =>
-          val v = p.getFileName.toString match { case VersionDir(n) => n.toInt }
+    val snaps = (logged ++ listed).distinct.sorted
+      .map(v => (v, tableDir.resolve(f"v-$v%06d")))
+      .flatMap { case (v, p) =>
+        TableManifest.read(p).map(m =>
           Snapshot(v, p.toString, m.committedAtMs, TableManifest.supersededAt(p),
-            m.rowCount, m.totalBytes, m.files.size, live = false)
-        }
+            m.rowCount, m.totalBytes, m.files.size, live = false))
       }
     snaps match {
       case init :+ last => init :+ last.copy(live = true)
@@ -286,6 +301,7 @@ object ObjectStoreSink {
         val reread = spark.read.format(spec.fileFormat).load(latest.toString)
         if (!TableManifest.isCommitted(latest)) // legacy adoption
           TableManifest.commit(latest, schemaHash(reread), spec.fileFormat): Unit
+        CommitLog.record(tableDir, versionNumber(latest))
         createExternal(spark, fq, spec, reread, latest)
         repairTable(spark, fq, spec)
         true
@@ -316,6 +332,9 @@ object ObjectStoreSink {
 
   private val VersionDir = raw"v-(\d{6})".r
 
+  private def versionNumber(p: Path): Int =
+    p.getFileName.toString match { case VersionDir(n) => n.toInt }
+
   /** Version dirs under the table root, oldest → newest. */
   private def versionDirs(tableDir: Path): Seq[Path] =
     if (!Files.exists(tableDir)) Nil
@@ -330,10 +349,11 @@ object ObjectStoreSink {
     }
 
   private def nextVersionDir(tableDir: Path): Path = {
-    val maxN = versionDirs(tableDir).flatMap(p => p.getFileName.toString match {
-      case VersionDir(n) => Some(n.toInt)
-      case _ => None
-    }).maxOption.getOrElse(0)
+    // max over BOTH the listing (uncommitted leftovers must not collide)
+    // and the commit log (a committed version an eventually-consistent
+    // listing has not surfaced yet must not be overwritten)
+    val maxN = (versionDirs(tableDir).map(versionNumber) ++
+      CommitLog.read(tableDir).getOrElse(Nil)).maxOption.getOrElse(0)
     tableDir.resolve(f"v-${maxN + 1}%06d")
   }
 
@@ -357,9 +377,11 @@ object ObjectStoreSink {
     */
   private def retireOldVersions(tableDir: Path, keep: Int): Unit = {
     val now = System.currentTimeMillis()
-    versionDirs(tableDir).dropRight(keep)
+    val retired = versionDirs(tableDir).dropRight(keep)
       .filter(p => TableManifest.retirable(p, now, retireGraceMs))
-      .foreach(deleteTree)
+    retired.foreach(deleteTree)
+    if (retired.nonEmpty)
+      CommitLog.prune(tableDir, v => tableDir.resolve(f"v-$v%06d"))
   }
 
   /** CREATE TABLE ... USING fmt LOCATION ... (+ PARTITIONED BY). Datasource

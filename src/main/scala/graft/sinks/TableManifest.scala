@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
@@ -38,6 +38,13 @@ object TableManifest {
 
   val ManifestName = "_manifest.json"
   val SupersededName = "_superseded"
+
+  /** The atomic-publish seam every metadata commit goes through: POSIX
+    * rename locally; a deployment against an object store (no atomic
+    * rename) injects the store's conditional-PUT equivalent and nothing
+    * above this seam changes. See [[CommitPublisher]].
+    */
+  @volatile var publisher: CommitPublisher = PosixCommitPublisher
 
   final case class FileEntry(path: String, bytes: Long)
   final case class Manifest(
@@ -95,25 +102,19 @@ object TableManifest {
       m
     }
 
-  private def publish(versionDir: Path, m: Manifest): Unit = {
-    val tmp = versionDir.resolve(ManifestName + ".tmp")
-    Files.writeString(tmp, Serialization.writePretty(m))
-    Files.move(tmp, versionDir.resolve(ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  private def publish(versionDir: Path, m: Manifest): Unit =
+    publisher.publish(versionDir, ManifestName, Serialization.writePretty(m))
 
   /** Stamp the supersede time (idempotent — the FIRST supersede wins, so
     * grace always measures from when the version stopped being current).
     */
   def markSuperseded(versionDir: Path): Unit =
-    // CREATE_NEW makes the stamp atomic: two committers racing on the same
-    // older version cannot rewrite each other's marker (a plain writeString
-    // would truncate-and-replace, moving the grace window), so the FIRST
-    // supersede genuinely wins
-    try Files.writeString(versionDir.resolve(SupersededName),
-      System.currentTimeMillis().toString,
-      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // publishIfAbsent makes the stamp atomic first-writer-wins: two
+    // committers racing on the same older version cannot rewrite each
+    // other's marker (a plain write would truncate-and-replace, moving
+    // the grace window)
+    publisher.publishIfAbsent(versionDir, SupersededName,
+      System.currentTimeMillis().toString): Unit
 
   def supersededAt(versionDir: Path): Option[Long] = {
     val marker = versionDir.resolve(SupersededName)

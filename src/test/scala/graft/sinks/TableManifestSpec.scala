@@ -136,6 +136,80 @@ class TableManifestSpec extends SparkSpec {
     spark.table("graft_m6.t").count() shouldBe 2 // not the orphan's 1
   }
 
+  test("every metadata commit flows through the CommitPublisher seam") {
+    // the object-store portability seam: swap the publisher and every
+    // manifest publish / supersede stamp / commit-log write goes through
+    // it — a real deployment injects a conditional-PUT implementation here
+    val root = scratchDir("mfseam").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m8", table = "t")
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = TableManifest.publisher
+    TableManifest.publisher = new CommitPublisher {
+      def publish(dir: java.nio.file.Path, name: String, content: String): Unit = {
+        events.synchronized { events += s"publish:$name": Unit }
+        PosixCommitPublisher.publish(dir, name, content)
+      }
+      def publishIfAbsent(dir: java.nio.file.Path, name: String,
+          content: String): Boolean = {
+        events.synchronized { events += s"ifAbsent:$name": Unit }
+        PosixCommitPublisher.publishIfAbsent(dir, name, content)
+      }
+    }
+    try {
+      ObjectStoreSink.write(spark, Seq((1, "a")).toDF("id", "s"), spec)
+      ObjectStoreSink.replaceTable(spark, Seq((2, "b")).toDF("id", "s"), spec)
+      events should contain("publish:" + TableManifest.ManifestName)
+      events should contain("publish:" + CommitLog.Name)
+      events should contain("ifAbsent:" + TableManifest.SupersededName)
+    } finally TableManifest.publisher = prev
+  }
+
+  test("a publisher that fails before visibility leaves the old version live") {
+    val root = scratchDir("mffail").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m9", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, "a")).toDF("id", "s"), spec)
+    val prev = TableManifest.publisher
+    // a publish that dies before the object becomes visible (the crashed
+    // conditional-PUT case): the commit must not happen at all
+    TableManifest.publisher = new CommitPublisher {
+      def publish(dir: java.nio.file.Path, name: String, content: String): Unit =
+        throw new java.io.IOException("store unavailable")
+      def publishIfAbsent(dir: java.nio.file.Path, name: String,
+          content: String): Boolean =
+        throw new java.io.IOException("store unavailable")
+    }
+    try
+      an[java.io.IOException] should be thrownBy
+        ObjectStoreSink.replaceTable(spark, Seq((2, "b")).toDF("id", "s"), spec)
+    finally TableManifest.publisher = prev
+    // old version still live and the only committed one; the half-written
+    // v2 is an uncommitted leftover, invisible everywhere
+    spark.table("graft_m9.t").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    ObjectStoreSink.snapshots(spec).map(_.version) shouldBe Seq(1)
+    ObjectStoreSink.readVersion(spark, spec).collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(1)
+  }
+
+  test("commit log records versions and retirement prunes it") {
+    val root = scratchDir("mflog").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_m10", table = "t",
+      writeMode = "overwrite")
+    val tableDir = Paths.get(root, "graft_m10", "t")
+    ObjectStoreSink.write(spark, Seq((1, "a")).toDF("id", "s"), spec)
+    ObjectStoreSink.write(spark, Seq((2, "b")).toDF("id", "s"), spec)
+    CommitLog.read(tableDir) shouldBe Some(Seq(1, 2))
+    // retirement keeps the log truthful: with zero grace, a third commit
+    // retires v1 and the log drops it
+    val prevGrace = ObjectStoreSink.retireGraceMs
+    ObjectStoreSink.retireGraceMs = 0L
+    try ObjectStoreSink.write(spark, Seq((3, "c")).toDF("id", "s"), spec)
+    finally ObjectStoreSink.retireGraceMs = prevGrace
+    CommitLog.read(tableDir) shouldBe Some(Seq(2, 3))
+    ObjectStoreSink.snapshots(spec).map(_.version) shouldBe Seq(2, 3)
+    ObjectStoreSink.readVersion(spark, spec).collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(3)
+  }
+
   test("in-place append refreshes the manifest: file set and row count stay truthful") {
     val root = scratchDir("mfappend").getAbsolutePath
     val spec = ObjectStoreSpec(path = root, database = "graft_m4", table = "t")
