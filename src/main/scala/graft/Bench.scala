@@ -61,13 +61,17 @@ object Bench {
     val total = results.values.collect { case (m, _, _, true) => m }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
-    // Also land the line in a FILE: the driver captures only a truncated
+    // Land the full line in a FILE: the driver captures only a truncated
     // stdout tail, which has repeatedly surfaced the max-spread dict as
     // phantom regressions (BENCH_r04 "parsed": null). File wins over tail.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // The LAST stdout line is a compact totals-only summary that always
+    // fits a bounded tail-capture window, so the driver's parsed field is
+    // never null again; per-query medians live in the file/full line above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","detail":"$out"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
