@@ -563,6 +563,51 @@ object Dedup {
             |            CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE), 6) > 0.3
             |ORDER BY id_a, id_b""".stripMargin)))
 
+  /** Streaming-vs-batch equivalence for the dedup index: the corpus arrives
+    * as THREE micro-batches through the streaming intake
+    * ([[graft.streaming.DedupIndexStream.applyBatch]], full commit
+    * protocol — per-batch dirs, _COMMIT markers, ledger anti-join), and the
+    * FINAL standing index must equal the relational definition of the
+    * one-shot index: per doc, the distinct-shingle-hash count and the XOR
+    * of the hashes themselves. This is the property that makes online
+    * intake safe — a corpus ingested incrementally ends up with byte-equal
+    * index state to one ingested at once. (Pair-log exactness per batch is
+    * covered by DedupIndexStreamSpec; the hot-bucket cap is time-dependent
+    * by design, so pairs are compared per-batch there, not here.)
+    */
+  val streamEquivDefs: Seq[QueryDef] = Seq(QueryDef(
+    "q_dedup_stream_equiv",
+    (s, d) => {
+      import graft.streaming.DedupIndexStream
+      // fresh dirs per invocation: Bench runs every query repeatedly in one
+      // session and the index commit protocol is (deliberately) stateful
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-streamequiv-").toString
+      val arrays = docShingleArrays(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)
+      val (c1, c2) = ((maxId + 1) / 3, (maxId + 1) * 2 / 3)
+      try {
+        DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") < c1),
+          s"$dir/index", s"$dir/pairs", 0.3, "b0")
+        DedupIndexStream.applyBatch(s,
+          arrays.filter(col("doc_id") >= c1 && col("doc_id") < c2),
+          s"$dir/index", s"$dir/pairs", 0.3, "b1")
+        DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") >= c2),
+          s"$dir/index", s"$dir/pairs", 0.3, "b2")
+      } finally arrays.unpersist(): Unit
+      val idx = DedupIndexStream.loadIndex(s, s"$dir/index").get
+      idx.counts.join(
+        idx.hashes.groupBy("doc_id")
+          .agg(expr("bit_xor(h)").as("hash_xor")), "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("hash_xor"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT * FROM ($docTokensSql)),
+            |hashes AS (SELECT DISTINCT doc_id, ${baseHashSql("token")} AS h FROM toks)
+            |SELECT doc_id, COUNT(*) AS n_tok, bit_xor(h) AS hash_xor
+            |FROM hashes GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+
   // lazy: referenced by `defs` above, which initializes first in the object
   private lazy val simhash60Sql: String = {
     val h = s"CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)"
