@@ -11,12 +11,15 @@ import scala.collection.mutable
   *
   * Supported subset (the spreadsheet-as-config reality this intake serves):
   * numeric/string/boolean literals, A1-style refs (absolute `$` accepted),
-  * ranges as function arguments, operators `+ - * / ^ & %` and comparisons
-  * `= <> < <= > >=`, functions SUM AVERAGE MIN MAX COUNT COUNTA IF ROUND
-  * ABS CONCAT/CONCATENATE LEN UPPER LOWER. Formula→formula references are
-  * memoized; cycles and anything outside the subset (cross-sheet refs,
-  * volatile functions) evaluate to the empty string — deterministic, never
-  * a crash mid-ingest.
+  * CROSS-SHEET refs (`Sheet2!A1`, `'My Sheet'!A1:B3` — names
+  * case-insensitive, quoted names with `''` escapes), ranges as function
+  * arguments, operators `+ - * / ^ & %` and comparisons `= <> < <= > >=`,
+  * functions SUM AVERAGE MIN MAX COUNT COUNTA IF ROUND ABS
+  * CONCAT/CONCATENATE LEN UPPER LOWER. Formula→formula references are
+  * memoized (workbook-globally, so cross-sheet formula chains and cycles
+  * are handled like same-sheet ones); cycles and anything outside the
+  * subset (defined names, volatile functions) evaluate to the empty
+  * string — deterministic, never a crash mid-ingest.
   */
 object XlsxFormula {
 
@@ -33,30 +36,56 @@ object XlsxFormula {
     */
   final case class Cell(value: String, formula: Option[String])
 
-  /** Resolve a parsed grid to final strings: formula cells evaluate when
-    * their cached value is empty, or always under `evaluateAll`.
+  /** Resolve a single parsed grid to final strings: formula cells evaluate
+    * when their cached value is empty, or always under `evaluateAll`.
+    * Cross-sheet refs evaluate to empty (no sibling sheets in scope) —
+    * use [[resolveWorkbook]] when the full workbook is available.
     */
-  def resolve(grid: Vector[Vector[Cell]], evaluateAll: Boolean): Vector[Vector[String]] = {
-    val memo = mutable.Map.empty[(Int, Int), V]
-    val inFlight = mutable.Set.empty[(Int, Int)]
+  def resolve(grid: Vector[Vector[Cell]], evaluateAll: Boolean): Vector[Vector[String]] =
+    resolveWorkbook(Vector("sheet1" -> grid), 0, evaluateAll)
 
-    def cellValue(r: Int, c: Int): V = {
+  /** Resolve one sheet of a WORKBOOK to final strings: same-sheet refs
+    * resolve within `sheets(target)`, `Sheet2!A1`-style refs resolve
+    * against the sibling grids (names case-insensitive). Memoization and
+    * cycle detection are workbook-global, so a formula chain that hops
+    * sheets (or a cross-sheet cycle) behaves exactly like its same-sheet
+    * counterpart.
+    */
+  def resolveWorkbook(sheets: Vector[(String, Vector[Vector[Cell]])],
+      target: Int, evaluateAll: Boolean): Vector[Vector[String]] = {
+    require(target >= 0 && target < sheets.length,
+      s"sheet index $target out of range (${sheets.length} sheets)")
+    val byName = sheets.zipWithIndex
+      .map { case ((n, _), i) => n.toLowerCase -> i }.toMap
+    val memo = mutable.Map.empty[(Int, Int, Int), V]
+    val inFlight = mutable.Set.empty[(Int, Int, Int)]
+
+    def cellValue(si: Int)(sheet: Option[String], r: Int, c: Int): V = {
+      val si2 = sheet match {
+        case None => si
+        case Some(n) => byName.get(n.toLowerCase) match {
+          case Some(i) => i
+          case None => return Err // unknown sheet name → out of subset
+        }
+      }
+      val grid = sheets(si2)._2
       if (r < 0 || r >= grid.length) return Blank
       val row = grid(r)
       if (c < 0 || c >= row.length) return Blank
       val cell = row(c)
       cell.formula match {
         case Some(f) if evaluateAll || cell.value.isEmpty =>
-          memo.getOrElseUpdate((r, c), {
-            if (!inFlight.add((r, c))) Err // cycle
+          memo.getOrElseUpdate((si2, r, c), {
+            if (!inFlight.add((si2, r, c))) Err // cycle (cross-sheet too)
             else
-              try evalFormula(f, cellValue)
-              finally inFlight.remove((r, c)): Unit
+              try evalFormula(f, cellValue(si2))
+              finally inFlight.remove((si2, r, c)): Unit
           })
         case _ => literal(cell.value)
       }
     }
 
+    val grid = sheets(target)._2
     grid.indices.toVector.map { r =>
       grid(r).indices.toVector.map { c =>
         val cell = grid(r)(c)
@@ -65,7 +94,7 @@ object XlsxFormula {
           // literal/cached text passes through byte-identical ("4.70"
           // must stay "4.70" — the typed view exists only for lookups)
           case Some(_) if evaluateAll || cell.value.isEmpty =>
-            render(cellValue(r, c))
+            render(cellValue(target)(None, r, c))
           case _ => cell.value
         }
       }
@@ -93,7 +122,7 @@ object XlsxFormula {
 
   // ---- recursive-descent parser/evaluator ---------------------------------
 
-  private final class P(input: String, lookup: (Int, Int) => V) {
+  private final class P(input: String, lookup: (Option[String], Int, Int) => V) {
     private var i = 0
     private def peek: Char = if (i < input.length) input.charAt(i) else '\u0000'
     private def ws(): Unit = while (i < input.length && input.charAt(i).isWhitespace) i += 1
@@ -198,9 +227,42 @@ object XlsxFormula {
       val c = peek
       if (c == '(') { i += 1; val v = cmp(); if (!eat(')')) Err else v }
       else if (c == '"') stringLit()
+      else if (c == '\'') quotedSheetRef()
       else if (c.isDigit || c == '.') numberLit()
       else if (c.isLetter || c == '$' || c == '_') identOrRefOrCall()
       else Err
+    }
+
+    /** `'Sheet Name'!A1[:B3]` — quoted sheet names may hold spaces and
+      * escape embedded quotes by doubling, like string literals.
+      */
+    private def quotedSheetRef(): V = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (i < input.length) {
+        val ch = input.charAt(i)
+        if (ch == '\'') {
+          if (i + 1 < input.length && input.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+          else {
+            i += 1
+            if (peek != '!') return Err
+            i += 1
+            return sheetQualifiedRef(sb.toString)
+          }
+        } else { sb += ch; i += 1 }
+      }
+      Err // unterminated
+    }
+
+    /** The `A1[:B3]` part after `Sheet!`. */
+    private def sheetQualifiedRef(sheet: String): V = {
+      val s2 = i
+      while (i < input.length && (input.charAt(i).isLetterOrDigit ||
+        input.charAt(i) == '$')) i += 1
+      input.substring(s2, i) match {
+        case ref @ RefPat(_, _) => cellOrRange(Some(sheet), ref)
+        case _ => Err
+      }
     }
 
     private def stringLit(): V = {
@@ -236,39 +298,45 @@ object XlsxFormula {
       val word = input.substring(start, i)
       ws()
       if (peek == '(') { i += 1; call(word.toUpperCase) }
+      else if (peek == '!') { i += 1; sheetQualifiedRef(word) } // Sheet2!A1
       else word.toUpperCase match {
         case "TRUE" => Bool(true)
         case "FALSE" => Bool(false)
         case _ =>
           word match {
-            case RefPat(_, _) =>
-              val (r, c) = refToRowCol(word)
-              // a ref may be the left side of a range (A1:B3)
-              ws()
-              if (peek == ':') {
-                i += 1
-                ws()
-                val s2 = i
-                while (i < input.length && (input.charAt(i).isLetterOrDigit ||
-                  input.charAt(i) == '$')) i += 1
-                input.substring(s2, i) match {
-                  case ref2 @ RefPat(_, _) =>
-                    val (r2, c2) = refToRowCol(ref2)
-                    // cell-count cap: an absurd span (A1:A99999999) is out
-                    // of subset — Err, not a 100M-element materialization
-                    val cells = (math.max(r, r2) - math.min(r, r2) + 1L) *
-                      (math.max(c, c2) - math.min(c, c2) + 1L)
-                    if (cells > 4000000L) Err
-                    else Range((for {
-                      rr <- math.min(r, r2) to math.max(r, r2)
-                      cc <- math.min(c, c2) to math.max(c, c2)
-                    } yield lookup(rr, cc)).toVector)
-                  case _ => Err
-                }
-              } else lookup(r, c)
-            case _ => Err // unsupported name (cross-sheet, defined names...)
+            case RefPat(_, _) => cellOrRange(None, word)
+            case _ => Err // unsupported name (defined names...)
           }
       }
+    }
+
+    /** A cell ref, optionally the left side of a range (`A1:B3`), on the
+      * current sheet (`sheet = None`) or a named sibling.
+      */
+    private def cellOrRange(sheet: Option[String], first: String): V = {
+      val (r, c) = refToRowCol(first)
+      ws()
+      if (peek == ':') {
+        i += 1
+        ws()
+        val s2 = i
+        while (i < input.length && (input.charAt(i).isLetterOrDigit ||
+          input.charAt(i) == '$')) i += 1
+        input.substring(s2, i) match {
+          case ref2 @ RefPat(_, _) =>
+            val (r2, c2) = refToRowCol(ref2)
+            // cell-count cap: an absurd span (A1:A99999999) is out
+            // of subset — Err, not a 100M-element materialization
+            val cells = (math.max(r, r2) - math.min(r, r2) + 1L) *
+              (math.max(c, c2) - math.min(c, c2) + 1L)
+            if (cells > 4000000L) Err
+            else Range((for {
+              rr <- math.min(r, r2) to math.max(r, r2)
+              cc <- math.min(c, c2) to math.max(c, c2)
+            } yield lookup(sheet, rr, cc)).toVector)
+          case _ => Err
+        }
+      } else lookup(sheet, r, c)
     }
 
     /** A1-ref → (row, col), 0-based. Row numbers beyond the xlsx maximum
@@ -358,7 +426,8 @@ object XlsxFormula {
     private def asStr(v: V): String = render(v)
   }
 
-  private def evalFormula(formula: String, lookup: (Int, Int) => V): V = {
+  private def evalFormula(formula: String,
+      lookup: (Option[String], Int, Int) => V): V = {
     val body = formula.stripPrefix("=").trim
     if (body.isEmpty) Blank
     else try new P(body, lookup).parse() catch { case _: StackOverflowError => Err }

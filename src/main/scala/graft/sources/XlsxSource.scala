@@ -55,9 +55,13 @@ object XlsxSource {
       schema)
   }
 
-  /** All rows of worksheet `index` (0-based) as string cells. Formula cells
-    * resolve through [[XlsxFormula]]: cached `<v>` wins unless absent (or
-    * `evaluateAll` re-evaluates everything, the POI-evaluator-parity mode).
+  /** All rows of worksheet `index` (0-based, workbook order) as string
+    * cells. Formula cells resolve through [[XlsxFormula]]: cached `<v>`
+    * wins unless absent (or `evaluateAll` re-evaluates everything, the
+    * POI-evaluator-parity mode). The WHOLE workbook is parsed so
+    * cross-sheet refs (`Sheet2!A1`) resolve against sibling sheets by
+    * name — spreadsheets are config-scale inputs, so the extra parse is
+    * driver-side small.
     */
   private[sources] def readRows(path: String, index: Int,
       evaluateAll: Boolean = false): Vector[Vector[String]] = {
@@ -66,11 +70,75 @@ object XlsxSource {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Vector.empty)
-      val entry = Option(zip.getEntry(s"xl/worksheets/sheet${index + 1}.xml"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"worksheet $index (xl/worksheets/sheet${index + 1}.xml) not found in $path"))
-      XlsxFormula.resolve(parseSheet(zip.getInputStream(entry), shared), evaluateAll)
+      val inventory = sheetInventory(zip)
+      if (index < 0 || index >= inventory.length)
+        throw new IllegalArgumentException(
+          s"worksheet $index not found in $path (${inventory.length} sheets)")
+      val grids = inventory.map { case (name, entry) =>
+        name -> parseSheet(zip.getInputStream(entry), shared)
+      }
+      XlsxFormula.resolveWorkbook(grids, index, evaluateAll)
     } finally zip.close()
+  }
+
+  /** (sheet name, zip entry) in workbook order: names from xl/workbook.xml,
+    * entry targets through xl/_rels/workbook.xml.rels (the OPC indirection
+    * — sheet N's part is NOT guaranteed to be sheetN.xml). Falls back to
+    * positional sheet{N}.xml naming when either part is absent.
+    */
+  private def sheetInventory(zip: ZipFile)
+      : Vector[(String, java.util.zip.ZipEntry)] = {
+    val declared: Vector[(String, String)] = // (name, r:id)
+      Option(zip.getEntry("xl/workbook.xml")).map { e =>
+        val r = XMLInputFactory.newInstance().createXMLStreamReader(zip.getInputStream(e))
+        val out = ArrayBuffer.empty[(String, String)]
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "sheet") {
+            val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+            // r:id lives in the relationships namespace; match by local name
+            val rid = (0 until r.getAttributeCount)
+              .find(a => r.getAttributeLocalName(a) == "id")
+              .map(r.getAttributeValue).getOrElse("")
+            out += ((name, rid))
+          }
+        }
+        r.close()
+        out.toVector
+      }.getOrElse(Vector.empty)
+    val rels: Map[String, String] = // r:id → part target
+      Option(zip.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
+        val r = XMLInputFactory.newInstance().createXMLStreamReader(zip.getInputStream(e))
+        val out = Map.newBuilder[String, String]
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship") {
+            (Option(r.getAttributeValue(null, "Id")),
+              Option(r.getAttributeValue(null, "Target"))) match {
+              case (Some(id), Some(t)) => out += id -> t
+              case _ => ()
+            }
+          }
+        }
+        r.close()
+        out.result()
+      }.getOrElse(Map.empty)
+    def entryFor(target: String): Option[java.util.zip.ZipEntry] = {
+      val p = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+      Option(zip.getEntry(p))
+    }
+    val resolved = declared.zipWithIndex.flatMap { case ((name, rid), pos) =>
+      rels.get(rid).flatMap(entryFor)
+        .orElse(Option(zip.getEntry(s"xl/worksheets/sheet${pos + 1}.xml")))
+        .map(name -> _)
+    }
+    if (resolved.nonEmpty) resolved
+    else // no workbook.xml: positional fallback, synthetic names
+      Iterator.from(1)
+        .map(n => Option(zip.getEntry(s"xl/worksheets/sheet$n.xml")))
+        .takeWhile(_.isDefined)
+        .zipWithIndex.map { case (e, i) => (s"sheet${i + 1}", e.get) }
+        .toVector
   }
 
   private def parseSharedStrings(in: InputStream): Vector[String] = {

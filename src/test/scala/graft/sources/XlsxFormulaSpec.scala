@@ -48,6 +48,60 @@ class XlsxFormulaSpec extends SparkSpec {
     rows(3)(3) shouldBe ""
   }
 
+  /** Two-sheet workbook exercising cross-sheet refs, with the sheet parts
+    * deliberately NOT named sheetN.xml — the reader must follow the OPC
+    * r:id → Target indirection in workbook.xml.rels, like a real file.
+    */
+  private def writeTwoSheetXlsx(path: String): Unit = {
+    val z = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="main" sheetId="1" r:id="rId7"/>
+        |<sheet name="Rates Q1" sheetId="2" r:id="rId3"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId7" Type="t" Target="worksheets/mainsheet.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="worksheets/rates.xml"/>
+        |</Relationships>""".stripMargin)
+    // main: B1 = rate*qty; C1 = cross-sheet RANGE (case-insensitive name);
+    // D1/E1 = unknown-sheet refs → empty; F1 = chain into a cross-sheet
+    // formula; G1/H1 = cross-sheet cycle (with rates!D1) → empty
+    put("xl/worksheets/mainsheet.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1"><v>5</v></c><c r="B1"><f>'Rates Q1'!B1*A1</f></c><c r="C1"><f>SUM('rates q1'!A1:B1)</f></c><c r="D1"><f>Nope!A1</f></c><c r="E1"><f>rates!A1</f></c><c r="F1"><f>'Rates Q1'!C1</f></c><c r="G1"><f>'Rates Q1'!D1</f></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    // rates: C1 is itself a formula (cross-sheet chain target); D1 refs
+    // BACK into main!G1 — a cross-sheet cycle
+    put("xl/worksheets/rates.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1"><v>2</v></c><c r="B1"><v>3</v></c><c r="C1"><f>A1+B1</f></c><c r="D1"><f>main!G1</f></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+  }
+
+  test("cross-sheet refs: quoted/unquoted names, ranges, chains, cycles, OPC part indirection") {
+    val f = java.io.File.createTempFile("twosheet", ".xlsx")
+    writeTwoSheetXlsx(f.getAbsolutePath)
+    val main = XlsxSource.readRows(f.getAbsolutePath, 0)
+    main(0)(0) shouldBe "5"
+    main(0)(1) shouldBe "15" // 'Rates Q1'!B1 * A1 = 3*5
+    main(0)(2) shouldBe "5"  // SUM over a cross-sheet range, name case-blind
+    main(0)(3) shouldBe ""   // unknown sheet → out of subset, empty
+    main(0)(4) shouldBe ""   // 'rates' != 'Rates Q1' — no prefix matching
+    main(0)(5) shouldBe "5"  // chains into rates!C1 = A1+B1 on THAT sheet
+    main(0)(6) shouldBe ""   // cross-sheet cycle main!G1 ↔ rates!D1
+    // the sibling sheet reads standalone too (workbook order index 1)
+    val rates = XlsxSource.readRows(f.getAbsolutePath, 1)
+    rates(0)(2) shouldBe "5"
+    rates(0)(3) shouldBe "" // same cycle seen from the other side
+  }
+
   test("cached values win by default; evaluateAll recomputes stale caches") {
     val f = java.io.File.createTempFile("stale", ".xlsx")
     writeFormulaXlsx(f.getAbsolutePath, staleCache = true)
