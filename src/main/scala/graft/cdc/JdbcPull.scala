@@ -53,7 +53,7 @@ final class WatermarkStore(path: Path) {
   */
 object JdbcPull {
 
-  /** One pulled batch. `df` is a materialized snapshot (localCheckpoint): the
+  /** One pulled batch. `df` is a materialized snapshot ([[snapshot]]): the
     * sink consumes the same rows the watermark was computed from, and the
     * source database is hit exactly once per poll. `newWatermark` is a
     * CANDIDATE — nothing is persisted until [[PullResult.commit]], which the
@@ -100,9 +100,9 @@ object JdbcPull {
     // is lazy and the source is re-queried by every downstream action — the
     // watermark aggregate, the sink, and any bookkeeping could each see a
     // DIFFERENT live snapshot (rows arriving between reads are acknowledged
-    // but never landed). A poll window is bounded, so a local checkpoint is
+    // but never landed). A poll window is bounded, so materializing it is
     // cheap relative to a second wire trip.
-    val df = reader.load().localCheckpoint(true)
+    val df = snapshot(reader.load())
     val (rows, newWm) =
       if (ts.nonEmpty && df.columns.map(_.toLowerCase).contains(ts.toLowerCase)) {
         val agg = df.agg(count(lit(1)).as("n"), max(col(ts)).cast("string").as("wm"))
@@ -110,6 +110,21 @@ object JdbcPull {
         (agg.getLong(0), Option(agg.getString(1)))
       } else (df.count(), None)
     PullResult(df, if (rows > 0) newWm else watermark, rows)
+  }
+
+  /** Materialize a bounded poll window as a STABLE snapshot. Lineage is
+    * cut first (fresh RDD identity) so canonical-plan cache matching can
+    * never serve a previous poll's cached rows for a re-polled window with
+    * the same predicate; the rows persist to MEMORY_AND_DISK under the
+    * CacheManager, so unpersist/clearCache frees them deterministically —
+    * unlike `localCheckpoint(true)` blocks, which only driver GC reclaims.
+    * The eager count is the single wire trip.
+    */
+  private[cdc] def snapshot(df: DataFrame): DataFrame = {
+    val cut = df.sparkSession.createDataFrame(df.rdd, df.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cut.count(): Unit
+    cut
   }
 
   /** Is this dataset due per its cron expression? (reference

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object MsSqlStyleCdc {
 
   /** One polled change batch. `messages` is a materialized snapshot
-    * (localCheckpoint): count, max-seqval and the caller's apply all read the
+    * (JdbcPull.snapshot): count, max-seqval and the caller's apply all read the
     * SAME rows from one JDBC trip — a live change table polled three times
     * would yield three different snapshots, acknowledging events that were
     * never applied. `newWatermark` is a CANDIDATE; the caller invokes
@@ -82,7 +82,9 @@ object MsSqlStyleCdc {
 
     // one snapshot, one pass: the change table is read once; count and
     // max-seq come from the same materialized rows the caller will apply
-    val snap = paired.localCheckpoint(true)
+    // (lineage-cut + CacheManager persist — see JdbcPull.snapshot)
+    val snap = JdbcPull.snapshot(paired.toDF())
+      .as[CDCMessage](org.apache.spark.sql.Encoders.product[CDCMessage])
     val agg = snap.agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()(0)
     val rows = agg.getLong(0)
     val maxSeq = if (rows > 0) Some(agg.getLong(1).toString) else None
