@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * files — the plumbing (binary columns, decode loop, feature schema,
   * no-shuffle plan) is exactly what real media would traverse.
   *
-  * Every query here is DuckDB-oracled, including the pixel path:
-  * q_multimodal_features generates deterministic two-tone PNGs (lossless),
-  * decodes them for REAL through the JDK ImageIO codec, and checks exact
-  * per-channel pixel sums against their closed form in SQL.
+  * Every query here is DuckDB-oracled, including the pixel and sample
+  * paths: q_multimodal_features generates deterministic two-tone PNGs
+  * (lossless), decodes them for REAL through the JDK ImageIO codec, and
+  * checks exact per-channel pixel sums against their closed form in SQL;
+  * q_multimodal_audio does the same through the JDK javax.sound.sampled
+  * codec with two-tone PCM WAVs and per-channel sample sums.
   */
 object MultimodalQueries {
 

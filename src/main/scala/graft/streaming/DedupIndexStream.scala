@@ -62,13 +62,17 @@ object DedupIndexStream {
       // drop docs the committed index already holds (same doc redelivered
       // under a new batch key) and collapse same-id re-deliveries WITHIN
       // the batch — either would double the doc's index rows and corrupt
-      // the verify counts
+      // the verify counts. PERSIST: this (token-array-wide) shuffle feeds
+      // the fingerprint, the ledger anti-join, and through it both index
+      // kernels — unpersisted it would re-run for every downstream action
       val deduped = batchDf.dropDuplicates("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // order-independent content fingerprint of the incoming batch —
       // replay-stable (computed BEFORE the anti-join against the index, so
       // a replay whose docs are already indexed still reproduces it); lazy
       // because only the rare replay/reset paths and the commit need it
       lazy val incomingFp = fingerprint(deduped)
+      try {
       if (Files.exists(marker)) {
         // replayed and already fully applied — unless the content differs,
         // which means a reset checkpoint is REUSING a committed key name
@@ -105,11 +109,14 @@ object DedupIndexStream {
       deleteTree(batchDir)
 
       val existing = loadIndex(spark, indexDir)
-      val fresh = existing match {
+      // PERSIST the ledger-filtered batch too: bands and hashes are built
+      // from it as SEPARATE plans (buildIndex), so without this the
+      // anti-join (and the dedup shuffle above it) would run once per kernel
+      val fresh = (existing match {
         case Some(idx) =>
           deduped.join(idx.counts.select("doc_id"), Seq("doc_id"), "left_anti")
         case None => deduped
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchIdx = IncrementalDedup.buildIndex(fresh)
       // cache the (small) batch index once: pairs + three writes read it
       batchIdx.bands.persist(); batchIdx.hashes.persist()
@@ -136,7 +143,9 @@ object DedupIndexStream {
       } finally {
         batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
         batchIdx.counts.unpersist(): Unit
+        fresh.unpersist(): Unit
       }
+      } finally deduped.unpersist(): Unit
     }
 
   /** The standing index: the union of COMMITTED batch directories (minus
