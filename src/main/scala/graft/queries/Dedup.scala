@@ -564,7 +564,7 @@ object Dedup {
             |ORDER BY id_a, id_b""".stripMargin)))
 
   /** Streaming-vs-batch equivalence for the dedup index: the corpus arrives
-    * as THREE micro-batches through the streaming intake
+    * as micro-batches through the streaming intake
     * ([[graft.streaming.DedupIndexStream.applyBatch]], full commit
     * protocol — per-batch dirs, _COMMIT markers, ledger anti-join), and the
     * FINAL standing index must equal the relational definition of the
@@ -586,15 +586,16 @@ object Dedup {
       val arrays = docShingleArrays(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)
-      val (c1, c2) = ((maxId + 1) / 3, (maxId + 1) * 2 / 3)
+      // two batches: the second probes a standing index and the final read
+      // unions two committed dirs — the full protocol surface. (Deeper
+      // batch chains are covered by DedupIndexStreamSpec; per-batch cost
+      // is commit-protocol-fixed, so the bench pays per batch.)
+      val cut = (maxId + 1) / 2
       try {
-        DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") < c1),
+        DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") < cut),
           s"$dir/index", s"$dir/pairs", 0.3, "b0")
-        DedupIndexStream.applyBatch(s,
-          arrays.filter(col("doc_id") >= c1 && col("doc_id") < c2),
+        DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") >= cut),
           s"$dir/index", s"$dir/pairs", 0.3, "b1")
-        DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") >= c2),
-          s"$dir/index", s"$dir/pairs", 0.3, "b2")
       } finally arrays.unpersist(): Unit
       val idx = DedupIndexStream.loadIndex(s, s"$dir/index").get
       idx.counts.join(
