@@ -105,6 +105,77 @@ object Text {
              |    AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher quality rules (Rae et al. 2021, Appendix A) ---------------
+    // The canonical published corpus-filter rule set, as a per-document
+    // rule matrix + keep flag: word count in [50, 100k], mean word length
+    // in [3, 10], symbol-to-word ratio (# or ellipsis) <= 0.1, >= 80% of
+    // words contain an alphabetic character, and >= 2 distinct stopwords
+    // present (the "harmful repetition" line-based rules need multi-line
+    // documents; the synthetic corpus is single-line, so they'd be
+    // constant columns and are omitted). Every ratio is a single int/int
+    // IEEE division on both engines, so the threshold comparisons are
+    // exact — the rule matrix hash-compares bit-for-bit.
+    QueryDef(
+      "q_text_gopher",
+      (s, d) => {
+        val words = split(trim(col("text")), "\\s+")
+        val nWords = size(words)
+        val meanLen = aggregate(transform(words, w => length(w)), lit(0),
+          (acc, x) => acc + x).cast(DoubleType) / nWords.cast(DoubleType)
+        val symRatio = regexp_count(col("text"), lit("#|\\.\\.\\."))
+          .cast(DoubleType) / nWords.cast(DoubleType)
+        val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
+          .cast(DoubleType) / nWords.cast(DoubleType)
+        val stopsPresent = stopwordsEn.map(sw =>
+          when(regexp_count(col("text"), lit(s"\\b$sw\\b")) > 0, 1)
+            .otherwise(0)).reduce(_ + _)
+        val r1 = nWords.between(50, 100000)
+        val r2 = meanLen >= 3.0 && meanLen <= 10.0
+        val r3 = symRatio <= 0.1
+        val r4 = alphaRatio >= 0.8
+        val r5 = stopsPresent >= 2
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            nWords.as("n_words"),
+            meanLen.as("mean_word_len"),
+            r1.cast("int").as("rule_word_count"),
+            r2.cast("int").as("rule_mean_word_len"),
+            r3.cast("int").as("rule_symbol_ratio"),
+            r4.cast("int").as("rule_alpha_words"),
+            r5.cast("int").as("rule_stopwords"),
+            (r1 && r2 && r3 && r4 && r5).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, text,
+              |         regexp_split_to_array(TRIM(text), '\\s+') AS words
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_id,
+              |    LENGTH(words) AS n_words,
+              |    CAST(list_sum(list_transform(words, x -> LENGTH(x))) AS DOUBLE)
+              |      / CAST(LENGTH(words) AS DOUBLE) AS mean_word_len,
+              |    CAST(LENGTH(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+              |      / CAST(LENGTH(words) AS DOUBLE) AS symbol_ratio,
+              |    CAST(LENGTH(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              |      / CAST(LENGTH(words) AS DOUBLE) AS alpha_ratio,
+              |    (${stopwordsEn.map(sw =>
+                     s"CASE WHEN LENGTH(regexp_extract_all(text, '\\b$sw\\b')) > 0 THEN 1 ELSE 0 END")
+                     .mkString(" + ")}) AS n_stops
+              |  FROM w)
+              |SELECT doc_id, n_words, mean_word_len,
+              |  CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS rule_word_count,
+              |  CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS INTEGER) AS rule_mean_word_len,
+              |  CAST(symbol_ratio <= 0.1 AS INTEGER) AS rule_symbol_ratio,
+              |  CAST(alpha_ratio >= 0.8 AS INTEGER) AS rule_alpha_words,
+              |  CAST(n_stops >= 2 AS INTEGER) AS rule_stopwords,
+              |  CAST(n_words BETWEEN 50 AND 100000
+              |    AND mean_word_len >= 3 AND mean_word_len <= 10
+              |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+              |    AND n_stops >= 2 AS INTEGER) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
     // ---- quality scoring: stopword ratio + uniqueness ratio ---------------
     QueryDef(
       "q_text_quality",
