@@ -170,6 +170,33 @@ object PipelineQueries {
              |  ON a.c_custkey = b.c_custkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- ORC lake roundtrip (K1 fileFormat surface beyond parquet) --------
+    // The versioned-dir commit protocol is format-agnostic by design
+    // (manifest rowCount is -1 for non-parquet — no footer reader — but
+    // commit/supersede/retire and the catalog repoint are identical);
+    // prove it with Spark's native ORC: overwrite commit + in-place append
+    // through the same sink, read back through the catalog.
+    QueryDef(
+      "q_orc_roundtrip",
+      (s, d) => {
+        val spec = ObjectStoreSpec(path = freshLake("orc"),
+          database = "graft_q", table = "q_orc_roundtrip",
+          fileFormat = "orc", writeMode = "overwrite")
+        val nation = graft.Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        graft.sinks.ObjectStoreSink.write(s, nation, spec)
+        graft.sinks.ObjectStoreSink.write(s,
+          nation.filter(col("n_nationkey") < 5)
+            .withColumn("n_nationkey", col("n_nationkey") + 100),
+          spec.copy(writeMode = "append"))
+        s.table("graft_q.q_orc_roundtrip").orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |UNION ALL
+             |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+             |WHERE n_nationkey < 5
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // ---- catalog SQL over a pipeline-landed partitioned table (K1+A4) -----
     QueryDef(
       "q_catalog_sql",
