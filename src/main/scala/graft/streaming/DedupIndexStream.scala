@@ -70,14 +70,19 @@ object DedupIndexStream {
       // order-independent content fingerprint of the incoming batch —
       // replay-stable (computed BEFORE the anti-join against the index, so
       // a replay whose docs are already indexed still reproduces it); lazy
-      // because only the rare replay/reset paths and the commit need it
-      lazy val incomingFp = fingerprint(deduped)
+      // because only the rare replay/reset paths and the commit need it.
+      // v2 folds token content in; v1 markers (doc-id-only, from older
+      // indexes) are still verified under their own semantics.
+      lazy val fpV2 = fingerprint(deduped, 2)
+      lazy val fpV1 = fingerprint(deduped, 1)
+      def matches(stored: Fp): Boolean =
+        stored == (if (stored.ver == 1) fpV1 else fpV2)
       try {
       if (Files.exists(marker)) {
         // replayed and already fully applied — unless the content differs,
         // which means a reset checkpoint is REUSING a committed key name
         parseFp(Files.readString(marker)) match {
-          case Some(fp) if fp != incomingFp =>
+          case Some(fp) if !matches(fp) =>
             throw new IllegalStateException(
               s"batch key '$batchKey' is committed with different content — " +
                 "the stream checkpoint appears reset; use a fresh checkpoint " +
@@ -95,7 +100,7 @@ object DedupIndexStream {
       // the one unacceptable outcome.
       if (Files.isDirectory(batchDir.getParent)) {
         supersededEntries(batchDir.getParent).get(batchKey) match {
-          case Some(Some(fp)) if fp == incomingFp => return // applied, compacted
+          case Some(Some(fp)) if matches(fp) => return // applied, compacted
           case Some(_) =>
             throw new IllegalStateException(
               s"batch key '$batchKey' was merged into a compacted index with " +
@@ -138,7 +143,7 @@ object DedupIndexStream {
         // the commit point; the marker records the batch's content
         // fingerprint so a post-compaction replay is distinguishable from
         // a reset checkpoint reusing the key name
-        Files.writeString(marker, fpString(incomingFp))
+        Files.writeString(marker, fpString(fpV2))
         ()
       } finally {
         batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
@@ -182,8 +187,15 @@ object DedupIndexStream {
     * Run it from the same single-writer context as the stream (e.g. a
     * maintenance trigger between micro-batches) — it shares the object
     * lock with [[applyBatch]], so a concurrent batch can never interleave.
+    *
+    * The rewrite of each table is partitioned by its INPUT SIZE (bytes /
+    * `targetPartitionBytes`, floored at defaultParallelism/4): `bands` is
+    * one row per doc per band and `counts` one row per doc — corpus-sized
+    * tables at 100 TB — so the merge must fan out with the data, never
+    * funnel through a fixed task count.
     */
-  def compactIndex(spark: SparkSession, indexDir: String): Int = synchronized {
+  def compactIndex(spark: SparkSession, indexDir: String,
+      targetPartitionBytes: Long = 256L << 20): Int = synchronized {
     val base = Paths.get(indexDir, "batches")
     if (!Files.isDirectory(base)) return 0
     // sweep crash leftovers: (a) dirs a prior compaction superseded but did
@@ -204,10 +216,15 @@ object DedupIndexStream {
     val target = base.resolve(
       s"compact-${committed.last.getFileName.toString}-${committed.size}")
     val idx = loadIndex(spark, indexDir).get
-    idx.bands.repartition(1).write.parquet(s"$target/bands")
-    idx.hashes.repartition(spark.sparkContext.defaultParallelism / 4 max 1)
-      .write.parquet(s"$target/hashes")
-    idx.counts.repartition(1).write.parquet(s"$target/counts")
+    def parts(sub: String): Int = {
+      val bytes = committed.map(p => treeBytes(p.resolve(sub))).sum
+      val byBytes = ((bytes + targetPartitionBytes - 1) / targetPartitionBytes)
+        .min(Int.MaxValue).toInt
+      (spark.sparkContext.defaultParallelism / 4) max byBytes max 1
+    }
+    idx.bands.repartition(parts("bands")).write.parquet(s"$target/bands")
+    idx.hashes.repartition(parts("hashes")).write.parquet(s"$target/hashes")
+    idx.counts.repartition(parts("counts")).write.parquet(s"$target/counts")
     // the supersede list makes the commit ATOMIC for readers: the instant
     // the marker lands, loadIndex serves the merged dir and EXCLUDES its
     // inputs even if their trees still exist — there is no window where
@@ -218,7 +235,7 @@ object DedupIndexStream {
     // duplicates once the only _MERGES naming them disappeared). Each line
     // keeps the batch's content fingerprint (from its _COMMIT marker) so a
     // post-compaction replay of the key stays verifiable as a no-op.
-    val supersedes: Map[String, Option[(Long, Long)]] =
+    val supersedes: Map[String, Option[Fp]] =
       pastSuperseded ++ committed.map(p =>
         p.getFileName.toString -> parseFp(Files.readString(p.resolve("_COMMIT"))))
     Files.writeString(target.resolve(MergesName),
@@ -244,7 +261,7 @@ object DedupIndexStream {
   /** Every batch name any committed compaction has superseded, with the
     * content fingerprint recorded for it (None for pre-fingerprint lines).
     */
-  private def supersededEntries(base: Path): Map[String, Option[(Long, Long)]] =
+  private def supersededEntries(base: Path): Map[String, Option[Fp]] =
     allDirs(base).filter(p => Files.exists(p.resolve("_COMMIT")))
       .flatMap { p =>
         val m = p.resolve(MergesName)
@@ -265,23 +282,46 @@ object DedupIndexStream {
       .filterNot(p => superseded.contains(p.getFileName.toString))
   }
 
-  /** Order-independent content fingerprint of a batch: (distinct doc
-    * count, XOR of xxhash64(doc_id)). XOR keeps the combine overflow-free
-    * and commutative; doc_ids are already distinct when this runs.
+  /** A batch content fingerprint. v2 (current) hashes doc_id AND token
+    * content; v1 (legacy, still verified) hashed doc_id alone — an index
+    * written before v2 keeps working, its markers checked under v1
+    * semantics.
     */
-  private def fingerprint(deduped: DataFrame): (Long, Long) = {
+  private[streaming] case class Fp(ver: Int, count: Long, xor: Long)
+
+  /** Order-independent content fingerprint of a batch: (distinct doc
+    * count, XOR of xxhash64(doc_id, tokens)). XOR keeps the combine
+    * overflow-free and commutative; doc_ids are already distinct when this
+    * runs. Folding the token array in means a reset checkpoint that reuses
+    * a committed key with the SAME doc ids but DIFFERENT documents is
+    * detected, not silently accepted as a replay.
+    */
+  private def fingerprint(deduped: DataFrame, ver: Int): Fp = {
     import org.apache.spark.sql.functions._
-    val r = deduped.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val h = if (ver == 1) expr("bit_xor(xxhash64(doc_id))")
+    else expr("bit_xor(xxhash64(doc_id, tokens))")
+    val r = deduped.agg(count(lit(1)), h).head()
+    Fp(ver, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
-  private def fpString(fp: (Long, Long)): String = s"v1 ${fp._1} ${fp._2}"
+  private def fpString(fp: Fp): String = s"v${fp.ver} ${fp.count} ${fp.xor}"
 
-  private def parseFp(s: String): Option[(Long, Long)] =
+  private def parseFp(s: String): Option[Fp] =
     s.trim.split("\\s+") match {
       case Array("v1", c, x) =>
-        scala.util.Try((c.toLong, x.toLong)).toOption
+        scala.util.Try(Fp(1, c.toLong, x.toLong)).toOption
+      case Array("v2", c, x) =>
+        scala.util.Try(Fp(2, c.toLong, x.toLong)).toOption
       case _ => None
+    }
+
+  private def treeBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
     }
 
   private def emptyIndex(spark: SparkSession, like: DedupIndex): DedupIndex =

@@ -151,11 +151,19 @@ class DedupIndexStreamSpec extends SparkSpec {
     val beforeCounts = before.counts.orderBy("doc_id").collect().toSeq
     val beforeBands = before.bands.count()
 
-    DedupIndexStream.compactIndex(spark, s"$dir/index") shouldBe 4
+    // tiny targetPartitionBytes: the rewrite must fan out with input size —
+    // the corpus-sized bands/counts tables may never funnel into one task
+    DedupIndexStream.compactIndex(spark, s"$dir/index",
+      targetPartitionBytes = 1024L) shouldBe 4
     val base = Paths.get(s"$dir/index", "batches")
     import scala.jdk.CollectionConverters._
     val dirs = Files.list(base).iterator().asScala.toList
     dirs.size shouldBe 1 // originals retired
+    for (sub <- Seq("bands", "hashes", "counts")) {
+      val parts = Files.list(dirs.head.resolve(sub)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      withClue(s"$sub part files:") { parts should be > 1 }
+    }
 
     val after = DedupIndexStream.loadIndex(spark, s"$dir/index").get
     after.counts.orderBy("doc_id").collect().toSeq shouldBe beforeCounts
@@ -290,6 +298,45 @@ class DedupIndexStreamSpec extends SparkSpec {
       DedupIndexStream.applyBatch(spark,
         Seq((9L, toks(0 until 25, "x"))).toDF("doc_id", "tokens"),
         s"$dir/index", s"$dir/pairs", 0.3, "compact-evil")
+  }
+
+  test("replayed key with same doc ids but DIFFERENT tokens fails loudly") {
+    // the v2 fingerprint folds token content in: a reset checkpoint that
+    // reuses a committed key with the same id set but new documents must
+    // not be silently accepted as an already-applied replay
+    val dir = scratchDir("dedupfpcontent").getAbsolutePath
+    DedupIndexStream.applyBatch(spark,
+      Seq((1L, toks(0 until 25, "v2a"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    val e = intercept[IllegalStateException] {
+      DedupIndexStream.applyBatch(spark,
+        Seq((1L, toks(0 until 25, "OTHER"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    }
+    e.getMessage should include ("checkpoint")
+  }
+
+  test("legacy v1 (doc-id-only) markers still verify under v1 semantics") {
+    val dir = scratchDir("dedupfpv1").getAbsolutePath
+    val batch = Seq((1L, toks(0 until 25, "v1"))).toDF("doc_id", "tokens")
+    DedupIndexStream.applyBatch(spark, batch, s"$dir/index", s"$dir/pairs",
+      0.3, "b0")
+    // rewrite the marker as an old index would have written it
+    val xor = batch.agg(expr("bit_xor(xxhash64(doc_id))")).head().getLong(0)
+    val marker = Paths.get(s"$dir/index/batches/b0/_COMMIT")
+    Files.writeString(marker, s"v1 1 $xor")
+    // replay with the same ids but different tokens: v1 never recorded
+    // content, so this is accepted as a replay (documented legacy behavior)
+    DedupIndexStream.applyBatch(spark,
+      Seq((1L, toks(0 until 25, "CHANGED"))).toDF("doc_id", "tokens"),
+      s"$dir/index", s"$dir/pairs", 0.3, "b0")
+    DedupIndexStream.loadIndex(spark, s"$dir/index").get
+      .counts.count() shouldBe 1
+    // ...but a different ID SET under the key still fails, as before
+    an[IllegalStateException] should be thrownBy
+      DedupIndexStream.applyBatch(spark,
+        Seq((9L, toks(0 until 25, "v1"))).toDF("doc_id", "tokens"),
+        s"$dir/index", s"$dir/pairs", 0.3, "b0")
   }
 
   test("a batch key a compaction superseded fails loudly (reset checkpoint)") {
