@@ -39,18 +39,24 @@ object Vacuum {
       val versions = listVersionDirs(table)
       if (versions.nonEmpty) {
         tables += 1
-        // same retention rule as the commit path: committed versions retire
-        // graceMs after their _superseded stamp (never from write mtime);
-        // uncommitted crash leftovers once quiescent for the grace
-        val retiring = versions.dropRight(keep)
-          .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
-        retiring.foreach { p =>
-          freed += treeBytes(p)
-          deleteTree(p)
-          retired += 1
+        // under the sink's per-table commit lock: CommitLog.prune is a
+        // read-modify-write of _commits.json, and a vacuum racing a
+        // concurrent commit's CommitLog.record would otherwise publish a
+        // log that drops the just-recorded version (lost update)
+        graft.sinks.ObjectStoreSink.withTableLock(table) {
+          // same retention rule as the commit path: committed versions
+          // retire graceMs after their _superseded stamp (never from write
+          // mtime); uncommitted crash leftovers once quiescent for the grace
+          val retiring = versions.dropRight(keep)
+            .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
+          retiring.foreach { p =>
+            freed += treeBytes(p)
+            deleteTree(p)
+            retired += 1
+          }
+          if (retiring.nonEmpty) // keep the commit log truthful post-retire
+            graft.sinks.CommitLog.prune(table, v => table.resolve(f"v-$v%06d"))
         }
-        if (retiring.nonEmpty) // keep the commit log truthful post-retire
-          graft.sinks.CommitLog.prune(table, v => table.resolve(f"v-$v%06d"))
       }
     }
     Report(tables, retired, freed)

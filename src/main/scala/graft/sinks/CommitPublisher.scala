@@ -46,7 +46,11 @@ trait CommitPublisher {
 object PosixCommitPublisher extends CommitPublisher {
 
   def publish(dir: Path, name: String, content: String): Unit = {
-    val tmp = dir.resolve(name + ".tmp")
+    // temp name unique PER CALL: two publishers racing on the same key must
+    // each rename their own complete body (last writer wins), never splice
+    // through a shared temp file
+    val tmp = dir.resolve(
+      s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, content)
     Files.move(tmp, dir.resolve(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
@@ -69,6 +73,13 @@ object PosixCommitPublisher extends CommitPublisher {
   * pre-log tables (the union can only ADD versions the log predates, never
   * reorder it). Single-writer per table (the sink's table lock), like the
   * manifest protocol itself.
+  *
+  * [[record]]/[[prune]] are read-modify-write: within one driver the sink's
+  * per-table lock serializes them (Vacuum takes it too). Across DRIVERS an
+  * object-store deployment must either keep log writers single-writer (the
+  * same requirement the manifest protocol already carries) or implement
+  * them as a conditional-PUT CAS loop (`If-Match: <etag>` / GCS
+  * `ifGenerationMatch`) in its [[CommitPublisher]].
   */
 object CommitLog {
 

@@ -41,9 +41,20 @@ object ObjectStoreSink {
     */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockObj(tableDir: Path): Object =
+    tableLocks.computeIfAbsent(tableDir.toString, _ => new Object)
   private def lockFor(spec: ObjectStoreSpec): Object =
-    tableLocks.computeIfAbsent(
-      Paths.get(spec.path, spec.database, spec.table).toString, _ => new Object)
+    lockObj(Paths.get(spec.path, spec.database, spec.table))
+
+  /** Run `body` under the same per-table commit lock `write()` takes — for
+    * maintenance callers (Vacuum) that mutate table metadata outside the
+    * sink's own entry points. CommitLog.record/prune is a non-atomic
+    * read-modify-write of `_commits.json`; unlocked, a vacuum racing a
+    * concurrent commit could republish a log missing the just-recorded
+    * version.
+    */
+  private[graft] def withTableLock[T](tableDir: Path)(body: => T): T =
+    lockObj(tableDir).synchronized(body)
 
   def write(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String =
     lockFor(spec).synchronized {
