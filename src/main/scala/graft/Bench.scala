@@ -41,6 +41,12 @@ object Bench {
       // timing (the r2 phantom-regression mechanism). Repeats within a
       // series share caches deliberately: the median is the warm number.
       spark.catalog.clearCache()
+      // GC barrier between series: the stateful fixtures (streaming dedup
+      // index, vacuum/compact lakes) leave dead heap + page-cache pressure
+      // that otherwise lands in the NEXT query's first repeat — the exact
+      // cross-query inflation the r6 driver rerun manufactured. Runs
+      // outside the timed loop; scratch dirs roll per tag (graft.Scratch).
+      System.gc()
       var ok = true
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

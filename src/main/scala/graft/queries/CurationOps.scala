@@ -62,8 +62,8 @@ object CurationOps {
   private val PhonePat = "\\+1-555-[0-9]{4}"
   private val IpPat = "10\\.[0-9]{1,3}\\.0\\.1"
 
-  private def freshLake(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+  // rolling scratch dirs — one live tree per query tag per JVM (see Scratch)
+  private def freshLake(tag: String): String = graft.Scratch.fresh(s"graft-$tag")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -580,9 +580,11 @@ object Dedup {
     (s, d) => {
       import graft.streaming.DedupIndexStream
       // fresh dirs per invocation: Bench runs every query repeatedly in one
-      // session and the index commit protocol is (deliberately) stateful
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-streamequiv-").toString
+      // session and the index commit protocol is (deliberately) stateful.
+      // Rolling (Scratch.fresh) deletes the PREVIOUS invocation's index and
+      // pairs trees — corpus-sized parquet state that would otherwise stack
+      // up per repeat and GC/FS-thrash neighboring bench series.
+      val dir = graft.Scratch.fresh("graft-streamequiv")
       val arrays = docShingleArrays(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)

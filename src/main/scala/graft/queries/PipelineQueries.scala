@@ -36,8 +36,10 @@ object PipelineQueries {
     s"read_csv('$path', header=true, columns=$cols)"
   }
 
-  private def freshLake(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+  // rolling scratch dirs: Bench invokes each query warmup+repeats times in
+  // one JVM — per-tag rolling keeps the on-disk fixture state bounded to
+  // one live tree per query (see graft.Scratch)
+  private def freshLake(tag: String): String = graft.Scratch.fresh(s"graft-$tag")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -268,7 +270,7 @@ object PipelineQueries {
     */
   private lazy val xlsxPath: String = {
     import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-")
+    val dir = graft.Scratch.freshKeep("graft-xlsx")
     val out = dir.resolve("stock_price.tok.20170102.dataset.xlsx")
     val rows: Seq[Seq[String]] =
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(SmallCsv)).asScala
@@ -306,7 +308,7 @@ object PipelineQueries {
     * from the load set. Shared with the oracle like [[archivePaths]].
     */
   private lazy val manifestPaths: Seq[String] = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-")
+    val dir = graft.Scratch.freshOracle("graft-manifest")
     java.nio.file.Files.copy(java.nio.file.Paths.get(BigCsv), dir.resolve("part1.csv"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/stock_price.20170103.dataset.csv"),
       dir.resolve("part2.csv"))

@@ -70,7 +70,7 @@ object Intake {
 
   /** Expand one archive into a fresh temp dir; returns the dir. */
   def expandArchive(pathStr: String, ext: String): Path = {
-    val outDir = Files.createTempDirectory("graft-intake-")
+    val outDir = graft.Scratch.freshOracle("graft-intake")
     val in = new BufferedInputStream(new FileInputStream(pathStr))
     try {
       ext match {

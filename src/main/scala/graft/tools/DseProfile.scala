@@ -22,7 +22,7 @@ object DseProfile {
     import graft.streaming.DedupIndexStream
 
     def once(tag: String): Unit = {
-      val dir = java.nio.file.Files.createTempDirectory("dseprof-").toString
+      val dir = graft.Scratch.fresh("dseprof")
       val arrays = graft.queries.Dedup.docShingleArraysPublic(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = graft.Tables.load(spark, sfDir, "documents")

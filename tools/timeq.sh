@@ -5,5 +5,8 @@ SF=$1; shift
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=$(for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect java.base/java.io java.base/java.net java.base/java.nio java.base/java.util java.base/java.util.concurrent java.base/java.util.concurrent.atomic java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action java.base/sun.util.calendar; do echo --add-opens=$p=ALL-UNNAMED; done)
 SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=${CPUS:-32} SPARK_GRAFT_ONLY="$*" \
-java $OPENS -Xmx16g -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+# -Xmx8g is the CANONICAL bench heap: bigger heaps (16g/64g) inflate
+# mid-size queries 3-9x via G1 region geometry (verify skill, round 5) —
+# a regression-triage tool must not embed the known noise source.
+java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Bench 2>/dev/null | tail -1
