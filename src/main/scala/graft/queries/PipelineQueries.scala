@@ -534,6 +534,65 @@ object PipelineQueries {
              |  FROM src WHERE k % 10 = 7) x
              |ORDER BY seq""".stripMargin)),
 
+    // ---- J4 edge matrix: seqval pairing shapes the reference's findAfter
+    // walks (MsSqlCDCRunnerSlave.scala:148-159) — a before WITHOUT its
+    // after half, an after WITHOUT its before, halves INTERLEAVED with
+    // other events in arrival order, and a second update of the same key
+    // at a later seqval. Hand-built change rows, polled through the real
+    // JDBC path, against a pure-VALUES oracle.
+    QueryDef(
+      "q_mssql_pairing",
+      (s, _) => {
+        val dbDir = freshLake("mspair")
+        val url = s"jdbc:derby:$dbDir/db;create=true"
+        val c = java.sql.DriverManager.getConnection(url)
+        c.createStatement().executeUpdate(
+          """CREATE TABLE cdc_pair ("__$operation" INT, "__$seqval" BIGINT,
+            |c_custkey BIGINT, c_acctbal DOUBLE)""".stripMargin.replace("\n", " "))
+        val ps = c.prepareStatement("INSERT INTO cdc_pair VALUES (?, ?, ?, ?)")
+        def add(op: Int, seq: Long, k: Long, bal: Double): Unit = {
+          ps.setInt(1, op); ps.setLong(2, seq); ps.setLong(3, k); ps.setDouble(4, bal)
+          ps.addBatch(): Unit
+        }
+        // deliberately interleaved arrival order: the 106-pair's before
+        // lands FIRST, its after LAST, with unrelated events between the
+        // 103-pair's halves — pairing is by seqval, never adjacency
+        add(3, 106, 3, 80.0) // before of the SECOND update of k=3
+        add(2, 101, 1, 10.0) // insert
+        add(4, 103, 3, 80.0) // after of the first update of k=3
+        add(1, 102, 2, 20.0) // delete
+        add(3, 103, 3, 30.0) // before of the first update of k=3
+        add(4, 106, 3, 90.0) // after of the second update of k=3
+        add(3, 104, 4, 40.0) // before WITHOUT an after (crashed capture)
+        add(4, 105, 5, 55.0) // after WITHOUT a before
+        ps.executeBatch(); c.close()
+        val store = new graft.cdc.WatermarkStore(
+          java.nio.file.Paths.get(dbDir, "wm.properties"))
+        val poll = graft.cdc.MsSqlStyleCdc.poll(s, "q_mssql_pairing",
+          JdbcSourceSpec(url = url, table = "cdc_pair"), store, "tpch", "dbo", "pair")
+        poll.messages.toDF()
+          .select(col("seq"),
+            when(col("isInsert"), "I").when(col("isUpdate"), "U").otherwise("D").as("kind"),
+            coalesce(element_at(col("after"), "c_custkey"),
+              element_at(col("before"), "c_custkey")).cast("bigint").as("c_custkey"),
+            element_at(col("before"), "c_acctbal").cast("double").as("bal_before"),
+            element_at(col("after"), "c_acctbal").cast("double").as("bal_after"))
+          .orderBy("seq")
+      },
+      Some("""SELECT CAST(seq AS BIGINT) AS seq, kind,
+             |       CAST(c_custkey AS BIGINT) AS c_custkey,
+             |       CAST(bal_before AS DOUBLE) AS bal_before,
+             |       CAST(bal_after AS DOUBLE) AS bal_after
+             |FROM (VALUES
+             |  (101, 'I', 1, NULL, 10.0),
+             |  (102, 'D', 2, 20.0, NULL),
+             |  (103, 'U', 3, 30.0, 80.0),
+             |  (104, 'U', 4, 40.0, NULL),
+             |  (105, 'U', 5, NULL, 55.0),
+             |  (106, 'U', 3, 80.0, 90.0)
+             |) AS t(seq, kind, c_custkey, bal_before, bal_after)
+             |ORDER BY seq""".stripMargin)),
+
     // ---- §2.10: DQ failure policy (>0 errors abort, >100 early-abort) ------
     // Three configurations over the same file; the engine's observed outcome
     // per config must equal the oracle's count-derived policy decision.

@@ -39,10 +39,13 @@ object XlsxFormula {
   /** Resolve a single parsed grid to final strings: formula cells evaluate
     * when their cached value is empty, or always under `evaluateAll`.
     * Cross-sheet refs evaluate to empty (no sibling sheets in scope) —
-    * use [[resolveWorkbook]] when the full workbook is available.
+    * use [[resolveWorkbook]] when the full workbook is available. The grid
+    * registers under the empty name, which no `Sheet!A1` ref can produce,
+    * so EVERY sheet-qualified ref is out of scope here — including one that
+    * happens to name the sheet the grid came from.
     */
   def resolve(grid: Vector[Vector[Cell]], evaluateAll: Boolean): Vector[Vector[String]] =
-    resolveWorkbook(Vector("sheet1" -> grid), 0, evaluateAll)
+    resolveWorkbook(Vector("" -> grid), 0, evaluateAll)
 
   /** Resolve one sheet of a WORKBOOK to final strings: same-sheet refs
     * resolve within `sheets(target)`, `Sheet2!A1`-style refs resolve

@@ -48,6 +48,22 @@ class XlsxFormulaSpec extends SparkSpec {
     rows(3)(3) shouldBe ""
   }
 
+  test("single-grid resolve: EVERY sheet-qualified ref is out of scope") {
+    // regression: the single-grid wrapper used to register the grid as
+    // 'sheet1', so a formula referencing Sheet1!A1 resolved against the
+    // grid itself while a sheet's REAL name got Err — doc and behavior
+    // disagreed. Sheet-qualified refs must uniformly evaluate to empty.
+    import XlsxFormula.Cell
+    val grid = Vector(Vector(
+      Cell("7", None),
+      Cell("", Some("Sheet1!A1")),
+      Cell("", Some("A1+1"))))
+    val out = XlsxFormula.resolve(grid, evaluateAll = false)
+    out(0)(0) shouldBe "7"
+    out(0)(1) shouldBe "" // NOT "7": sheet1 must not alias the grid
+    out(0)(2) shouldBe "8" // unqualified refs still resolve
+  }
+
   /** Two-sheet workbook exercising cross-sheet refs, with the sheet parts
     * deliberately NOT named sheetN.xml — the reader must follow the OPC
     * r:id → Target indirection in workbook.xml.rels, like a real file.
