@@ -225,6 +225,79 @@ object CurationOps {
               |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- exact-substring duplication scoring (Lee et al. 2021 flavor) ----
+    // Between whole-document exact dedup and MinHash-fuzzy: per document,
+    // the fraction of its POSITIONAL 10-token spans whose span also occurs
+    // in at least one OTHER document — the "duplicated text" signal
+    // substring-level dedup filters on (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better", which builds a suffix
+    // array; the distributed equivalent is span hashing + aggregation).
+    // Scale shape: spans reduce FIRST to (gh, doc_id, npos) grain — one
+    // row per distinct span per doc, never per occurrence — the cross-doc
+    // test is an aggregation over that reduced grain, and per-doc totals
+    // come straight from token counts at the SCAN (no explode). All
+    // shuffles carry 8-byte hashes, not span text; AQE handles hot spans.
+    QueryDef(
+      "q_dup_spans",
+      (s, d) => {
+        val K = 10
+        val ta = split(trim(col("text")), "\\s+")
+        val n = size(ta)
+        val parts = (1 to K).map(j => slice(ta, lit(j), n - lit(K - 1)))
+        val joined = parts.reduceLeft((acc, p) =>
+          zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+        val spans = when(n >= K, joined) // positional: NOT array_distinct
+          .otherwise(array().cast("array<string>"))
+        // (gh, doc_id) grain with per-doc occurrence counts
+        val g2 = t(s, d, "documents")
+          .select(col("doc_id"), explode(spans).as("span"))
+          .groupBy(hash60(col("span")).as("gh"), col("doc_id"))
+          .agg(count(lit(1)).as("npos"))
+        val crossDoc = g2.groupBy("gh")
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select("gh")
+        val dup = g2.join(crossDoc, "gh")
+          .groupBy("doc_id").agg(sum("npos").as("dup_spans"))
+        val totals = t(s, d, "documents")
+          .select(col("doc_id"),
+            greatest(n - lit(K - 1), lit(0)).cast("long").as("n_spans"))
+        totals.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+            when(col("n_spans") === 0, lit(0.0))
+              .otherwise(round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+                col("n_spans").cast("double"), 6)).as("dup_frac"))
+          .withColumn("keep", col("dup_frac") <= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, ${hash60Sql("span")} AS gh FROM (
+              |    SELECT doc_id, UNNEST(list_transform(
+              |      range(1, greatest(length(ta) - 8, 1)),
+              |      i -> ${(0 until 10).map(o => s"ta[i+$o]").mkString(" || ' ' || ")})) AS span
+              |    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ta
+              |          FROM documents))),
+              |g2 AS (SELECT gh, doc_id, COUNT(*) AS npos FROM g GROUP BY 1, 2),
+              |crossdoc AS (SELECT gh FROM g2 GROUP BY gh HAVING COUNT(*) >= 2),
+              |dup AS (
+              |  SELECT doc_id, SUM(npos) AS dup_spans FROM g2
+              |  WHERE gh IN (SELECT gh FROM crossdoc) GROUP BY doc_id),
+              |totals AS (
+              |  SELECT doc_id, greatest(
+              |    length(regexp_split_to_array(TRIM(text), '\\s+')) - 9, 0) AS n_spans
+              |  FROM documents)
+              |SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+              |       CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+              |       CASE WHEN t.n_spans = 0 THEN 0.0
+              |            ELSE ROUND(CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) /
+              |                       CAST(t.n_spans AS DOUBLE), 6) END AS dup_frac,
+              |       (CASE WHEN t.n_spans = 0 THEN 0.0
+              |             ELSE ROUND(CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) /
+              |                        CAST(t.n_spans AS DOUBLE), 6) END) <= 0.5 AS keep
+              |FROM totals t LEFT JOIN dup d USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
+
     // ---- KMV distinct-cardinality sketch ----------------------------------
     // Estimate the corpus's distinct-shingle count from the k smallest
     // md5 hashes (kmv_sketch aggregate: map-side bounded, shuffle = k

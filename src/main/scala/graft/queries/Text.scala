@@ -318,6 +318,58 @@ object Text {
              |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
+    // ---- corpus-weighted term importance: per-doc top-3 by tf-idf --------
+    // The keyword-extraction primitive curation pipelines use for topic
+    // tagging and domain mixing. Scale shape: tf is a (doc_id, token)
+    // aggregation, df a second aggregation over tf's (already reduced)
+    // output, the tf×df join shuffles on token (vocab grows with corpus —
+    // not broadcastable by design), and the top-k is a row_number window
+    // PARTITIONED BY doc — bounded per key, never a global sort. N (corpus
+    // size) is a 1-row agg crossed in as a broadcast literal.
+    // Determinism: rank on the 6dp-ROUNDED score (identical int inputs →
+    // identical IEEE division/ln on both engines at 6dp), token tie-break.
+    QueryDef(
+      "q_tfidf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = t(s, d, "documents").agg(count(lit(1)).as("n_total"))
+        val scored = tf.join(df, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf").cast("double") *
+              log(col("n_total").cast("double") / col("df").cast("double")), 6))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("token"))))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+            col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+             |    FROM documents) GROUP BY doc_id, token),
+             |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+             |n AS (SELECT COUNT(*) AS n_total FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |         ROUND(CAST(tf.tf AS DOUBLE) *
+             |               ln(CAST(n.n_total AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS score
+             |  FROM tf JOIN df USING (token) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             |           PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank,
+             |         token, tf, df, score
+             |  FROM scored)
+             |SELECT doc_id, rank, token, tf, df, score FROM ranked
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- DQ regex column rule (§2.10 columnRules, reference DataQuality
     // F2 semantics: per-cell matches(pattern), violations counted) ----------
     QueryDef(
