@@ -23,6 +23,11 @@ import scala.collection.mutable
   *     `&& || !`, ternary `?:`
   *   - `Java.type('java.util.HashMap')` + `new HashMap()` + `map.put(k, v)`
   *   - `new Date(str)` / `date.getFullYear()` etc., `String(x)`, `Number(x)`
+  *   - regex literals `/pat/gim` + `new RegExp(s, flags)`: `test`/`exec`,
+  *     `str.replace/split/match/search` with JS `$&`/`$n` replacement refs.
+  *     STATELESS subset: `lastIndex` is not tracked (a `g` regex never
+  *     remembers position between calls — `test` always probes from 0;
+  *     `match` with `g` returns all matches, the common safe semantics)
   *   - completion-value semantics: the script's result is the value of the
   *     last evaluated expression statement (how Nashorn `eval` returns)
   *
@@ -65,6 +70,7 @@ object JsInterp {
   final case class ArrLit(items: List[Expr]) extends Expr
   final case class ObjLit(entries: List[(String, Expr)]) extends Expr
   final case class FuncLit(params: List[String], body: Block) extends Expr
+  final case class RegexLit(pattern: String, flags: String) extends Expr
   final case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
   /** `++x`/`x--` etc.; postfix returns the pre-update value like JS. */
   final case class Update(op: String, target: Expr, prefix: Boolean) extends Expr
@@ -91,8 +97,20 @@ object JsInterp {
     "+=", "-=", "*=", "/=", "%=", "++", "--")
   private val threeChar = Set("===", "!==")
 
+  /** True when a `/` at this point starts a regex literal, not division:
+    * division needs a completed operand on its left (JS engines feed parser
+    * state back to the lexer; this is the standard last-token heuristic).
+    */
+  private def regexAllowed(prev: Tok): Boolean = prev == null || (prev.kind match {
+    case "num" | "str" | "regex" | "ident" | "null" | "true" | "false" => false
+    case "op" => !Set(")", "]", "++", "--").contains(prev.text)
+    case _ => true // keywords: return /x/, if (...), etc.
+  })
+
   private def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    var prev: Tok = null
+    def emit(t: Tok): Unit = { prev = t; out += t }
     var i = 0
     val n = src.length
     while (i < n) {
@@ -104,10 +122,32 @@ object JsInterp {
         i += 2
         while (i + 1 < n && !(src(i) == '*' && src(i + 1) == '/')) i += 1
         i += 2
+      } else if (c == '/' && regexAllowed(prev)) {
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var inClass = false
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src(i)
+          if (ch == '\\' && i + 1 < n) { sb.append(ch).append(src(i + 1)); i += 2 }
+          else if (ch == '\n') throw new JsError(s"unterminated regex at $start")
+          else if (ch == '[') { inClass = true; sb.append(ch); i += 1 }
+          else if (ch == ']') { inClass = false; sb.append(ch); i += 1 }
+          else if (ch == '/' && !inClass) { closed = true; i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        if (!closed) throw new JsError(s"unterminated regex at $start")
+        val fstart = i
+        while (i < n && src(i).isLetter) i += 1
+        val flags = src.substring(fstart, i)
+        flags.find(f => !"gim".contains(f)).foreach(f =>
+          throw new JsError(s"unsupported regex flag '$f' at $start (g/i/m)"))
+        emit(Tok("regex", sb.toString + "\u0000" + flags, start))
       } else if (c.isDigit || (c == '.' && i + 1 < n && src(i + 1).isDigit)) {
         val start = i
         while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
-        out += Tok("num", src.substring(start, i), start)
+        emit(Tok("num", src.substring(start, i), start))
       } else if (c == '\'' || c == '"') {
         val quote = c
         val sb = new StringBuilder
@@ -125,21 +165,21 @@ object JsInterp {
         }
         if (i >= n) throw new JsError(s"unterminated string at $start")
         i += 1
-        out += Tok("str", sb.toString, start)
+        emit(Tok("str", sb.toString, start))
       } else if (c.isLetter || c == '_' || c == '$') {
         val start = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_' || src(i) == '$')) i += 1
         val w = src.substring(start, i)
-        out += Tok(if (keywords(w)) w else "ident", w, start)
+        emit(Tok(if (keywords(w)) w else "ident", w, start))
       } else if (i + 2 < n && threeChar(src.substring(i, i + 3))) {
-        out += Tok("op", src.substring(i, i + 3), i); i += 3
+        emit(Tok("op", src.substring(i, i + 3), i)); i += 3
       } else if (i + 1 < n && twoChar(src.substring(i, i + 2))) {
-        out += Tok("op", src.substring(i, i + 2), i); i += 2
+        emit(Tok("op", src.substring(i, i + 2), i)); i += 2
       } else if ("+-*/%<>=!(){}[],;.:?".indexOf(c) >= 0) {
-        out += Tok("op", c.toString, i); i += 1
+        emit(Tok("op", c.toString, i)); i += 1
       } else throw new JsError(s"unexpected character '$c' at $i")
     }
-    out += Tok("eof", "", n)
+    emit(Tok("eof", "", n))
     out.result()
   }
 
@@ -346,6 +386,11 @@ object JsInterp {
 
     private def parsePrimary(): Expr = {
       if (at("num")) Num(eat().text.toDouble)
+      else if (at("regex")) {
+        val t = eat().text
+        val sep = t.indexOf('\u0000')
+        RegexLit(t.substring(0, sep), t.substring(sep + 1))
+      }
       else if (at("str")) Str(eat().text)
       else if (at("true")) { eat(); Bool(true) }
       else if (at("false")) { eat(); Bool(false) }
@@ -394,6 +439,35 @@ object JsInterp {
   private case object HashMapCtor extends Ctor
   private case object ArrayListCtor extends Ctor
   private case object DateCtor extends Ctor
+  private case object RegExpCtor extends Ctor
+
+  /** A regex value (`/pat/flags` or `new RegExp`). Stateless — `lastIndex`
+    * is not tracked (see the dialect notes). The compiled pattern is
+    * per-(pattern, flags) cached so literals inside loops compile once.
+    */
+  private final case class JsRegex(pattern: String, flags: String) {
+    val p: java.util.regex.Pattern = {
+      var f = 0
+      if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+      if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
+      try java.util.regex.Pattern.compile(pattern, f)
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        throw new JsError(s"invalid regex /$pattern/: ${e.getMessage}")
+      }
+    }
+    def global: Boolean = flags.contains('g')
+    override def toString: String = s"/$pattern/$flags"
+  }
+
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), JsRegex]()
+  private def regexOf(pattern: String, flags: String): JsRegex = {
+    flags.find(f => !"gim".contains(f)).foreach(f =>
+      throw new JsError(s"unsupported regex flag '$f' (g/i/m)"))
+    if (regexCache.size > 1000) JsRegex(pattern, flags) // dynamic-pattern cap
+    else regexCache.computeIfAbsent((pattern, flags),
+      { case (p, f) => JsRegex(p, f) })
+  }
 
   /** `Java` namespace host object. */
   private case object JavaNs
@@ -448,6 +522,7 @@ object JsInterp {
     bindings.foreach { case (k, v) => env.declare(k, normalize(v)) }
     env.declare("Java", JavaNs)
     env.declare("Date", DateCtor)
+    env.declare("RegExp", RegExpCtor)
     env.declare("Math", MathNs)
     hoistFunctions(script.stmts, env)
     var completion: Any = null
@@ -573,11 +648,16 @@ object JsInterp {
         case f: JsFunction => invoke(f, args.map(evalExpr(_, env)))
         case other => throw new JsError(s"cannot call $other")
       }
+    case RegexLit(p, f) => regexOf(p, f)
     case New(callee, args) =>
       evalExpr(callee, env) match {
         case HashMapCtor   => new java.util.HashMap[String, Any]()
         case ArrayListCtor => new java.util.ArrayList[Any]()
         case DateCtor      => newDate(args.map(evalExpr(_, env)))
+        case RegExpCtor =>
+          val a = args.map(evalExpr(_, env))
+          regexOf(jsToString(a.headOption.getOrElse("")),
+            a.lift(1).map(jsToString).getOrElse(""))
         case other         => throw new JsError(s"not a constructor: $other")
       }
   }
@@ -649,6 +729,9 @@ object JsInterp {
     case (null, _) => throw new JsError(s"cannot read '$name' of null")
     case (s: String, "length") => s.length.toDouble
     case (l: java.util.ArrayList[_], "length") => l.size.toDouble
+    case (r: JsRegex, "source") => r.pattern
+    case (r: JsRegex, "flags") => r.flags
+    case (r: JsRegex, "global") => r.global
     case (MathNs, "PI") => math.Pi
     case (MathNs, "E") => math.E
     case (JavaNs, "type") => JavaNs // resolved at the call site
@@ -719,12 +802,42 @@ object JsInterp {
       if (args.size > 1) s.substring(from, toNumber(args(1)).toInt) else s.substring(from)
     case (s: String, "charAt") => indexGet(s, args.head)
     case (s: String, "indexOf") => s.indexOf(jsToString(args.head)).toDouble
+    // regex-first overloads (JS String dispatches on the argument type)
+    case (s: String, "replace") if args.headOption.exists(_.isInstanceOf[JsRegex]) =>
+      val r = args.head.asInstanceOf[JsRegex]
+      jsReplace(s, r, jsToString(args(1)), all = r.global)
+    case (s: String, "split") if args.headOption.exists(_.isInstanceOf[JsRegex]) =>
+      val l = new java.util.ArrayList[Any]()
+      // limit -1: JS split keeps trailing empty fields
+      args.head.asInstanceOf[JsRegex].p.split(s, -1).foreach(l.add)
+      l
+    case (s: String, "match") if args.headOption.exists(_.isInstanceOf[JsRegex]) =>
+      val r = args.head.asInstanceOf[JsRegex]
+      val m = r.p.matcher(s)
+      if (r.global) {
+        val l = new java.util.ArrayList[Any]()
+        var idx = 0
+        while (idx <= s.length && m.find(idx)) {
+          l.add(m.group())
+          idx = if (m.end() == m.start()) m.end() + 1 else m.end()
+        }
+        if (l.isEmpty) null else l
+      } else if (m.find()) execResult(m)
+      else null
+    case (s: String, "search") if args.headOption.exists(_.isInstanceOf[JsRegex]) =>
+      val m = args.head.asInstanceOf[JsRegex].p.matcher(s)
+      (if (m.find()) m.start() else -1).toDouble
     case (s: String, "replace") => s.replace(jsToString(args.head), jsToString(args(1)))
     case (s: String, "split") => {
       val l = new java.util.ArrayList[Any]()
       s.split(java.util.regex.Pattern.quote(jsToString(args.head))).foreach(l.add)
       l
     }
+    case (r: JsRegex, "test") => r.p.matcher(jsToString(args.head)).find()
+    case (r: JsRegex, "exec") =>
+      val m = r.p.matcher(jsToString(args.head))
+      if (m.find()) execResult(m) else null
+    case (r: JsRegex, "toString") => r.toString
     case (d: Double, "toString") => jsToString(d)
     case (d: Double, "toFixed") =>
       String.format(java.util.Locale.ROOT,
@@ -758,6 +871,64 @@ object JsInterp {
       case Some(other) => throw new JsError(s"new Date($other) unsupported")
     }
     cal
+  }
+
+  /** JS exec/match result: [fullMatch, group1, ...] (unmatched groups null). */
+  private def execResult(m: java.util.regex.Matcher): java.util.ArrayList[Any] = {
+    val l = new java.util.ArrayList[Any]()
+    l.add(m.group())
+    (1 to m.groupCount()).foreach(g => l.add(m.group(g)))
+    l
+  }
+
+  /** JS String.replace with a regex: first match (or all with `g`), with
+    * `$$` / `$&` / `$1`..`$99` replacement references expanded manually —
+    * JS treats an out-of-range `$n` as literal text where Java throws, so
+    * Matcher.appendReplacement cannot be used directly.
+    */
+  private def jsReplace(s: String, r: JsRegex, repl: String, all: Boolean): String = {
+    val m = r.p.matcher(s)
+    // java.lang.StringBuilder: the 3-arg append(CharSequence, from, to)
+    // overload (Scala's StringBuilder would box the args into a tuple)
+    val out = new java.lang.StringBuilder
+    var idx = 0
+    var more = true
+    while (more && idx <= s.length && m.find(idx)) {
+      out.append(s, idx, m.start()).append(expandRepl(repl, m))
+      idx =
+        if (m.end() == m.start()) { // empty match: consume one char, advance
+          if (m.start() < s.length) out.append(s.charAt(m.start()))
+          m.end() + 1
+        } else m.end()
+      more = all
+    }
+    if (idx < s.length) out.append(s, idx, s.length)
+    out.toString
+  }
+
+  private def expandRepl(repl: String, m: java.util.regex.Matcher): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      val c = repl(i)
+      if (c == '$' && i + 1 < repl.length) {
+        repl(i + 1) match {
+          case '$' => out.append('$'); i += 2
+          case '&' => out.append(m.group()); i += 2
+          case d if d.isDigit =>
+            // longest valid group number wins (JS semantics), max 2 digits
+            val two = if (i + 2 < repl.length && repl(i + 2).isDigit)
+              (d.asDigit * 10 + repl(i + 2).asDigit) else -1
+            if (two >= 1 && two <= m.groupCount()) {
+              out.append(Option(m.group(two)).getOrElse("")); i += 3
+            } else if (d.asDigit >= 1 && d.asDigit <= m.groupCount()) {
+              out.append(Option(m.group(d.asDigit)).getOrElse("")); i += 2
+            } else { out.append(c); i += 1 } // out of range: literal, like JS
+          case _ => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private def truthy(v: Any): Boolean = v match {

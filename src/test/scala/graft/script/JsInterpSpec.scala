@@ -195,4 +195,55 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
            |var m = countWords('a b a c a b');
            |m['a'] + '/' + m['b'] + '/' + m['c'];""".stripMargin) shouldBe "3/2/1"
   }
+
+  test("regex literals: test/exec, flags, division disambiguation") {
+    eval("/ab+c/.test('xxabbbc')") shouldBe true
+    eval("/ab+c/.test('xyz')") shouldBe false
+    eval("/ABC/i.test('xabcx')") shouldBe true
+    eval("var r = /a(b)(c)?/; var m = r.exec('zab'); m[0] + ':' + m[1] + ':' + m[2]") shouldBe "ab:b:null"
+    eval("/a(b)/.exec('xyz')").asInstanceOf[AnyRef] shouldBe null
+    // '/' after an operand is division, after an operator a regex
+    eval("var a = 10; var b = 2; a / b") shouldBe 5.0
+    eval("var n = 6 / 2 / 3; n") shouldBe 1.0
+    eval("true ? /x/.test('x') : false") shouldBe true
+    // character class containing '/' does not terminate the literal
+    eval("/[/]/.test('a/b')") shouldBe true
+    // unsupported flag fails loudly
+    an[JsInterp.JsError] should be thrownBy eval("/x/y")
+  }
+
+  test("regex String methods: replace ($n/$&), split, match, search") {
+    eval("'a1b2c3'.replace(/[0-9]/, '#')") shouldBe "a#b2c3"
+    eval("'a1b2c3'.replace(/[0-9]/g, '#')") shouldBe "a#b#c#"
+    eval("'john smith'.replace(/(\\w+) (\\w+)/, '$2 $1')") shouldBe "smith john"
+    eval("'abc'.replace(/b/, '[$&]')") shouldBe "a[b]c"
+    eval("'price: 5'.replace(/(\\d)/, '$1$9')") shouldBe "price: 5$9" // OOR group literal
+    eval("'a,b;c'.split(/[,;]/).join('|')") shouldBe "a|b|c"
+    eval("'a,b,'.split(/,/).length") shouldBe 3.0 // trailing empty kept
+    eval("'x1y22z'.match(/\\d+/g).join('-')") shouldBe "1-22"
+    eval("'x1y22z'.match(/q/g)").asInstanceOf[AnyRef] shouldBe null
+    eval("var m = 'ab12'.match(/([a-z]+)(\\d+)/); m[1] + '/' + m[2]") shouldBe "ab/12"
+    eval("'hello world'.search(/world/)") shouldBe 6.0
+    eval("'hello'.search(/z/)") shouldBe -1.0
+  }
+
+  test("new RegExp and regex properties") {
+    eval("new RegExp('a.c').test('abc')") shouldBe true
+    eval("new RegExp('A', 'i').test('xax')") shouldBe true
+    eval("var r = new RegExp('x', 'gi'); r.source + ':' + r.flags + ':' + r.global") shouldBe "x:gi:true"
+    an[JsInterp.JsError] should be thrownBy eval("new RegExp('x', 'u')")
+    an[JsInterp.JsError] should be thrownBy eval("new RegExp('[')")
+  }
+
+  test("regex in loops and functions (cache path, empty-match advance)") {
+    eval("""
+      var n = 0;
+      for (var i = 0; i < 100; i++) { if (/ab/.test('xaby')) n++; }
+      n""") shouldBe 100.0
+    // empty-match global replace terminates and behaves like JS
+    eval("'abc'.replace(/x*/g, '-')") shouldBe "-a-b-c-"
+    eval("""
+      function clean(s) { return s.replace(/[^a-z]+/g, ' ').trim(); }
+      clean('a1b%%c  d!')""") shouldBe "a b c d"
+  }
 }
