@@ -63,9 +63,13 @@ object ObjectStoreSink {
       val tableDir = Paths.get(spec.path, spec.database, spec.table)
       Files.createDirectories(tableDir.getParent)
 
-      if (spec.deleteBeforeWrite && Files.exists(tableDir)) {
+      if (spec.deleteBeforeWrite) {
+        // drop the catalog entry even when the target dir is absent: the
+        // entry may point at a DIFFERENT (deleted/moved) location, and
+        // "start clean" must not leave a stale pointer that the subsequent
+        // append path would resolve and stat
         spark.sql(s"DROP TABLE IF EXISTS $fq")
-        deleteTree(tableDir)
+        if (Files.exists(tableDir)) deleteTree(tableDir)
       }
 
       val exists = spark.catalog.tableExists(fq)
