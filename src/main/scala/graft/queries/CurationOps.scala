@@ -464,6 +464,50 @@ object CurationOps {
               |  FROM documents) r
               |WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin)),
 
+    // ---- temperature-based mixture derivation (the α-sampling recipe) -----
+    // Where q_domain_mix APPLIES per-source rates, this DERIVES them: the
+    // mT5/XLM-R α-smoothed multinomial — p_s ∝ (tokens_s)^α with α=0.3 —
+    // which upweights small domains and damps head domains. Two bounded
+    // aggregations (per-source token totals, then the normalizer over the
+    // handful of sources) crossed in as broadcast 1-row aggs; deriving the
+    // recipe for a 100 TB corpus costs one map-side-combined pass.
+    // Determinism: pow/divisions on identical long inputs, rounded 6dp.
+    QueryDef(
+      "q_mix_temperature",
+      (s, d) => {
+        val alpha = 0.3
+        val perSrc = t(s, d, "documents")
+          .select(col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        val totals = perSrc.agg(
+          sum("n_tokens").as("tot_tokens"),
+          sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("tot_pow"))
+        perSrc.crossJoin(broadcast(totals))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+              .as("raw_share"),
+            round(pow(col("n_tokens").cast("double"), lit(alpha)) /
+              col("tot_pow"), 6).as("alpha_share"))
+          .withColumn("boost",
+            round(col("alpha_share") / col("raw_share"), 6))
+          .orderBy("source")
+      },
+      Some("""WITH per_src AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |         SUM(length(regexp_split_to_array(TRIM(text), '\s+'))) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT SUM(n_tokens) AS tot_tokens,
+             |               SUM(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_pow
+             |        FROM per_src)
+             |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |       ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+             |       ROUND(pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_pow, 6) AS alpha_share,
+             |       ROUND(ROUND(pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_pow, 6) /
+             |             ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6), 6) AS boost
+             |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin)),
+
     // ---- per-source distinct-shingle cardinality (grouped KMV sketches) ---
     // The grouped form of q_kmv_distinct: one kmv_sketch aggregate per
     // source — the shuffle is k longs per source, and the per-group merge

@@ -421,6 +421,52 @@ object Relational {
               |GROUP BY n_name
               |ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ---- TPC-H Q10 shape: returned-item revenue per customer --------------
+    // The wide-output top-k join: fact filtered at the scan (returnflag +
+    // order-date quarter window), customer and nation dims broadcast, one
+    // shuffle to the customer grain, then a bounded top-20 — revenue via
+    // the decimal-cast dsum pattern (raw double sums are partial-agg-order
+    // nondeterministic vs the oracle).
+    QueryDef(
+      "q_tpch_q10",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01") &&
+            col("o_orderdate") < lit("1998-07-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_nationkey"))
+        val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        // nation is FIXED-size → broadcast by construction; customer GROWS
+        // with the corpus → left to Catalyst/AQE (broadcast at bench SF,
+        // shuffle join at scale — forcing a broadcast here would OOM a
+        // 100 TB driver)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+              |  AND o_orderdate < TIMESTAMP '1998-07-01'
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // ---- skew diagnostics: heaviest join keys -----------------------------
     // The report that DECIDES when the skew toolkit applies: top-N heaviest
     // keys of a join column with their frequencies. Rides the bounded

@@ -241,5 +241,27 @@ class PlanAuditSpec extends SparkSpec {
     (plan should not).include("CartesianProduct")
   }
 
+  test("q_dup_spans: spans reduce to (gh, doc) grain before joins; partial aggs; no cartesian") {
+    val plan = planString(q("q_dup_spans"))
+    // every aggregation combines map-side before its shuffle
+    plan should include ("partial_")
+    // the cross-doc test and dup-spans rollup are aggregations + equi-joins
+    // over the REDUCED grain — never a cartesian/nested-loop over spans
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // per-doc totals come from token counts at the scan — no Window anywhere
+    (plan should not).include("Window")
+  }
+
+  test("q_tfidf_topk: top-k runs as WindowGroupLimit, partial before the doc shuffle") {
+    val plan = planString(q("q_tfidf_topk"))
+    // Spark's rank-limit pushdown: bounded top-k per doc on BOTH sides of
+    // the shuffle — never a full ranked materialization
+    plan should include ("WindowGroupLimit")
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include ("partial_")
+    (plan should not).include("CartesianProduct")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
