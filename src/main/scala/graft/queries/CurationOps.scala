@@ -298,6 +298,87 @@ object CurationOps {
               |FROM totals t LEFT JOIN dup d USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)),
 
+    // ---- exact-substring REMOVAL (the dedup action, not just the score) ---
+    // Lee et al. 2021 removes the duplicated substrings themselves; this is
+    // that transform: every token covered by a cross-doc duplicated
+    // 10-token span is dropped and the document re-joined. Positions of
+    // duplicated spans per doc are a SMALL per-doc array (bounded by doc
+    // length), gathered with sort_array(collect_set) for determinism; the
+    // rebuild is a per-row HOF over (token, covered) pairs — zip_with
+    // references the token array as an ARGUMENT, not inside a lambda, so
+    // the regex split is not re-evaluated per element.
+    QueryDef(
+      "q_span_scrub",
+      (s, d) => {
+        val K = 10
+        val ta0 = split(trim(col("text")), "\\s+")
+        val n0 = size(ta0)
+        val parts = (1 to K).map(j => slice(ta0, lit(j), n0 - lit(K - 1)))
+        val joined = parts.reduceLeft((acc, p) =>
+          zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+        val spans = when(n0 >= K, joined)
+          .otherwise(array().cast("array<string>"))
+        // positional span stream → (doc, pos, gh)
+        val g = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(spans).as(Seq("pos0", "span")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+            hash60(col("span")).as("gh"))
+        val crossDoc = g.select("gh", "doc_id").distinct()
+          .groupBy("gh").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2).select("gh")
+        val dupStarts = g.join(crossDoc, "gh")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("pos"))).as("dup"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ta"))
+        docs.join(dupStarts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ta"),
+            coalesce(col("dup"), array().cast("array<int>")).as("dup"))
+          .select(col("doc_id"), size(col("ta")).as("n_tok"),
+            expr(s"""filter(
+              zip_with(ta, transform(sequence(1, size(ta)),
+                t -> exists(dup, s -> t >= s AND t <= s + ${K - 1})),
+                (tok, cov) -> IF(cov, NULL, tok)),
+              x -> x IS NOT NULL)""").as("kept"))
+          .select(col("doc_id"), col("n_tok"),
+            size(col("kept")).as("n_kept"),
+            array_join(col("kept"), " ").as("scrubbed_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ta
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+              |    SELECT doc_id, UNNEST(list_transform(
+              |      range(1, greatest(length(ta) - 8, 1)),
+              |      i -> struct_pack(pos := i,
+              |        gh := ${hash60Sql(
+                       (0 until 10).map(o => s"ta[i+$o]").mkString(" || ' ' || "))}
+              |      ))) AS u
+              |    FROM base)),
+              |crossdoc AS (
+              |  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+              |  GROUP BY gh HAVING COUNT(*) >= 2),
+              |dup AS (
+              |  SELECT doc_id, list_sort(list(DISTINCT pos)) AS dup FROM g
+              |  WHERE gh IN (SELECT gh FROM crossdoc) GROUP BY doc_id),
+              |scrub AS (
+              |  SELECT b.doc_id, length(b.ta) AS n_tok,
+              |    list_filter(
+              |      list_transform(range(1, length(b.ta) + 1),
+              |        t -> CASE WHEN len(list_filter(COALESCE(d.dup, []),
+              |                        s -> t >= s AND t <= s + 9)) > 0
+              |             THEN NULL ELSE b.ta[t] END),
+              |      x -> x IS NOT NULL) AS kept
+              |  FROM base b LEFT JOIN dup d USING (doc_id))
+              |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+              |       CAST(len(kept) AS INTEGER) AS n_kept,
+              |       -- fully-scrubbed doc: array_to_string of an empty list
+              |       -- is NULL in DuckDB; Spark's array_join gives ''
+              |       COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+              |FROM scrub ORDER BY doc_id""".stripMargin)),
+
     // ---- KMV distinct-cardinality sketch ----------------------------------
     // Estimate the corpus's distinct-shingle count from the k smallest
     // md5 hashes (kmv_sketch aggregate: map-side bounded, shuffle = k
