@@ -518,6 +518,85 @@ object CurationOps {
               |      FROM documents) b
               |ORDER BY shard, pos""".stripMargin)),
 
+    // ---- fixed-window chunking with overlap (context-length prep) ---------
+    // Split each document into training chunks of CHUNK tokens with STRIDE
+    // overlap — the standard long-document preprocessing before packing.
+    // A pure per-row HOF expansion (token slices over a window sequence):
+    // map-only, no shuffle at any scale; the final short chunk is kept iff
+    // it adds tokens beyond the previous window (same rule as HF's
+    // return_overflowing_tokens stride semantics, chunk starts at
+    // 1, 1+stride, 1+2*stride, ... while start <= n).
+    QueryDef(
+      "q_chunk_windows",
+      (s, d) => {
+        val Chunk = 64
+        val Stride = 48 // 16-token overlap
+        val ta = split(trim(col("text")), "\\s+")
+        t(s, d, "documents")
+          .select(col("doc_id"), ta.as("ta"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              s"""transform(
+                 |  sequence(1, size(ta), $Stride),
+                 |  st -> array_join(slice(ta, st, $Chunk), ' '))""".stripMargin))
+              .as(Seq("chunk_idx", "chunk_text")))
+          .select(col("doc_id"), col("chunk_idx"),
+            (size(split(col("chunk_text"), "\\s+"))).as("n_tok"),
+            col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS chunk_idx,
+             |  CAST(length(regexp_split_to_array(u.txt, '\s+')) AS INTEGER) AS n_tok,
+             |  u.txt AS chunk_text
+             |FROM (
+             |  SELECT doc_id, UNNEST(list_transform(
+             |    list_transform(range(CAST(ceil(length(ta) / 48.0) AS BIGINT)),
+             |                   k -> 1 + 48 * k),
+             |    st -> struct_pack(
+             |      i := (st - 1) // 48 + 1,
+             |      txt := array_to_string(list_slice(ta, st, st + 63), ' ')))) AS u
+             |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS ta
+             |        FROM documents))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- shard-local sequence packing (greedy by cumulative tokens) -------
+    // Assign ordered chunks to fixed-budget training sequences: within each
+    // shard (hash-partitioned, so the window never funnels the corpus
+    // through one task), walk docs in the deterministic training order and
+    // emit pack_id = floor(cumulative_tokens_before / budget). Greedy
+    // running-sum packing — one partition-local window over the per-shard
+    // order, the distributed version of the packer a data loader runs.
+    QueryDef(
+      "q_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val Budget = 256L
+        val nShards = 8
+        val b = DatasetSplit.bucket(col("doc_id"))
+        val w = Window.partitionBy("shard").orderBy("bucket", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), b.as("bucket"), (b % nShards).as("shard"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .withColumn("cum_after", sum("n_tok").over(w))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            ((col("cum_after") - col("n_tok")) / Budget).cast("long")
+              .as("pack_id"))
+          .orderBy("shard", "pack_id", "doc_id")
+      },
+      Some(s"""SELECT doc_id, shard, n_tok,
+              |  CAST(FLOOR((cum_after - n_tok) / 256.0) AS BIGINT) AS pack_id
+              |FROM (
+              |  SELECT doc_id, shard, n_tok,
+              |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY bucket, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+              |  FROM (SELECT doc_id,
+              |          ${DatasetSplit.bucketSql("doc_id")} AS bucket,
+              |          ${DatasetSplit.bucketSql("doc_id")} % 8 AS shard,
+              |          length(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok
+              |        FROM documents) b)
+              |ORDER BY shard, pack_id, doc_id""".stripMargin)),
+
     // ---- weighted domain mixing -------------------------------------------
     // Per-source sampling rates (the domain-mixing knob of a pretraining
     // recipe) applied as hash thresholds: keep a doc iff its bucket clears
