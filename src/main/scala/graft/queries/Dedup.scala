@@ -599,6 +599,13 @@ object Dedup {
         DedupIndexStream.applyBatch(s, arrays.filter(col("doc_id") >= cut),
           s"$dir/index", s"$dir/pairs", 0.3, "b1")
       } finally arrays.unpersist(): Unit
+      // compact the two committed batch dirs into one and read THROUGH the
+      // merged index: compaction is content-preserving, so the oracle is
+      // unchanged — this puts the maintenance path (crash-sweep, size-
+      // proportional rewrite, _MERGES supersede commit) inside the
+      // correctness gate and the bench, not just the unit spec
+      require(DedupIndexStream.compactIndex(s, s"$dir/index") == 2,
+        "stream-equiv fixture expected to compact exactly its two batches")
       val idx = DedupIndexStream.loadIndex(s, s"$dir/index").get
       idx.counts.join(
         idx.hashes.groupBy("doc_id")
