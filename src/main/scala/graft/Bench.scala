@@ -1,7 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host-steal canary: a fixed single-threaded integer spin (xorshift64)
+    * whose wall time on a quiet machine is a machine constant. When the
+    * hypervisor steals cycles (the round-2/6/7 phantom-regression
+    * mechanism), the canary inflates by the same factor as every query —
+    * so an inflated window is machine-detectable from the bench JSON
+    * instead of re-litigated each round. */
+  final val CanaryIters = 600000000L
+  /** Reference wall-time (sec) of the canary on the quiet build host,
+    * median of 5; recalibrate (tools/calibrate_canary.sh) if the
+    * container's CPU generation changes. */
+  final val CanaryRef = 1.155 // median of 5, 2026-08-13 build host (spread 1.148-1.172)
+  def canarySec(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < CanaryIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // keep the loop observable
+    dt
+  }
+  def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(",")
+    catch { case _: Throwable => "" }
   def main(args: Array[String]): Unit = {
+    val canaryBefore = canarySec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -65,19 +92,30 @@ object Bench {
         .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, _, _, false)) => "\"" + k + "\"" }
     val total = results.values.collect { case (m, _, _, true) => m }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val canaryAfter = canarySec()
+    // canonical = neither canary window deviated >15% from the committed
+    // machine constant. A non-canonical run's timings are steal-inflated
+    // and must not be compared against committed medians.
+    val canaryOk = CanaryRef > 0 &&
+      math.abs(canaryBefore - CanaryRef) / CanaryRef <= 0.15 &&
+      math.abs(canaryAfter - CanaryRef) / CanaryRef <= 0.15
+    val canaryJson = f"""{"before":$canaryBefore%.3f,"after":$canaryAfter%.3f,"ref":$CanaryRef%.3f,"canonical":$canaryOk,"loadavg":"${loadAvg()}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","canary":$canaryJson}"""
     println(json)
     // Land the full line in a FILE: the driver captures only a truncated
     // stdout tail, which has repeatedly surfaced the max-spread dict as
     // phantom regressions (BENCH_r04 "parsed": null). File wins over tail.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // Default OUTSIDE the repo tree (target/): a casual bench run must not
+    // clobber the committed BENCH.json — the record-the-round path sets
+    // SPARK_GRAFT_BENCH_OUT=BENCH.json explicitly (VERDICT r7 #2).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     // The LAST stdout line is a compact totals-only summary that always
     // fits a bounded tail-capture window, so the driver's parsed field is
     // never null again; per-query medians live in the file/full line above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","detail":"$out"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","canary":$canaryJson,"detail":"$out"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
