@@ -59,18 +59,44 @@ object Scratch {
   def freshOracle(tag: String): Path =
     Files.createTempDirectory(oracleRoot, s"$tag-")
 
+  /** Marker file naming the creating JVM; the sweep below treats a root
+    * whose owner pid is still alive as live regardless of age. The root
+    * dir's mtime is NOT refreshed by writes deeper in the tree, so age
+    * alone would delete the fixtures of a still-running long session
+    * mid-compare (r7 ADVICE).
+    */
+  private val OwnerMarker = ".owner.pid"
+
+  private def ownerAlive(root: Path): Boolean =
+    try {
+      val pid = Files.readString(root.resolve(OwnerMarker)).trim.toLong
+      Files.exists(java.nio.file.Paths.get(s"/proc/$pid"))
+    } catch { case _: Throwable => false }
+
+  /** True when a previous-session oracle root is safe to sweep at `now`:
+    * owner dead (or markerless legacy root) and older than 6 h, or older
+    * than the 7-day pid-reuse backstop regardless.
+    */
+  private[graft] def oracleSweepable(p: Path, now: Long): Boolean = {
+    val cutoff =
+      if (ownerAlive(p)) now - 7L * 24 * 3600 * 1000
+      else now - 6L * 3600 * 1000
+    try Files.getLastModifiedTime(p).toMillis < cutoff
+    catch { case _: java.io.IOException => false }
+  }
+
   private lazy val oracleRoot: Path = {
     val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val now = System.currentTimeMillis()
     val s = Files.list(base)
     try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith("graft-oracle-"))
-      .filter(p =>
-        try Files.getLastModifiedTime(p).toMillis < cutoff
-        catch { case _: java.io.IOException => false })
+      .filter(oracleSweepable(_, now))
       .foreach(deleteTree)
     finally s.close()
-    Files.createTempDirectory(base, "graft-oracle-")
+    val r = Files.createTempDirectory(base, "graft-oracle-")
+    Files.writeString(r.resolve(OwnerMarker), ProcessHandle.current().pid().toString)
+    r
   }
 
   private def deleteTree(p: Path): Unit =

@@ -45,6 +45,12 @@ trait CommitPublisher {
   */
 object PosixCommitPublisher extends CommitPublisher {
 
+  /** A crashed publisher's orphan temp is retired this long after its
+    * last write. Generous vs any plausible write duration, so a LIVE
+    * racer's temp (written microseconds ago) is never swept.
+    */
+  private val TmpGraceMillis = 10L * 60 * 1000
+
   def publish(dir: Path, name: String, content: String): Unit = {
     // temp name unique PER CALL: two publishers racing on the same key must
     // each rename their own complete body (last writer wins), never splice
@@ -54,7 +60,29 @@ object PosixCommitPublisher extends CommitPublisher {
     Files.writeString(tmp, content)
     Files.move(tmp, dir.resolve(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    sweepStaleTemps(dir, name)
   }
+
+  /** Unique-per-call temps fix the shared-temp splice race but, unlike the
+    * old fixed name, are not self-healing: a crash between write and move
+    * would leak `<name>.tmp-XXXXXXXX` forever (r7 ADVICE). Each successful
+    * publish best-effort retires stale siblings past the grace window —
+    * commit dirs hold a handful of entries, so the listing is cheap.
+    */
+  private def sweepStaleTemps(dir: Path, name: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - TmpGraceMillis
+      val s = Files.list(dir)
+      try {
+        s.iterator().forEachRemaining { p =>
+          val fn = p.getFileName.toString
+          if (fn.startsWith(s"$name.tmp-") &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false }))
+            Files.deleteIfExists(p): Unit
+        }
+      } finally s.close()
+    } catch { case _: java.io.IOException => () }
 
   def publishIfAbsent(dir: Path, name: String, content: String): Boolean =
     try {

@@ -41,8 +41,16 @@ object ObjectStoreSink {
     */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockObj(tableDir: Path): Object =
-    tableLocks.computeIfAbsent(tableDir.toString, _ => new Object)
+  private def lockObj(tableDir: Path): Object = {
+    // Key on the ABSOLUTE NORMALIZED form: a relative-vs-absolute or
+    // `a/../b` spelling of the same table dir must map to the same lock
+    // object, or two spellings silently mutually-exclude nothing and the
+    // CommitLog lost-update race comes back (r7 ADVICE). Lexical
+    // normalization only — toRealPath would key the SAME spelling to
+    // different locks before vs after the dir exists.
+    tableLocks.computeIfAbsent(
+      tableDir.toAbsolutePath.normalize.toString, _ => new Object)
+  }
   private def lockFor(spec: ObjectStoreSpec): Object =
     lockObj(Paths.get(spec.path, spec.database, spec.table))
 
