@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward stress-scaling knobs into the forked test JVM
+  // (`sbt -Dstress=1000 test` — sys.props don't cross the fork otherwise)
+  sys.props.get("stress").map(v => s"-Dstress=$v").toSeq

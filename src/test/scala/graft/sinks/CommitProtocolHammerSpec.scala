@@ -1,0 +1,168 @@
+package graft.sinks
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.model.ObjectStoreSpec
+import graft.operators.{Compaction, Vacuum}
+
+/** Multi-writer hammer on the versioned-directory table commit protocol
+  * (VERDICT r7 #5): N writer threads race `replaceTable` / append /
+  * `compact` / `vacuum` on ONE table with seeded-random interleaving while
+  * reader threads continuously resolve and scan it. Asserts, throughout:
+  *
+  *   - a reader only ever materializes a COMMITTED state — every observed
+  *     row count is exactly `payload + appends` for some committed payload
+  *     (a torn read of a half-written version dir would produce a count
+  *     outside the valid set);
+  *   - the snapshot log stays strictly ascending with committed manifests;
+  *   - and at quiescence exactly ONE lineage survives: the commit log
+  *     names exactly the committed dirs on disk, the newest version is
+  *     live, and its content is the last writer's payload.
+  *
+  * The retirement grace is set to ZERO so vacuum/retention genuinely
+  * deletes under the readers' feet — the one failure readers may see is a
+  * missing-file error from a version retired mid-scan (the documented
+  * reader-safety tradeoff the production 60 s grace exists to prevent);
+  * anything else observed by a reader fails the suite.
+  *
+  * Op count scales with `-Dstress=N` (total writer ops, default 48); the
+  * reference analogue is Iceberg's snapshot CAS under concurrent writers
+  * (IcebergUtil.scala:28-157).
+  */
+class CommitProtocolHammerSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  test("racing replaceTable/append/compact/vacuum keeps one committed lineage") {
+    val root = scratchDir("hammer").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_hammer", table = "t")
+    val appendSpec = spec.copy(writeMode = "append")
+    val fq = s"${spec.database}.${spec.table}"
+    val tableDir = java.nio.file.Paths.get(root, spec.database, spec.table)
+
+    val prevGrace = ObjectStoreSink.retireGraceMs
+    ObjectStoreSink.retireGraceMs = 0L
+    try {
+      // payloads are spaced so any torn read lands OUTSIDE the valid set
+      def payload(i: Int) = (1 to 1000 * (i + 1)).toDF("id")
+      ObjectStoreSink.write(spark, payload(0), spec)
+
+      val totalOps = sys.props.get("stress").map(_.toInt).getOrElse(48)
+      val nWriters = 4
+      val appendsSoFar = new AtomicInteger(0)     // monotone upper bound
+      val failures = new ConcurrentLinkedQueue[Throwable]()
+      val writersDone = new AtomicBoolean(false)
+
+      def missingFileRace(t: Throwable): Boolean = {
+        // with grace=0 a version can be deleted mid-scan; that precise
+        // failure is the documented tradeoff — anything else is a bug
+        val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toList
+        chain.exists { c =>
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+          c.isInstanceOf[java.nio.file.NoSuchFileException] ||
+          Option(c.getMessage).exists(m =>
+            m.contains("does not exist") || m.contains("FileNotFound") ||
+            m.contains("NoSuchFile") ||
+            m.contains("Unable to infer schema")) // listed-then-deleted dir
+        }
+      }
+
+      val writers = (0 until nWriters).map { w =>
+        new Thread(() => {
+          val rnd = new Random(7919 * (w + 1)) // seeded: reproducible schedule
+          for (op <- 0 until (totalOps / nWriters)) {
+            try {
+              rnd.nextInt(10) match {
+                case r if r <= 4 => // replaceTable: the common commit
+                  ObjectStoreSink.replaceTable(spark, payload(rnd.nextInt(8)), spec)
+                case 5 | 6 => // append one row through the in-place path
+                  appendsSoFar.incrementAndGet()
+                  ObjectStoreSink.write(spark, Seq(-1 * (w * 1000 + op)).toDF("id"), appendSpec)
+                case 7 | 8 => // small-file compaction (replaceTable commit inside)
+                  Compaction.compact(spark, spec, targetBytes = 1L << 20): Unit
+                case _ => // retention sweep with zero grace
+                  Vacuum.vacuum(root, keep = 2, graceMs = 0L): Unit
+              }
+            } catch {
+              // compact/append read the live image; with grace=0 a racing
+              // swap can retire it mid-read — same documented tradeoff
+              case t: Throwable if missingFileRace(t) => ()
+              case t: Throwable => failures.add(t): Unit
+            }
+          }
+        })
+      }
+
+      val readers = (0 until 2).map { r =>
+        new Thread(() => {
+          val rnd = new Random(104729 * (r + 1))
+          while (!writersDone.get()) {
+            try {
+              rnd.nextInt(3) match {
+                case 0 =>
+                  val c = spark.table(fq).count()
+                  // read the append bound AFTER the scan: any append row the
+                  // scan saw had incremented the counter before its write
+                  val maxAppends = appendsSoFar.get()
+                  // payloads are 1000..8000 in 1000-steps; a torn read of a
+                  // half-visible version dir falls between lattice points
+                  val valid = (1 to 8)
+                    .exists(k => c >= 1000L * k && c <= 1000L * k + maxAppends)
+                  if (!valid) failures.add(new AssertionError(
+                    s"reader saw count $c outside any committed payload+appends($maxAppends)"))
+                case 1 =>
+                  val snaps = ObjectStoreSink.snapshots(spec)
+                  val vs = snaps.map(_.version)
+                  if (vs != vs.sorted || vs.distinct != vs)
+                    failures.add(new AssertionError(s"snapshot log not ascending: $vs"))
+                case _ =>
+                  ObjectStoreSink.readVersion(spark, spec).count(): Unit
+              }
+            } catch {
+              case t: Throwable if missingFileRace(t) => () // grace-0 tradeoff
+              case t: Throwable => failures.add(t): Unit
+            }
+          }
+        })
+      }
+
+      readers.foreach(_.start())
+      writers.foreach(_.start())
+      writers.foreach(_.join(600000))
+      writersDone.set(true)
+      readers.foreach(_.join(60000))
+
+      import scala.jdk.CollectionConverters._
+      withClue("writer/reader failures:\n" +
+        failures.asScala.map(t => s"  ${t.getClass.getSimpleName}: ${t.getMessage}").mkString("\n")) {
+        failures.asScala.toList shouldBe Nil
+      }
+
+      // quiesce deterministically: one last known commit + sweep
+      ObjectStoreSink.replaceTable(spark, payload(0), spec)
+      Vacuum.vacuum(root, keep = 2, graceMs = 0L): Unit
+
+      // exactly one lineage: the log names exactly the committed dirs
+      val committedDirs = new java.io.File(tableDir.toString).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v-\\d{6}"))
+        .filter(f => TableManifest.isCommitted(f.toPath))
+        .map(_.getName.drop(2).toInt).sorted.toSeq
+      CommitLog.read(tableDir) shouldBe Some(committedDirs)
+      committedDirs should not be empty
+      // no uncommitted orphan is ever served: every snapshot is a logged dir
+      ObjectStoreSink.snapshots(spec).map(_.version) shouldBe committedDirs
+      // the live table is the final payload, exactly
+      spark.table(fq).count() shouldBe 1000L
+      ObjectStoreSink.readVersion(spark, spec).count() shouldBe 1000L
+      // no temp debris from racing publishers survives at the table root
+      new java.io.File(tableDir.toString).listFiles()
+        .filter(_.isFile).map(_.getName)
+        .filter(_.contains(".tmp-")) shouldBe empty
+    } finally ObjectStoreSink.retireGraceMs = prevGrace
+  }
+}
