@@ -1,0 +1,367 @@
+package graft.queries
+
+import scala.util.Random
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Randomized differential SQL testing (VERDICT r7 #3): a seeded generator
+  * of small relational query plans — project / filter / FK join / aggregate
+  * / window / top-k over the TPC-H-shaped tables — where every sample is
+  * rendered TWICE from one AST:
+  *
+  *   - as a Spark DataFrame-API plan ([[Sample.df]]), and
+  *   - as ANSI SQL in the dialect subset Spark and DuckDB share
+  *     ([[Sample.sql]]).
+  *
+  * `DifferentialSqlSpec` asserts DataFrame-vs-`spark.sql` result equality
+  * on hundreds of samples per run (two independent frontends into
+  * Catalyst), and a fixed-seed subset is registered as `q_fuzz_*` entries
+  * in [[graft.SparkEntry]] so the driver's DuckDB gate cross-checks the
+  * SAME SQL text against an independent engine — testing the full A4
+  * surface (SURVEY §2.5) on inputs nobody hand-wrote, not just curated
+  * points.
+  *
+  * Dialect discipline (the house oracle conventions, QueryDef.scala):
+  * doubles are summed through DECIMAL(28,4) on both sides; int sums are
+  * CAST(... AS BIGINT) on the DuckDB side (its SUM(int) widens to
+  * HUGEINT); double columns appear in comparisons and min/max (exact
+  * parquet values) but never in raw sums; equality never tests doubles;
+  * every ordered shape carries a unique tie-break. Timestamp columns are
+  * excluded (generator v1).
+  */
+object FuzzSql {
+
+  sealed trait Kind
+  case object IntK extends Kind
+  case object DblK extends Kind
+  case object StrK extends Kind
+
+  final case class Col(name: String, kind: Kind)
+
+  /** `lits`: literal pool per column, rendered identically in both
+    * dialects; chosen to be non-degenerate at every generated SF (keys are
+    * 0-based and scale with SF, so thresholds sit low).
+    */
+  final case class Table(
+      name: String,
+      cols: Seq[Col],
+      uk: Seq[String],
+      fk: Option[(String, String, String)]) // (localCol, parentTable, parentCol)
+
+  val lineitem: Table = Table("lineitem",
+    Seq(Col("l_orderkey", IntK), Col("l_partkey", IntK), Col("l_suppkey", IntK),
+      Col("l_linenumber", IntK), Col("l_quantity", DblK),
+      Col("l_extendedprice", DblK), Col("l_discount", DblK), Col("l_tax", DblK),
+      Col("l_returnflag", StrK), Col("l_linestatus", StrK)),
+    uk = Seq("l_orderkey", "l_linenumber"),
+    fk = Some(("l_orderkey", "orders", "o_orderkey")))
+
+  val orders: Table = Table("orders",
+    Seq(Col("o_orderkey", IntK), Col("o_custkey", IntK),
+      Col("o_orderstatus", StrK), Col("o_totalprice", DblK),
+      Col("o_orderpriority", StrK)),
+    uk = Seq("o_orderkey"),
+    fk = Some(("o_custkey", "customer", "c_custkey")))
+
+  val customer: Table = Table("customer",
+    Seq(Col("c_custkey", IntK), Col("c_name", StrK), Col("c_nationkey", IntK),
+      Col("c_acctbal", DblK), Col("c_mktsegment", StrK)),
+    uk = Seq("c_custkey"),
+    fk = Some(("c_nationkey", "nation", "n_nationkey")))
+
+  val nation: Table = Table("nation",
+    Seq(Col("n_nationkey", IntK), Col("n_name", StrK), Col("n_regionkey", IntK)),
+    uk = Seq("n_nationkey"),
+    fk = Some(("n_regionkey", "region", "r_regionkey")))
+
+  val region: Table = Table("region",
+    Seq(Col("r_regionkey", IntK), Col("r_name", StrK)),
+    uk = Seq("r_regionkey"), fk = None)
+
+  private val byName: Map[String, Table] =
+    Seq(lineitem, orders, customer, nation, region).map(t => t.name -> t).toMap
+
+  /** Literal pools. Ints as Long, doubles as Double, strings raw. */
+  private val intLits: Map[String, Seq[Long]] = Map(
+    "l_orderkey" -> Seq(120, 400, 900), "l_partkey" -> Seq(30, 90, 160),
+    "l_suppkey" -> Seq(2, 5, 8), "l_linenumber" -> Seq(1, 2, 4),
+    "o_orderkey" -> Seq(120, 400, 900), "o_custkey" -> Seq(20, 60, 110),
+    "c_custkey" -> Seq(20, 60, 110), "c_nationkey" -> Seq(5, 12, 19),
+    "n_nationkey" -> Seq(5, 12, 19), "n_regionkey" -> Seq(0, 1, 3),
+    "r_regionkey" -> Seq(0, 1, 3))
+  private val dblLits: Map[String, Seq[Double]] = Map(
+    "l_quantity" -> Seq(10.0, 25.0, 40.0),
+    "l_extendedprice" -> Seq(10000.0, 30000.0, 60000.0),
+    "l_discount" -> Seq(0.02, 0.05, 0.08), "l_tax" -> Seq(0.03, 0.06),
+    "o_totalprice" -> Seq(50000.0, 150000.0, 300000.0),
+    "c_acctbal" -> Seq(0.0, 2500.0, 7500.0))
+  private val strLits: Map[String, Seq[String]] = Map(
+    "l_returnflag" -> Seq("A", "N", "R"), "l_linestatus" -> Seq("O", "F"),
+    "o_orderstatus" -> Seq("O", "F", "P"),
+    "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"),
+    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"),
+    "n_name" -> Seq("FRANCE", "GERMANY", "CHINA", "KENYA", "PERU", "JAPAN"),
+    "r_name" -> Seq("ASIA", "EUROPE", "AFRICA", "AMERICA"))
+
+  // ---- AST ------------------------------------------------------------
+
+  sealed trait Pred { def sql: String; def expr: Column }
+  final case class NumCmp(c: String, op: String, lit: String, isInt: Boolean)
+      extends Pred {
+    def sql = s"$c $op $lit"
+    // int columns compare against LONG literals (same-type comparison stays
+    // pushdown-eligible); doubles against double literals; `=` is int-only
+    private def l: Any = if (isInt) lit.toLong else lit.toDouble
+    def expr: Column = op match {
+      case "<" => col(c) < l
+      case "<=" => col(c) <= l
+      case ">" => col(c) > l
+      case ">=" => col(c) >= l
+      case "=" => col(c) === lit.toLong // int equality only
+    }
+  }
+  final case class StrCmp(c: String, neg: Boolean, lit: String) extends Pred {
+    def sql = s"$c ${if (neg) "<>" else "="} '$lit'"
+    def expr: Column = if (neg) col(c) =!= lit else col(c) === lit
+  }
+  final case class StrIn(c: String, lits: Seq[String]) extends Pred {
+    def sql = s"$c IN (${lits.map(l => s"'$l'").mkString(", ")})"
+    def expr: Column = col(c).isin(lits: _*)
+  }
+
+  sealed trait AggFn { def sql: String; def expr: Column; def alias: String }
+  case object Cnt extends AggFn {
+    def sql = "COUNT(*)"; def expr: Column = count(lit(1)); def alias = "cnt"
+  }
+  final case class SumInt(c: String) extends AggFn {
+    // DuckDB SUM(int) widens to HUGEINT → pin both sides to BIGINT
+    def sql = s"CAST(SUM($c) AS BIGINT)"
+    def expr: Column = sum(col(c)).cast("long")
+    def alias = s"s_$c"
+  }
+  final case class DSum(c: String) extends AggFn {
+    def sql = QueryDef.dsumSql(c)
+    def expr: Column = QueryDef.dsum(col(c))
+    def alias = s"ds_$c"
+  }
+  final case class MinC(c: String) extends AggFn {
+    def sql = s"MIN($c)"; def expr: Column = min(col(c)); def alias = s"mn_$c"
+  }
+  final case class MaxC(c: String) extends AggFn {
+    def sql = s"MAX($c)"; def expr: Column = max(col(c)); def alias = s"mx_$c"
+  }
+
+  sealed trait Shape
+  final case class AggShape(groups: Seq[String], aggs: Seq[AggFn]) extends Shape
+  final case class ProjectShape(cols: Seq[String], distinct: Boolean) extends Shape
+  final case class WindowShape(part: String, ord: String, fn: String) extends Shape
+  final case class TopKShape(ord: String, desc: Boolean, k: Int) extends Shape
+
+  final case class Sample(
+      seed: Long, base: Table, joined: Seq[Table], leftJoin: Boolean,
+      preds: Seq[Pred], shape: Shape) {
+
+    /** FROM/JOIN/WHERE shared by both renderings. */
+    private def joinChainSql: String = {
+      var cur = base
+      val sb = new StringBuilder(base.name)
+      joined.foreach { p =>
+        val (fkc, _, pkc) = cur.fk.get
+        sb ++= s" ${if (leftJoin) "LEFT JOIN" else "JOIN"} ${p.name} ON $fkc = $pkc"
+        cur = p
+      }
+      sb.toString
+    }
+
+    private def whereSql: String =
+      if (preds.isEmpty) "" else "\nWHERE " + preds.map(_.sql).mkString(" AND ")
+
+    def sql: String = shape match {
+      case AggShape(groups, aggs) =>
+        val sel = (groups ++ aggs.map(a => s"${a.sql} AS ${a.alias}")).mkString(", ")
+        val grp = if (groups.isEmpty) "" else s"\nGROUP BY ${groups.mkString(", ")}"
+        val ord = if (groups.isEmpty) "" else s"\nORDER BY ${groups.mkString(", ")}"
+        s"SELECT $sel\nFROM $joinChainSql$whereSql$grp$ord"
+      case ProjectShape(cols, distinct) =>
+        val d = if (distinct) "DISTINCT " else ""
+        // non-distinct projections carry the base unique key (always part of
+        // `cols` by construction) so the ORDER BY is total
+        s"SELECT $d${cols.mkString(", ")}\nFROM $joinChainSql$whereSql" +
+          s"\nORDER BY ${cols.mkString(", ")}"
+      case WindowShape(part, ord, fn) =>
+        val tie = base.uk.mkString(", ")
+        val out = (base.uk :+ part).distinct.mkString(", ")
+        s"SELECT $out, ${fn.toUpperCase}() OVER (PARTITION BY $part ORDER BY $ord, $tie) AS rnk" +
+          s"\nFROM $joinChainSql$whereSql\nORDER BY ${base.uk.mkString(", ")}"
+      case TopKShape(ord, desc, k) =>
+        val dir = if (desc) "DESC" else "ASC"
+        val out = (base.uk :+ ord).distinct.mkString(", ")
+        s"SELECT $out\nFROM $joinChainSql$whereSql" +
+          s"\nORDER BY $ord $dir, ${base.uk.mkString(", ")}\nLIMIT $k"
+    }
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      var rel = Tables.load(spark, dir, base.name)
+      var cur = base
+      joined.foreach { p =>
+        val (fkc, _, pkc) = cur.fk.get
+        val parent = Tables.load(spark, dir, p.name)
+        rel = rel.join(parent, col(fkc) === col(pkc),
+          if (leftJoin) "left" else "inner")
+        cur = p
+      }
+      preds.foreach(p => rel = rel.filter(p.expr))
+      shape match {
+        case AggShape(groups, aggs) =>
+          val aggCols = aggs.map(a => a.expr.as(a.alias))
+          val out =
+            if (groups.isEmpty) rel.agg(aggCols.head, aggCols.tail: _*)
+            else rel.groupBy(groups.map(col): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+              .orderBy(groups.map(col): _*)
+          out
+        case ProjectShape(cols, distinct) =>
+          val p = rel.select(cols.map(col): _*)
+          val d = if (distinct) p.distinct() else p
+          d.orderBy(cols.map(col): _*)
+        case WindowShape(part, ord, fn) =>
+          val w = Window.partitionBy(col(part))
+            .orderBy((col(ord) +: base.uk.map(col)): _*)
+          val f = fn match {
+            case "rank" => rank()
+            case "dense_rank" => dense_rank()
+            case "row_number" => row_number()
+          }
+          rel.select(((base.uk :+ part).distinct.map(col) :+
+            f.over(w).as("rnk")): _*)
+            .orderBy(base.uk.map(col): _*)
+        case TopKShape(ord, desc, k) =>
+          val o = if (desc) col(ord).desc else col(ord).asc
+          rel.orderBy((o +: base.uk.map(col)): _*)
+            .select((base.uk :+ ord).distinct.map(col): _*)
+            .limit(k)
+      }
+    }
+  }
+
+  // ---- generator ------------------------------------------------------
+
+  private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+  /** Deterministic sample for `seed`. */
+  def sample(seed: Long): Sample = {
+    val rnd = new Random(seed)
+    val base = pick(rnd, Seq(lineitem, lineitem, orders, orders, customer, nation))
+    val depth = rnd.nextInt(10) match {
+      case d if d <= 4 => 0
+      case d if d <= 8 => 1
+      case _ => 2
+    }
+    var joined = Vector.empty[Table]
+    var cur = base
+    var i = 0
+    while (i < depth && cur.fk.isDefined) {
+      val p = byName(cur.fk.get._2)
+      joined :+= p; cur = p; i += 1
+    }
+    val visible: Seq[Table] = base +: joined
+    val allCols: Seq[Col] = visible.flatMap(_.cols)
+
+    def mkPred(): Option[Pred] = {
+      val c = pick(rnd, allCols)
+      c.kind match {
+        case IntK => intLits.get(c.name).map { pool =>
+          val op = pick(rnd, Seq("<", "<=", ">", ">=", "="))
+          NumCmp(c.name, op, pick(rnd, pool).toString, isInt = true)
+        }
+        case DblK => dblLits.get(c.name).map { pool =>
+          val op = pick(rnd, Seq("<", "<=", ">", ">="))
+          NumCmp(c.name, op, pick(rnd, pool).toString, isInt = false)
+        }
+        case StrK => strLits.get(c.name).map { pool =>
+          rnd.nextInt(3) match {
+            case 0 => StrCmp(c.name, neg = false, pick(rnd, pool))
+            case 1 => StrCmp(c.name, neg = true, pick(rnd, pool))
+            case _ =>
+              val n = 2 + rnd.nextInt(pool.size - 1)
+              StrIn(c.name, rnd.shuffle(pool).take(n).sorted)
+          }
+        }
+      }
+    }
+    val preds = (0 until rnd.nextInt(3)).flatMap(_ => mkPred()).distinct
+
+    // window/top-k read base-table keys — a LEFT join can't null those, but
+    // keep ordering columns from the base table for clarity
+    val groupables = allCols.filter(c => c.kind == StrK ||
+      (c.kind == IntK && Set("l_linenumber", "c_nationkey", "n_nationkey",
+        "n_regionkey", "r_regionkey").contains(c.name)))
+    val numerics = allCols.filter(c => c.kind == DblK || c.kind == IntK)
+    val baseNumerics = base.cols.filter(c => c.kind == DblK ||
+      (c.kind == IntK && !base.uk.contains(c.name)))
+
+    val shape: Shape = rnd.nextInt(20) match {
+      case s if s <= 7 => // aggregate
+        val nG = rnd.nextInt(3) // 0 = global aggregate
+        val groups = rnd.shuffle(groupables).take(nG).map(_.name).distinct
+        val nAggs = 1 + rnd.nextInt(3)
+        val aggs: Seq[AggFn] = Cnt +: (0 until nAggs).map { _ =>
+          val c = pick(rnd, numerics)
+          (c.kind, rnd.nextInt(3)) match {
+            case (DblK, 0) => DSum(c.name)
+            case (DblK, 1) => MinC(c.name)
+            case (DblK, _) => MaxC(c.name)
+            case (IntK, 0) => SumInt(c.name)
+            case (IntK, 1) => MinC(c.name)
+            case (IntK, _) => MaxC(c.name)
+            case (StrK, _) => Cnt // unreachable: `numerics` excludes StrK
+          }
+        }
+        AggShape(groups, aggs.distinctBy(_.alias))
+      case s if s <= 12 => // projection (uk included unless distinct)
+        val extra = rnd.shuffle(allCols.filterNot(c => base.uk.contains(c.name)))
+          .take(1 + rnd.nextInt(3)).map(_.name)
+        val distinct = rnd.nextBoolean()
+        val cols = if (distinct) extra.distinct else (base.uk ++ extra).distinct
+        ProjectShape(cols, distinct)
+      case s if s <= 16 => // window rank over a base partition
+        val partPool = base.cols.filter(c => c.kind == StrK ||
+          (c.kind == IntK && !base.uk.contains(c.name)))
+        val part = pick(rnd, if (partPool.nonEmpty) partPool else base.cols).name
+        val ord = pick(rnd, if (baseNumerics.nonEmpty) baseNumerics else base.cols).name
+        WindowShape(part, ord, pick(rnd, Seq("rank", "dense_rank", "row_number")))
+      case _ => // top-k
+        val ord = pick(rnd, if (baseNumerics.nonEmpty) baseNumerics else base.cols).name
+        TopKShape(ord, rnd.nextBoolean(), 25 + rnd.nextInt(75))
+    }
+
+    // LEFT joins only where no shape/pred reads beyond what nulls allow:
+    // aggregates and projections handle nulls identically in both engines;
+    // window/top-k stay inner for a clean total order
+    val leftOk = joined.nonEmpty && (shape match {
+      case _: AggShape | _: ProjectShape => true
+      case _ => false
+    })
+    val left = leftOk && rnd.nextInt(6) == 0 && preds.isEmpty
+
+    Sample(seed, base, joined, left, preds, shape)
+  }
+
+  /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
+    * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
+    * NEVER renumber (the driver compares against committed results).
+    */
+  val gateSeeds: Seq[Long] = Seq(
+    9001L, 9002L, 9003L, 9004L, 9005L, 9006L,
+    9007L, 9008L, 9009L, 9010L, 9011L, 9012L)
+
+  val defs: Seq[QueryDef] = gateSeeds.map { s =>
+    val smp = sample(s)
+    QueryDef(f"q_fuzz_${s - 9000}%02d",
+      (spark, dir) => smp.df(spark, dir),
+      Some(smp.sql))
+  }
+}
