@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   *     (about half the terms flip sign), so copies contribute no cross
   *     near-neighbors above any real threshold. The fixed query set
   *     (vec_id < 8) lives in copy 0 unchanged.
+  *   - lineitem / orders / customer (relational facts): copy `c` shifts
+  *     every key participating in an FK chain by the same `c * 1e8` offset
+  *     on BOTH sides (l_orderkey = o_orderkey, o_custkey = c_custkey), so
+  *     join matches stay strictly within-copy — join output, semi/anti hit
+  *     rates, and MERGE overlap all scale exactly linearly in the factor.
+  *     Non-key attributes (dates, prices, flags) are untouched, so every
+  *     filter keeps its selectivity and every group-by keeps its key
+  *     domain. Dimension tables (nation/region/supplier/part) stay fixed
+  *     and symlinked — the realistic 100 TB shape (facts grow, dims
+  *     don't) — so dim broadcast-ability is preserved and the l_suppkey /
+  *     c_nationkey fans grow linearly.
   *
   * Other tables are symlinked from the base dir. Output:
   * `<outRoot>/x<factor>/...` usable as a SPARK_GRAFT_SF_DIR.
@@ -50,41 +61,58 @@ object GenScale {
     def signs(c: Int): Array[Float] =
       Array.tabulate(dim)(d =>
         if (((c * 0x9E3779B9L + d * 0x85EBCA6BL) >> 7 & 1) == 1) -1f else 1f)
+    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val customer = spark.read.parquet(s"$base/customer.parquet")
+    val keyOff = 100000000L // far above any sf key (max ~150k at sf0.1)
     factors.foreach { k =>
       val out = Paths.get(outRoot, s"x$k")
       Files.createDirectories(out)
-      val scaledDocs = (0 until k).map { c =>
-        if (c == 0) docs
-        else docs.select(
-          (col("doc_id") + c * 10000000L).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", s"$$1_c$c").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-      val scaledEmb = (0 until k).map { c =>
-        if (c == 0) emb
-        else emb.select(
-          (col("vec_id") + c * 10000000L).as("vec_id"),
-          zip_with(col("embedding"), lit(signs(c)), (x, s) => x * s)
-            .as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
+      def grown(src: org.apache.spark.sql.DataFrame)(
+          copy: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+        (0 until k).map(c => if (c == 0) src else copy(src, c))
+          .reduce(_ unionByName _)
+      val scaled: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "documents" -> grown(docs) { (d, c) =>
+          d.select(
+            (col("doc_id") + c * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1_c$c").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        },
+        "embeddings" -> grown(emb) { (d, c) =>
+          d.select(
+            (col("vec_id") + c * 10000000L).as("vec_id"),
+            zip_with(col("embedding"), lit(signs(c)), (x, s) => x * s)
+              .as("embedding"),
+            col("label"))
+        },
+        "lineitem" -> grown(lineitem) { (d, c) =>
+          d.withColumn("l_orderkey", col("l_orderkey") + c * keyOff)
+        },
+        "orders" -> grown(orders) { (d, c) =>
+          d.withColumn("o_orderkey", col("o_orderkey") + c * keyOff)
+            .withColumn("o_custkey", col("o_custkey") + c * keyOff)
+        },
+        "customer" -> grown(customer) { (d, c) =>
+          d.withColumn("c_custkey", col("c_custkey") + c * keyOff)
+        })
       // multi-file layout: the scan splits natively, no degenerate-scan
-      // rebalance — the shape a real lake would have
-      Seq("documents.parquet", "embeddings.parquet")
-        .foreach(n => if (Files.isSymbolicLink(out.resolve(n)))
-          Files.delete(out.resolve(n)))
-      scaledDocs.repartition(cpus.toInt).write.mode("overwrite")
-        .parquet(out.resolve("documents.parquet").toString)
-      scaledEmb.repartition(cpus.toInt).write.mode("overwrite")
-        .parquet(out.resolve("embeddings.parquet").toString)
-      graft.Tables.names.filterNot(Set("documents", "embeddings")).foreach { n =>
+      // rebalance — the shape a real lake would have. Never write THROUGH
+      // a stale symlink from an earlier run (the target is the read-only
+      // base dir): unlink first.
+      scaled.foreach { case (n, df) =>
+        val p = out.resolve(s"$n.parquet")
+        if (Files.isSymbolicLink(p)) Files.delete(p)
+        df.repartition(cpus.toInt).write.mode("overwrite").parquet(p.toString)
+      }
+      graft.Tables.names.filterNot(scaled.map(_._1).toSet).foreach { n =>
         val link = out.resolve(s"$n.parquet")
         Files.deleteIfExists(link)
         Files.createSymbolicLink(link, Paths.get(base, s"$n.parquet")): Unit
       }
-      val nd = spark.read.parquet(out.resolve("documents.parquet").toString).count()
-      val ne = spark.read.parquet(out.resolve("embeddings.parquet").toString).count()
-      println(s"x$k: $nd docs, $ne vectors -> $out")
+      val counts = Seq("documents", "lineitem")
+        .map(n => s"$n=${spark.read.parquet(out.resolve(s"$n.parquet").toString).count()}")
+      println(s"x$k: ${counts.mkString(", ")} -> $out")
     }
     spark.stop()
   }
