@@ -13,7 +13,7 @@ import graft.queries.FuzzSql
   * cross-engine sweep; the 12 `q_fuzz_*` gate entries are the committed
   * always-on subset.
   *
-  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1]
+  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1|v2]
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -21,6 +21,8 @@ object FuzzDump {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 200
     val seedBase = if (args.length > 3) args(3).toLong else 1L
+    val gen: Long => FuzzSql.Sample =
+      if (args.length > 4 && args(4) == "v2") FuzzSql.sampleV2 else FuzzSql.sample
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,11 +33,15 @@ object FuzzDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val samples = (seedBase until seedBase + n).map(FuzzSql.sample)
+    val samples = (seedBase until seedBase + n).map(gen)
     samples.foreach { smp =>
-      try smp.df(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/fuzz_${smp.seed}")
-      catch { case e: Throwable =>
+      try {
+        val path = s"$outDir/fuzz_${smp.seed}"
+        smp.df(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(path)
+        val rows = spark.read.parquet(path).count()
+        System.err.println(s"[fuzz] seed ${smp.seed} " +
+          s"shape=${smp.shape.getClass.getSimpleName} rows=$rows")
+      } catch { case e: Throwable =>
         System.err.println(s"[fuzz] seed ${smp.seed} failed: ${e.getMessage}")
       }
     }

@@ -154,11 +154,47 @@ object FuzzSql {
     def sql = s"MAX($c)"; def expr: Column = max(col(c)); def alias = s"mx_$c"
   }
 
+  /** v2: decimal-exact sum of an arithmetic expression over two double
+    * columns — the `sum(price * (1 - discount))` family.
+    */
+  final case class ExprSum(a: String, b: String, form: Int) extends AggFn {
+    private def sqlExpr = form match {
+      case 0 => s"$a * (1.0 - $b)"
+      case 1 => s"$a + $b"
+      case _ => s"$a * $b"
+    }
+    private def dfExpr: Column = form match {
+      case 0 => col(a) * (lit(1.0) - col(b))
+      case 1 => col(a) + col(b)
+      case _ => col(a) * col(b)
+    }
+    def sql: String = QueryDef.dsumSql(sqlExpr)
+    def expr: Column = QueryDef.dsum(dfExpr)
+    def alias = s"es${form}_${a}_$b"
+  }
+
+  /** v2: CASE WHEN c < lit THEN 'lo' ELSE 'hi' END — rendered identically
+    * in both dialects; used as a derived projection column and as a
+    * grouping expression (by ordinal, supported by Spark and DuckDB).
+    */
+  final case class Band(c: String, lit: String) {
+    def sql = s"CASE WHEN $c < $lit THEN 'lo' ELSE 'hi' END"
+    def expr: Column = when(col(c) < lit.toDouble, "lo").otherwise("hi")
+  }
+
   sealed trait Shape
   final case class AggShape(groups: Seq[String], aggs: Seq[AggFn]) extends Shape
   final case class ProjectShape(cols: Seq[String], distinct: Boolean) extends Shape
   final case class WindowShape(part: String, ord: String, fn: String) extends Shape
   final case class TopKShape(ord: String, desc: Boolean, k: Int) extends Shape
+  // ---- v2 shapes (new differential surface; v1 shapes stay frozen) ----
+  final case class AggShape2(groups: Seq[String], band: Option[Band],
+      aggs: Seq[AggFn], havingCntGt: Option[Long]) extends Shape
+  final case class BandProject(cols: Seq[String], band: Band,
+      distinct: Boolean) extends Shape
+  /** predsB filters the second branch; `Sample.preds` filters the first. */
+  final case class SetOpShape(cols: Seq[String], predsB: Seq[Pred],
+      op: String) extends Shape
 
   final case class Sample(
       seed: Long, base: Table, joined: Seq[Table], leftJoin: Boolean,
@@ -201,6 +237,25 @@ object FuzzSql {
         val out = (base.uk :+ ord).distinct.mkString(", ")
         s"SELECT $out\nFROM $joinChainSql$whereSql" +
           s"\nORDER BY $ord $dir, ${base.uk.mkString(", ")}\nLIMIT $k"
+      case AggShape2(groups, band, aggs, having) =>
+        val keyExprs = groups ++ band.map(b => s"${b.sql} AS band")
+        val sel = (keyExprs ++ aggs.map(a => s"${a.sql} AS ${a.alias}")).mkString(", ")
+        val ords = (1 to keyExprs.size).map(_.toString)
+        val grp = if (keyExprs.isEmpty) "" else s"\nGROUP BY ${ords.mkString(", ")}"
+        val hav = having.map(n => s"\nHAVING COUNT(*) > $n").getOrElse("")
+        val ord = if (keyExprs.isEmpty) "" else s"\nORDER BY ${ords.mkString(", ")}"
+        s"SELECT $sel\nFROM $joinChainSql$whereSql$grp$hav$ord"
+      case BandProject(cols, band, distinct) =>
+        val d = if (distinct) "DISTINCT " else ""
+        val sel = (cols :+ s"${band.sql} AS band").mkString(", ")
+        s"SELECT $d$sel\nFROM $joinChainSql$whereSql" +
+          s"\nORDER BY ${(cols :+ "band").mkString(", ")}"
+      case SetOpShape(cols, predsB, op) =>
+        val whereB =
+          if (predsB.isEmpty) "" else "\nWHERE " + predsB.map(_.sql).mkString(" AND ")
+        s"SELECT ${cols.mkString(", ")}\nFROM $joinChainSql$whereSql" +
+          s"\n$op\nSELECT ${cols.mkString(", ")}\nFROM $joinChainSql$whereB" +
+          s"\nORDER BY ${cols.mkString(", ")}"
     }
 
     def df(spark: SparkSession, dir: String): DataFrame = {
@@ -213,6 +268,7 @@ object FuzzSql {
           if (leftJoin) "left" else "inner")
         cur = p
       }
+      val unfiltered = rel
       preds.foreach(p => rel = rel.filter(p.expr))
       shape match {
         case AggShape(groups, aggs) =>
@@ -243,6 +299,31 @@ object FuzzSql {
           rel.orderBy((o +: base.uk.map(col)): _*)
             .select((base.uk :+ ord).distinct.map(col): _*)
             .limit(k)
+        case AggShape2(groups, band, aggs, having) =>
+          val keyCols = groups.map(col) ++ band.map(_.expr.as("band"))
+          val aggCols = aggs.map(a => a.expr.as(a.alias))
+          val grouped =
+            if (keyCols.isEmpty) rel.agg(aggCols.head, aggCols.tail: _*)
+            else rel.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          // HAVING COUNT(*) filters on the always-present `cnt` alias
+          val afterHaving = having.fold(grouped)(n => grouped.filter(col("cnt") > n))
+          val ordCols = groups.map(col) ++ band.map(_ => col("band"))
+          if (ordCols.isEmpty) afterHaving else afterHaving.orderBy(ordCols: _*)
+        case BandProject(cols, band, distinct) =>
+          val p = rel.select(cols.map(col) :+ band.expr.as("band"): _*)
+          val d = if (distinct) p.distinct() else p
+          d.orderBy((cols :+ "band").map(col): _*)
+        case SetOpShape(cols, predsB, op) =>
+          val a = rel.select(cols.map(col): _*)
+          var relB = unfiltered
+          predsB.foreach(p => relB = relB.filter(p.expr))
+          val b = relB.select(cols.map(col): _*)
+          val combined = op match {
+            case "UNION ALL" => a.union(b)
+            case "INTERSECT" => a.intersect(b)
+            case _ => a.except(b)
+          }
+          combined.orderBy(cols.map(col): _*)
       }
     }
   }
@@ -250,6 +331,32 @@ object FuzzSql {
   // ---- generator ------------------------------------------------------
 
   private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+  /** One random pushable predicate over `allCols` (consumption order is
+    * part of the frozen v1 stream — do not reorder the draws).
+    */
+  private def mkPred(rnd: Random, allCols: Seq[Col]): Option[Pred] = {
+    val c = pick(rnd, allCols)
+    c.kind match {
+      case IntK => intLits.get(c.name).map { pool =>
+        val op = pick(rnd, Seq("<", "<=", ">", ">=", "="))
+        NumCmp(c.name, op, pick(rnd, pool).toString, isInt = true)
+      }
+      case DblK => dblLits.get(c.name).map { pool =>
+        val op = pick(rnd, Seq("<", "<=", ">", ">="))
+        NumCmp(c.name, op, pick(rnd, pool).toString, isInt = false)
+      }
+      case StrK => strLits.get(c.name).map { pool =>
+        rnd.nextInt(3) match {
+          case 0 => StrCmp(c.name, neg = false, pick(rnd, pool))
+          case 1 => StrCmp(c.name, neg = true, pick(rnd, pool))
+          case _ =>
+            val n = 2 + rnd.nextInt(pool.size - 1)
+            StrIn(c.name, rnd.shuffle(pool).take(n).sorted)
+        }
+      }
+    }
+  }
 
   /** Deterministic sample for `seed`. */
   def sample(seed: Long): Sample = {
@@ -270,29 +377,7 @@ object FuzzSql {
     val visible: Seq[Table] = base +: joined
     val allCols: Seq[Col] = visible.flatMap(_.cols)
 
-    def mkPred(): Option[Pred] = {
-      val c = pick(rnd, allCols)
-      c.kind match {
-        case IntK => intLits.get(c.name).map { pool =>
-          val op = pick(rnd, Seq("<", "<=", ">", ">=", "="))
-          NumCmp(c.name, op, pick(rnd, pool).toString, isInt = true)
-        }
-        case DblK => dblLits.get(c.name).map { pool =>
-          val op = pick(rnd, Seq("<", "<=", ">", ">="))
-          NumCmp(c.name, op, pick(rnd, pool).toString, isInt = false)
-        }
-        case StrK => strLits.get(c.name).map { pool =>
-          rnd.nextInt(3) match {
-            case 0 => StrCmp(c.name, neg = false, pick(rnd, pool))
-            case 1 => StrCmp(c.name, neg = true, pick(rnd, pool))
-            case _ =>
-              val n = 2 + rnd.nextInt(pool.size - 1)
-              StrIn(c.name, rnd.shuffle(pool).take(n).sorted)
-          }
-        }
-      }
-    }
-    val preds = (0 until rnd.nextInt(3)).flatMap(_ => mkPred()).distinct
+    val preds = (0 until rnd.nextInt(3)).flatMap(_ => mkPred(rnd, allCols)).distinct
 
     // window/top-k read base-table keys — a LEFT join can't null those, but
     // keep ordering columns from the base table for clarity
@@ -350,6 +435,112 @@ object FuzzSql {
     Sample(seed, base, joined, left, preds, shape)
   }
 
+  /** v2 generator: wider differential surface — HAVING, arithmetic
+    * aggregate expressions (`sum(a * (1-b))` family), CASE band groupings
+    * and projections, set operations (UNION ALL / INTERSECT / EXCEPT), and
+    * LEFT JOINs combined with WHERE predicates (a post-join filter renders
+    * identically in both dialects, null rows failing comparisons the same
+    * way). The v1 stream above stays FROZEN — gate seeds 9001-9012 pin v1,
+    * 9101+ pin v2.
+    */
+  def sampleV2(seed: Long): Sample = {
+    val rnd = new Random(seed)
+    val base = pick(rnd, Seq(lineitem, lineitem, orders, orders, customer, nation))
+    val depth = rnd.nextInt(10) match {
+      case d if d <= 4 => 0
+      case d if d <= 8 => 1
+      case _ => 2
+    }
+    var joined = Vector.empty[Table]
+    var cur = base
+    var i = 0
+    while (i < depth && cur.fk.isDefined) {
+      val p = byName(cur.fk.get._2)
+      joined :+= p; cur = p; i += 1
+    }
+    val visible: Seq[Table] = base +: joined
+    val allCols: Seq[Col] = visible.flatMap(_.cols)
+    val preds = (0 until rnd.nextInt(3)).flatMap(_ => mkPred(rnd, allCols)).distinct
+
+    val groupables = allCols.filter(c => c.kind == StrK ||
+      (c.kind == IntK && Set("l_linenumber", "c_nationkey", "n_nationkey",
+        "n_regionkey", "r_regionkey").contains(c.name)))
+    val numerics = allCols.filter(c => c.kind == DblK || c.kind == IntK)
+    val baseNumerics = base.cols.filter(c => c.kind == DblK ||
+      (c.kind == IntK && !base.uk.contains(c.name)))
+    val dblCols = allCols.filter(c => c.kind == DblK && dblLits.contains(c.name))
+      .map(_.name)
+
+    def mkBand(): Option[Band] = {
+      if (dblCols.isEmpty) None
+      else {
+        val c = pick(rnd, dblCols)
+        Some(Band(c, pick(rnd, dblLits(c)).toString))
+      }
+    }
+    def mkAgg(): AggFn =
+      if (dblCols.size >= 2 && rnd.nextInt(4) == 0) {
+        val a = pick(rnd, dblCols)
+        val b = pick(rnd, dblCols.filterNot(_ == a))
+        ExprSum(a, b, rnd.nextInt(3))
+      } else {
+        val c = pick(rnd, numerics)
+        (c.kind, rnd.nextInt(3)) match {
+          case (DblK, 0) => DSum(c.name)
+          case (DblK, 1) => MinC(c.name)
+          case (DblK, _) => MaxC(c.name)
+          case (IntK, 0) => SumInt(c.name)
+          case (IntK, 1) => MinC(c.name)
+          case (IntK, _) => MaxC(c.name)
+          case (StrK, _) => Cnt // unreachable: `numerics` excludes StrK
+        }
+      }
+
+    val shape: Shape = rnd.nextInt(24) match {
+      case s if s <= 7 => // aggregate w/ optional band key + HAVING
+        val nG = rnd.nextInt(3)
+        val groups = rnd.shuffle(groupables).take(nG).map(_.name).distinct
+        val band = if (rnd.nextInt(3) == 0) mkBand() else None
+        val aggs: Seq[AggFn] = Cnt +: (0 until 1 + rnd.nextInt(3)).map(_ => mkAgg())
+        val having =
+          if (rnd.nextInt(3) == 0) Some(Seq(1L, 5L, 20L, 100L)(rnd.nextInt(4)))
+          else None
+        AggShape2(groups, band, aggs.distinctBy(_.alias), having)
+      case s if s <= 12 => // projection, optionally with a band column
+        val extra = rnd.shuffle(allCols.filterNot(c => base.uk.contains(c.name)))
+          .take(1 + rnd.nextInt(3)).map(_.name)
+        val distinct = rnd.nextBoolean()
+        val cols = if (distinct) extra.distinct else (base.uk ++ extra).distinct
+        mkBand() match {
+          case Some(b) if rnd.nextBoolean() => BandProject(cols, b, distinct)
+          case _ => ProjectShape(cols, distinct)
+        }
+      case s if s <= 15 => // window rank (v1 shape, inner joins only)
+        val partPool = base.cols.filter(c => c.kind == StrK ||
+          (c.kind == IntK && !base.uk.contains(c.name)))
+        val part = pick(rnd, if (partPool.nonEmpty) partPool else base.cols).name
+        val ord = pick(rnd, if (baseNumerics.nonEmpty) baseNumerics else base.cols).name
+        WindowShape(part, ord, pick(rnd, Seq("rank", "dense_rank", "row_number")))
+      case s if s <= 18 => // top-k (v1 shape, inner joins only)
+        val ord = pick(rnd, if (baseNumerics.nonEmpty) baseNumerics else base.cols).name
+        TopKShape(ord, rnd.nextBoolean(), 25 + rnd.nextInt(75))
+      case _ => // set operation: two filtered branches of the same chain
+        val cols = rnd.shuffle(allCols).take(1 + rnd.nextInt(3)).map(_.name).distinct
+        val predsB = (0 until 1 + rnd.nextInt(2)).flatMap(_ => mkPred(rnd, allCols)).distinct
+        SetOpShape(cols, predsB, pick(rnd, Seq("UNION ALL", "INTERSECT", "EXCEPT")))
+    }
+
+    val leftOk = joined.nonEmpty && (shape match {
+      case _: AggShape2 | _: ProjectShape | _: BandProject | _: SetOpShape => true
+      case _ => false
+    })
+    // v2: LEFT JOIN may coexist with WHERE predicates — both renderings
+    // filter AFTER the join, so nulls fail the predicate identically
+    val left = leftOk && rnd.nextInt(4) == 0
+
+    Sample(seed, base, joined, left, preds, shape)
+  }
+
   /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
     * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
     * NEVER renumber (the driver compares against committed results).
@@ -358,10 +549,26 @@ object FuzzSql {
     9001L, 9002L, 9003L, 9004L, 9005L, 9006L,
     9007L, 9008L, 9009L, 9010L, 9011L, 9012L)
 
-  val defs: Seq[QueryDef] = gateSeeds.map { s =>
-    val smp = sample(s)
-    QueryDef(f"q_fuzz_${s - 9000}%02d",
-      (spark, dir) => smp.df(spark, dir),
-      Some(smp.sql))
-  }
+  /** v2 gate seeds → `q_fuzz_13`..`q_fuzz_21`; chosen once over the v2
+    * shapes — band-group agg (9103), double-LEFT-JOIN agg (9104), EXCEPT
+    * (9105), INTERSECT (9110), band projection (9113), UNION ALL (9124),
+    * HAVING + ExprSum (9149, 9160), band + ExprSum agg (9187) — all
+    * validated non-degenerate and DuckDB-green at sf0.001 AND sf0.01.
+    * NEVER renumber.
+    */
+  val gateSeedsV2: Seq[Long] = Seq(
+    9103L, 9104L, 9105L, 9110L, 9113L, 9124L, 9149L, 9160L, 9187L)
+
+  val defs: Seq[QueryDef] =
+    gateSeeds.map { s =>
+      val smp = sample(s)
+      QueryDef(f"q_fuzz_${s - 9000}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV2.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV2(s)
+      QueryDef(f"q_fuzz_${13 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    }
 }

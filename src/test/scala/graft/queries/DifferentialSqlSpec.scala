@@ -30,11 +30,11 @@ class DifferentialSqlSpec extends SparkSpec {
       .sorted.toSeq
   }
 
-  test(s"$Samples random plans: DataFrame API ≡ spark.sql on the oracle text") {
+  private def differential(gen: Long => FuzzSql.Sample): Unit = {
     Tables.registerAll(spark, sfDir)
     var nonEmpty = 0
     for (seed <- 1 to Samples) {
-      val smp = FuzzSql.sample(seed.toLong)
+      val smp = gen(seed.toLong)
       withClue(s"seed=$seed\nSQL:\n${smp.sql}\n") {
         val viaDf = canon(smp.df(spark, sfDir))
         val viaSql = canon(spark.sql(smp.sql))
@@ -52,18 +52,33 @@ class DifferentialSqlSpec extends SparkSpec {
     }
   }
 
+  test(s"$Samples random v1 plans: DataFrame API ≡ spark.sql on the oracle text") {
+    differential(FuzzSql.sample)
+  }
+
+  test(s"$Samples random v2 plans (HAVING/ExprSum/band/set-op/left+pred)") {
+    differential(FuzzSql.sampleV2)
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("gate seeds are stable and all shapes are exercised") {
     // q_fuzz_* results are committed via the driver's correctness gate —
     // the seeds' ASTs must never drift. Pin the rendered SQL's hash.
-    val rendered = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).sql).mkString("\n---\n")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hash = md.digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // if this fails, the GENERATOR changed under fixed seeds: renumber the
-    // new queries (q_fuzz_13+) instead of silently re-pointing old names
-    hash shouldBe renderedHash
+    // If either fails, the GENERATOR changed under fixed seeds: renumber
+    // into NEW queries (q_fuzz_21+) instead of re-pointing old names.
+    val v1 = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).sql).mkString("\n---\n")
+    md5(v1) shouldBe renderedHash
+    val v2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).sql).mkString("\n---\n")
+    md5(v2) shouldBe renderedHashV2
     val shapes = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).shape.getClass.getSimpleName).toSet
     shapes should contain allOf ("AggShape", "ProjectShape", "WindowShape", "TopKShape")
+    val shapesV2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).shape.getClass.getSimpleName).toSet
+    shapesV2 should contain allOf ("AggShape2", "BandProject", "SetOpShape")
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
+  private val renderedHashV2 = "a06b5b27596f8051ac5782be51f71070"
 }
