@@ -12,6 +12,34 @@ object Bench {
     * median of 5; recalibrate (tools/calibrate_canary.sh) if the
     * container's CPU generation changes. */
   final val CanaryRef = 1.155 // median of 5, 2026-08-13 build host (spread 1.148-1.172)
+  /** Reference wall-time (sec) of the PARALLEL canary (all cores spinning
+    * CanaryIters each). A single-threaded spin rides out PARTIAL-core
+    * steal (the scheduler finds it a healthy core), so a window where
+    * 32-thread query work is 40% slow can still show a clean 1-thread
+    * canary — observed 2026-08-13. The parallel spin contends for every
+    * core exactly like the bench does, so it inflates with the queries.
+    */
+  final val CanaryParRef = 1.24 // best observed (idle tail of a bench run), 2026-08-13, 32 cores
+  /** Reference aggregate memory bandwidth (GB/s) of the all-core stream
+    * canary. The register-spin canaries miss co-tenant MEMORY pressure: a
+    * 2026-08-13 window showed both spins at their quiet constants while
+    * every Spark query ran uniformly 1.4× slow — Spark stages are
+    * bandwidth-bound, the spin is not. This canary streams DRAM on every
+    * core and reads LOW in exactly those windows. Best observed wins
+    * (steal/contention only ever lowers it); recalibrate via
+    * tools/calibrate_canary.sh. */
+  final val CanaryMemRef = 0.0 // GB/s; 0 = not yet calibrated (check skipped)
+  final val MemCanaryWordsPerThread = (32 << 20) / 8 // 32 MB of longs/thread
+  final val MemCanaryPasses = 4
+  /** Reference wall-time (sec) of the SPARK-WORK canary: min of 3 runs of
+    * the fixed q1_agg plan on /root/testdata/sf0.1, timed right after
+    * warmup. This is the one probe guaranteed to feel exactly the
+    * contention the bench feels — 2026-08-13 showed windows where every
+    * query ran 1.4× slow while BOTH register spins and the DRAM stream
+    * read clean. Constant = the committed BENCH.json q1_agg median from
+    * the r7 verified-quiet window. One-sided ≤1.3× check. */
+  final val CanarySparkRef = 0.58
+  final val CanarySparkDir = "/root/testdata/sf0.1"
   def canarySec(): Double = {
     var x = 0x9e3779b97f4a7c15L
     var i = 0L
@@ -23,6 +51,51 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     if (x == 42L) System.err.println("") // keep the loop observable
     dt
+  }
+  /** Wall time for `n` threads each running the single-thread spin; on a
+    * quiet host ≈ canarySec() (perfect scaling), under steal or
+    * oversubscription it inflates like the 32-way query stages do.
+    */
+  def canaryParSec(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      val t = new Thread(() => { canarySec(): Unit })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** Aggregate GB/s with `n` threads each streaming a private 32 MB long
+    * array (sequential sum, far beyond LLC) — the probe that co-tenant
+    * memory pressure CAN'T hide from. Arrays are touched before timing so
+    * the timed region measures reads, not page faults.
+    */
+  def canaryMemGBs(n: Int): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val arrays = Array.fill(n) {
+      val a = new Array[Long](MemCanaryWordsPerThread)
+      var i = 0
+      while (i < a.length) { a(i) = i; i += 1 } // touch every page
+      a
+    }
+    val t0 = System.nanoTime()
+    val threads = arrays.map { a =>
+      val t = new Thread(() => {
+        var s = 0L
+        var p = 0
+        while (p < MemCanaryPasses) {
+          var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          p += 1
+        }
+        sink.addAndGet(s): Unit
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    val bytes = n.toLong * MemCanaryPasses * MemCanaryWordsPerThread * 8L
+    bytes / dt / 1e9
   }
   def loadAvg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(",")
@@ -56,6 +129,19 @@ object Bench {
           catch { case _: Throwable => }
         }
       }
+    // Spark-work canary (see CanarySparkRef): min of 3 post-warmup runs of
+    // the fixed reference plan. Min, not median — "the best the machine
+    // can do right now" is the contention signal.
+    val canarySpark =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(CanarySparkDir)))
+        SparkEntry.queries.get("q1_agg").map { fn =>
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, CanarySparkDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+      else None
     // N timed repeats per query, reported as the MEDIAN with min/max spread:
     // single-shot timings in a shared JVM carry cross-query GC and
     // cache-interference noise large enough to fake 5x regressions
@@ -93,13 +179,25 @@ object Bench {
     val failed = results.collect { case (k, (_, _, _, false)) => "\"" + k + "\"" }
     val total = results.values.collect { case (m, _, _, true) => m }.sum
     val canaryAfter = canarySec()
-    // canonical = neither canary window deviated >15% from the committed
-    // machine constant. A non-canonical run's timings are steal-inflated
-    // and must not be compared against committed medians.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val canaryPar = canaryParSec(cores)
+    // first call is JIT-cold (observed 24 vs 85 GB/s warm) — best of 2
+    val canaryMem = math.max(canaryMemGBs(cores), canaryMemGBs(cores))
+    // canonical = no canary INFLATED past its committed machine constant
+    // (one-sided: a faster-than-ref machine is fine). A non-canonical
+    // run's timings are contention-inflated and must not be compared
+    // against committed medians. The MEMORY canary is load-bearing:
+    // co-tenant DRAM/LLC pressure slows every bandwidth-bound Spark stage
+    // while both register-spin canaries stay at their quiet constants
+    // (observed 2026-08-13: uniform 1.4× query inflation, clean spins).
     val canaryOk = CanaryRef > 0 &&
-      math.abs(canaryBefore - CanaryRef) / CanaryRef <= 0.15 &&
-      math.abs(canaryAfter - CanaryRef) / CanaryRef <= 0.15
-    val canaryJson = f"""{"before":$canaryBefore%.3f,"after":$canaryAfter%.3f,"ref":$CanaryRef%.3f,"canonical":$canaryOk,"loadavg":"${loadAvg()}"}"""
+      canaryBefore <= CanaryRef * 1.15 &&
+      canaryAfter <= CanaryRef * 1.15 &&
+      canaryPar <= CanaryParRef * 1.15 &&
+      (CanaryMemRef == 0.0 || canaryMem >= CanaryMemRef * 0.85) &&
+      canarySpark.forall(_ <= CanarySparkRef * 1.3)
+    val sparkJson = canarySpark.map(s => f""","spark":$s%.3f,"sparkRef":$CanarySparkRef%.3f""").getOrElse("")
+    val canaryJson = f"""{"before":$canaryBefore%.3f,"after":$canaryAfter%.3f,"ref":$CanaryRef%.3f,"par":$canaryPar%.3f,"parRef":$CanaryParRef%.3f,"memGBs":$canaryMem%.1f,"memRef":$CanaryMemRef%.1f$sparkJson,"canonical":$canaryOk,"loadavg":"${loadAvg()}"}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","canary":$canaryJson}"""
     println(json)
     // Land the full line in a FILE: the driver captures only a truncated

@@ -31,6 +31,17 @@ import scala.collection.mutable
   *   - completion-value semantics: the script's result is the value of the
   *     last evaluated expression statement (how Nashorn `eval` returns)
   *
+  * OUT OF SCOPE (documented boundary, not a gap): the prototype chain
+  * (`Object.prototype` mutation, `X.prototype.method = ...`,
+  * constructor-function `new` with user prototypes), getters/setters,
+  * `this` binding beyond method receivers, `try`/`catch`, generators,
+  * and ES6+ syntax (arrow functions, `let`/`const`, classes, template
+  * literals). Every row script shipped with the reference (DQ rule and
+  * transform fixtures) parses and runs byte-identically in this subset —
+  * none uses a prototype — and `JsInterpSpec` keeps a parse-failure test
+  * naming the boundary so a future fixture that needs it fails loudly at
+  * config-validation time, not silently mid-pipeline.
+  *
   * The AST is immutable case classes, so a parsed [[Script]] is Serializable
   * and ships to executors once; evaluation allocates only a per-row
   * environment chain. That is the engine-per-partition design SURVEY §2.8

@@ -100,6 +100,20 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     a[JsInterp.JsError] should be thrownBy eval("'unterminated")
   }
 
+  test("documented dialect boundary: prototype chain / ES6 fail loudly") {
+    // The prototype chain is OUT of the supported subset (JsInterp
+    // scaladoc): a script that needs it must fail at parse/eval time —
+    // at config validation — never silently misbehave mid-pipeline.
+    a[JsInterp.JsError] should be thrownBy
+      eval("function C() {}; C.prototype.m = function() { return 1; }; new C().m();")
+    a[JsInterp.JsError] should be thrownBy
+      eval("String.prototype.shout = function() { return this + '!'; }; 'x'.shout();")
+    // ES6 syntax is likewise out of scope
+    a[JsInterp.JsError] should be thrownBy eval("let x = 1; x;")
+    a[JsInterp.JsError] should be thrownBy eval("var f = (a) => a + 1; f(1);")
+    a[JsInterp.JsError] should be thrownBy eval("class A {}; new A();")
+  }
+
   test("function declarations, returns, recursion, hoisting") {
     eval("""function add(a, b) { return a + b; }
            |add(2, 3);""".stripMargin) shouldBe 5.0
