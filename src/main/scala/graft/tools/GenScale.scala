@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *     and symlinked — the realistic 100 TB shape (facts grow, dims
   *     don't) — so dim broadcast-ability is preserved and the l_suppkey /
   *     c_nationkey fans grow linearly.
+  *   - events: copy `c` shifts `user_id` and `event_id` by `c * 1e8`;
+  *     timestamps are untouched. Every events operator (sessionize,
+  *     funnel, retention, as-of, range join) is user-keyed, so sessions,
+  *     funnels, and as-of/range matches stay strictly within-copy — true
+  *     workload exactly linear — while per-user event-time structure
+  *     matches sf0.1 byte-for-byte. Time-bucketed group-bys (hourly)
+  *     keep a constant bucket domain with k× rows per bucket.
   *
   * Other tables are symlinked from the base dir. Output:
   * `<outRoot>/x<factor>/...` usable as a SPARK_GRAFT_SF_DIR.
@@ -64,6 +71,7 @@ object GenScale {
     val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
     val orders = spark.read.parquet(s"$base/orders.parquet")
     val customer = spark.read.parquet(s"$base/customer.parquet")
+    val events = spark.read.parquet(s"$base/events.parquet")
     val keyOff = 100000000L // far above any sf key (max ~150k at sf0.1)
     factors.foreach { k =>
       val out = Paths.get(outRoot, s"x$k")
@@ -95,6 +103,10 @@ object GenScale {
         },
         "customer" -> grown(customer) { (d, c) =>
           d.withColumn("c_custkey", col("c_custkey") + c * keyOff)
+        },
+        "events" -> grown(events) { (d, c) =>
+          d.withColumn("user_id", col("user_id") + c * keyOff)
+            .withColumn("event_id", col("event_id") + c * keyOff)
         })
       // multi-file layout: the scan splits natively, no degenerate-scan
       // rebalance — the shape a real lake would have. Never write THROUGH
