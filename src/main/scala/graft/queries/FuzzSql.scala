@@ -478,11 +478,27 @@ object FuzzSql {
         Some(Band(c, pick(rnd, dblLits(c)).toString))
       }
     }
+    // DISCOVERED BOUNDARY (v2 sweep, seed 2044): the dsum convention's
+    // decimal(28,4)→double final cast is exact only while |sum|·10⁴ ≤ 2⁵³
+    // (~9e11 in value). Beyond that, Spark's Decimal.toDouble and DuckDB's
+    // decimal→double can land 1 ulp apart — a true cross-ENGINE conversion
+    // difference, not an engine bug. `sum(price · (1 − price))` reaches
+    // ~1e14 and crossed it. Multiplicative forms therefore keep one factor
+    // in the ratio domain (l_discount/l_tax ≤ 1), the real TPC-H shape;
+    // additive sums of two prices stay ≤ ~7e11 even at sf0.1 join fan.
+    val ratioCols = Seq("l_discount", "l_tax").filter(dblCols.contains)
     def mkAgg(): AggFn =
       if (dblCols.size >= 2 && rnd.nextInt(4) == 0) {
-        val a = pick(rnd, dblCols)
-        val b = pick(rnd, dblCols.filterNot(_ == a))
-        ExprSum(a, b, rnd.nextInt(3))
+        val form = rnd.nextInt(3)
+        if (form == 1) {
+          val a = pick(rnd, dblCols)
+          val b = pick(rnd, dblCols.filterNot(_ == a))
+          ExprSum(a, b, 1)
+        } else if (ratioCols.nonEmpty) {
+          val b = pick(rnd, ratioCols)
+          val a = pick(rnd, dblCols.filterNot(_ == b))
+          ExprSum(a, b, form)
+        } else DSum(pick(rnd, dblCols))
       } else {
         val c = pick(rnd, numerics)
         (c.kind, rnd.nextInt(3)) match {

@@ -80,5 +80,5 @@ class DifferentialSqlSpec extends SparkSpec {
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
-  private val renderedHashV2 = "a06b5b27596f8051ac5782be51f71070"
+  private val renderedHashV2 = "ee07a321394301d8ae6fe9f7ba9044f8"
 }
