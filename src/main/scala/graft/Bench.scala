@@ -100,7 +100,66 @@ object Bench {
   def loadAvg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(",")
     catch { case _: Throwable => "" }
+
+  /** One /proc/stat cpu-line sample: cumulative jiffies. `steal` is the
+    * hypervisor's PV steal-clock accounting — time this guest's vCPUs
+    * were runnable but not scheduled on a host core. Unlike every spin
+    * canary, the guest cannot dodge it: a 1-thread spin migrates onto
+    * whatever core is healthy and reads clean in exactly the windows
+    * where 32-way query stages lose 40% to partial-core steal (observed
+    * r8: four full-bench runs uniformly 1.37-1.47x inflated on unchanged
+    * queries, ALL edge canaries green). */
+  final case class StatSample(t: Long, total: Long, steal: Long, idle: Long)
+
+  def readStat(): Option[StatSample] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val v = line.split("\\s+").drop(1).map(_.toLong)
+      Some(StatSample(System.nanoTime(), v.sum, v(7), v(3) + v(4)))
+    } catch { case _: Throwable => None }
+
+  /** Steal as a pct of all machine jiffies elapsed in [t0, t1), from a
+    * timeline of samples. Takes the nearest samples within a 400 ms grace
+    * outside the window so sub-sample-period queries still resolve.
+    * Returns -1 when the window has fewer than 2 usable samples. */
+  def stealPctOf(samples: Vector[StatSample], t0: Long, t1: Long): Double = {
+    val grace = 400_000_000L
+    val in = samples.filter(s => s.t >= t0 - grace && s.t <= t1 + grace)
+    if (in.size < 2) -1.0
+    else {
+      val d = in.last.total - in.head.total
+      if (d <= 0) -1.0 else 100.0 * (in.last.steal - in.head.steal) / d
+    }
+  }
+
+  /** Background /proc/stat sampler (4 Hz, daemon). Mid-run steal is the
+    * recurring phantom-regression mechanism (rounds 2/6/7/8): the edge
+    * canaries probe quiet instants while the contention lives in the
+    * minutes between them. Per-query attribution comes from intersecting
+    * each query's wall window with this timeline. */
+  final class StealSampler {
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[StatSample]()
+    @volatile private var done = false
+    private val th = new Thread(() => {
+      while (!done) {
+        readStat().foreach(buf.add)
+        try Thread.sleep(250) catch { case _: InterruptedException => done = true }
+      }
+    }, "steal-sampler")
+    th.setDaemon(true)
+    def start(): Unit = { readStat().foreach(buf.add); th.start() }
+    def stop(): Unit = {
+      done = true; th.interrupt(); th.join(2000); readStat().foreach(buf.add)
+    }
+    def all: Vector[StatSample] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toVector.sortBy(_.t)
+    }
+  }
   def main(args: Array[String]): Unit = {
+    val stealSampler = new StealSampler
+    stealSampler.start()
     val canaryBefore = canarySec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,8 +206,10 @@ object Bench {
     // cache-interference noise large enough to fake 5x regressions
     // (BENCH_r02's q_join_anti read 4.9s shared vs 0.66s isolated).
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    val windows = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] running $name x$repeats")
+      val w0 = System.nanoTime()
       // queries persist intermediates; dropping them between SERIES keeps one
       // query's leftover blocks from GC/eviction-thrashing the next one's
       // timing (the r2 phantom-regression mechanism). Repeats within a
@@ -170,6 +231,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      windows(name) = (w0, System.nanoTime())
       val median = times(times.length / 2)
       name -> (median, times.head, times.last, ok)
     }
@@ -183,6 +245,17 @@ object Bench {
     val canaryPar = canaryParSec(cores)
     // first call is JIT-cold (observed 24 vs 85 GB/s warm) — best of 2
     val canaryMem = math.max(canaryMemGBs(cores), canaryMemGBs(cores))
+    stealSampler.stop()
+    val stat = stealSampler.all
+    // overall steal pct across the whole run, plus per-query attribution;
+    // a query whose window saw >10% machine steal has an untrustworthy
+    // timing regardless of what the edge canaries read
+    val stealOverall =
+      if (stat.size >= 2) stealPctOf(stat, stat.head.t, stat.last.t) else -1.0
+    val stealByQuery = windows.toMap.view
+      .mapValues { case (t0, t1) => stealPctOf(stat, t0, t1) }.toMap
+    val stealFlagged = stealByQuery.filter(_._2 > 10.0)
+    val stealMax = stealByQuery.values.filter(_ >= 0).maxOption.getOrElse(-1.0)
     // canonical = no canary INFLATED past its committed machine constant
     // (one-sided: a faster-than-ref machine is fine). A non-canonical
     // run's timings are contention-inflated and must not be compared
@@ -190,14 +263,24 @@ object Bench {
     // co-tenant DRAM/LLC pressure slows every bandwidth-bound Spark stage
     // while both register-spin canaries stay at their quiet constants
     // (observed 2026-08-13: uniform 1.4× query inflation, clean spins).
+    // The steal gate is primary: /proc/stat steal is the hypervisor's own
+    // accounting and catches the mid-run partial-core steal every spin
+    // probe dodges. Edge canaries stay as the memory-contention backstop
+    // (co-tenant DRAM pressure is invisible to the steal counter).
+    val stealOk = stealOverall < 0 ||
+      (stealOverall <= 3.0 && stealFlagged.isEmpty)
     val canaryOk = CanaryRef > 0 &&
       canaryBefore <= CanaryRef * 1.15 &&
       canaryAfter <= CanaryRef * 1.15 &&
       canaryPar <= CanaryParRef * 1.15 &&
       (CanaryMemRef == 0.0 || canaryMem >= CanaryMemRef * 0.85) &&
-      canarySpark.forall(_ <= CanarySparkRef * 1.3)
+      canarySpark.forall(_ <= CanarySparkRef * 1.3) &&
+      stealOk
     val sparkJson = canarySpark.map(s => f""","spark":$s%.3f,"sparkRef":$CanarySparkRef%.3f""").getOrElse("")
-    val canaryJson = f"""{"before":$canaryBefore%.3f,"after":$canaryAfter%.3f,"ref":$CanaryRef%.3f,"par":$canaryPar%.3f,"parRef":$CanaryParRef%.3f,"memGBs":$canaryMem%.1f,"memRef":$CanaryMemRef%.1f$sparkJson,"canonical":$canaryOk,"loadavg":"${loadAvg()}"}"""
+    val flaggedJson = stealFlagged.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    val stealJson = f""","steal_pct":$stealOverall%.2f,"steal_max_q":$stealMax%.2f,"steal_flagged":$flaggedJson,"steal_samples":${stat.size}"""
+    val canaryJson = f"""{"before":$canaryBefore%.3f,"after":$canaryAfter%.3f,"ref":$CanaryRef%.3f,"par":$canaryPar%.3f,"parRef":$CanaryParRef%.3f,"memGBs":$canaryMem%.1f,"memRef":$CanaryMemRef%.1f$sparkJson$stealJson,"canonical":$canaryOk,"loadavg":"${loadAvg()}"}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"min":${fmt(_._2)},"max":${fmt(_._3)},"repeats":$repeats,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","canary":$canaryJson}"""
     println(json)
     // Land the full line in a FILE: the driver captures only a truncated

@@ -69,4 +69,38 @@ class BenchToolingSpec extends AnyFunSuite {
     val t = graft.Bench.canarySec()
     assert(t > 0.1 && t < 15.0, s"canary wall time out of range: $t")
   }
+
+  test("stealPctOf attributes window steal from the sample timeline") {
+    import graft.Bench.{StatSample, stealPctOf}
+    def ns(ms: Long) = ms * 1_000_000L
+    // 10 samples 250 ms apart; steal runs at 0 for the first half and
+    // 40% of the 100-jiffie/sample machine rate for the second half
+    val samples = (0 to 9).map { i =>
+      val steal = if (i <= 5) 0L else (i - 5) * 40L
+      StatSample(ns(i * 250), i * 100L, steal, 0L)
+    }.toVector
+    // quiet window: samples 0-4
+    assert(stealPctOf(samples, ns(0), ns(1000)) == 0.0)
+    // stolen window: samples 6-9 → 120 steal over 300 jiffies = 40%
+    assert(math.abs(stealPctOf(samples, ns(1600), ns(2250)) - 40.0) < 1e-9)
+    // sub-period window resolves via the 400 ms grace
+    assert(stealPctOf(samples, ns(1100), ns(1200)) >= 0.0)
+    // no samples → unknown, not zero
+    assert(stealPctOf(Vector.empty, 0L, ns(1000)) == -1.0)
+    // counter going backwards (proc restart) → unknown
+    val broken = Vector(StatSample(ns(0), 100L, 0L, 0L), StatSample(ns(250), 50L, 0L, 0L))
+    assert(stealPctOf(broken, ns(0), ns(250)) == -1.0)
+  }
+
+  test("StealSampler reads /proc/stat and accumulates ordered samples") {
+    val s = new graft.Bench.StealSampler
+    s.start()
+    Thread.sleep(700)
+    s.stop()
+    val all = s.all
+    assert(all.size >= 3, s"expected >=3 samples, got ${all.size}")
+    assert(all == all.sortBy(_.t))
+    assert(all.last.total > all.head.total, "total jiffies must advance")
+    assert(all.forall(x => x.steal >= 0 && x.idle >= 0))
+  }
 }
