@@ -20,7 +20,8 @@ object SparkEntry {
       Dedup.streamEquivDefs ++
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
-      MultimodalQueries.defs ++ OpsQueries.defs ++ FuzzSql.defs
+      MultimodalQueries.defs ++ OpsQueries.defs ++ FuzzSql.defs ++
+      Stats.defs
 
   /** Flagship: the full config-driven pipeline (read → DQ → script
     * transform → cast → partitioned catalog table → SQL) — the engine's
