@@ -13,7 +13,7 @@ import graft.queries.FuzzSql
   * cross-engine sweep; the 12 `q_fuzz_*` gate entries are the committed
   * always-on subset.
   *
-  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1|v2]
+  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1|v2|v3]
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -21,8 +21,11 @@ object FuzzDump {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 200
     val seedBase = if (args.length > 3) args(3).toLong else 1L
-    val gen: Long => FuzzSql.Sample =
-      if (args.length > 4 && args(4) == "v2") FuzzSql.sampleV2 else FuzzSql.sample
+    val gen: Long => FuzzSql.Sample = args.lift(4) match {
+      case Some("v2") => FuzzSql.sampleV2
+      case Some("v3") => FuzzSql.sampleV3
+      case _          => FuzzSql.sample
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +43,10 @@ object FuzzDump {
         smp.df(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(path)
         val rows = spark.read.parquet(path).count()
         System.err.println(s"[fuzz] seed ${smp.seed} " +
-          s"shape=${smp.shape.getClass.getSimpleName} rows=$rows")
+          s"shape=${smp.shape.getClass.getSimpleName} rows=$rows " +
+          s"base=${smp.base.name} joins=${smp.joined.size} left=${smp.leftJoin} " +
+          s"preds=${smp.preds.map(_.getClass.getSimpleName).mkString("+")} " +
+          s"detail=${smp.shape.toString.take(120)}")
       } catch { case e: Throwable =>
         System.err.println(s"[fuzz] seed ${smp.seed} failed: ${e.getMessage}")
       }

@@ -131,6 +131,18 @@ object FuzzSql {
     def sql = s"$c IN (${lits.map(l => s"'$l'").mkString(", ")})"
     def expr: Column = col(c).isin(lits: _*)
   }
+  // ---- v3 predicates --------------------------------------------------
+  final case class OrPred(a: Pred, b: Pred) extends Pred {
+    def sql = s"(${a.sql} OR ${b.sql})"
+    def expr: Column = a.expr || b.expr
+  }
+  final case class BetweenP(c: String, lo: String, hi: String, isInt: Boolean)
+      extends Pred {
+    def sql = s"$c BETWEEN $lo AND $hi"
+    def expr: Column =
+      if (isInt) col(c).between(lo.toLong, hi.toLong)
+      else col(c).between(lo.toDouble, hi.toDouble)
+  }
 
   sealed trait AggFn { def sql: String; def expr: Column; def alias: String }
   case object Cnt extends AggFn {
@@ -152,6 +164,32 @@ object FuzzSql {
   }
   final case class MaxC(c: String) extends AggFn {
     def sql = s"MAX($c)"; def expr: Column = max(col(c)); def alias = s"mx_$c"
+  }
+
+  /** v3: exact distinct count — identical semantics in both engines. */
+  final case class CntDistinct(c: String) extends AggFn {
+    def sql = s"CAST(COUNT(DISTINCT $c) AS BIGINT)"
+    def expr: Column = countDistinct(col(c)).cast("long")
+    def alias = s"cd_$c"
+  }
+
+  /** v3: scalar string functions as derived projection columns, rendered
+    * identically in both dialects (1-based SUBSTRING, BIGINT length).
+    */
+  final case class StrFn(c: String, fn: Int) {
+    def alias = s"f${fn}_$c"
+    def sql: String = fn match {
+      case 0 => s"UPPER($c)"
+      case 1 => s"LOWER($c)"
+      case 2 => s"CAST(LENGTH($c) AS BIGINT)"
+      case _ => s"SUBSTRING($c, 1, 3)"
+    }
+    def expr: Column = fn match {
+      case 0 => upper(col(c))
+      case 1 => lower(col(c))
+      case 2 => length(col(c)).cast("long")
+      case _ => substring(col(c), 1, 3)
+    }
   }
 
   /** v2: decimal-exact sum of an arithmetic expression over two double
@@ -195,6 +233,15 @@ object FuzzSql {
   /** predsB filters the second branch; `Sample.preds` filters the first. */
   final case class SetOpShape(cols: Seq[String], predsB: Seq[Pred],
       op: String) extends Shape
+  // ---- v3 shapes ------------------------------------------------------
+  /** Projection through scalar string functions (uk kept for total order). */
+  final case class StrFnProject(cols: Seq[String], fns: Seq[StrFn]) extends Shape
+  /** Windowed aggregate: per-partition total annotated onto each row.
+    * `dec` = decimal-exact double sum (the dsum convention through a
+    * window frame); otherwise BIGINT int sum.
+    */
+  final case class WinAggShape(part: String, valCol: String, dec: Boolean)
+      extends Shape
 
   final case class Sample(
       seed: Long, base: Table, joined: Seq[Table], leftJoin: Boolean,
@@ -256,6 +303,18 @@ object FuzzSql {
         s"SELECT ${cols.mkString(", ")}\nFROM $joinChainSql$whereSql" +
           s"\n$op\nSELECT ${cols.mkString(", ")}\nFROM $joinChainSql$whereB" +
           s"\nORDER BY ${cols.mkString(", ")}"
+      case StrFnProject(cols, fns) =>
+        val out = (base.uk ++ cols).distinct
+        val sel = (out ++ fns.map(f => s"${f.sql} AS ${f.alias}")).mkString(", ")
+        s"SELECT $sel\nFROM $joinChainSql$whereSql\nORDER BY ${out.mkString(", ")}"
+      case WinAggShape(part, v, dec) =>
+        val out = (base.uk :+ part).distinct
+        val win =
+          if (dec)
+            s"CAST(SUM(CAST($v AS DECIMAL(28,4))) OVER (PARTITION BY $part) AS DOUBLE)"
+          else s"CAST(SUM($v) OVER (PARTITION BY $part) AS BIGINT)"
+        s"SELECT ${out.mkString(", ")}, $win AS wsum" +
+          s"\nFROM $joinChainSql$whereSql\nORDER BY ${out.mkString(", ")}"
     }
 
     def df(spark: SparkSession, dir: String): DataFrame = {
@@ -324,6 +383,20 @@ object FuzzSql {
             case _ => a.except(b)
           }
           combined.orderBy(cols.map(col): _*)
+        case StrFnProject(cols, fns) =>
+          val out = (base.uk ++ cols).distinct
+          rel.select(out.map(col) ++ fns.map(f => f.expr.as(f.alias)): _*)
+            .orderBy(out.map(col): _*)
+        case WinAggShape(part, v, dec) =>
+          val out = (base.uk :+ part).distinct
+          val w = Window.partitionBy(col(part))
+          val win =
+            if (dec)
+              sum(col(v).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+                .over(w).cast("double")
+            else sum(col(v)).over(w).cast("long")
+          rel.select(out.map(col) :+ win.as("wsum"): _*)
+            .orderBy(out.map(col): _*)
       }
     }
   }
@@ -557,6 +630,122 @@ object FuzzSql {
     Sample(seed, base, joined, left, preds, shape)
   }
 
+  /** v3 generator: disjunctive + range predicates (OR, BETWEEN), scalar
+    * string functions (UPPER/LOWER/LENGTH/SUBSTRING as projection
+    * columns), exact COUNT(DISTINCT), and windowed aggregates (per-
+    * partition SUM annotated onto rows — BIGINT ints and the dsum
+    * decimal convention through a window frame). v1/v2 streams stay
+    * FROZEN; v3 gate seeds live at 9301+.
+    */
+  def sampleV3(seed: Long): Sample = {
+    val rnd = new Random(seed)
+    val base = pick(rnd, Seq(lineitem, lineitem, orders, orders, customer, nation))
+    val depth = rnd.nextInt(10) match {
+      case d if d <= 4 => 0
+      case d if d <= 8 => 1
+      case _ => 2
+    }
+    var joined = Vector.empty[Table]
+    var cur = base
+    var i = 0
+    while (i < depth && cur.fk.isDefined) {
+      val p = byName(cur.fk.get._2)
+      joined :+= p; cur = p; i += 1
+    }
+    val visible: Seq[Table] = base +: joined
+    val allCols: Seq[Col] = visible.flatMap(_.cols)
+
+    /** v3 predicate: 50% a v1 atom, else BETWEEN or OR-of-two-atoms. */
+    def mkPredV3(): Option[Pred] = rnd.nextInt(4) match {
+      case 0 | 1 => mkPred(rnd, allCols)
+      case 2 =>
+        val c = pick(rnd, allCols.filter(c =>
+          (c.kind == IntK && intLits.contains(c.name)) ||
+            (c.kind == DblK && dblLits.contains(c.name))))
+        val isInt = c.kind == IntK
+        val pool: Seq[String] =
+          if (isInt) intLits(c.name).map(_.toString)
+          else dblLits(c.name).map(_.toString)
+        val two = rnd.shuffle(pool).take(2)
+          .sortBy(_.toDouble)
+        if (two.size < 2) None
+        else Some(BetweenP(c.name, two.head, two.last, isInt))
+      case _ =>
+        for (a <- mkPred(rnd, allCols); b <- mkPred(rnd, allCols))
+          yield OrPred(a, b)
+    }
+
+    val preds = (0 until rnd.nextInt(3)).flatMap(_ => mkPredV3()).distinct
+
+    val groupables = allCols.filter(c => c.kind == StrK ||
+      (c.kind == IntK && Set("l_linenumber", "c_nationkey", "n_nationkey",
+        "n_regionkey", "r_regionkey").contains(c.name)))
+    val numerics = allCols.filter(c => c.kind == DblK || c.kind == IntK)
+    val strCols = allCols.filter(_.kind == StrK).map(_.name)
+    val dblCols = allCols.filter(c => c.kind == DblK && dblLits.contains(c.name))
+      .map(_.name)
+    val intValCols = base.cols
+      .filter(c => c.kind == IntK && !base.uk.contains(c.name)).map(_.name)
+    val partPool = base.cols.filter(c => c.kind == StrK ||
+      (c.kind == IntK && !base.uk.contains(c.name)))
+
+    def mkAggV3(): AggFn = {
+      val c = pick(rnd, numerics)
+      (c.kind, rnd.nextInt(4)) match {
+        case (_, 0) => CntDistinct(c.name)
+        case (DblK, 1) => DSum(c.name)
+        case (DblK, 2) => MinC(c.name)
+        case (DblK, _) => MaxC(c.name)
+        case (IntK, 1) => SumInt(c.name)
+        case (IntK, 2) => MinC(c.name)
+        case (IntK, _) => MaxC(c.name)
+        case (StrK, _) => Cnt // unreachable: `numerics` excludes StrK
+      }
+    }
+
+    val shape: Shape = rnd.nextInt(20) match {
+      case s if s <= 6 => // aggregate with the v3 pool (COUNT DISTINCT)
+        val nG = rnd.nextInt(3)
+        val groups = rnd.shuffle(groupables).take(nG).map(_.name).distinct
+        val aggs: Seq[AggFn] = Cnt +: (0 until 1 + rnd.nextInt(3)).map(_ => mkAggV3())
+        AggShape(groups, aggs.distinctBy(_.alias))
+      case s if s <= 12 => // scalar-function projection
+        if (strCols.isEmpty) {
+          val extra = rnd.shuffle(allCols.filterNot(c => base.uk.contains(c.name)))
+            .take(1 + rnd.nextInt(3)).map(_.name)
+          ProjectShape((base.uk ++ extra).distinct, distinct = false)
+        } else {
+          val fns = rnd.shuffle(strCols).take(1 + rnd.nextInt(2))
+            .map(c => StrFn(c, rnd.nextInt(4)))
+          val extra = rnd.shuffle(allCols.filterNot(c => base.uk.contains(c.name)))
+            .take(rnd.nextInt(3)).map(_.name)
+          StrFnProject(extra.distinct, fns.distinctBy(_.alias))
+        }
+      case s if s <= 17 => // windowed aggregate
+        val part = pick(rnd, if (partPool.nonEmpty) partPool else base.cols).name
+        if (dblCols.nonEmpty && rnd.nextBoolean())
+          WinAggShape(part, pick(rnd, dblCols), dec = true)
+        else if (intValCols.nonEmpty)
+          WinAggShape(part, pick(rnd, intValCols), dec = false)
+        else WinAggShape(part, pick(rnd, dblCols), dec = true)
+      case _ => // top-k (v1 shape)
+        val baseNumerics = base.cols.filter(c => c.kind == DblK ||
+          (c.kind == IntK && !base.uk.contains(c.name)))
+        val ord = pick(rnd, if (baseNumerics.nonEmpty) baseNumerics else base.cols).name
+        TopKShape(ord, rnd.nextBoolean(), 25 + rnd.nextInt(75))
+    }
+
+    // v3: LEFT JOIN allowed for agg + projection shapes (post-join WHERE
+    // filters nulls identically in both dialects); window/top-k stay inner
+    val leftOk = joined.nonEmpty && (shape match {
+      case _: AggShape | _: ProjectShape | _: StrFnProject => true
+      case _ => false
+    })
+    val left = leftOk && rnd.nextInt(4) == 0
+
+    Sample(seed, base, joined, left, preds, shape)
+  }
+
   /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
     * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
     * NEVER renumber (the driver compares against committed results).
@@ -575,6 +764,18 @@ object FuzzSql {
   val gateSeedsV2: Seq[Long] = Seq(
     9103L, 9104L, 9105L, 9110L, 9113L, 9124L, 9149L, 9160L, 9187L)
 
+  /** v3 gate seeds → `q_fuzz_22`..`q_fuzz_29`; chosen once over the v3
+    * features — OR-pred left-join agg (9301), windowed decimal sum
+    * (9305), BETWEEN + COUNT DISTINCT + DSum (9307), LOWER/SUBSTRING
+    * projection through a 2-join chain (9308), windowed int sum with
+    * BETWEEN+IN (9315), LENGTH/UPPER over a LEFT join (9322),
+    * nation-region LEFT-join scalar projection (9324), windowed sum over
+    * a 2-join chain (9328) — all validated non-degenerate and
+    * DuckDB-green at sf0.001 AND sf0.01. NEVER renumber.
+    */
+  val gateSeedsV3: Seq[Long] = Seq(
+    9301L, 9305L, 9307L, 9308L, 9315L, 9322L, 9324L, 9328L)
+
   val defs: Seq[QueryDef] =
     gateSeeds.map { s =>
       val smp = sample(s)
@@ -584,6 +785,11 @@ object FuzzSql {
     } ++ gateSeedsV2.zipWithIndex.map { case (s, i) =>
       val smp = sampleV2(s)
       QueryDef(f"q_fuzz_${13 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV3.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV3(s)
+      QueryDef(f"q_fuzz_${22 + i}%02d",
         (spark, dir) => smp.df(spark, dir),
         Some(smp.sql))
     }

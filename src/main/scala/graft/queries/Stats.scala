@@ -85,6 +85,36 @@ object Stats {
               |  < CASE l_returnflag WHEN 'A' THEN 100 WHEN 'N' THEN 500 ELSE 1000 END
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- deterministic per-group reservoir (exact-k per stratum) --------
+    // Balanced per-class sampling: exactly k rows per stratum, chosen by
+    // ranking on the md5 of the row key — pseudo-random but reproducible
+    // across runs and engines. The rank<=k filter plans as Spark's
+    // WindowGroupLimit (bounded top-k held per group on BOTH sides of the
+    // shuffle, never a full ranked materialization — plan-guarded), so
+    // per-group state is O(k) however large the stratum gets.
+    QueryDef(
+      "q_reservoir_per_group",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val key = concat_ws("#", col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(md5(key), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 50)
+          .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
+          .orderBy("l_returnflag", "rk")
+      },
+      Some("""SELECT l_returnflag, rk, l_orderkey, l_linenumber
+             |FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY md5(CONCAT(l_orderkey, '#', l_linenumber)),
+             |               l_orderkey, l_linenumber) AS rk
+             |  FROM lineitem)
+             |WHERE rk <= 50
+             |ORDER BY l_returnflag, rk""".stripMargin)),
+
     // ---- Z-order layout roundtrip ---------------------------------------
     // Rewrites lineitem clustered along the Morton curve of
     // (l_partkey, l_suppkey), then answers a two-dimensional range query

@@ -263,5 +263,12 @@ class PlanAuditSpec extends SparkSpec {
     (plan should not).include("CartesianProduct")
   }
 
+  test("q_reservoir_per_group: rank<=k runs as WindowGroupLimit both sides of the shuffle") {
+    val plan = planString(q("q_reservoir_per_group"))
+    plan should include ("WindowGroupLimit")
+    plan should include regex "WindowGroupLimit.*Partial"
+    (plan should not).include("CartesianProduct")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }

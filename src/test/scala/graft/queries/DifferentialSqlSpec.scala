@@ -60,6 +60,10 @@ class DifferentialSqlSpec extends SparkSpec {
     differential(FuzzSql.sampleV2)
   }
 
+  test(s"$Samples random v3 plans (OR/BETWEEN/str-fns/count-distinct/window-agg)") {
+    differential(FuzzSql.sampleV3)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -73,12 +77,25 @@ class DifferentialSqlSpec extends SparkSpec {
     md5(v1) shouldBe renderedHash
     val v2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).sql).mkString("\n---\n")
     md5(v2) shouldBe renderedHashV2
+    val v3 = FuzzSql.gateSeedsV3.map(s => FuzzSql.sampleV3(s).sql).mkString("\n---\n")
+    md5(v3) shouldBe renderedHashV3
     val shapes = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).shape.getClass.getSimpleName).toSet
     shapes should contain allOf ("AggShape", "ProjectShape", "WindowShape", "TopKShape")
     val shapesV2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).shape.getClass.getSimpleName).toSet
     shapesV2 should contain allOf ("AggShape2", "BandProject", "SetOpShape")
+    val v3s = FuzzSql.gateSeedsV3.map(FuzzSql.sampleV3)
+    v3s.map(_.shape.getClass.getSimpleName).toSet should contain allOf
+      ("AggShape", "StrFnProject", "WinAggShape")
+    // both window flavors (decimal + bigint), both new pred kinds, and a
+    // LEFT join must stay represented
+    v3s.map(_.shape).collect { case FuzzSql.WinAggShape(_, _, dec) => dec }
+      .toSet shouldBe Set(true, false)
+    val predKinds = v3s.flatMap(_.preds.map(_.getClass.getSimpleName)).toSet
+    predKinds should contain allOf ("OrPred", "BetweenP")
+    v3s.exists(_.leftJoin) shouldBe true
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
   private val renderedHashV2 = "ee07a321394301d8ae6fe9f7ba9044f8"
+  private val renderedHashV3 = "3a335f5da1508a31dea1ad613429b651"
 }
