@@ -45,9 +45,28 @@ object Tables {
       (sfDir == null || d == sfDir) && (name == null || n == name)
     }
 
+  /** The engine-wide convention for `events.ts` is a LongType
+    * nanoseconds-since-epoch column (every consumer derives micros/seconds
+    * with integer `div`). The driver's generator has emitted the column as
+    * both TIMESTAMP(NANOS) (surfaces as LongType under `nanosAsLong`) and
+    * plain microsecond TIMESTAMP/TIMESTAMP_NTZ — normalize either to the
+    * nanos long here, once, at the scan. The cast to session-TZ timestamp
+    * is exact for NTZ data under the required UTC session, and a single
+    * projection on the scan costs nothing at any scale.
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions
+            .expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     loadCache.computeIfAbsent((spark, sfDir, name), _ => {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = if (name == "events") normalizeEventsTs(raw) else raw
       if (dims(name)) df
       else {
         // The driver's test parquet is one file with one row group per table,

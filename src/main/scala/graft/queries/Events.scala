@@ -12,11 +12,12 @@ import QueryDef.{dsum, dsumSql}
   * gap-based sessionization (the stateful-streaming shape, here in its batch
   * form — the Structured Streaming twin lives in graft.streaming), and pivot.
   *
-  * Determinism notes: `events.ts` is TIMESTAMP(NANOS) in parquet. Spark 4
-  * reads it only as LongType nanos (`spark.sql.legacy.parquet.nanosAsLong`,
-  * set in Tables.requiredConfs) while DuckDB keeps a ns timestamp. Queries
-  * therefore compare only second-or-coarser derivations: Spark floor-divides
-  * the nanos long, DuckDB floors `epoch(ts)` — identical for positive epochs.
+  * Determinism notes: `events.ts` arrives as LongType nanos-since-epoch
+  * regardless of what the parquet carries (TIMESTAMP(NANOS) or microsecond
+  * TIMESTAMP/NTZ) — Tables.load normalizes the column at the scan — while
+  * DuckDB keeps a timestamp. Queries therefore compare only
+  * micro-or-coarser derivations: Spark floor-divides the nanos long,
+  * DuckDB uses `epoch`/`epoch_us` — identical for positive epochs.
   */
 object Events {
 
