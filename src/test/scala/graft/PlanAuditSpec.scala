@@ -343,5 +343,91 @@ class PlanAuditSpec extends SparkSpec {
     (p.toString should not).include("CartesianProduct")
   }
 
+  test("q_tpch_q6: joinless — every predicate reaches the scan, one partial agg") {
+    val p = executed(q("q_tpch_q6"))
+    val plan = p.toString
+    (plan should not).include("Join")
+    plan should include ("partial_")
+    val pushed = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    pushed.exists(f => f.contains("GreaterThanOrEqual(l_shipdate") &&
+      f.contains("LessThan(l_quantity")) shouldBe true
+  }
+
+  test("q_tpch_q7/q8/q9: deep multi-joins never cartesian or nested-loop") {
+    for (name <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9")) {
+      val plan = planString(q(name))
+      withClue(s"$name:") {
+        (plan should not).include("CartesianProduct")
+        (plan should not).include("BroadcastNestedLoopJoin")
+        plan should include ("partial_")
+      }
+    }
+  }
+
+  test("q_tpch_q9: the ps CTE's LIKE filter reaches the part scan") {
+    val p = executed(q("q_tpch_q9"))
+    val pushed = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    pushed.exists(_.contains("StringContains(p_name,gear")) shouldBe true
+  }
+
+  test("q_tpch_q11: uncorrelated HAVING scalar runs once, agg stays partial") {
+    val plan = planString(q("q_tpch_q11"))
+    plan should include ("partial_")
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q_tpch_q15: scalar MAX over the CTE is a one-row reuse, not a rescan loop") {
+    val plan = planString(q("q_tpch_q15"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    plan should include ("partial_")
+  }
+
+  test("q_tpch_q16: NOT IN plans as a null-aware broadcast anti join — no BNLJ") {
+    val df = q("q_tpch_q16")
+    df.collect()
+    // read the full adaptive dump (Initial + Final): at this SF no supplier
+    // has a negative balance, so AQE's empty-relation propagation deletes
+    // the anti join from the FINAL plan entirely — the static plan is where
+    // the null-aware broadcast anti (BuildRight, true) is visible
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "BroadcastHashJoin .*LeftAnti, BuildRight, true"
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q_tpch_q19: OR-of-bands extracts the common partkey equi-join") {
+    val plan = planString(q("q_tpch_q19"))
+    // Catalyst factors l_partkey = p_partkey out of the disjunction: a hash
+    // join with the band residual, never a cartesian-with-filter
+    plan should include regex "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q_tpch_q21: EXISTS + NOT EXISTS decorrelate to semi + anti probes") {
+    val plan = planString(q("q_tpch_q21"))
+    plan should include ("LeftSemi")
+    plan should include ("LeftAnti")
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q_tpch_q2: correlated MIN decorrelates — no subquery nodes survive") {
+    val p = executed(q("q_tpch_q2"))
+    val plan = p.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // the per-part MIN becomes a partkey-grain aggregate joined back
+    plan should include ("partial_min")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
