@@ -21,9 +21,10 @@ object FuzzDump {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 200
     val seedBase = if (args.length > 3) args(3).toLong else 1L
-    val gen: Long => FuzzSql.Sample = args.lift(4) match {
+    val gen: Long => FuzzSql.Fuzzed = args.lift(4) match {
       case Some("v2") => FuzzSql.sampleV2
       case Some("v3") => FuzzSql.sampleV3
+      case Some("v4") => FuzzSql.sampleV4
       case _          => FuzzSql.sample
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -42,11 +43,7 @@ object FuzzDump {
         val path = s"$outDir/fuzz_${smp.seed}"
         smp.df(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(path)
         val rows = spark.read.parquet(path).count()
-        System.err.println(s"[fuzz] seed ${smp.seed} " +
-          s"shape=${smp.shape.getClass.getSimpleName} rows=$rows " +
-          s"base=${smp.base.name} joins=${smp.joined.size} left=${smp.leftJoin} " +
-          s"preds=${smp.preds.map(_.getClass.getSimpleName).mkString("+")} " +
-          s"detail=${smp.shape.toString.take(120)}")
+        System.err.println(s"[fuzz] seed ${smp.seed} rows=$rows ${smp.describe}")
       } catch { case e: Throwable =>
         System.err.println(s"[fuzz] seed ${smp.seed} failed: ${e.getMessage}")
       }

@@ -81,6 +81,17 @@ object FuzzSql {
     Seq(Col("r_regionkey", IntK), Col("r_name", StrK)),
     uk = Seq("r_regionkey"), fk = None)
 
+  // v4 star-join dims (not in the frozen v1-v3 chains; lineitem branches to
+  // them on l_partkey / l_suppkey)
+  val part: Table = Table("part",
+    Seq(Col("p_partkey", IntK), Col("p_brand", StrK), Col("p_type", StrK),
+      Col("p_size", IntK), Col("p_retailprice", DblK)),
+    uk = Seq("p_partkey"), fk = None)
+  val supplier: Table = Table("supplier",
+    Seq(Col("s_suppkey", IntK), Col("s_nationkey", IntK),
+      Col("s_acctbal", DblK)),
+    uk = Seq("s_suppkey"), fk = None)
+
   private val byName: Map[String, Table] =
     Seq(lineitem, orders, customer, nation, region).map(t => t.name -> t).toMap
 
@@ -91,20 +102,25 @@ object FuzzSql {
     "o_orderkey" -> Seq(120, 400, 900), "o_custkey" -> Seq(20, 60, 110),
     "c_custkey" -> Seq(20, 60, 110), "c_nationkey" -> Seq(5, 12, 19),
     "n_nationkey" -> Seq(5, 12, 19), "n_regionkey" -> Seq(0, 1, 3),
-    "r_regionkey" -> Seq(0, 1, 3))
+    "r_regionkey" -> Seq(0, 1, 3),
+    "p_size" -> Seq(5, 15, 30, 45), "s_nationkey" -> Seq(5, 12, 19))
   private val dblLits: Map[String, Seq[Double]] = Map(
     "l_quantity" -> Seq(10.0, 25.0, 40.0),
     "l_extendedprice" -> Seq(10000.0, 30000.0, 60000.0),
     "l_discount" -> Seq(0.02, 0.05, 0.08), "l_tax" -> Seq(0.03, 0.06),
     "o_totalprice" -> Seq(50000.0, 150000.0, 300000.0),
-    "c_acctbal" -> Seq(0.0, 2500.0, 7500.0))
+    "c_acctbal" -> Seq(0.0, 2500.0, 7500.0),
+    "p_retailprice" -> Seq(920.0, 950.0, 980.0),
+    "s_acctbal" -> Seq(0.0, 2500.0, 7500.0))
   private val strLits: Map[String, Seq[String]] = Map(
     "l_returnflag" -> Seq("A", "N", "R"), "l_linestatus" -> Seq("O", "F"),
     "o_orderstatus" -> Seq("O", "F", "P"),
     "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"),
     "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"),
     "n_name" -> Seq("FRANCE", "GERMANY", "CHINA", "KENYA", "PERU", "JAPAN"),
-    "r_name" -> Seq("ASIA", "EUROPE", "AFRICA", "AMERICA"))
+    "r_name" -> Seq("ASIA", "EUROPE", "AFRICA", "AMERICA"),
+    "p_brand" -> Seq("Brand#2", "Brand#5", "Brand#11", "Brand#20"),
+    "p_type" -> Seq("ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO"))
 
   // ---- AST ------------------------------------------------------------
 
@@ -243,9 +259,26 @@ object FuzzSql {
   final case class WinAggShape(part: String, valCol: String, dec: Boolean)
       extends Shape
 
+  /** Common surface of every generated sample (chain v1-v3, star v4):
+    * one AST, two renderings.
+    */
+  sealed trait Fuzzed {
+    def seed: Long
+    def sql: String
+    def df(spark: SparkSession, dir: String): DataFrame
+    /** one-line sweep log for FuzzDump */
+    def describe: String
+  }
+
   final case class Sample(
       seed: Long, base: Table, joined: Seq[Table], leftJoin: Boolean,
-      preds: Seq[Pred], shape: Shape) {
+      preds: Seq[Pred], shape: Shape) extends Fuzzed {
+
+    def describe: String =
+      s"shape=${shape.getClass.getSimpleName} base=${base.name} " +
+        s"joins=${joined.size} left=$leftJoin " +
+        s"preds=${preds.map(_.getClass.getSimpleName).mkString("+")} " +
+        s"detail=${shape.toString.take(120)}"
 
     /** FROM/JOIN/WHERE shared by both renderings. */
     private def joinChainSql: String = {
@@ -397,6 +430,131 @@ object FuzzSql {
             else sum(col(v)).over(w).cast("long")
           rel.select(out.map(col) :+ win.as("wsum"): _*)
             .orderBy(out.map(col): _*)
+      }
+    }
+  }
+
+  // ---- v4: star joins + subquery predicates ---------------------------
+
+  /** Correlated membership predicate: EXISTS / NOT EXISTS rendered with a
+    * correlated equality, IN / NOT IN rendered uncorrelated — all four
+    * become one semi or anti join in the DataFrame rendering (the exact
+    * decomposition Catalyst's RewritePredicateSubquery derives from the
+    * SQL text, so the differential covers that rewrite end to end).
+    * `child` is never in the outer FROM, so no aliasing is needed and
+    * NOT IN is null-safe (join keys are non-null FK columns).
+    */
+  final case class SubPred(neg: Boolean, asIn: Boolean, key: String,
+      child: Table, childKey: String, childPreds: Seq[Pred]) {
+    def sql: String = {
+      val whereC = childPreds.map(_.sql)
+      if (asIn) {
+        val w = if (whereC.isEmpty) "" else s" WHERE ${whereC.mkString(" AND ")}"
+        s"$key ${if (neg) "NOT IN" else "IN"} (SELECT $childKey FROM ${child.name}$w)"
+      } else {
+        val conds = s"$childKey = $key" +: whereC
+        s"${if (neg) "NOT EXISTS" else "EXISTS"} (SELECT 1 FROM ${child.name} " +
+          s"WHERE ${conds.mkString(" AND ")})"
+      }
+    }
+    def apply(rel: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+      var c = Tables.load(spark, dir, child.name)
+      childPreds.foreach(p => c = c.filter(p.expr))
+      rel.join(c.select(childKey), col(key) === col(childKey),
+        if (neg) "left_anti" else "left_semi")
+    }
+  }
+
+  /** Uncorrelated scalar-subquery threshold: `c op (SELECT MIN/MAX(srcCol)
+    * FROM src WHERE ...)`. MIN/MAX of exact parquet doubles — no float
+    * summation, so the scalar is bit-identical in both engines. The
+    * DataFrame rendering is the scale-correct decomposition: a 1-row
+    * broadcast cross join, never a driver-side collect.
+    */
+  final case class ScalarPred(c: String, op: String, isMax: Boolean,
+      src: Table, srcCol: String, srcPreds: Seq[Pred]) {
+    def sql: String = {
+      val fn = if (isMax) "MAX" else "MIN"
+      val w = if (srcPreds.isEmpty) ""
+        else s" WHERE ${srcPreds.map(_.sql).mkString(" AND ")}"
+      s"$c $op (SELECT $fn($srcCol) FROM ${src.name}$w)"
+    }
+    def apply(rel: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+      var s = Tables.load(spark, dir, src.name)
+      srcPreds.foreach(p => s = s.filter(p.expr))
+      val scalar = s.agg(
+        (if (isMax) max(col(srcCol)) else min(col(srcCol))).as("__scal"))
+      val cmp = op match {
+        case "<" => col(c) < col("__scal")
+        case "<=" => col(c) <= col("__scal")
+        case ">" => col(c) > col("__scal")
+        case _ => col(c) >= col("__scal")
+      }
+      rel.crossJoin(broadcast(scalar)).filter(cmp).drop("__scal")
+    }
+  }
+
+  /** v4 sample: a branching star join (fact + up to three dims on
+    * DIFFERENT keys — the v1-v3 chains only ever walk one FK path) with
+    * optional membership and scalar-subquery predicates. Shapes are the
+    * frozen AggShape / ProjectShape — the new surface is the WHERE clause
+    * and the join topology, not the SELECT.
+    */
+  final case class StarSample(seed: Long, base: Table,
+      branches: Seq[(String, Table, String)], preds: Seq[Pred],
+      sub: Option[SubPred], scal: Option[ScalarPred],
+      shape: Shape) extends Fuzzed {
+
+    def describe: String =
+      s"shape=${shape.getClass.getSimpleName} base=${base.name} " +
+        s"star=${branches.map(_._2.name).mkString("+")} " +
+        s"sub=${sub.map(s => (if (s.neg) "NOT-" else "") +
+          (if (s.asIn) "IN" else "EXISTS")).getOrElse("-")} " +
+        s"scal=${scal.map(_.op).getOrElse("-")} " +
+        s"preds=${preds.map(_.getClass.getSimpleName).mkString("+")}"
+
+    def sql: String = {
+      val from = new StringBuilder(base.name)
+      branches.foreach { case (lc, p, pc) =>
+        from ++= s" JOIN ${p.name} ON $lc = $pc"
+      }
+      val conds = preds.map(_.sql) ++ sub.map(_.sql) ++ scal.map(_.sql)
+      val where = if (conds.isEmpty) "" else s"\nWHERE ${conds.mkString(" AND ")}"
+      shape match {
+        case AggShape(groups, aggs) =>
+          val sel = (groups ++ aggs.map(a => s"${a.sql} AS ${a.alias}")).mkString(", ")
+          val grp = if (groups.isEmpty) "" else s"\nGROUP BY ${groups.mkString(", ")}"
+          val ord = if (groups.isEmpty) "" else s"\nORDER BY ${groups.mkString(", ")}"
+          s"SELECT $sel\nFROM $from$where$grp$ord"
+        case ProjectShape(cols, distinct) =>
+          val d = if (distinct) "DISTINCT " else ""
+          s"SELECT $d${cols.mkString(", ")}\nFROM $from$where" +
+            s"\nORDER BY ${cols.mkString(", ")}"
+        case other =>
+          sys.error(s"v4 generates only Agg/Project shapes, got $other")
+      }
+    }
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      var rel = Tables.load(spark, dir, base.name)
+      branches.foreach { case (lc, p, pc) =>
+        rel = rel.join(Tables.load(spark, dir, p.name), col(lc) === col(pc))
+      }
+      preds.foreach(p => rel = rel.filter(p.expr))
+      sub.foreach(s => rel = s.apply(rel, spark, dir))
+      scal.foreach(s => rel = s.apply(rel, spark, dir))
+      shape match {
+        case AggShape(groups, aggs) =>
+          val aggCols = aggs.map(a => a.expr.as(a.alias))
+          if (groups.isEmpty) rel.agg(aggCols.head, aggCols.tail: _*)
+          else rel.groupBy(groups.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .orderBy(groups.map(col): _*)
+        case ProjectShape(cols, distinct) =>
+          val p = rel.select(cols.map(col): _*)
+          (if (distinct) p.distinct() else p).orderBy(cols.map(col): _*)
+        case other =>
+          sys.error(s"v4 generates only Agg/Project shapes, got $other")
       }
     }
   }
@@ -746,6 +904,130 @@ object FuzzSql {
     Sample(seed, base, joined, left, preds, shape)
   }
 
+  /** v4 generator: branching star joins (lineitem fans out to orders /
+    * part / supplier on three DIFFERENT keys; orders to customer; the
+    * v1-v3 chains only ever walk one FK path) plus the subquery predicate
+    * surface — EXISTS / NOT EXISTS / correlated-equality and IN / NOT IN
+    * membership, and uncorrelated scalar MIN/MAX thresholds. The
+    * DataFrame rendering hand-writes the decomposition Catalyst must
+    * derive from the SQL (semi/anti join; 1-row broadcast), so the
+    * differential pins RewritePredicateSubquery and scalar-subquery
+    * planning end to end. v1-v3 streams stay FROZEN; v4 gate seeds live
+    * at 9401+.
+    */
+  def sampleV4(seed: Long): Fuzzed = {
+    val rnd = new Random(seed)
+    val base = pick(rnd, Seq(lineitem, lineitem, lineitem, orders, orders, customer))
+
+    // star branches: subset of the base's FK fan-out, in fixed order so
+    // the FROM clause is deterministic per seed
+    val pool: Seq[(String, Table, String)] = base.name match {
+      case "lineitem" => Seq(
+        ("l_orderkey", orders, "o_orderkey"),
+        ("l_partkey", part, "p_partkey"),
+        ("l_suppkey", supplier, "s_suppkey"))
+      case "orders" => Seq(("o_custkey", customer, "c_custkey"))
+      case _ => Seq(("c_nationkey", nation, "n_nationkey"))
+    }
+    val nBranch = rnd.nextInt(pool.size + 1)
+    val branches0 = rnd.shuffle(pool).take(nBranch)
+      .sortBy(b => pool.indexOf(b))
+    // 50%: extend orders → customer (depth-2 inside the star)
+    val branches =
+      if (branches0.exists(_._2.name == "orders") && rnd.nextBoolean())
+        branches0 :+ (("o_custkey", customer, "c_custkey"))
+      else branches0
+
+    val inFrom: Set[String] = Set(base.name) ++ branches.map(_._2.name)
+    val allCols: Seq[Col] = (base +: branches.map(_._2)).flatMap(_.cols)
+
+    val preds = (0 until rnd.nextInt(3)).flatMap(_ => mkPred(rnd, allCols)).distinct
+
+    // membership subquery: a key-linked table NOT already in the FROM
+    val subPool: Seq[(String, Table, String)] = (base.name match {
+      case "lineitem" => Seq(
+        ("l_orderkey", orders, "o_orderkey"),
+        ("l_partkey", part, "p_partkey"),
+        ("l_suppkey", supplier, "s_suppkey"))
+      case "orders" => Seq(
+        ("o_orderkey", lineitem, "l_orderkey"),
+        ("o_custkey", customer, "c_custkey"))
+      case _ => Seq(
+        ("c_custkey", orders, "o_custkey"),
+        ("c_nationkey", nation, "n_nationkey"))
+    }).filterNot(s => inFrom.contains(s._2.name))
+    val sub: Option[SubPred] =
+      if (subPool.nonEmpty && rnd.nextInt(3) != 0) {
+        val (key, child, childKey) = pick(rnd, subPool)
+        val cps = (0 until rnd.nextInt(3))
+          .flatMap(_ => mkPred(rnd, child.cols)).distinct
+        // NOT-membership with an unfiltered child is always-empty (every
+        // key value exists) — negation requires at least one child pred
+        val neg = cps.nonEmpty && rnd.nextInt(3) == 0
+        Some(SubPred(neg, asIn = rnd.nextBoolean(), key, child, childKey, cps))
+      } else None
+
+    // scalar threshold: source table outside the FROM and the subquery.
+    // Compared columns must share a magnitude family — a ratio (≤ 0.1)
+    // against a MIN of prices (thousands) is satisfiable by no row, and
+    // an always-empty predicate has no differential power.
+    val magClass: Map[String, Int] = Map(
+      "l_extendedprice" -> 0, "o_totalprice" -> 0, "c_acctbal" -> 0,
+      "p_retailprice" -> 0, "s_acctbal" -> 0,
+      "l_discount" -> 1, "l_tax" -> 1, "l_quantity" -> 2)
+    val scalPool = Seq(lineitem, orders, customer, part, supplier)
+      .filterNot(t => inFrom.contains(t.name) ||
+        sub.exists(_.child.name == t.name))
+    val scalCols = allCols.filter(c => c.kind == DblK && dblLits.contains(c.name))
+    val scal: Option[ScalarPred] =
+      if (scalPool.nonEmpty && scalCols.nonEmpty && rnd.nextInt(3) == 0) {
+        val src = pick(rnd, scalPool)
+        val c = pick(rnd, scalCols)
+        val srcDbl = src.cols.filter(s => s.kind == DblK &&
+          dblLits.contains(s.name) && magClass.get(s.name) == magClass.get(c.name))
+        if (srcDbl.isEmpty) None
+        else {
+          val sps = (0 until rnd.nextInt(2))
+            .flatMap(_ => mkPred(rnd, src.cols)).distinct
+          Some(ScalarPred(c.name,
+            pick(rnd, Seq("<", "<=", ">", ">=")), rnd.nextBoolean(),
+            src, pick(rnd, srcDbl).name, sps))
+        }
+      } else None
+
+    val groupables = allCols.filter(c => c.kind == StrK ||
+      (c.kind == IntK && Set("l_linenumber", "c_nationkey", "n_nationkey",
+        "n_regionkey", "p_size", "s_nationkey").contains(c.name)))
+    val numerics = allCols.filter(c => c.kind == DblK || c.kind == IntK)
+
+    val shape: Shape =
+      if (rnd.nextInt(5) <= 2) {
+        val nG = rnd.nextInt(3)
+        val groups = rnd.shuffle(groupables).take(nG).map(_.name).distinct
+        val aggs: Seq[AggFn] = Cnt +: (0 until 1 + rnd.nextInt(3)).map { _ =>
+          val c = pick(rnd, numerics)
+          (c.kind, rnd.nextInt(3)) match {
+            case (DblK, 0) => DSum(c.name)
+            case (DblK, 1) => MinC(c.name)
+            case (DblK, _) => MaxC(c.name)
+            case (IntK, 0) => SumInt(c.name)
+            case (IntK, 1) => MinC(c.name)
+            case (IntK, _) => MaxC(c.name)
+            case (StrK, _) => Cnt // unreachable: `numerics` excludes StrK
+          }
+        }
+        AggShape(groups, aggs.distinctBy(_.alias))
+      } else {
+        val extra = rnd.shuffle(allCols.filterNot(c => base.uk.contains(c.name)))
+          .take(1 + rnd.nextInt(3)).map(_.name)
+        val distinct = rnd.nextBoolean()
+        val cols = if (distinct) extra.distinct else (base.uk ++ extra).distinct
+        ProjectShape(cols, distinct)
+      }
+
+    StarSample(seed, base, branches, preds, sub, scal, shape)
+  }
+
   /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
     * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
     * NEVER renumber (the driver compares against committed results).
@@ -776,6 +1058,19 @@ object FuzzSql {
   val gateSeedsV3: Seq[Long] = Seq(
     9301L, 9305L, 9307L, 9308L, 9315L, 9322L, 9324L, 9328L)
 
+  /** v4 gate seeds → `q_fuzz_30`..`q_fuzz_37`; chosen once over the v4
+    * features — part+supplier star with EXISTS (9402), EXISTS plus a
+    * scalar `>` threshold (9408), the full 4-dim star (9419), NOT EXISTS
+    * with a `<=` scalar through orders→customer (9431), IN over an
+    * orders→customer projection (9441), NOT IN with a `<` scalar on
+    * customer→nation (9435), IN through a depth-2 star (9444), and IN
+    * plus scalar on an orders→customer agg (9461) — all validated
+    * non-degenerate and DuckDB-green at sf0.001 AND sf0.01. NEVER
+    * renumber.
+    */
+  val gateSeedsV4: Seq[Long] = Seq(
+    9402L, 9408L, 9419L, 9431L, 9441L, 9435L, 9444L, 9461L)
+
   val defs: Seq[QueryDef] =
     gateSeeds.map { s =>
       val smp = sample(s)
@@ -790,6 +1085,11 @@ object FuzzSql {
     } ++ gateSeedsV3.zipWithIndex.map { case (s, i) =>
       val smp = sampleV3(s)
       QueryDef(f"q_fuzz_${22 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV4.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV4(s)
+      QueryDef(f"q_fuzz_${30 + i}%02d",
         (spark, dir) => smp.df(spark, dir),
         Some(smp.sql))
     }

@@ -30,7 +30,7 @@ class DifferentialSqlSpec extends SparkSpec {
       .sorted.toSeq
   }
 
-  private def differential(gen: Long => FuzzSql.Sample): Unit = {
+  private def differential(gen: Long => FuzzSql.Fuzzed): Unit = {
     Tables.registerAll(spark, sfDir)
     var nonEmpty = 0
     for (seed <- 1 to Samples) {
@@ -64,6 +64,10 @@ class DifferentialSqlSpec extends SparkSpec {
     differential(FuzzSql.sampleV3)
   }
 
+  test(s"$Samples random v4 plans (star joins/EXISTS/IN/scalar subqueries)") {
+    differential(FuzzSql.sampleV4)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -79,6 +83,8 @@ class DifferentialSqlSpec extends SparkSpec {
     md5(v2) shouldBe renderedHashV2
     val v3 = FuzzSql.gateSeedsV3.map(s => FuzzSql.sampleV3(s).sql).mkString("\n---\n")
     md5(v3) shouldBe renderedHashV3
+    val v4 = FuzzSql.gateSeedsV4.map(s => FuzzSql.sampleV4(s).sql).mkString("\n---\n")
+    md5(v4) shouldBe renderedHashV4
     val shapes = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).shape.getClass.getSimpleName).toSet
     shapes should contain allOf ("AggShape", "ProjectShape", "WindowShape", "TopKShape")
     val shapesV2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).shape.getClass.getSimpleName).toSet
@@ -93,9 +99,21 @@ class DifferentialSqlSpec extends SparkSpec {
     val predKinds = v3s.flatMap(_.preds.map(_.getClass.getSimpleName)).toSet
     predKinds should contain allOf ("OrPred", "BetweenP")
     v3s.exists(_.leftJoin) shouldBe true
+    // v4: all four membership kinds, a scalar threshold, a multi-branch
+    // star, and both shapes must stay represented
+    val v4s = FuzzSql.gateSeedsV4.map(FuzzSql.sampleV4)
+      .collect { case s: FuzzSql.StarSample => s }
+    v4s should have size FuzzSql.gateSeedsV4.size
+    val subKinds = v4s.flatMap(_.sub).map(s => (s.neg, s.asIn)).toSet
+    subKinds shouldBe Set((false, false), (false, true), (true, false), (true, true))
+    v4s.flatMap(_.scal) should not be empty
+    v4s.map(_.branches.size).max should be >= 3
+    v4s.map(_.shape.getClass.getSimpleName).toSet shouldBe
+      Set("AggShape", "ProjectShape")
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
   private val renderedHashV2 = "ee07a321394301d8ae6fe9f7ba9044f8"
   private val renderedHashV3 = "3a335f5da1508a31dea1ad613429b651"
+  private val renderedHashV4 = "7aa5591572634e7158ed337bf323229e"
 }
