@@ -177,4 +177,42 @@ object EventStreams {
           FunnelProgress(user, stage, st.tv, st.tc, st.tp)
         })
   }
+
+  /** Watermarked stream-stream interval join — the attribution shape:
+    * each purchase joins to the same user's views in the preceding
+    * `windowMinutes`. Spark buffers BOTH sides in the state store; the
+    * watermarks plus the two-sided time-range condition are what BOUND
+    * that state (views older than the purchase watermark minus the window
+    * are evicted, ditto purchases past their own watermark) — an
+    * equality-only stream-stream join would grow state forever, so the
+    * interval is a scale requirement, not a semantic nicety. At 100 TB
+    * both sides shuffle once on user_id and state is per-key local.
+    *
+    * `how` = "inner" (rows emit as soon as both sides have arrived) or
+    * "left_outer" (an unmatched purchase emits null view columns only
+    * after the view-side watermark passes purchase_ts, i.e. a late view
+    * can no longer appear — outer results are necessarily
+    * watermark-delayed).
+    *
+    * Inputs: two streaming frames with (ts timestamp, user_id long).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 60, watermark: String = "1 hour",
+      how: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(how),
+      s"stream-stream attribution supports inner/left_outer, got '$how'")
+    val v = views
+      .select(col("ts").as("view_ts"), col("user_id").as("view_user"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("ts").as("purchase_ts"), col("user_id"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+      how)
+      .select(col("user_id"), col("purchase_ts"), col("view_ts"))
+  }
 }

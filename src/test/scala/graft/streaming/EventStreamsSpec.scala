@@ -160,4 +160,64 @@ class EventStreamsSpec extends SparkSpec {
         (1L, ts("2026-08-12 12:00:00"), 1L, "login", "login"))
     } finally q.stop()
   }
+
+  test("attributionJoin inner: purchases match same-user views inside the window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[(Timestamp, Long)]
+    val pIn = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.attributionJoin(
+      vIn.toDF().toDF("ts", "user_id"), pIn.toDF().toDF("ts", "user_id"),
+      windowMinutes = 60)
+      .writeStream.format("memory").queryName("attr_inner_test")
+      .outputMode("append").start()
+    try {
+      vIn.addData(
+        (ts("2026-08-12 10:00:00"), 1L), // in-window for 10:30 purchase
+        (ts("2026-08-12 10:20:00"), 1L), // also in-window → second match
+        (ts("2026-08-12 08:00:00"), 2L)) // 2.5h before → out of window
+      pIn.addData(
+        (ts("2026-08-12 10:30:00"), 1L),
+        (ts("2026-08-12 10:30:00"), 2L), // only the stale view → no match
+        (ts("2026-08-12 09:50:00"), 3L)) // no view at all → no match
+      q.processAllAvailable()
+      val rows = spark.table("attr_inner_test")
+        .select("user_id", "view_ts").as[(Long, Timestamp)]
+        .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+      rows shouldBe Seq(
+        (1L, ts("2026-08-12 10:00:00")),
+        (1L, ts("2026-08-12 10:20:00")))
+    } finally q.stop()
+  }
+
+  test("attributionJoin left_outer: unmatched purchase emits nulls after the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[(Timestamp, Long)]
+    val pIn = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.attributionJoin(
+      vIn.toDF().toDF("ts", "user_id"), pIn.toDF().toDF("ts", "user_id"),
+      windowMinutes = 60, watermark = "10 minutes", how = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    try {
+      vIn.addData((ts("2026-08-12 10:00:00"), 1L))
+      pIn.addData(
+        (ts("2026-08-12 10:30:00"), 1L), // matched immediately
+        (ts("2026-08-12 10:30:00"), 2L)) // no view: held until watermark
+      q.processAllAvailable()
+      // watermark has not passed 10:30 yet — only the matched row is out
+      spark.table("attr_outer_test").count() shouldBe 1L
+      // advance both watermarks far past 10:30 + window
+      vIn.addData((ts("2026-08-12 14:00:00"), 9L))
+      pIn.addData((ts("2026-08-12 14:00:00"), 9L))
+      q.processAllAvailable()
+      // one more empty-ish batch lets the outer-null emission land
+      vIn.addData((ts("2026-08-12 14:01:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_test")
+        .select("user_id", "view_ts").as[(Long, Option[Timestamp])]
+        .collect().toSeq
+      rows should contain ((1L, Some(ts("2026-08-12 10:00:00"))))
+      rows should contain ((2L, None))
+    } finally q.stop()
+  }
 }
