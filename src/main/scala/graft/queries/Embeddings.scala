@@ -43,6 +43,12 @@ object Embeddings {
   val HyperPlanes = 6
   val EmbedDim = 64
 
+  /** SemDeDup cosine threshold: τ low enough that the synthetic corpus has
+    * real within-cluster duplicates to prune, high enough that most of
+    * each cluster survives (the paper sweeps τ per corpus).
+    */
+  val SemDedupTau = 0.4
+
   /** IVF training parameters: k centroids, bounded Lloyd's iterations, over
     * a deterministic 1-in-SampleMod sample of the corpus (IVF indexes train
     * on a sample; assignment then covers the full corpus). Engine-neutral by
@@ -338,7 +344,86 @@ object Embeddings {
               |  MIN(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS min_norm,
               |  MAX(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS max_norm,
               |  ${dsumSql("ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)")} AS sum_norm
-              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
+              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- SemDeDup: semantic dedup via cluster-local pairwise pruning ------
+    // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means
+    // the embedding space, then prune NEAR-DUPLICATE MEANING within each
+    // cluster — a doc is dropped when a kept-ranked doc in its cluster has
+    // cosine > τ to it. Ranking follows the paper's keep-the-atypical rule:
+    // ascending cosine-to-centroid (the most central duplicates drop
+    // first). Pairwise comparison never crosses clusters, so the quadratic
+    // term is bounded by cluster population — the scale knob is K itself
+    // (K ≈ N / target-cluster-size; the paper runs K=50k on LAION), and
+    // the only shuffles are the assignment aggregate and the cid-keyed
+    // self-join. Centroids broadcast; the corpus never collects.
+    QueryDef(
+      "q_semdedup_prune",
+      (s, d) => {
+        val sq = s
+        import sq.implicits._
+        import graft.functions.TopKByScore.topk
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+        val cent = kmeansCentroids(s, d).toDF("cid", "ce")
+          .select(col("cid"), col("ce"), VectorOps.norm(col("ce")).as("cn"))
+        // nearest-centroid assignment — the exact IVF index convention
+        // (ties → lower cid), keeping the winning cosine as csim
+        val assigned = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            round(VectorOps.dot(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn")), 6).as("csim"))
+          .groupBy("vec_id")
+          .agg(topk(col("csim"), col("cid"), 1).as("top"),
+            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+            max(col("csim")).as("csim"))
+          .select(element_at(col("top"), 1).getField("id").as("cid"),
+            col("vec_id"), col("embedding"), col("nrm"), col("csim"))
+        val byCluster = Window.partitionBy("cid")
+          .orderBy(col("csim").asc, col("vec_id").asc)
+        val ranked = assigned
+          .withColumn("rnk", row_number().over(byCluster).cast("int"))
+        val a = ranked.select(col("cid"), col("rnk").as("rnk_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = ranked.select(col("cid"), col("vec_id").as("id_b"),
+          col("rnk").as("rnk_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        val dropped = a.join(b, "cid")
+          .filter(col("rnk_a") < col("rnk_b") &&
+            round(VectorOps.dot(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6) > SemDedupTau)
+          .select(col("id_b").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1))
+        ranked.join(dropped, Seq("vec_id"), "left")
+          .select(col("cid"), col("vec_id"), col("csim"), col("rnk"),
+            col("is_dup").isNull.as("kept"))
+          .orderBy("cid", "rnk")
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |$kmeansCentSql,
+           |assigned AS (
+           |  SELECT cid, vec_id, emb, csim FROM (
+           |    SELECT c.cid, e.vec_id, e.emb,
+           |           ROUND(${cosSql("e.emb", "c.ce")}, 6) AS csim,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ROUND(${cosSql("e.emb", "c.ce")}, 6) DESC, c.cid) AS arank
+           |    FROM e CROSS JOIN cent c) x WHERE arank = 1),
+           |ranked AS (
+           |  SELECT cid, vec_id, emb, csim,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY cid
+           |           ORDER BY csim, vec_id) AS INT) AS rnk
+           |  FROM assigned),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id FROM ranked a JOIN ranked b
+           |    ON a.cid = b.cid AND a.rnk < b.rnk
+           |  WHERE ROUND(${cosSql("a.emb", "b.emb")}, 6) > $SemDedupTau)
+           |SELECT r.cid, r.vec_id, r.csim, r.rnk,
+           |       d.vec_id IS NULL AS kept
+           |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+           |ORDER BY r.cid, r.rnk""".stripMargin
+      })
   )
 
   /** IVF recall@5 against the brute-force baseline — the standard ANN

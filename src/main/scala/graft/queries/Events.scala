@@ -304,6 +304,103 @@ object Events {
              |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
              |  ON c.user_id = s.user_id
              | AND epoch_us(c.ts) BETWEEN epoch_us(s.ts) AND epoch_us(s.ts) + 3600000000
-             |ORDER BY click_id, signup_id""".stripMargin))
+             |ORDER BY click_id, signup_id""".stripMargin)),
+
+    // ---- attribution: per-purchase view counts in the preceding hour ------
+    // The batch form of the stream-stream interval join (EventStreams
+    // .attributionJoin): purchases attribute the same user's views within
+    // [purchase-1h, purchase]. Planned through RangeJoin's bucketization so
+    // the time predicate rides an equi-join on (user, bucket) — one shuffle
+    // per side, no nested loop — then a per-purchase aggregation that reuses
+    // the same user-keyed partitioning. Seconds grain on both engines.
+    QueryDef(
+      "q_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), expr("ts div 1000000000").as("view_sec"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("ts div 1000000000 - 3600").as("lo_sec"),
+            expr("ts div 1000000000").as("purchase_sec"),
+            col("event_id").as("purchase_id"))
+        graft.operators.RangeJoin.pointInInterval(
+          views, purchases, Seq("user_id"),
+          pointCol = "view_sec", loCol = "lo_sec", hiCol = "purchase_sec",
+          bucketWidth = 900L)
+          .groupBy("purchase_id", "user_id", "purchase_sec")
+          .agg(count(lit(1)).as("n_views"),
+            min(col("purchase_sec") - col("view_sec")).as("min_lag_sec"),
+            max(col("purchase_sec") - col("view_sec")).as("max_lag_sec"))
+          .orderBy("purchase_id")
+      },
+      Some(attributionOracleSql)),
+
+    // ---- STREAMING equivalence for the attribution interval join ----------
+    // Runs the real Structured Streaming stream-stream join (EventStreams
+    // .attributionJoin: both sides watermarked, two-sided time-range
+    // condition bounding the state store) over a file-source stream of the
+    // events table, lands the joined rows in a memory sink, then aggregates
+    // them to the exact shape of q_attribution — and must hash-match the
+    // same DuckDB oracle. Inner-mode emission is arrival-complete, so the
+    // single AvailableNow batch yields the full batch-join result.
+    QueryDef(
+      "q_attribution_stream_equiv",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+        val tsIsLong = fileSchema("ts").dataType == LongType
+        def src() = {
+          val raw = s.readStream.schema(fileSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(d)
+          // same normalization contract as Tables.load: ns-long or native
+          // timestamp parquet both reduce to a seconds-grain event time
+          val sec =
+            if (tsIsLong) expr("ts div 1000000000")
+            else expr("unix_micros(cast(ts as timestamp)) div 1000000")
+          raw.withColumn("tsec", timestamp_seconds(sec))
+        }
+        val views = src().filter(col("event_type") === "view")
+          .select(col("tsec").as("ts"), col("user_id"))
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("tsec").as("ts"), col("user_id"),
+            col("event_id"))
+        val joined = graft.streaming.EventStreams.attributionJoin(
+          views, purchases, windowMinutes = 60, watermark = "1 hour",
+          how = "inner", carryPurchaseCols = Seq("event_id"))
+        val sink = "attrib_equiv_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation",
+            graft.Scratch.fresh("graft-attrib") + "/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_timestamp(col("purchase_ts")).as("purchase_sec"),
+            unix_timestamp(col("view_ts")).as("view_sec"))
+          .groupBy("purchase_id", "user_id", "purchase_sec")
+          .agg(count(lit(1)).as("n_views"),
+            min(col("purchase_sec") - col("view_sec")).as("min_lag_sec"),
+            max(col("purchase_sec") - col("view_sec")).as("max_lag_sec"))
+          .orderBy("purchase_id")
+      },
+      Some(attributionOracleSql))
   )
+
+  /** Shared oracle: the batch interval join and its streaming twin must
+    * produce byte-identical per-purchase attributions.
+    */
+  private lazy val attributionOracleSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+      |SELECT p.event_id AS purchase_id, p.user_id, p.sec AS purchase_sec,
+      |       COUNT(*) AS n_views,
+      |       MIN(p.sec - v.sec) AS min_lag_sec,
+      |       MAX(p.sec - v.sec) AS max_lag_sec
+      |FROM ev p JOIN ev v ON p.user_id = v.user_id
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |  AND v.sec BETWEEN p.sec - 3600 AND p.sec
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin
 }

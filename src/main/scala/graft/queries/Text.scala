@@ -387,6 +387,56 @@ object Text {
       Some("""SELECT source, COUNT(*) AS n_rows,
              |  CAST(SUM(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 0 ELSE 1 END) AS BIGINT) AS lang_violations,
              |  CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 0 ELSE 1 END) AS BIGINT) AS text_violations
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- hashed-linear quality classifier (fasttext shape) ----------------
+    // The inference half of a fasttext-style linear text classifier: each
+    // token maps to a HASHED weight slot (no vocabulary table to ship —
+    // the standard hashing-trick layout, Weinberger et al. 2009), the doc
+    // score is the mean token weight, and the band is the decision. The
+    // sigmoid is omitted deliberately: it is monotone, so thresholding the
+    // raw mean decides identically and the oracle never has to compare
+    // transcendental libm outputs across engines. Weights here are derived
+    // from md5 (engine-neutral) in lieu of trained values — swapping in a
+    // real weight table changes ONE projection, not the plan. All math
+    // before the final division is INTEGER (exact, order-independent), so
+    // the aggregation commutes across any partitioning; the plan is one
+    // explode + one groupBy on doc_id — map-side combinable, one shuffle.
+    QueryDef(
+      "q_quality_classifier",
+      (s, d) => {
+        val wMilli =
+          conv(substring(md5(lower(col("tok"))), 1, 7), 16, 10)
+            .cast(LongType) % 1001 - 500
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .select(col("doc_id"), wMilli.as("w_milli"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("sw").cast(DoubleType) /
+              (col("n_tok").cast(DoubleType) * 1000.0), 6).as("score"))
+          .withColumn("band",
+            when(col("score") > 0.01, "high")
+              .when(col("score") < -0.01, "low").otherwise("mid"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok0
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(LOWER(tok0)), 1, 7))::BIGINT % 1001 - 500 AS w_milli
+             |  FROM toks),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_tok,
+             |         ROUND(CAST(SUM(w_milli) AS DOUBLE) /
+             |               (CAST(COUNT(*) AS DOUBLE) * 1000.0), 6) AS score
+             |  FROM w GROUP BY doc_id)
+             |SELECT doc_id, n_tok, score,
+             |       CASE WHEN score > 0.01 THEN 'high'
+             |            WHEN score < -0.01 THEN 'low' ELSE 'mid' END AS band
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 }

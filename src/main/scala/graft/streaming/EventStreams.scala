@@ -195,17 +195,22 @@ object EventStreams {
     * watermark-delayed).
     *
     * Inputs: two streaming frames with (ts timestamp, user_id long).
+    * `carryPurchaseCols` names extra purchase-side columns (an order id,
+    * an amount) to carry through to the output unchanged — attribution is
+    * per purchase, so downstream grouping needs the purchase identity.
     */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
       windowMinutes: Int = 60, watermark: String = "1 hour",
-      how: String = "inner"): DataFrame = {
+      how: String = "inner",
+      carryPurchaseCols: Seq[String] = Nil): DataFrame = {
     require(Seq("inner", "left_outer").contains(how),
       s"stream-stream attribution supports inner/left_outer, got '$how'")
     val v = views
       .select(col("ts").as("view_ts"), col("user_id").as("view_user"))
       .withWatermark("view_ts", watermark)
     val p = purchases
-      .select(col("ts").as("purchase_ts"), col("user_id"))
+      .select(col("ts").as("purchase_ts") +: col("user_id") +:
+        carryPurchaseCols.map(col): _*)
       .withWatermark("purchase_ts", watermark)
     p.join(v,
       col("user_id") === col("view_user") &&
@@ -213,6 +218,7 @@ object EventStreams {
         col("view_ts") >= col("purchase_ts") -
           expr(s"INTERVAL $windowMinutes MINUTES"),
       how)
-      .select(col("user_id"), col("purchase_ts"), col("view_ts"))
+      .select(col("user_id") +: col("purchase_ts") +: col("view_ts") +:
+        carryPurchaseCols.map(col): _*)
   }
 }

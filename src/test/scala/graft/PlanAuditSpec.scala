@@ -429,5 +429,41 @@ class PlanAuditSpec extends SparkSpec {
     plan should include ("partial_min")
   }
 
+  test("q_attribution: interval condition rides the bucketized equi-join — no nested loop") {
+    val df = q("q_attribution")
+    df.collect()
+    val plan = executed(df).toString
+    // a raw p.sec BETWEEN ... range condition would plan as
+    // BroadcastNestedLoopJoin / CartesianProduct; RangeJoin's bucketization
+    // must turn it into a hash-or-merge equi-join on (user, bucket)
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // per-purchase aggregation combines map-side before its shuffle
+    plan should include ("partial_count")
+  }
+
+  test("q_semdedup_prune: centroids broadcast; cluster self-join is an equi-join") {
+    val df = q("q_semdedup_prune")
+    df.collect()
+    val plan = executed(df).toString
+    // assignment = corpus × broadcast(K centroids): the ONLY nested-loop
+    // joins allowed are against the bounded broadcast centroid table
+    (plan should not).include("CartesianProduct")
+    // the pairwise pass joins on cid (equi) — never all-pairs across
+    // clusters; the kept/dropped flag is a hash join on vec_id
+    plan should include ("ObjectHashAggregate") // bounded top-1 assignment
+    plan should include ("partial_")
+  }
+
+  test("q_quality_classifier: one explode + one map-side-combined groupBy, no join/window") {
+    val df = q("q_quality_classifier")
+    df.collect()
+    val plan = executed(df).toString
+    (plan should not).include("Join")
+    (plan should not).include("Window")
+    plan should include ("partial_count")
+    plan should include ("partial_sum")
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
