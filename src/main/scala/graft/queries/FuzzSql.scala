@@ -1028,6 +1028,180 @@ object FuzzSql {
     StarSample(seed, base, branches, preds, sub, scal, shape)
   }
 
+  // ---- v5: FULL OUTER joins + framed windows + explicit null ordering ----
+
+  sealed trait FoShape
+  /** Aggregate over the coalesced join key. */
+  final case class FoAgg(aggs: Seq[AggFn]) extends FoShape
+  /** Row-level projection with IS NULL miss flags for each side. */
+  final case class FoProject(lCol: String, rCol: String) extends FoShape
+  /** Framed running aggregate per coalesced key: `nPrec = None` ⇒
+    * UNBOUNDED PRECEDING, else N PRECEDING; always ... AND CURRENT ROW.
+    * `valCol = None` ⇒ running COUNT of the right key (non-null counting
+    * through the frame), else decimal-exact running SUM.
+    */
+  final case class FoWin(valCol: Option[String], nPrec: Option[Int])
+      extends FoShape
+
+  /** v5 sample: parent FULL OUTER child with side-local PRE-JOIN filters,
+    * so BOTH directions produce null-extended rows. Every sort — final
+    * ORDER BY and window ORDER BY — pins null placement EXPLICITLY
+    * (`nullsFirst`), because this is exactly where engine defaults
+    * diverge: Spark sorts ASC NULLS FIRST, DuckDB ASC NULLS LAST. An
+    * ordering over nullable columns without the explicit clause would be
+    * a bug in the query, not the engine — the generator makes writing
+    * that bug impossible, and the differential proves both renderings
+    * agree on the pinned semantics.
+    */
+  final case class FoSample(seed: Long, left: Table, right: Table,
+      lk: String, rk: String, lPreds: Seq[Pred], rPreds: Seq[Pred],
+      nullsFirst: Boolean, shape: FoShape) extends Fuzzed {
+
+    def describe: String =
+      s"v5 ${left.name} FULL OUTER ${right.name} " +
+        s"${shape.getClass.getSimpleName} nf=$nullsFirst " +
+        s"lpreds=${lPreds.size} rpreds=${rPreds.size}"
+
+    private def nullsSql = if (nullsFirst) "NULLS FIRST" else "NULLS LAST"
+    private def ordCol(c: String): Column =
+      if (nullsFirst) col(c).asc_nulls_first else col(c).asc_nulls_last
+
+    private def subSql(t: Table, ps: Seq[Pred]): String =
+      if (ps.isEmpty) t.name
+      else s"(SELECT * FROM ${t.name} WHERE ${ps.map(_.sql).mkString(" AND ")})"
+
+    /** The joined relation with the coalesced key projected, as SQL. All
+      * column names are globally unique in the TPC-H schema, so post-join
+      * references need no qualification.
+      */
+    private def joinSql: String =
+      s"SELECT COALESCE(l.$lk, r.$rk) AS k, l.*, r.*\n" +
+        s"  FROM ${subSql(left, lPreds)} l\n" +
+        s"  FULL JOIN ${subSql(right, rPreds)} r ON l.$lk = r.$rk"
+
+    private def rUks: Seq[String] = right.uk
+    private def flagCols = Seq(s"$lk IS NULL AS l_miss", s"$rk IS NULL AS r_miss")
+
+    def sql: String = shape match {
+      case FoAgg(aggs) =>
+        val sels = "k" +: aggs.map(a => s"${a.sql} AS ${a.alias}")
+        s"SELECT ${sels.mkString(", ")}\nFROM ($joinSql) j\n" +
+          "GROUP BY k ORDER BY k"
+      case FoProject(lc, rc) =>
+        val outs = Seq("k") ++ flagCols ++ Seq(lc, rc)
+        val ord = ("k" +: (left.uk ++ rUks))
+          .map(c => s"$c ASC $nullsSql").mkString(", ")
+        s"SELECT ${outs.mkString(", ")}\nFROM ($joinSql) j\nORDER BY $ord"
+      case FoWin(v, nPrec) =>
+        val frame = nPrec match {
+          case Some(n) => s"ROWS BETWEEN $n PRECEDING AND CURRENT ROW"
+          case None    => "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        }
+        // the driver's lineitem is NOT unique on (l_orderkey, l_linenumber),
+        // so the frame order appends the aggregated value itself: rows that
+        // still tie are then value-identical, and a bounded frame over any
+        // permutation of value-identical ties yields the same output
+        // multiset — deterministic across engines without a unique key
+        val wOrd = (rUks ++ v.toSeq).map(c => s"$c ASC $nullsSql").mkString(", ")
+        val over = s"OVER (PARTITION BY k ORDER BY $wOrd $frame)"
+        val win = v match {
+          case Some(c) =>
+            s"CAST(SUM(CAST($c AS DECIMAL(28,4))) $over AS DOUBLE) AS wsum"
+          case None => s"CAST(COUNT(${rUks.head}) $over AS BIGINT) AS wcnt"
+        }
+        val ord = ("k" +: rUks).map(c => s"$c ASC $nullsSql").mkString(", ")
+        s"SELECT k, ${rUks.mkString(", ")}, $win\nFROM ($joinSql) j\nORDER BY $ord"
+    }
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      def side(t: Table, ps: Seq[Pred]): DataFrame =
+        ps.foldLeft(Tables.load(spark, dir, t.name))((d, p) => d.filter(p.expr))
+      val ldf = side(left, lPreds)
+      val rdf = side(right, rPreds)
+      val j = ldf.join(rdf, ldf(lk) === rdf(rk), "full_outer")
+        .withColumn("k", coalesce(col(lk), col(rk)))
+      shape match {
+        case FoAgg(aggs) =>
+          j.groupBy("k")
+            .agg(aggs.head.expr.as(aggs.head.alias),
+              aggs.tail.map(a => a.expr.as(a.alias)): _*)
+            .orderBy("k")
+        case FoProject(lc, rc) =>
+          j.select(col("k"), col(lk).isNull.as("l_miss"),
+              col(rk).isNull.as("r_miss"), col(lc), col(rc))
+            .orderBy(("k" +: (left.uk ++ rUks)).map(ordCol): _*)
+        case FoWin(v, nPrec) =>
+          val lo = nPrec.map(-_.toLong).getOrElse(Window.unboundedPreceding)
+          val w = Window.partitionBy(col("k"))
+            .orderBy((rUks ++ v.toSeq).map(ordCol): _*)
+            .rowsBetween(lo, Window.currentRow)
+          val win = v match {
+            case Some(c) =>
+              sum(col(c).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+                .over(w).cast("double").as("wsum")
+            case None => count(col(rUks.head)).over(w).cast("long").as("wcnt")
+          }
+          j.select(col("k") +: rUks.map(col) :+ win: _*)
+            .orderBy(("k" +: rUks).map(ordCol): _*)
+      }
+    }
+  }
+
+  /** v5 generator: the FULL OUTER surface — see [[FoSample]]. v1-v4
+    * streams stay FROZEN; v5 gate seeds live at 9501+.
+    */
+  def sampleV5(seed: Long): Fuzzed = {
+    val rnd = new Random(seed)
+    val (left, right, lk, rk) = pick(rnd, Seq(
+      (customer, orders, "c_custkey", "o_custkey"),
+      (nation, customer, "n_nationkey", "c_nationkey"),
+      (orders, lineitem, "o_orderkey", "l_orderkey"),
+      (supplier, lineitem, "s_suppkey", "l_suppkey"),
+      (part, lineitem, "p_partkey", "l_partkey")))
+    // side-local preds run BEFORE the join (derived tables) so both
+    // directions can produce null-extended rows; at least one side is
+    // filtered so child-side misses exist too
+    def predsFor(t: Table, atLeast1: Boolean): Seq[Pred] = {
+      val n = (if (atLeast1) 1 else 0) + rnd.nextInt(2)
+      (0 until n).flatMap(_ => mkPred(rnd, t.cols)).distinct
+    }
+    val filterLeft = rnd.nextBoolean()
+    val lPreds = predsFor(left, atLeast1 = filterLeft)
+    val rPreds = predsFor(right, atLeast1 = !filterLeft)
+    val nullsFirst = rnd.nextBoolean()
+
+    val rDbl = right.cols.filter(_.kind == DblK)
+    val lDbl = left.cols.filter(_.kind == DblK)
+    val shape: FoShape = rnd.nextInt(3) match {
+      case 0 =>
+        val extras: Seq[AggFn] = Seq(
+          Some(CntCol(rUkOf(right))),
+          rDbl.headOption.map(c => DSum(c.name)),
+          lDbl.headOption.map(c => MinC(c.name)),
+          rDbl.lastOption.map(c => MaxC(c.name))).flatten
+        FoAgg(Cnt +: rnd.shuffle(extras).take(1 + rnd.nextInt(2)).sortBy(_.alias))
+      case 1 =>
+        val lc = pick(rnd, left.cols.filterNot(c => left.uk.contains(c.name))).name
+        val rc = pick(rnd, right.cols.filterNot(c => right.uk.contains(c.name))).name
+        FoProject(lc, rc)
+      case _ =>
+        val v = if (rDbl.nonEmpty && rnd.nextBoolean())
+          Some(pick(rnd, rDbl).name) else None
+        val nPrec = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None
+        FoWin(v, nPrec)
+    }
+    FoSample(seed, left, right, lk, rk, lPreds, rPreds, nullsFirst, shape)
+  }
+
+  private def rUkOf(t: Table): String = t.uk.head
+
+  /** COUNT(col) — non-null counting, the full-outer miss detector. */
+  final case class CntCol(c: String) extends AggFn {
+    def sql = s"COUNT($c)"
+    def expr: Column = count(col(c))
+    def alias = s"cc_$c"
+  }
+
   /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
     * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
     * NEVER renumber (the driver compares against committed results).
@@ -1071,6 +1245,21 @@ object FuzzSql {
   val gateSeedsV4: Seq[Long] = Seq(
     9402L, 9408L, 9419L, 9431L, 9441L, 9435L, 9444L, 9461L)
 
+  /** v5 gate seeds → `q_fuzz_38`..`q_fuzz_45`; chosen once over the v5
+    * surface — FULL OUTER with both-side filters and explicit null
+    * placement: supplier⟗lineitem projection NULLS FIRST (9501),
+    * orders⟗lineitem projection NULLS LAST (9506), part⟗lineitem agg
+    * (9511), supplier⟗lineitem agg NULLS FIRST (9523), nation⟗customer
+    * agg with both sides filtered (9560), nation⟗customer framed running
+    * COUNT 1-PRECEDING (9524), orders⟗lineitem framed decimal running
+    * SUM 3-PRECEDING over non-unique order keys (9530 — the tie-
+    * regression shape), customer⟗orders unbounded running SUM (9526) —
+    * all validated non-degenerate and DuckDB-green at sf0.001 AND
+    * sf0.01. NEVER renumber.
+    */
+  val gateSeedsV5: Seq[Long] = Seq(
+    9501L, 9506L, 9511L, 9523L, 9560L, 9524L, 9530L, 9526L)
+
   val defs: Seq[QueryDef] =
     gateSeeds.map { s =>
       val smp = sample(s)
@@ -1090,6 +1279,11 @@ object FuzzSql {
     } ++ gateSeedsV4.zipWithIndex.map { case (s, i) =>
       val smp = sampleV4(s)
       QueryDef(f"q_fuzz_${30 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV5.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV5(s)
+      QueryDef(f"q_fuzz_${38 + i}%02d",
         (spark, dir) => smp.df(spark, dir),
         Some(smp.sql))
     }

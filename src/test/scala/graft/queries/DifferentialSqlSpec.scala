@@ -68,6 +68,10 @@ class DifferentialSqlSpec extends SparkSpec {
     differential(FuzzSql.sampleV4)
   }
 
+  test(s"$Samples random v5 plans (FULL OUTER/framed windows/null ordering)") {
+    differential(FuzzSql.sampleV5)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -85,6 +89,8 @@ class DifferentialSqlSpec extends SparkSpec {
     md5(v3) shouldBe renderedHashV3
     val v4 = FuzzSql.gateSeedsV4.map(s => FuzzSql.sampleV4(s).sql).mkString("\n---\n")
     md5(v4) shouldBe renderedHashV4
+    val v5 = FuzzSql.gateSeedsV5.map(s => FuzzSql.sampleV5(s).sql).mkString("\n---\n")
+    md5(v5) shouldBe renderedHashV5
     val shapes = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).shape.getClass.getSimpleName).toSet
     shapes should contain allOf ("AggShape", "ProjectShape", "WindowShape", "TopKShape")
     val shapesV2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).shape.getClass.getSimpleName).toSet
@@ -110,10 +116,25 @@ class DifferentialSqlSpec extends SparkSpec {
     v4s.map(_.branches.size).max should be >= 3
     v4s.map(_.shape.getClass.getSimpleName).toSet shouldBe
       Set("AggShape", "ProjectShape")
+    // v5: all three full-outer shapes, both null placements, both framed-
+    // window flavors (running decimal SUM + running COUNT), both bounded
+    // and unbounded frames, and filters on each side must stay represented
+    val v5s = FuzzSql.gateSeedsV5.map(FuzzSql.sampleV5)
+      .collect { case s: FuzzSql.FoSample => s }
+    v5s should have size FuzzSql.gateSeedsV5.size
+    v5s.map(_.shape.getClass.getSimpleName).toSet shouldBe
+      Set("FoAgg", "FoProject", "FoWin")
+    v5s.map(_.nullsFirst).toSet shouldBe Set(true, false)
+    val wins = v5s.map(_.shape).collect { case w: FuzzSql.FoWin => w }
+    wins.map(_.valCol.isDefined).toSet shouldBe Set(true, false)
+    wins.map(_.nPrec.isDefined).toSet shouldBe Set(true, false)
+    v5s.exists(_.lPreds.nonEmpty) shouldBe true
+    v5s.exists(_.rPreds.nonEmpty) shouldBe true
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
   private val renderedHashV2 = "ee07a321394301d8ae6fe9f7ba9044f8"
   private val renderedHashV3 = "3a335f5da1508a31dea1ad613429b651"
   private val renderedHashV4 = "7aa5591572634e7158ed337bf323229e"
+  private val renderedHashV5 = "fbe6bf34e0014aa22d9302c659fe94ca"
 }
