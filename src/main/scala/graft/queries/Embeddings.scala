@@ -49,6 +49,18 @@ object Embeddings {
     */
   val SemDedupTau = 0.4
 
+  /** SemDeDup comparison cap — the hot-bucket-cap analogue for clusters:
+    * each doc is tested only against the `SemDedupRankCap` MOST-ATYPICAL
+    * kept candidates of its cluster (rank ≤ cap in the ascending
+    * cos-to-centroid order), so per-cluster work is cap×population —
+    * LINEAR in corpus size even when K is misconfigured for the data
+    * volume. When K is sized properly (cluster population ≈ target B ≤
+    * cap, the paper's regime) the cap never binds and the semantics are
+    * exact SemDeDup; it exists so a fixed-K run on 100× the data degrades
+    * to an approximation instead of a quadratic blowup.
+    */
+  val SemDedupRankCap = 512
+
   /** IVF training parameters: k centroids, bounded Lloyd's iterations, over
     * a deterministic 1-in-SampleMod sample of the corpus (IVF indexes train
     * on a sample; assignment then covers the full corpus). Engine-neutral by
@@ -384,8 +396,9 @@ object Embeddings {
           .orderBy(col("csim").asc, col("vec_id").asc)
         val ranked = assigned
           .withColumn("rnk", row_number().over(byCluster).cast("int"))
-        val a = ranked.select(col("cid"), col("rnk").as("rnk_a"),
-          col("embedding").as("ea"), col("nrm").as("na"))
+        val a = ranked.filter(col("rnk") <= SemDedupRankCap)
+          .select(col("cid"), col("rnk").as("rnk_a"),
+            col("embedding").as("ea"), col("nrm").as("na"))
         val b = ranked.select(col("cid"), col("vec_id").as("id_b"),
           col("rnk").as("rnk_b"), col("embedding").as("eb"),
           col("nrm").as("nb"))
@@ -417,7 +430,7 @@ object Embeddings {
            |  FROM assigned),
            |dropped AS (
            |  SELECT DISTINCT b.vec_id FROM ranked a JOIN ranked b
-           |    ON a.cid = b.cid AND a.rnk < b.rnk
+           |    ON a.cid = b.cid AND a.rnk < b.rnk AND a.rnk <= $SemDedupRankCap
            |  WHERE ROUND(${cosSql("a.emb", "b.emb")}, 6) > $SemDedupTau)
            |SELECT r.cid, r.vec_id, r.csim, r.rnk,
            |       d.vec_id IS NULL AS kept

@@ -351,8 +351,18 @@ object Events {
         val fileSchema = s.read.parquet(s"$d/events.parquet").schema
         val tsIsLong = fileSchema("ts").dataType == LongType
         def src() = {
-          val raw = s.readStream.schema(fileSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(d)
+          // FileStreamSource needs a DIRECTORY basePath. A real lake table
+          // (and GenScale output) IS a directory — stream it directly; the
+          // driver's single-FILE testdata layout streams its parent dir
+          // with a glob pinned to the one file. (A glob under the
+          // directory layout would silently match nothing: the files
+          // inside are part-*.parquet.)
+          val tableFile = new java.io.File(s"$d/events.parquet")
+          val raw =
+            if (tableFile.isDirectory)
+              s.readStream.schema(fileSchema).parquet(tableFile.getPath)
+            else s.readStream.schema(fileSchema)
+              .option("pathGlobFilter", "events.parquet").parquet(d)
           // same normalization contract as Tables.load: ns-long or native
           // timestamp parquet both reduce to a seconds-grain event time
           val sec =
