@@ -153,6 +153,51 @@ object MultimodalQueries {
       },
       Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
              |  CAST(4 * ((64 + doc_id % 64) // 8) AS BIGINT) AS frame_bytes
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL video decode, value-checked: per doc an uncompressed RIFF-AVI
+    // (BI_RGB DIB frames — a standards-compliant file ffmpeg/VLC can
+    // play) whose per-channel whole-video pixel sums have a closed form:
+    // frame i, channel c sums to h * w/2 * (l + r) with
+    // l = (id*(c+1)+i) % 256, r = (l+97) % 256. The Spark side builds the
+    // container, demuxes it back with the real RIFF walker, decodes every
+    // bottom-up BGR raster, and sums channels in RGB order; the oracle
+    // replays the arithmetic over an unnested frame index. All-integer —
+    // the hash compare is exact. (MJPG AVIs ride the same demux with the
+    // JDK JPEG codec per frame; parity is spec-pinned in MultimodalSpec
+    // since JPEG sums have no closed form.)
+    QueryDef(
+      "q_multimodal_video",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+        val mediaSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val media = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, MM.synthesizeAvi(id,
+              width = 16 + (id % 4).toInt * 4,
+              height = 8 + (id % 3).toInt * 2,
+              nFrames = 3 + (id % 4).toInt))
+          }
+        }(Encoders.row(mediaSchema))
+        MM.videoFeatures(media, "media").orderBy("doc_id")
+      },
+      Some("""WITH idx AS (SELECT UNNEST([0, 1, 2, 3, 4, 5]) AS i),
+             |per AS (
+             |  SELECT d.doc_id, x.i,
+             |         16 + (d.doc_id % 4) * 4 AS w,
+             |         8 + (d.doc_id % 3) * 2 AS h
+             |  FROM documents d, idx x
+             |  WHERE x.i < 3 + d.doc_id % 4)
+             |SELECT doc_id, 'avi' AS format,
+             |  CAST(MIN(w) AS INTEGER) AS width,
+             |  CAST(MIN(h) AS INTEGER) AS height,
+             |  CAST(3 + doc_id % 4 AS INTEGER) AS n_frames,
+             |  CAST(SUM(h * (w // 2) * ((doc_id + i) % 256 + (doc_id + i + 97) % 256)) AS BIGINT) AS sum_c0,
+             |  CAST(SUM(h * (w // 2) * ((doc_id * 2 + i) % 256 + (doc_id * 2 + i + 97) % 256)) AS BIGINT) AS sum_c1,
+             |  CAST(SUM(h * (w // 2) * ((doc_id * 3 + i) % 256 + (doc_id * 3 + i + 97) % 256)) AS BIGINT) AS sum_c2
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

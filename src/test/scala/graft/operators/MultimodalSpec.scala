@@ -18,7 +18,10 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decode(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)).format shouldBe "jpeg"
     Multimodal.decode(Array(0x89, 'P', 'N', 'G').map(_.toByte)).format shouldBe "png"
     Multimodal.decode("GIF89a".getBytes).format shouldBe "gif"
-    Multimodal.decode("RIFFxxxx".getBytes).format shouldBe "wav"
+    // RIFF is a FAMILY: the form type decides wav vs avi vs junk
+    Multimodal.decode("RIFFxxxxWAVE".getBytes).format shouldBe "wav"
+    Multimodal.decode("RIFFxxxxAVI ".getBytes).format shouldBe "avi"
+    Multimodal.decode("RIFFxxxxJUNK".getBytes).format shouldBe "unknown"
     Multimodal.decode("none".getBytes).valid shouldBe false
     Multimodal.decode(null).valid shouldBe false
   }
@@ -99,7 +102,7 @@ class MultimodalSpec extends SparkSpec {
     val df = spark.createDataFrame(Seq(
       Row(9L, Multimodal.synthesizeWav(9L, 2, 60, 8000)),
       Row(4L, Multimodal.synthesizeWav(4L, 1, 40, 12000)), // mono → sum_c1=0
-      Row(2L, "RIFFjunk-not-audio".getBytes), // undecodable → zeroed row
+      Row(2L, "RIFFxxxxWAVEnot-audio".getBytes), // undecodable → zeroed row
       Row(3L, null)
     ).asJava, schema)
     val out = Multimodal.audioFeatures(df, "media")
@@ -163,5 +166,73 @@ class MultimodalSpec extends SparkSpec {
     rows.map(_.getInt(1)).toSeq shouldBe Seq(0, 2, 4, 6)
     val body = Multimodal.synthesize(7L, 64, 64, 3).length - 16
     rows.foreach(r => r.getAs[Array[Byte]](2).length shouldBe body / 8)
+  }
+
+  test("aviDemux: real RIFF walk recovers dimensions and every DIB frame") {
+    val avi = Multimodal.synthesizeAvi(11L, width = 16, height = 8, nFrames = 4)
+    Multimodal.sniffFormat(avi) shouldBe "avi"
+    val s = Multimodal.aviDemux(avi).get
+    (s.width, s.height, s.bitCount, s.compression) shouldBe ((16, 8, 24, 0))
+    s.frames should have size 4
+    s.frames.foreach(_.length shouldBe 16 * 8 * 3)
+    val meta = Multimodal.decode(avi)
+    (meta.format, meta.width, meta.height, meta.channels, meta.valid) shouldBe
+      (("avi", 16, 8, 3, true))
+    // truncation fails cleanly, never a partial parse
+    Multimodal.aviDemux(avi.take(avi.length - 7)) shouldBe None
+    // a WAV is RIFF too but must not sniff as avi
+    val wav = Multimodal.synthesizeWav(3L, channels = 1, frames = 10, sampleRate = 8000)
+    Multimodal.sniffFormat(wav) shouldBe "wav"
+    Multimodal.aviDemux(wav) shouldBe None
+  }
+
+  test("decodeDibFrame: closed-form per-channel sums off the BGR raster") {
+    val (seed, w, h, n) = (5L, 20, 10, 3)
+    val s = Multimodal.aviDemux(Multimodal.synthesizeAvi(seed, w, h, n)).get
+    for (i <- 0 until n) {
+      val (r, g, b) = Multimodal.decodeDibFrame(s, s.frames(i)).get
+      def expect(c: Int): Long = {
+        val l = (seed * (c + 1) + i) % 256
+        h.toLong * (w / 2) * (l + (l + 97) % 256)
+      }
+      (r, g, b) shouldBe ((expect(0), expect(1), expect(2)))
+    }
+  }
+
+  test("frameSample on AVI uses the container's own frames, not a byte split") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Multimodal.synthesizeAvi(9L, 16, 8, 5))).asJava, schema)
+    val rows = Multimodal.frameSample(df, "media", frames = 8, step = 1)
+      .orderBy("frame_index").collect()
+    rows.map(_.getInt(1)).toSeq shouldBe (0 until 5)
+    rows.foreach(_.getAs[Array[Byte]](2).length shouldBe 16 * 8 * 3)
+  }
+
+  test("MJPG AVI: demux + JDK JPEG codec parity with decoding the bare JPEG") {
+    // JPEG sums have no closed form (lossy), but the CONTAINER must be
+    // transparent: summing a frame through the AVI path must equal
+    // summing the same JPEG bytes directly through ImageIO.
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16)
+      img.setRGB(x, y, (x * 16) << 16 | (y * 31) << 8 | 77)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jpeg = baos.toByteArray
+    val avi = Multimodal.synthesizeAviMjpeg(16, 8, Seq(jpeg, jpeg))
+    val s = Multimodal.aviDemux(avi).get
+    s.frames should have size 2
+    val direct = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      er += direct.getRaster.getSample(x, y, 0)
+      eg += direct.getRaster.getSample(x, y, 1)
+      eb += direct.getRaster.getSample(x, y, 2)
+    }
+    Multimodal.decodeDibFrame(s, s.frames.head).get shouldBe ((er, eg, eb))
+    Multimodal.decodeDibFrame(s, s.frames(1)).get shouldBe ((er, eg, eb))
   }
 }
