@@ -220,4 +220,62 @@ class EventStreamsSpec extends SparkSpec {
       rows should contain ((2L, None))
     } finally q.stop()
   }
+
+  test("attributionJoin survives stop/restart: join state carries across checkpointed runs") {
+    // The production shape: a file-source stream processed in bounded
+    // AvailableNow runs with a shared checkpoint — each run is a separate
+    // StreamingQuery instance, so a matched pair whose two sides arrive in
+    // DIFFERENT runs proves the join state store genuinely persists and
+    // recovers (not just across micro-batches inside one query).
+    val root = scratchDir("attrib-restart")
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    def land(rows: (Timestamp, Long, String)*): Unit =
+      rows.toSeq.toDF("ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src.getAbsolutePath)
+    def runOnce(): Unit = {
+      def side(kind: String) = spark.readStream.schema(schema)
+        .parquet(src.getAbsolutePath)
+        .filter(col("event_type") === kind).select(col("ts"), col("user_id"))
+      val q = EventStreams
+        .attributionJoin(side("view"), side("purchase"), windowMinutes = 60)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: only the view arrives — nothing can emit, state must buffer it
+    land((ts("2026-08-12 10:00:00"), 1L, "view"))
+    runOnce()
+    spark.read.schema(StructTypeForOut).parquet(out).count() shouldBe 0L
+    // run 2 (fresh query instance, same checkpoint): the matching purchase
+    // arrives, plus a purchase with no view (inner → silent)
+    land((ts("2026-08-12 10:30:00"), 1L, "purchase"),
+      (ts("2026-08-12 10:30:00"), 2L, "purchase"))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .select("user_id", "purchase_ts", "view_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSeq
+    rows shouldBe Seq(
+      (1L, ts("2026-08-12 10:30:00"), ts("2026-08-12 10:00:00")))
+    // run 3: no new files — recovery alone must not re-emit anything
+    runOnce()
+    spark.read.parquet(out).count() shouldBe 1L
+  }
+
+  private val StructTypeForOut = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("purchase_ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("view_ts",
+      org.apache.spark.sql.types.TimestampType)))
 }
