@@ -26,6 +26,7 @@ object FuzzDump {
       case Some("v3") => FuzzSql.sampleV3
       case Some("v4") => FuzzSql.sampleV4
       case Some("v5") => FuzzSql.sampleV5
+      case Some("v6") => FuzzSql.sampleV6
       case _          => FuzzSql.sample
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

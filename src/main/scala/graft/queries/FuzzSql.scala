@@ -1195,6 +1195,182 @@ object FuzzSql {
 
   private def rUkOf(t: Table): String = t.uk.head
 
+  // ---- v6: the temporal surface (o_orderdate / l_shipdate) ---------------
+
+  /** Timestamp predicate with dual rendering. DF-side literals go through
+    * `to_timestamp` (session-TZ parse, UTC here) so both frontends and
+    * DuckDB's naive TIMESTAMP literal mean the same instant.
+    */
+  final case class DatePred(c: String, op: String, lo: String, hi: Option[String]) {
+    def sql: String = hi match {
+      case Some(h) => s"$c BETWEEN TIMESTAMP '$lo' AND TIMESTAMP '$h'"
+      case None    => s"$c $op TIMESTAMP '$lo'"
+    }
+    def expr: Column = {
+      val l = to_timestamp(lit(lo))
+      hi match {
+        case Some(h) => col(c) >= l && col(c) <= to_timestamp(lit(h))
+        case None => op match {
+          case "<"  => col(c) < l
+          case "<=" => col(c) <= l
+          case ">"  => col(c) > l
+          case _    => col(c) >= l
+        }
+      }
+    }
+  }
+
+  /** Field extractions valid with IDENTICAL names+semantics in Spark SQL
+    * and DuckDB (dayofweek is deliberately absent: Spark counts 1=Sunday,
+    * DuckDB 0=Sunday). Results cast to BIGINT on both sides — Spark's
+    * extracts return INT, DuckDB's BIGINT.
+    */
+  private val dtExtracts: Seq[(String, String => String, String => Column)] = Seq(
+    ("yy", d => s"CAST(year($d) AS BIGINT)", d => year(col(d)).cast("long")),
+    ("qq", d => s"CAST(quarter($d) AS BIGINT)", d => quarter(col(d)).cast("long")),
+    ("mm", d => s"CAST(month($d) AS BIGINT)", d => month(col(d)).cast("long")),
+    ("dd", d => s"CAST(day($d) AS BIGINT)", d => dayofmonth(col(d)).cast("long")),
+    ("doy", d => s"CAST(dayofyear($d) AS BIGINT)", d => dayofyear(col(d)).cast("long")))
+
+  sealed trait DtShape
+  /** Calendar-bucketed aggregation; `shiftMonths > 0` buckets on
+    * `d + INTERVAL n MONTH` (calendar month addition, end-of-month
+    * clamping — the same rule in both engines).
+    */
+  final case class DtAgg(unit: String, shiftMonths: Int,
+      extraGroup: Option[String], aggs: Seq[AggFn]) extends DtShape
+  /** Row-level field extraction projection. */
+  final case class DtProject(fields: Seq[String]) extends DtShape
+
+  /** v6 sample: the temporal query family over the timestamp columns the
+    * v1-v5 streams never touch.
+    */
+  final case class DtSample(seed: Long, base: Table, dcol: String,
+      joinOrders: Boolean, preds: Seq[Pred], dPreds: Seq[DatePred],
+      shape: DtShape) extends Fuzzed {
+
+    def describe: String =
+      s"v6 ${base.name}${if (joinOrders) "⋈orders" else ""} " +
+        s"${shape.getClass.getSimpleName} dpreds=${dPreds.size}"
+
+    private def fromSql =
+      if (joinOrders) s"${base.name} JOIN orders ON l_orderkey = o_orderkey"
+      else base.name
+    private def whereSql = {
+      val all = dPreds.map(_.sql) ++ preds.map(_.sql)
+      if (all.isEmpty) "" else s"\nWHERE ${all.mkString(" AND ")}"
+    }
+    private def bucketSql(unit: String, shift: Int): String =
+      if (shift == 0) s"date_trunc('$unit', $dcol)"
+      else s"date_trunc('$unit', $dcol + INTERVAL $shift MONTH)"
+
+    def sql: String = shape match {
+      case DtAgg(unit, shift, extraG, aggs) =>
+        val groups = s"${bucketSql(unit, shift)} AS bucket" +: extraG.toSeq
+        val sels = groups ++ aggs.map(a => s"${a.sql} AS ${a.alias}")
+        val by = "bucket" +: extraG.toSeq
+        s"SELECT ${sels.mkString(", ")}\nFROM $fromSql$whereSql\n" +
+          s"GROUP BY ${by.mkString(", ")} ORDER BY ${by.mkString(", ")}"
+      case DtProject(fields) =>
+        val ex = dtExtracts.filter(e => fields.contains(e._1))
+          .map { case (a, f, _) => s"${f(dcol)} AS ${a}_$dcol" }
+        val sels = (base.uk ++ ex) :+ s"date_trunc('month', $dcol) AS tm"
+        s"SELECT ${sels.mkString(", ")}\nFROM $fromSql$whereSql\n" +
+          s"ORDER BY ${base.uk.mkString(", ")}"
+    }
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      var rel = Tables.load(spark, dir, base.name)
+      if (joinOrders)
+        rel = rel.join(Tables.load(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      rel = (dPreds.map(_.expr) ++ preds.map(_.expr))
+        .foldLeft(rel)((d, p) => d.filter(p))
+      shape match {
+        case DtAgg(unit, shift, extraG, aggs) =>
+          val shifted =
+            if (shift == 0) col(dcol)
+            else col(dcol) + make_interval(lit(0), lit(shift))
+          val bucket = date_trunc(unit, shifted).as("bucket")
+          rel.groupBy(bucket +: extraG.map(col).toSeq: _*)
+            .agg(aggs.head.expr.as(aggs.head.alias),
+              aggs.tail.map(a => a.expr.as(a.alias)): _*)
+            .orderBy(("bucket" +: extraG.toSeq).map(col): _*)
+        case DtProject(fields) =>
+          val ex = dtExtracts.filter(e => fields.contains(e._1))
+            .map { case (a, _, f) => f(dcol).as(s"${a}_$dcol") }
+          rel.select((base.uk.map(col) ++ ex) :+
+              date_trunc("month", col(dcol)).as("tm"): _*)
+            .orderBy(base.uk.map(col): _*)
+      }
+    }
+  }
+
+  /** v6 generator: calendar buckets (incl. INTERVAL-shifted), field
+    * extraction, timestamp range predicates — over lineitem.l_shipdate /
+    * orders.o_orderdate, optionally through the fact-fact join so BOTH
+    * date columns are in scope. v1-v5 streams stay FROZEN; v6 gate seeds
+    * live at 9601+.
+    */
+  def sampleV6(seed: Long): Fuzzed = {
+    val rnd = new Random(seed)
+    // nextInt(6): a non-power-of-2 bound goes through the low bits, which
+    // actually vary across sequential seeds — the first nextBoolean() of
+    // java.util.Random is top-bit-correlated and picked the SAME base for
+    // 140 consecutive seeds
+    val (base, dcols) =
+      if (rnd.nextInt(6) < 3) (orders, Seq("o_orderdate"))
+      else (lineitem, Seq("l_shipdate"))
+    val joinOrders = base.name == "lineitem" && rnd.nextInt(3) == 0
+    val datePool = dcols ++ (if (joinOrders) Seq("o_orderdate") else Nil)
+    val dcol = pick(rnd, dcols)
+    val dateLits = Seq("1996-06-01 00:00:00", "1997-03-15 00:00:00",
+      "1998-01-01 00:00:00", "1999-09-15 00:00:00", "2000-03-01 00:00:00")
+    def mkDatePred(): DatePred = {
+      val c = pick(rnd, datePool)
+      if (rnd.nextInt(3) == 0) {
+        val lo = pick(rnd, dateLits.take(3))
+        val hi = pick(rnd, dateLits.drop(3))
+        DatePred(c, "", lo, Some(hi))
+      } else DatePred(c, pick(rnd, Seq("<", "<=", ">", ">=")),
+        pick(rnd, dateLits), None)
+    }
+    val dPreds = (0 until rnd.nextInt(2)).map(_ => mkDatePred()).distinct
+    val predCols = base.cols ++ (if (joinOrders) orders.cols else Nil)
+    val preds = (0 until rnd.nextInt(2)).flatMap(_ => mkPred(rnd, predCols)).distinct
+
+    val numerics = predCols.filter(c => c.kind == DblK || c.kind == IntK)
+    val groupables = predCols.filter(_.kind == StrK)
+    val shape: DtShape =
+      if (rnd.nextInt(3) <= 1) {
+        val unit = pick(rnd, Seq("year", "quarter", "month", "week"))
+        val shift = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(5) else 0
+        val extraG =
+          if (rnd.nextBoolean() && groupables.nonEmpty)
+            Some(pick(rnd, groupables).name) else None
+        val aggs: Seq[AggFn] = Cnt +: (0 until rnd.nextInt(3)).map { _ =>
+          val c = pick(rnd, numerics)
+          (c.kind, rnd.nextInt(3)) match {
+            case (DblK, 0) => DSum(c.name)
+            case (IntK, 0) => SumInt(c.name)
+            case (_, 1)    => MinC(c.name)
+            case _         => MaxC(c.name)
+          }
+        }
+        // min/max over the OTHER date column: timestamp-typed aggregates
+        val dAgg: Seq[AggFn] =
+          if (rnd.nextInt(3) == 0)
+            Seq(if (rnd.nextBoolean()) MinC(pick(rnd, datePool))
+            else MaxC(pick(rnd, datePool)))
+          else Nil
+        DtAgg(unit, shift, extraG, (aggs ++ dAgg).distinctBy(_.alias))
+      } else {
+        val n = 1 + rnd.nextInt(4)
+        DtProject(rnd.shuffle(dtExtracts.map(_._1)).take(n).sorted)
+      }
+    DtSample(seed, base, dcol, joinOrders, preds, dPreds, shape)
+  }
+
   /** COUNT(col) — non-null counting, the full-outer miss detector. */
   final case class CntCol(c: String) extends AggFn {
     def sql = s"COUNT($c)"
@@ -1260,6 +1436,20 @@ object FuzzSql {
   val gateSeedsV5: Seq[Long] = Seq(
     9501L, 9506L, 9511L, 9523L, 9560L, 9524L, 9530L, 9526L)
 
+  /** v6 gate seeds → `q_fuzz_46`..`q_fuzz_53`; chosen once over the v6
+    * temporal surface — year-bucketed INTERVAL-shifted agg through the
+    * lineitem⋈orders fact join (9602), week bucket + shift + timestamp
+    * BETWEEN + date min/max agg (9606), extraction projection with a
+    * BETWEEN pred (9616), month-bucketed join agg (9619),
+    * quarter + shift + BETWEEN (9674), extraction projection THROUGH the join
+    * (9666), year bucket + BETWEEN + date min/max on l_shipdate (9705),
+    * month + shift + BETWEEN + date min/max (9726) — all validated
+    * non-degenerate and DuckDB-green at sf0.001 AND sf0.01. NEVER
+    * renumber.
+    */
+  val gateSeedsV6: Seq[Long] = Seq(
+    9602L, 9606L, 9616L, 9619L, 9674L, 9666L, 9705L, 9726L)
+
   val defs: Seq[QueryDef] =
     gateSeeds.map { s =>
       val smp = sample(s)
@@ -1284,6 +1474,11 @@ object FuzzSql {
     } ++ gateSeedsV5.zipWithIndex.map { case (s, i) =>
       val smp = sampleV5(s)
       QueryDef(f"q_fuzz_${38 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV6.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV6(s)
+      QueryDef(f"q_fuzz_${46 + i}%02d",
         (spark, dir) => smp.df(spark, dir),
         Some(smp.sql))
     }

@@ -72,6 +72,10 @@ class DifferentialSqlSpec extends SparkSpec {
     differential(FuzzSql.sampleV5)
   }
 
+  test(s"$Samples random v6 plans (calendar buckets/INTERVAL shift/extracts/ts ranges)") {
+    differential(FuzzSql.sampleV6)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -91,6 +95,8 @@ class DifferentialSqlSpec extends SparkSpec {
     md5(v4) shouldBe renderedHashV4
     val v5 = FuzzSql.gateSeedsV5.map(s => FuzzSql.sampleV5(s).sql).mkString("\n---\n")
     md5(v5) shouldBe renderedHashV5
+    val v6 = FuzzSql.gateSeedsV6.map(s => FuzzSql.sampleV6(s).sql).mkString("\n---\n")
+    md5(v6) shouldBe renderedHashV6
     val shapes = FuzzSql.gateSeeds.map(s => FuzzSql.sample(s).shape.getClass.getSimpleName).toSet
     shapes should contain allOf ("AggShape", "ProjectShape", "WindowShape", "TopKShape")
     val shapesV2 = FuzzSql.gateSeedsV2.map(s => FuzzSql.sampleV2(s).shape.getClass.getSimpleName).toSet
@@ -130,6 +136,21 @@ class DifferentialSqlSpec extends SparkSpec {
     wins.map(_.nPrec.isDefined).toSet shouldBe Set(true, false)
     v5s.exists(_.lPreds.nonEmpty) shouldBe true
     v5s.exists(_.rPreds.nonEmpty) shouldBe true
+    // v6: all four calendar units, the INTERVAL shift, the fact-fact join,
+    // timestamp BETWEEN, date min/max aggregates, and both shapes over
+    // both date columns must stay represented
+    val v6s = FuzzSql.gateSeedsV6.map(FuzzSql.sampleV6)
+      .collect { case s: FuzzSql.DtSample => s }
+    v6s should have size FuzzSql.gateSeedsV6.size
+    val units = v6s.map(_.shape).collect { case FuzzSql.DtAgg(u, _, _, _) => u }.toSet
+    units shouldBe Set("year", "quarter", "month", "week")
+    v6s.map(_.shape).collect { case FuzzSql.DtAgg(_, s, _, _) => s }
+      .exists(_ > 0) shouldBe true
+    v6s.exists(_.joinOrders) shouldBe true
+    v6s.flatMap(_.dPreds).exists(_.hi.isDefined) shouldBe true
+    v6s.map(_.shape.getClass.getSimpleName).toSet shouldBe
+      Set("DtAgg", "DtProject")
+    v6s.map(_.dcol).toSet shouldBe Set("o_orderdate", "l_shipdate")
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
@@ -137,4 +158,5 @@ class DifferentialSqlSpec extends SparkSpec {
   private val renderedHashV3 = "3a335f5da1508a31dea1ad613429b651"
   private val renderedHashV4 = "7aa5591572634e7158ed337bf323229e"
   private val renderedHashV5 = "fbe6bf34e0014aa22d9302c659fe94ca"
+  private val renderedHashV6 = "74ded63ace9c8d263d09a5eca0d37005"
 }
