@@ -31,16 +31,23 @@ import scala.collection.mutable
   *   - completion-value semantics: the script's result is the value of the
   *     last evaluated expression statement (how Nashorn `eval` returns)
   *
-  * OUT OF SCOPE (documented boundary, not a gap): the prototype chain
-  * (`Object.prototype` mutation, `X.prototype.method = ...`,
-  * constructor-function `new` with user prototypes), getters/setters,
-  * `this` binding beyond method receivers, `try`/`catch`, generators,
-  * and ES6+ syntax (arrow functions, `let`/`const`, classes, template
-  * literals). Every row script shipped with the reference (DQ rule and
-  * transform fixtures) parses and runs byte-identically in this subset —
-  * none uses a prototype — and `JsInterpSpec` keeps a parse-failure test
-  * naming the boundary so a future fixture that needs it fails loudly at
-  * config-validation time, not silently mid-pipeline.
+  * Constructor functions ARE supported: `new F(args)` builds an instance
+  * chained to `F.prototype`, `F.prototype.method = ...` mutation is
+  * visible to existing instances (the real delegation rule, not a copy),
+  * `this` binds to the receiver in constructors and method calls, and an
+  * explicit object return from a constructor overrides the instance (the
+  * JS [[Construct]] rule). Prototype chains compose (a prototype may
+  * itself be a `new`-built instance).
+  *
+  * OUT OF SCOPE (documented boundary, not a gap): whole-`prototype`
+  * REPLACEMENT (`F.prototype = {...}` — mutate its properties instead),
+  * getters/setters, `Function.prototype.call/apply/bind`, `try`/`catch`,
+  * generators, and ES6+ syntax (arrow functions, `let`/`const`,
+  * classes, template literals). Every row script shipped with the
+  * reference (DQ rule and transform fixtures) parses and runs
+  * byte-identically in this subset, and `JsInterpSpec` keeps a
+  * parse-failure test naming the boundary so a future fixture that needs
+  * it fails loudly at config-validation time, not silently mid-pipeline.
   *
   * The AST is immutable case classes, so a parsed [[Script]] is Serializable
   * and ships to executors once; evaluation allocates only a per-row
@@ -514,9 +521,33 @@ object JsInterp {
   }
 
   /** A user function value: AST + defining scope (a closure). Runtime-only —
-    * never serialized; each row evaluation builds its own.
+    * never serialized; each row evaluation builds its own. `protoProps` is
+    * the function's `.prototype` object — mutated by
+    * `F.prototype.m = ...`, consulted by `new F()` instances through the
+    * prototype chain.
     */
-  private final case class JsFunction(params: List[String], body: Block, closure: Env)
+  private final case class JsFunction(params: List[String], body: Block, closure: Env) {
+    val protoProps: java.util.Map[String, Any] =
+      new java.util.LinkedHashMap[String, Any]()
+  }
+
+  /** An object created by `new F()`: own properties in the map itself,
+    * inherited lookups walk `jsProto` (the constructor's `.prototype`,
+    * which may itself be a JsObject — chains compose).
+    */
+  private final class JsObject(val jsProto: java.util.Map[String, Any])
+    extends java.util.LinkedHashMap[String, Any]
+
+  /** Own property, else walk the prototype chain; null when absent —
+    * exactly the read path `member`/method dispatch use for maps.
+    */
+  @annotation.tailrec
+  private def protoLookup(m: java.util.Map[String, Any], name: String): Any =
+    if (m.containsKey(name)) m.get(name)
+    else m match {
+      case o: JsObject if o.jsProto != null => protoLookup(o.jsProto, name)
+      case _ => null
+    }
 
   // lightweight control-flow signals (no stack traces — these are not errors)
   private final class ReturnSignal(val value: Any)
@@ -641,10 +672,11 @@ object JsInterp {
       val argv = args.map(evalExpr(_, env))
       obj match {
         case m: java.util.Map[_, _] =>
-          // object "methods": a stored function property wins over host
-          // map methods only if one exists under that name
-          m.asInstanceOf[java.util.Map[String, Any]].get(name) match {
-            case f: JsFunction => invoke(f, argv)
+          // object "methods": a stored (own or prototype-inherited)
+          // function property wins over host map methods only if one
+          // exists under that name; the receiver binds as `this`
+          protoLookup(m.asInstanceOf[java.util.Map[String, Any]], name) match {
+            case f: JsFunction => invoke(f, argv, thisVal = m)
             case _ => callMethod(obj, name, argv)
           }
         case _ => callMethod(obj, name, argv)
@@ -669,6 +701,14 @@ object JsInterp {
           val a = args.map(evalExpr(_, env))
           regexOf(jsToString(a.headOption.getOrElse("")),
             a.lift(1).map(jsToString).getOrElse(""))
+        case f: JsFunction => // user constructor: new instance chained to
+          // f.prototype, body runs with `this` = the instance; an explicit
+          // object return overrides (the JS [[Construct]] rule)
+          val inst = new JsObject(f.protoProps)
+          invoke(f, args.map(evalExpr(_, env)), thisVal = inst) match {
+            case m: java.util.Map[_, _] => m
+            case _ => inst
+          }
         case other         => throw new JsError(s"not a constructor: $other")
       }
   }
@@ -683,13 +723,14 @@ object JsInterp {
     override def initialValue(): Integer = 0
   }
 
-  private def invoke(f: JsFunction, args: List[Any]): Any = {
+  private def invoke(f: JsFunction, args: List[Any], thisVal: Any = null): Any = {
     val d = callDepth.get()
     if (d >= MaxCallDepth)
       throw new JsError(s"call depth limit exceeded ($MaxCallDepth — runaway recursion?)")
     callDepth.set(d + 1)
     try {
       val local = new Env(f.closure)
+      if (thisVal != null) local.declare("this", thisVal)
       f.params.zipWithIndex.foreach { case (p, i) =>
         local.declare(p, if (i < args.size) args(i) else null)
       }
@@ -746,8 +787,9 @@ object JsInterp {
     case (MathNs, "PI") => math.Pi
     case (MathNs, "E") => math.E
     case (JavaNs, "type") => JavaNs // resolved at the call site
+    case (f: JsFunction, "prototype") => f.protoProps
     case (m: java.util.Map[_, _], _) =>
-      m.asInstanceOf[java.util.Map[String, Any]].get(name)
+      protoLookup(m.asInstanceOf[java.util.Map[String, Any]], name)
     case (other, _) => other // method resolution happens in callMethod
   }
 

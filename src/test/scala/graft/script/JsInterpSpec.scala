@@ -100,12 +100,43 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     a[JsInterp.JsError] should be thrownBy eval("'unterminated")
   }
 
-  test("documented dialect boundary: prototype chain / ES6 fail loudly") {
-    // The prototype chain is OUT of the supported subset (JsInterp
-    // scaladoc): a script that needs it must fail at parse/eval time —
-    // at config validation — never silently misbehave mid-pipeline.
+  test("constructor functions: new + prototype chain + this binding") {
+    // instance state via this, behavior via the prototype
+    eval("""function Counter(start) { this.n = start; }
+           |Counter.prototype.bump = function(k) { this.n = this.n + k; return this.n; };
+           |var c = new Counter(10);
+           |c.bump(5); c.bump(2);""".stripMargin) shouldBe 17.0
+    // prototype mutation is DELEGATION, not a copy: existing instances see
+    // methods added after construction
+    eval("""function A() {}
+           |var a = new A();
+           |A.prototype.late = function() { return 42; };
+           |a.late();""".stripMargin) shouldBe 42.0
+    // own property shadows the prototype's
+    eval("""function B() {}
+           |B.prototype.v = function() { return 1; };
+           |var b = new B();
+           |b.v = function() { return 2; };
+           |b.v();""".stripMargin) shouldBe 2.0
+    // chains compose: a prototype that is itself a new-built instance
+    eval("""function Base() {}
+           |Base.prototype.who = function() { return 'base'; };
+           |function Derived() {}
+           |Derived.prototype.child = new Base();
+           |Derived.prototype.child.who();""".stripMargin) shouldBe "base"
+    // explicit object return overrides the instance ([[Construct]] rule)
+    eval("""function F() { this.x = 1; return {x: 9}; }
+           |new F().x;""".stripMargin) shouldBe 9.0
+    // object-literal methods get a this binding too
+    eval("""var o = {n: 3, double: function() { return this.n * 2; }};
+           |o.double();""".stripMargin) shouldBe 6.0
+  }
+
+  test("documented dialect boundary: prototype replacement / builtins / ES6 fail loudly") {
+    // whole-prototype REPLACEMENT stays out (mutate properties instead)
     a[JsInterp.JsError] should be thrownBy
-      eval("function C() {}; C.prototype.m = function() { return 1; }; new C().m();")
+      eval("function C() {}; C.prototype = {m: function() { return 1; }}; new C().m();")
+    // builtin prototypes (String etc.) are not extensible
     a[JsInterp.JsError] should be thrownBy
       eval("String.prototype.shout = function() { return this + '!'; }; 'x'.shout();")
     // ES6 syntax is likewise out of scope
