@@ -13,7 +13,7 @@ import graft.queries.FuzzSql
   * cross-engine sweep; the 12 `q_fuzz_*` gate entries are the committed
   * always-on subset.
   *
-  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1|v2|v3]
+  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1..v7]
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -27,6 +27,7 @@ object FuzzDump {
       case Some("v4") => FuzzSql.sampleV4
       case Some("v5") => FuzzSql.sampleV5
       case Some("v6") => FuzzSql.sampleV6
+      case Some("v7") => FuzzSql.sampleV7
       case _          => FuzzSql.sample
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -1378,6 +1378,152 @@ object FuzzSql {
     def alias = s"cc_$c"
   }
 
+  // ---- v7: nested aggregation + conditional aggregates -------------------
+
+  /** Conditional count rendered as SUM(CASE...) — the one spelling whose
+    * result type and null behavior agree across Spark SQL, the DataFrame
+    * API, and DuckDB (COUNT(CASE..) counts non-null ELSE branches; FILTER
+    * clauses aren't in Spark's dialect).
+    */
+  final case class CondCnt(p: Pred) extends AggFn {
+    def sql = s"CAST(SUM(CASE WHEN ${p.sql} THEN 1 ELSE 0 END) AS BIGINT)"
+    def expr: Column = sum(when(p.expr, 1L).otherwise(0L)).cast("long")
+    def alias = "ccnt"
+  }
+
+  /** Conditional decimal-exact sum — the dsum convention through a CASE;
+    * both branches pinned to DECIMAL(28,4) so neither engine has to invent
+    * a coercion.
+    */
+  final case class CondDSum(p: Pred, c: String) extends AggFn {
+    def sql = s"CAST(SUM(CASE WHEN ${p.sql} THEN CAST($c AS DECIMAL(28,4)) " +
+      "ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)"
+    def expr: Column = {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+      sum(when(p.expr, col(c).cast(dec)).otherwise(lit(0).cast(dec)))
+        .cast("double")
+    }
+    def alias = s"cds_$c"
+  }
+
+  /** Level-2 regrouping key over the level-1 relation's `cnt`. */
+  sealed trait NestKey { def sql: String; def expr: Column }
+  final case class CntBand(lo: Long, hi: Long) extends NestKey {
+    def sql =
+      s"CASE WHEN cnt < $lo THEN 'lo' WHEN cnt < $hi THEN 'mid' ELSE 'hi' END"
+    def expr: Column =
+      when(col("cnt") < lo, "lo").when(col("cnt") < hi, "mid").otherwise("hi")
+  }
+  final case class CntMod(m: Int) extends NestKey {
+    def sql = s"cnt % $m"
+    def expr: Column = col("cnt") % m
+  }
+
+  /** v7 sample: the generalized TPC-H Q13 shape — a per-key level-1
+    * aggregate (conditional CASE-in-aggregate terms, optional HAVING)
+    * re-aggregated into a distribution over the level-1 groups, with an
+    * optional NULLIF-guarded exact selectivity ratio at level 2. Level 2's
+    * input is |level-1 groups| rows, so the second exchange is tiny at any
+    * scale — the shape is one fact shuffle plus a reduction.
+    */
+  final case class NestSample(seed: Long, fact: Table, gkey: String,
+      preds: Seq[Pred], l1Aggs: Seq[AggFn], havingMin: Option[Long],
+      key: NestKey, mm: Seq[AggFn], ratio: Boolean) extends Fuzzed {
+
+    def describe: String =
+      s"v7 ${fact.name} per-$gkey ${key.getClass.getSimpleName} " +
+        s"l1=${l1Aggs.map(_.alias).mkString(",")} having=$havingMin ratio=$ratio"
+
+    private def whereSql =
+      if (preds.isEmpty) ""
+      else s"\n  WHERE ${preds.map(_.sql).mkString(" AND ")}"
+    private def havingSql =
+      havingMin.map(h => s" HAVING COUNT(*) >= $h").getOrElse("")
+
+    def sql: String = {
+      val l1Sels = s"$gkey AS g" +: "COUNT(*) AS cnt" +:
+        l1Aggs.map(a => s"${a.sql} AS ${a.alias}")
+      val l2Sels = Seq(
+        s"${key.sql} AS grp",
+        "CAST(COUNT(*) AS BIGINT) AS n_groups",
+        "CAST(SUM(cnt) AS BIGINT) AS total_cnt") ++
+        mm.map(a => s"${a.sql} AS ${a.alias}") ++
+        (if (ratio)
+          Seq("ROUND(CAST(SUM(ccnt) AS DOUBLE) / " +
+            "NULLIF(CAST(SUM(cnt) AS DOUBLE), 0.0), 6) AS sel")
+        else Nil)
+      s"WITH l1 AS (\n  SELECT ${l1Sels.mkString(", ")}\n" +
+        s"  FROM ${fact.name}$whereSql\n" +
+        s"  GROUP BY $gkey$havingSql)\n" +
+        s"SELECT ${l2Sels.mkString(", ")}\nFROM l1 GROUP BY grp ORDER BY grp"
+    }
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      val base = preds.foldLeft(Tables.load(spark, dir, fact.name))(
+        (d, p) => d.filter(p.expr))
+      val l1all = base.groupBy(col(gkey).as("g"))
+        .agg(count(lit(1)).as("cnt"),
+          l1Aggs.map(a => a.expr.as(a.alias)): _*)
+      val l1 = havingMin.map(h => l1all.filter(col("cnt") >= h)).getOrElse(l1all)
+      val totalD = sum(col("cnt")).cast("double")
+      val core = Seq(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(col("cnt")).cast("long").as("total_cnt")) ++
+        mm.map(a => a.expr.as(a.alias)) ++
+        (if (ratio)
+          Seq(round(sum(col("ccnt")).cast("double") /
+            when(totalD === 0.0, lit(null)).otherwise(totalD), 6).as("sel"))
+        else Nil)
+      l1.groupBy(key.expr.as("grp"))
+        .agg(core.head, core.tail: _*)
+        .orderBy("grp")
+    }
+  }
+
+  /** v7 generator: nested aggregation over orders-per-customer or
+    * lineitem-per-{supplier,part,order}. v1-v6 streams stay FROZEN; v7
+    * gate seeds live at 9801+.
+    */
+  def sampleV7(seed: Long): Fuzzed = {
+    val rnd = new Random(seed)
+    // non-power-of-2 bound: nextInt(2)/nextBoolean() are top-bit-correlated
+    // across sequential seeds and picked lineitem for 200 straight draws
+    val (fact, gkeys) =
+      if (rnd.nextInt(6) < 3) (orders, Seq("o_custkey"))
+      else (lineitem, Seq("l_suppkey", "l_partkey", "l_orderkey"))
+    val gkey = pick(rnd, gkeys)
+    val preds = (0 until rnd.nextInt(2)).flatMap(_ => mkPred(rnd, fact.cols)).distinct
+    val condPool = fact.cols.filterNot(_.name == gkey)
+    val dbls = fact.cols.filter(_.kind == DblK)
+    val ints = fact.cols.filter(c => c.kind == IntK && c.name != gkey)
+    val condCnt = if (rnd.nextInt(3) > 0) mkPred(rnd, condPool).map(CondCnt) else None
+    val condSum =
+      if (rnd.nextInt(2) == 0)
+        mkPred(rnd, condPool).map(p => CondDSum(p, pick(rnd, dbls).name))
+      else None
+    val plain: Option[AggFn] = rnd.nextInt(3) match {
+      case 0 => Some(DSum(pick(rnd, dbls).name))
+      case 1 => Some(SumInt(pick(rnd, ints).name))
+      case _ => None
+    }
+    val l1Aggs = (condCnt.toSeq ++ condSum.toSeq ++ plain.toSeq).distinctBy(_.alias)
+    val havingMin =
+      if (rnd.nextInt(3) == 0) Some(2L + rnd.nextInt(3)) else None
+    val key: NestKey =
+      if (rnd.nextBoolean()) {
+        val (lo, hi) = pick(rnd, Seq((2L, 5L), (3L, 8L), (5L, 15L), (10L, 30L)))
+        CntBand(lo, hi)
+      } else CntMod(2 + rnd.nextInt(3))
+    val mm: Seq[AggFn] =
+      if (l1Aggs.isEmpty) Nil
+      else {
+        val a = pick(rnd, l1Aggs)
+        Seq(if (rnd.nextBoolean()) MinC(a.alias) else MaxC(a.alias))
+      }
+    val ratio = condCnt.nonEmpty && rnd.nextInt(2) == 0
+    NestSample(seed, fact, gkey, preds, l1Aggs, havingMin, key, mm, ratio)
+  }
+
   /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
     * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
     * NEVER renumber (the driver compares against committed results).
@@ -1450,6 +1596,22 @@ object FuzzSql {
   val gateSeedsV6: Seq[Long] = Seq(
     9602L, 9606L, 9616L, 9619L, 9674L, 9666L, 9705L, 9726L)
 
+  /** v7 gate seeds → `q_fuzz_54`..`q_fuzz_61`; chosen once over the v7
+    * nested-aggregation surface — orders-per-customer banded distribution
+    * with a plain decimal sum (9801), the full three-term level-1
+    * (conditional count + conditional decimal sum + int sum) with HAVING
+    * and the NULLIF ratio (9802), band + conditional sum (9813),
+    * the bare-count pure-Q13 distribution with HAVING over
+    * lineitem-per-supplier (9817), band + HAVING + ratio (9822),
+    * lineitem-per-part mod-key with conditional and plain sums + ratio
+    * (9843), per-supplier ratio with a plain decimal sum (9889), and
+    * per-part band with an int sum (9896) — all validated non-degenerate
+    * (≥2 level-2 groups) and DuckDB-green at sf0.001 AND sf0.01. NEVER
+    * renumber.
+    */
+  val gateSeedsV7: Seq[Long] = Seq(
+    9801L, 9802L, 9813L, 9817L, 9822L, 9843L, 9889L, 9896L)
+
   val defs: Seq[QueryDef] =
     gateSeeds.map { s =>
       val smp = sample(s)
@@ -1479,6 +1641,11 @@ object FuzzSql {
     } ++ gateSeedsV6.zipWithIndex.map { case (s, i) =>
       val smp = sampleV6(s)
       QueryDef(f"q_fuzz_${46 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV7.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV7(s)
+      QueryDef(f"q_fuzz_${54 + i}%02d",
         (spark, dir) => smp.df(spark, dir),
         Some(smp.sql))
     }

@@ -370,6 +370,74 @@ object Text {
              |SELECT doc_id, rank, token, tf, df, score FROM ranked
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- BM25 term scoring (Robertson-Sparck Jones; the retrieval twin of
+    // q_tfidf_topk) ---------------------------------------------------------
+    // Okapi BM25 with the Lucene idf (ln(1 + (N-df+0.5)/(df+0.5))) and
+    // length normalization k1=1.2, b=0.75: the scorer every search stack
+    // ships, and the piece tf-idf lacks — term-frequency SATURATION (a
+    // 100-occurrence token isn't 100× more relevant) and short-document
+    // compensation via dl/avgdl. Plan shape: tf and dl come from one
+    // explode; df from the reduced tf grain (never re-tokenizes); N and
+    // total token count cross in as a broadcast 1-row aggregate; the dl
+    // join and the final per-doc window share the doc_id partitioning, so
+    // top-3-per-doc plans as WindowGroupLimit with no extra exchange.
+    // Both engines evaluate the identically-parenthesized double
+    // expression, rounded to 6 places with an exact token tie-break.
+    QueryDef(
+      "q_bm25_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_total"), sum("dl").as("t_tokens"))
+        val joined = tf.join(dfreq, "token").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+        val avgdl = col("t_tokens").cast("double") / col("n_total").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n_total").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5))
+        val norm = (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        joined
+          .withColumn("score", round(idf * norm, 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("token"))))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+            col("df"), col("dl"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+             |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT COUNT(*) AS n_total, SUM(dl) AS t_tokens FROM dl),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
+             |    ROUND(
+             |      ln(1.0 + (CAST(s.n_total AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+             |               / (CAST(df.df AS DOUBLE) + 0.5)) *
+             |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+             |       (CAST(tf.tf AS DOUBLE) +
+             |        1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+             |          (CAST(s.t_tokens AS DOUBLE) / CAST(s.n_total AS DOUBLE)))))),
+             |      6) AS score
+             |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s),
+             |ranked AS (
+             |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             |           PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank,
+             |         token, tf, df, dl, score
+             |  FROM scored)
+             |SELECT doc_id, rank, token, tf, df, dl, score FROM ranked
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- DQ regex column rule (§2.10 columnRules, reference DataQuality
     // F2 semantics: per-cell matches(pattern), violations counted) ----------
     QueryDef(

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TableDiffSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  private def report(rows: Array[org.apache.spark.sql.Row],
+      cols: Seq[String]): Map[String, Long] = {
+    rows.length shouldBe 1
+    cols.zipWithIndex.map { case (c, i) => c -> rows.head.getLong(i) }.toMap
+  }
+
+  test("diff classifies added/removed/changed/unchanged with per-column attribution") {
+    val old = Seq(
+      (1L, 10.0, "a"),   // unchanged
+      (2L, 20.0, "b"),   // v changes
+      (3L, 30.0, "c"),   // s changes
+      (4L, 40.0, "d"),   // both change
+      (5L, 50.0, "e"))   // removed
+      .toDF("id", "v", "s")
+    val nw = Seq(
+      (1L, 10.0, "a"),
+      (2L, 21.0, "b"),
+      (3L, 30.0, "cc"),
+      (4L, 41.0, "dd"),
+      (6L, 60.0, "f"))   // added
+      .toDF("id", "v", "s")
+    val d = TableDiff.diff(old, nw, Seq("id"))
+    val r = report(d.collect(), d.columns.toSeq)
+    r("rows_added") shouldBe 1L
+    r("rows_removed") shouldBe 1L
+    r("rows_changed") shouldBe 3L
+    r("rows_unchanged") shouldBe 1L
+    r("changed_v") shouldBe 2L
+    r("changed_s") shouldBe 2L
+  }
+
+  test("null-safe comparison: null vs null is unchanged, null vs value is changed") {
+    val old = Seq(
+      (1L, Option.empty[String]),
+      (2L, Option.empty[String]),
+      (3L, Some("x")))
+      .toDF("id", "s")
+    val nw = Seq(
+      (1L, Option.empty[String]), // null == null → unchanged
+      (2L, Some("y")),            // null → value → changed
+      (3L, Option.empty[String])) // value → null → changed
+      .toDF("id", "s")
+    val d = TableDiff.diff(old, nw, Seq("id"))
+    val r = report(d.collect(), d.columns.toSeq)
+    r("rows_changed") shouldBe 2L
+    r("rows_unchanged") shouldBe 1L
+    r("changed_s") shouldBe 2L
+  }
+
+  test("column order differences between versions are immaterial") {
+    val old = Seq((1L, 1.0, "a")).toDF("id", "v", "s")
+    val nw = Seq((1.0, "a", 1L)).toDF("v", "s", "id")
+    val r0 = TableDiff.diff(old, nw, Seq("id"))
+    val r = report(r0.collect(), r0.columns.toSeq)
+    r("rows_unchanged") shouldBe 1L
+    r("rows_changed") shouldBe 0L
+  }
+
+  test("schema mismatch and empty keys are rejected") {
+    val a = Seq((1L, 1.0)).toDF("id", "v")
+    val b = Seq((1L, "x")).toDF("id", "w")
+    an[IllegalArgumentException] should be thrownBy TableDiff.diff(a, b, Seq("id"))
+    an[IllegalArgumentException] should be thrownBy TableDiff.diff(a, a, Seq.empty)
+  }
+}

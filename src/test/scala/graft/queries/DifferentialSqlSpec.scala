@@ -76,6 +76,10 @@ class DifferentialSqlSpec extends SparkSpec {
     differential(FuzzSql.sampleV6)
   }
 
+  test(s"$Samples random v7 plans (nested agg/CASE-in-agg/HAVING/NULLIF ratio)") {
+    differential(FuzzSql.sampleV7)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -151,6 +155,22 @@ class DifferentialSqlSpec extends SparkSpec {
     v6s.map(_.shape.getClass.getSimpleName).toSet shouldBe
       Set("DtAgg", "DtProject")
     v6s.map(_.dcol).toSet shouldBe Set("o_orderdate", "l_shipdate")
+    // v7: both regroup keys, both fact tables, HAVING, the NULLIF ratio,
+    // the bare-count Q13 shape, and all four level-1 aggregate kinds must
+    // stay represented
+    val v7 = FuzzSql.gateSeedsV7.map(s => FuzzSql.sampleV7(s).sql).mkString("\n---\n")
+    md5(v7) shouldBe renderedHashV7
+    val v7s = FuzzSql.gateSeedsV7.map(FuzzSql.sampleV7)
+      .collect { case s: FuzzSql.NestSample => s }
+    v7s should have size FuzzSql.gateSeedsV7.size
+    v7s.map(_.key.getClass.getSimpleName).toSet shouldBe Set("CntBand", "CntMod")
+    v7s.map(_.fact.name).toSet shouldBe Set("orders", "lineitem")
+    v7s.exists(_.havingMin.isDefined) shouldBe true
+    v7s.exists(_.ratio) shouldBe true
+    v7s.exists(_.l1Aggs.isEmpty) shouldBe true
+    v7s.flatMap(_.l1Aggs).map(_.getClass.getSimpleName).toSet should contain allOf
+      ("CondCnt", "CondDSum", "DSum", "SumInt")
+    v7s.flatMap(_.mm) should not be empty
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
@@ -159,4 +179,5 @@ class DifferentialSqlSpec extends SparkSpec {
   private val renderedHashV4 = "7aa5591572634e7158ed337bf323229e"
   private val renderedHashV5 = "fbe6bf34e0014aa22d9302c659fe94ca"
   private val renderedHashV6 = "74ded63ace9c8d263d09a5eca0d37005"
+  private val renderedHashV7 = "bb58e10217ea0520c4737a1c66cc4500"
 }
