@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, KmvDistinct, MinHashSig, SimHashSig, TopKByScore, WinnowFingerprint}
+import graft.functions.{CmsSketch, DotProduct, KmvDistinct, MinHashSig, SimHashSig, TopKByScore, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -83,6 +83,13 @@ object GraftExtensions {
         require(args.length == 2, "kmv_sketch(hash, k)")
         KmvDistinct(args(0), intArg(args(1), "kmv_sketch"))
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cms_sketch(slots, width, depth)")
+        CmsSketch(args(0), intArg(args(1), "cms_sketch"),
+          intArg(args(2), "cms_sketch")).toAggregateExpression()
       }),
     // Spark's OWN bloom-filter expressions, exposed as SQL functions: the
     // engine uses them for two-phase decontamination (Bloom prune + exact

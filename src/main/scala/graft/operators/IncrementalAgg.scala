@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental maintenance of an additive aggregate table — materialized-
+  * view delta maintenance: given the CURRENT aggregate snapshot and a DELTA
+  * of newly appended base rows, produce the next snapshot WITHOUT
+  * rescanning the base table. `advance(snapshot, delta) ==
+  * aggregate(base ∪ delta)` exactly, because every state the snapshot
+  * carries is a mergeable partial: counts and decimal-exact sums combine
+  * by +, min/max by least/greatest (both null-skipping in Spark, so a
+  * key present on one side only keeps that side's state).
+  *
+  * APPEND-ONLY by design: deletes/updates would need retractable state
+  * (sums and counts still merge, min/max don't). The CDC path for
+  * updatable tables is [[graft.streaming.CdcStream]]; this operator is
+  * the rollup-freshness path for immutable fact history.
+  *
+  * Scale stance (100 TB): the daily refresh touches |delta rows| +
+  * |snapshot groups| instead of the full history — aggregate(delta) is a
+  * map-side-combined shuffle of the delta only, and the merge join
+  * shuffles the AGGREGATE grain (|groups| rows), not the base table.
+  * Snapshot state lives as a versioned table (ObjectStoreSink
+  * replaceTable), so refresh is also atomic and time-travelable.
+  */
+object IncrementalAgg {
+
+  /** Which states the snapshot maintains. Sums are kept as DECIMAL(28,4)
+    * partials (exact, order-independent — the dsum convention as stored
+    * state); cast at publish time if doubles are wanted.
+    */
+  final case class Spec(keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+    require(keys.nonEmpty, "aggregate needs at least one key")
+    def stateCols: Seq[String] =
+      "cnt" +: (sumCols.map("s_" + _) ++ minCols.map("mn_" + _) ++
+        maxCols.map("mx_" + _))
+  }
+
+  private val dec = DecimalType(28, 4)
+
+  /** Aggregate base/delta rows into snapshot-state grain. */
+  def aggregate(rows: DataFrame, spec: Spec): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      (spec.sumCols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
+        spec.minCols.map(c => min(col(c)).as(s"mn_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"mx_$c")))
+    rows.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two snapshot-grain states (commutative, associative). */
+  def merge(snapshot: DataFrame, deltaAgg: DataFrame, spec: Spec): DataFrame = {
+    val expect = (spec.keys ++ spec.stateCols).sorted
+    for (side <- Seq(snapshot, deltaAgg))
+      require(side.columns.sorted.sameElements(expect),
+        s"state schema mismatch: ${side.columns.sorted.mkString(",")} vs ${expect.mkString(",")}")
+    def rename(df: DataFrame, suffix: String) =
+      spec.stateCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val j = rename(snapshot, "__o").join(rename(deltaAgg, "__n"),
+      spec.keys, "full_outer")
+    val zero = lit(0).cast(dec)
+    val merged =
+      (coalesce(col("cnt__o"), lit(0L)) + coalesce(col("cnt__n"), lit(0L)))
+        .as("cnt") +:
+        (spec.sumCols.map(c =>
+          (coalesce(col(s"s_${c}__o"), zero) + coalesce(col(s"s_${c}__n"), zero))
+            .as(s"s_$c")) ++
+          spec.minCols.map(c =>
+            least(col(s"mn_${c}__o"), col(s"mn_${c}__n")).as(s"mn_$c")) ++
+          spec.maxCols.map(c =>
+            greatest(col(s"mx_${c}__o"), col(s"mx_${c}__n")).as(s"mx_$c")))
+    j.select(spec.keys.map(col) ++ merged: _*)
+  }
+
+  /** One refresh step: fold an append-only delta into the snapshot. */
+  def advance(snapshot: DataFrame, deltaRows: DataFrame, spec: Spec): DataFrame =
+    merge(snapshot, aggregate(deltaRows, spec), spec)
+}

@@ -918,5 +918,95 @@ object CurationOps {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name, c_acctbal
-             |FROM customer ORDER BY c_custkey""".stripMargin)))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- count-min sketch over token occurrences --------------------------
+    // The fixed-memory frequency structure (Cormode & Muthukrishnan 2005):
+    // exact token frequency shuffles |vocab| rows and grows with the
+    // corpus; cms_sketch ships a FIXED depth×width counter matrix from
+    // each map task and merges by +. Slot hashing rides the engine's md5
+    // convention, so the oracle rebuilds the ENTIRE sketch relationally —
+    // every nonzero counter, bit-for-bit — by grouping occurrences on
+    // (row, slot).
+    QueryDef(
+      "q_cms_sketch",
+      (s, d) => {
+        val (w, dep) = (1024, 4)
+        t(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+          .agg(graft.functions.CmsSketch.cms(
+            graft.functions.CmsSketch.slotsFor(col("token"), w, dep), w, dep)
+            .as("sk"))
+          .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+          .filter(col("cnt") > 0)
+          .select((col("pos") / w).cast("long").as("j"),
+            (col("pos") % w).cast("long").as("slot"), col("cnt"))
+          .orderBy("j", "slot")
+      },
+      Some("""WITH toks AS (
+             |  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+             |  FROM documents),
+             |occ AS (
+             |  SELECT j,
+             |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || token), 1, 15)) AS BIGINT) % 1024 AS slot
+             |  FROM toks CROSS JOIN (VALUES (0),(1),(2),(3)) t(j))
+             |SELECT CAST(j AS BIGINT) AS j, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM occ GROUP BY j, slot ORDER BY j, slot""".stripMargin)),
+
+    // ---- CMS point estimates (heavy-hitter probes) ------------------------
+    // The read side of the sketch: est(x) = min over rows of the counter at
+    // x's slot — an upper bound on x's true count that both engines must
+    // state identically. The probe set includes an absent token (zero or
+    // pure-collision estimate) and the exact counts ride along as the
+    // ground truth. Spark probes through the collected sketch as a literal
+    // array (32 KB — the BloomOps ship-as-literal precedent), so the probe
+    // side never shuffles the corpus.
+    QueryDef(
+      "q_cms_heavy",
+      (s, d) => {
+        val (w, dep) = (1024, 4)
+        val toks = t(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        val sketch = toks
+          .agg(graft.functions.CmsSketch.cms(
+            graft.functions.CmsSketch.slotsFor(col("token"), w, dep), w, dep)
+            .as("sk"))
+          .head().getSeq[Long](0)
+        val skLit = typedlit(sketch)
+        import s.implicits._
+        val probes = Seq("fast", "key", "table", "value", "zz_absent")
+          .toDF("token")
+        val ests = probes
+          .withColumn("slots",
+            graft.functions.CmsSketch.slotsFor(col("token"), w, dep))
+          .withColumn("est_cnt", least((0 until dep).map(j =>
+            element_at(skLit,
+              (lit(j * w) + element_at(col("slots"), j + 1) + 1).cast("int"))): _*))
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        ests.join(exact, Seq("token"), "left")
+          .select(col("token"), coalesce(col("c"), lit(0L)).as("exact_cnt"),
+            col("est_cnt"))
+          .orderBy("token")
+      },
+      Some("""WITH toks AS (
+             |  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+             |  FROM documents),
+             |occ AS (
+             |  SELECT j,
+             |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || token), 1, 15)) AS BIGINT) % 1024 AS slot
+             |  FROM toks CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)),
+             |sk AS (SELECT j, slot, COUNT(*) AS cnt FROM occ GROUP BY j, slot),
+             |probes AS (SELECT * FROM (VALUES ('fast'),('key'),('table'),('value'),('zz_absent')) p(token)),
+             |pslots AS (
+             |  SELECT p.token, t.j,
+             |    CAST(('0x' || substring(md5(CAST(t.j AS VARCHAR) || '#' || p.token), 1, 15)) AS BIGINT) % 1024 AS slot
+             |  FROM probes p CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)),
+             |est AS (
+             |  SELECT ps.token, MIN(COALESCE(sk.cnt, 0)) AS est_cnt
+             |  FROM pslots ps LEFT JOIN sk ON sk.j = ps.j AND sk.slot = ps.slot
+             |  GROUP BY ps.token),
+             |cnts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token)
+             |SELECT e.token, CAST(COALESCE(c.c, 0) AS BIGINT) AS exact_cnt,
+             |       CAST(e.est_cnt AS BIGINT) AS est_cnt
+             |FROM est e LEFT JOIN cnts c USING (token) ORDER BY e.token""".stripMargin)))
 }

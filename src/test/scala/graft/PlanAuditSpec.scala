@@ -263,6 +263,17 @@ class PlanAuditSpec extends SparkSpec {
     (plan should not).include("CartesianProduct")
   }
 
+  test("q_bm25_topk: top-k runs as WindowGroupLimit, corpus stats broadcast") {
+    val plan = planString(q("q_bm25_topk"))
+    // same rank-limit pushdown as tfidf: bounded top-3 per doc both sides
+    // of the shuffle; the 1-row corpus-stats aggregate joins as a
+    // broadcast, never a shuffled cross
+    plan should include ("WindowGroupLimit")
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include ("Broadcast")
+    (plan should not).include("CartesianProduct")
+  }
+
   test("q_reservoir_per_group: rank<=k runs as WindowGroupLimit both sides of the shuffle") {
     val plan = planString(q("q_reservoir_per_group"))
     plan should include ("WindowGroupLimit")

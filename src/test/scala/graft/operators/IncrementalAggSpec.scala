@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+class IncrementalAggSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  private val spec = IncrementalAgg.Spec(
+    keys = Seq("k"), sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  test("advance over any split equals one-shot aggregation") {
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", -1.0), ("c", 7.5))
+      .toDF("k", "v")
+    val oneShot = IncrementalAgg.aggregate(base, spec)
+    for (cut <- Seq("a", "b")) {
+      val snap = IncrementalAgg.aggregate(base.filter(col("k") <= cut), spec)
+      val delta = base.filter(col("k") > cut)
+      canon(IncrementalAgg.advance(snap, delta, spec)) shouldBe canon(oneShot)
+    }
+  }
+
+  test("multi-batch refresh is associative: (s+d1)+d2 == aggregate(all)") {
+    val d0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val d1 = Seq(("a", 5.0), ("c", 1.5)).toDF("k", "v")
+    val d2 = Seq(("b", -3.0), ("c", 0.5), ("d", 9.0)).toDF("k", "v")
+    val s0 = IncrementalAgg.aggregate(d0, spec)
+    val s2 = IncrementalAgg.advance(IncrementalAgg.advance(s0, d1, spec), d2, spec)
+    canon(s2) shouldBe canon(IncrementalAgg.aggregate(d0.union(d1).union(d2), spec))
+  }
+
+  test("delta-only keys appear; empty delta is a no-op; mins/maxes survive one-sided merges") {
+    val s0 = IncrementalAgg.aggregate(Seq(("a", 4.0)).toDF("k", "v"), spec)
+    val grown = IncrementalAgg.advance(s0, Seq(("z", -2.0)).toDF("k", "v"), spec)
+    val rows = grown.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getAs[java.math.BigDecimal](2).doubleValue())).toMap
+    rows("a")._1 shouldBe 1L
+    rows("z") shouldBe ((1L, -2.0))
+    val unchanged = IncrementalAgg.advance(grown,
+      Seq.empty[(String, Double)].toDF("k", "v"), spec)
+    canon(unchanged) shouldBe canon(grown)
+  }
+
+  test("merge rejects a state relation whose schema doesn't match the spec") {
+    val good = IncrementalAgg.aggregate(Seq(("a", 1.0)).toDF("k", "v"), spec)
+    val bad = good.withColumnRenamed("cnt", "n")
+    an[IllegalArgumentException] should be thrownBy
+      IncrementalAgg.merge(good, bad, spec)
+  }
+}
