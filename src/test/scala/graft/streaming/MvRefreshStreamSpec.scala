@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.ObjectStoreSpec
+import graft.operators.IncrementalAgg
+import graft.sinks.ObjectStoreSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+class MvRefreshStreamSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  private val aspec = IncrementalAgg.Spec(
+    keys = Seq("k"), sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+
+  private def freshSpec(tag: String) = ObjectStoreSpec(
+    path = graft.Scratch.fresh(s"graft-mvrs-$tag"),
+    database = "graft_tmp", table = s"mvrs_${tag}_${System.nanoTime()}")
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  private def drain(srcDir: String, spec: ObjectStoreSpec, ckpt: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = MvRefreshStream.start(spark, src, spec, aspec, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("streamed refresh equals one-shot aggregation; one version per batch") {
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src")
+    val all = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", -4.0),
+      ("b", 0.5), ("c", 9.0)).toDF("k", "v")
+    all.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("eq")
+    drain(srcDir, spec, graft.Scratch.fresh("graft-mvrs") + "/ckpt")
+    ObjectStoreSink.snapshots(spec).size shouldBe 3
+    canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe
+      canon(IncrementalAgg.aggregate(all, aspec))
+  }
+
+  test("replayed batch is a no-op; out-of-order batch is rejected") {
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src2")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("replay")
+    drain(srcDir, spec, graft.Scratch.fresh("graft-mvrs2") + "/ckpt")
+    ObjectStoreSink.snapshots(spec).size shouldBe 2
+    val before = canon(ObjectStoreSink.readVersion(spark, spec, None))
+    // crash-replay of an already-committed batch: version log says skip
+    MvRefreshStream.applyBatch(spark,
+      Seq(("a", 99.0)).toDF("k", "v"), 0, spec, aspec)
+    ObjectStoreSink.snapshots(spec).size shouldBe 2
+    canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe before
+    // a batch id from the future means lost state — refuse, don't corrupt
+    an[IllegalArgumentException] should be thrownBy
+      MvRefreshStream.applyBatch(spark,
+        Seq(("a", 1.0)).toDF("k", "v"), 7, spec, aspec)
+  }
+
+  test("checkpoint restart resumes batch numbering and never double-counts") {
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src3")
+    val ckpt = graft.Scratch.fresh("graft-mvrs3") + "/ckpt"
+    val d1 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    d1.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("resume")
+    drain(srcDir, spec, ckpt)
+    ObjectStoreSink.snapshots(spec).size shouldBe 2
+    // more files land; SAME checkpoint → ids continue at 2
+    val d2 = Seq(("a", 10.0), ("z", 5.0)).toDF("k", "v")
+    d2.repartition(1).write.mode("append").parquet(srcDir)
+    drain(srcDir, spec, ckpt)
+    ObjectStoreSink.snapshots(spec).size shouldBe 3
+    canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe
+      canon(IncrementalAgg.aggregate(d1.union(d2), aspec))
+  }
+}
