@@ -64,4 +64,29 @@ object TableDiff {
         dataCols.map(c => cnt(colChanged(c)).as(s"changed_$c"))
     j.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Schema-evolution diff — the structural third of the audit trio
+    * (DriftReport = statistics, diff = rows, this = shape): one row per
+    * column name present in either version, with status
+    * added/removed/retyped/unchanged and both type names
+    * (`catalogString`). Pure metadata — reads NO data, so it costs the
+    * same at 100 TB as at 100 rows; the version log makes it a
+    * between-any-two-snapshots question.
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val n = newDf.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val rows = (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      (o.get(c), n.get(c)) match {
+        case (None, Some(t))              => (c, "added", null: String, t)
+        case (Some(t), None)              => (c, "removed", t, null: String)
+        case (Some(a), Some(b)) if a == b => (c, "unchanged", a, b)
+        case (Some(a), Some(b))           => (c, "retyped", a, b)
+        case (None, None)                 => sys.error("unreachable")
+      }
+    }
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    rows.toDF("column", "status", "old_type", "new_type")
+  }
 }

@@ -65,6 +65,17 @@ class TableDiffSpec extends SparkSpec {
     r("rows_changed") shouldBe 0L
   }
 
+  test("schemaDiff reports added/removed/retyped/unchanged with catalog type names") {
+    val old = Seq((1L, 1.0, "a")).toDF("id", "v", "s")
+    val nw = Seq((1L, 1, true)).toDF("id", "v", "b")
+    val rows = TableDiff.schemaDiff(old, nw).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    rows("id") shouldBe (("unchanged", "bigint", "bigint"))
+    rows("v") shouldBe (("retyped", "double", "int"))
+    rows("s") shouldBe (("removed", "string", null))
+    rows("b") shouldBe (("added", null, "boolean"))
+  }
+
   test("schema mismatch and empty keys are rejected") {
     val a = Seq((1L, 1.0)).toDF("id", "v")
     val b = Seq((1L, "x")).toDF("id", "w")
