@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryDef.dsumSql
@@ -21,6 +21,62 @@ object Text {
 
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Shared scoring relation for q_bigram_likelihood and its CCNet-bucket
+    * composite: (doc_id, n_bigrams, avg_bigram_p) per document with ≥1
+    * bigram. See q_bigram_likelihood's Scaladoc for the plan rationale
+    * (bigram-key shuffle, BROADCAST unigram counts, dsum determinism).
+    */
+  private def bigramScores(s: SparkSession, d: String): DataFrame = {
+    val ta = split(trim(col("text")), "\\s+")
+    val n = size(ta)
+    val bigrams = when(n >= 2,
+      zip_with(slice(ta, lit(1), n - 1), slice(ta, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val occ = t(s, d, "documents")
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val cw1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = t(s, d, "documents")
+      .select(explode(ta).as("w"))
+      .agg(countDistinct(col("w")).as("vn"))
+    val p = occ.join(cbg, "bg").join(broadcast(cw1), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round((col("c_bg") + lit(1)) / (col("c_w1") + col("vn")), 6).as("p"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_bigram_p"))
+  }
+
+  /** DuckDB twin of [[bigramScores]]: CTE chain ending in
+    * `scores(doc_id, n_bigrams, avg_bigram_p)`.
+    */
+  private val bigramScoreCtes: String =
+    """occ AS (
+      |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(1, greatest(length(ta), 1)),
+      |      i -> ta[i] || ' ' || ta[i+1])) AS bg
+      |    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS ta
+      |          FROM documents))),
+      |cbg AS (SELECT bg, COUNT(*) AS c_bg FROM occ GROUP BY bg),
+      |cw1 AS (SELECT w1, COUNT(*) AS c_w1 FROM occ GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT w) AS vn FROM (
+      |  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+      |  FROM documents)),
+      |p AS (
+      |  SELECT doc_id, ROUND((c_bg + 1.0) / (c_w1 + vn), 6) AS p
+      |  FROM occ JOIN cbg USING (bg) JOIN cw1 USING (w1) CROSS JOIN v),
+      |scores AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      |      AS avg_bigram_p
+      |  FROM p GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- statistical LM quality signal: add-one bigram likelihood ---------
@@ -38,51 +94,64 @@ object Text {
     // free), divided by the count — the house dsum pattern.
     QueryDef(
       "q_bigram_likelihood",
+      (s, d) => bigramScores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $bigramScoreCtes
+             |SELECT doc_id, n_bigrams, avg_bigram_p
+             |FROM scores ORDER BY doc_id""".stripMargin)),
+
+    // ---- CCNet-style perplexity-bucket curation (Wenzek et al. 2020) ------
+    // The canonical LM-filtered-corpus recipe as a composite over the
+    // oracled bigram score: corpus-percentile thresholds split documents
+    // into head/middle/tail (fluent → boilerplate-adjacent → soup), then
+    // each bucket keeps a deterministic hash fraction (head 100%, middle
+    // 50%, tail 10% — the md5 key-bucket sampling convention, so re-runs
+    // and engines agree doc-by-doc). Thresholds are exact percentile_disc
+    // over the rounded scores: one 1-row aggregate broadcast against the
+    // score relation — no sort of the corpus, no second scoring pass. The
+    // oracle replays scoring, thresholds, bucketing, and the kept counts.
+    QueryDef(
+      "q_ccnet_buckets",
       (s, d) => {
-        val ta = split(trim(col("text")), "\\s+")
-        val n = size(ta)
-        val bigrams = when(n >= 2,
-          zip_with(slice(ta, lit(1), n - 1), slice(ta, lit(2), n - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>"))
-        val occ = t(s, d, "documents")
-          .select(col("doc_id"), explode(bigrams).as("bg"))
-          .withColumn("w1", element_at(split(col("bg"), " "), 1))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cbg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-        val cw1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-        val vocab = t(s, d, "documents")
-          .select(explode(ta).as("w"))
-          .agg(countDistinct(col("w")).as("vn"))
-        val p = occ.join(cbg, "bg").join(broadcast(cw1), "w1")
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            round((col("c_bg") + lit(1)) / (col("c_w1") + col("vn")), 6).as("p"))
-        p.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("p").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-              .cast("double") / count(lit(1)), 6).as("avg_bigram_p"))
-          .orderBy("doc_id")
+        val scores = bigramScores(s, d)
+        val th = scores.agg(
+          expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_bigram_p)")
+            .as("p33"),
+          expr("percentile_disc(0.66) WITHIN GROUP (ORDER BY avg_bigram_p)")
+            .as("p66"))
+        val kb = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % 1000
+        val rate = when(col("bucket") === "head", 1000L)
+          .when(col("bucket") === "middle", 500L).otherwise(100L)
+        scores.crossJoin(broadcast(th))
+          .withColumn("bucket",
+            when(col("avg_bigram_p") >= col("p66"), "head")
+              .when(col("avg_bigram_p") >= col("p33"), "middle")
+              .otherwise("tail"))
+          .withColumn("kept", kb < rate)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_bigrams")).as("sum_bigrams"))
+          .orderBy("bucket")
       },
-      Some("""WITH occ AS (
-             |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
-             |    SELECT doc_id, UNNEST(list_transform(
-             |      range(1, greatest(length(ta), 1)),
-             |      i -> ta[i] || ' ' || ta[i+1])) AS bg
-             |    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS ta
-             |          FROM documents))),
-             |cbg AS (SELECT bg, COUNT(*) AS c_bg FROM occ GROUP BY bg),
-             |cw1 AS (SELECT w1, COUNT(*) AS c_w1 FROM occ GROUP BY w1),
-             |v AS (SELECT COUNT(DISTINCT w) AS vn FROM (
-             |  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
-             |  FROM documents)),
-             |p AS (
-             |  SELECT doc_id, ROUND((c_bg + 1.0) / (c_w1 + vn), 6) AS p
-             |  FROM occ JOIN cbg USING (bg) JOIN cw1 USING (w1) CROSS JOIN v)
-             |SELECT doc_id, COUNT(*) AS n_bigrams,
-             |  ROUND(CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
-             |    AS avg_bigram_p
-             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $bigramScoreCtes,
+             |th AS (
+             |  SELECT percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_bigram_p) AS p33,
+             |         percentile_disc(0.66) WITHIN GROUP (ORDER BY avg_bigram_p) AS p66
+             |  FROM scores),
+             |b AS (
+             |  SELECT s.*, CASE WHEN avg_bigram_p >= p66 THEN 'head'
+             |                   WHEN avg_bigram_p >= p33 THEN 'middle'
+             |                   ELSE 'tail' END AS bucket,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS kb
+             |  FROM scores s CROSS JOIN th)
+             |SELECT bucket, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN kb < (CASE bucket WHEN 'head' THEN 1000
+             |                                       WHEN 'middle' THEN 500
+             |                                       ELSE 100 END)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ---- token counting + basic stats -------------------------------------
     QueryDef(
