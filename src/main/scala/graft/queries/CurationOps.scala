@@ -953,6 +953,43 @@ object CurationOps {
              |SELECT CAST(j AS BIGINT) AS j, slot, CAST(COUNT(*) AS BIGINT) AS cnt
              |FROM occ GROUP BY j, slot ORDER BY j, slot""".stripMargin)),
 
+    // ---- grouped CMS: one sketch per source -------------------------------
+    // The per-stratum form (q_kmv_by_source's CMS twin): one counter
+    // matrix per source, still one map-side-combined groupBy — shuffle is
+    // |sources| × sketch size, independent of corpus rows. Per-source
+    // sketches merge associatively into the corpus sketch (the
+    // IncrementalAgg property), so per-shard/per-day sketches roll up
+    // without rescans. Oracle rebuilds every per-source nonzero counter.
+    QueryDef(
+      "q_cms_by_source",
+      (s, d) => {
+        val (w, dep) = (1024, 4)
+        t(s, d, "documents")
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+          .groupBy("source")
+          .agg(graft.functions.CmsSketch.cms(
+            graft.functions.CmsSketch.slotsFor(col("token"), w, dep), w, dep)
+            .as("sk"))
+          .select(col("source"), posexplode(col("sk")).as(Seq("pos", "cnt")))
+          .filter(col("cnt") > 0)
+          .select(col("source"), (col("pos") / w).cast("long").as("j"),
+            (col("pos") % w).cast("long").as("slot"), col("cnt"))
+          .orderBy("source", "j", "slot")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+             |  FROM documents),
+             |occ AS (
+             |  SELECT source, j,
+             |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || token), 1, 15)) AS BIGINT) % 1024 AS slot
+             |  FROM toks CROSS JOIN (VALUES (0),(1),(2),(3)) t(j))
+             |SELECT source, CAST(j AS BIGINT) AS j, slot,
+             |       CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM occ GROUP BY source, j, slot
+             |ORDER BY source, j, slot""".stripMargin)),
+
     // ---- CMS point estimates (heavy-hitter probes) ------------------------
     // The read side of the sketch: est(x) = min over rows of the counter at
     // x's slot — an upper bound on x's true count that both engines must
