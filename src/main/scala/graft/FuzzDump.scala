@@ -28,6 +28,7 @@ object FuzzDump {
       case Some("v5") => FuzzSql.sampleV5
       case Some("v6") => FuzzSql.sampleV6
       case Some("v7") => FuzzSql.sampleV7
+      case Some("v8") => FuzzSql.sampleV8
       case _          => FuzzSql.sample
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -1524,6 +1524,120 @@ object FuzzSql {
     NestSample(seed, fact, gkey, preds, l1Aggs, havingMin, key, mm, ratio)
   }
 
+  // ---- v8: the analytic window-function surface ---------------------------
+
+  sealed trait WfShape
+  /** LAG/LEAD with explicit typed defaults over the unique-key order. */
+  final case class WfLagLead(x: String, lagN: Int, leadN: Int) extends WfShape
+  /** RANK + NTILE over a value ordering with unique-key tie-break. */
+  final case class WfRankTile(x: String, tiles: Int, desc: Boolean) extends WfShape
+  /** RANGE-framed decimal running sum over a single numeric order column.
+    * RANGE frames include ALL peers of the current row, so the result is
+    * deterministic even when the order column has ties — the property that
+    * makes this shape differential-safe where a ROWS frame would need a
+    * unique order.
+    */
+  final case class WfRangeSum(x: String, ordCol: String, prec: Long) extends WfShape
+
+  /** v8 sample: LAG/LEAD (typed defaults), RANK/NTILE (tie-broken), and
+    * RANGE-framed running sums — the analytic-function tier v1-v7 never
+    * touched. All order columns are non-null keys or non-null doubles, so
+    * engine null-placement defaults never engage; ties under RANK are
+    * broken by the unique key, and RANGE frames are tie-immune by
+    * definition.
+    */
+  final case class WfSample(seed: Long, fact: Table, pkey: String,
+      preds: Seq[Pred], shape: WfShape) extends Fuzzed {
+
+    private def uks = fact.uk
+
+    def describe: String =
+      s"v8 ${fact.name} per-$pkey ${shape.getClass.getSimpleName} " +
+        s"preds=${preds.size}"
+
+    private def whereSql =
+      if (preds.isEmpty) "" else s"\nWHERE ${preds.map(_.sql).mkString(" AND ")}"
+    private def ordSql = uks.mkString(", ")
+
+    def sql: String = shape match {
+      case WfLagLead(x, ln, dn) =>
+        // the fact's uk is NOT unique (driver lineitem); appending x makes
+        // tied rows fully interchangeable, so the lag/lead value sequence
+        // is deterministic as a multiset on both engines
+        val over = s"OVER (PARTITION BY $pkey ORDER BY $ordSql, $x)"
+        s"SELECT ${uks.mkString(", ")}, $pkey, $x,\n" +
+          s"  LAG($x, $ln, 0.0) $over AS lagv,\n" +
+          s"  LEAD($x, $dn, -1.0) $over AS leadv\n" +
+          s"FROM ${fact.name}$whereSql\nORDER BY $ordSql"
+      case WfRankTile(x, t, desc) =>
+        val dir = if (desc) "DESC" else "ASC"
+        val over = s"OVER (PARTITION BY $pkey ORDER BY $x $dir, $ordSql)"
+        s"SELECT ${uks.mkString(", ")}, $pkey, $x,\n" +
+          s"  CAST(RANK() $over AS BIGINT) AS rnk,\n" +
+          s"  CAST(NTILE($t) $over AS BIGINT) AS tile\n" +
+          s"FROM ${fact.name}$whereSql\nORDER BY $ordSql"
+      case WfRangeSum(x, oc, p) =>
+        s"SELECT ${uks.mkString(", ")},\n" +
+          s"  CAST(SUM(CAST($x AS DECIMAL(28,4))) OVER (PARTITION BY $pkey " +
+          s"ORDER BY $oc RANGE BETWEEN $p PRECEDING AND CURRENT ROW) " +
+          s"AS DOUBLE) AS wsum\n" +
+          s"FROM ${fact.name}$whereSql\nORDER BY $ordSql"
+    }
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      val rel = preds.foldLeft(Tables.load(spark, dir, fact.name))(
+        (d, p) => d.filter(p.expr))
+      val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+      shape match {
+        case WfLagLead(x, ln, dn) =>
+          val w = Window.partitionBy(col(pkey))
+            .orderBy(uks.map(col) :+ col(x): _*)
+          rel.select(uks.map(col) ++ Seq(col(pkey), col(x),
+            lag(col(x), ln, 0.0).over(w).as("lagv"),
+            lead(col(x), dn, -1.0).over(w).as("leadv")): _*)
+            .orderBy(uks.map(col): _*)
+        case WfRankTile(x, t, desc) =>
+          val ord = (if (desc) col(x).desc else col(x).asc) +: uks.map(col)
+          val w = Window.partitionBy(col(pkey)).orderBy(ord: _*)
+          rel.select(uks.map(col) ++ Seq(col(pkey), col(x),
+            rank().over(w).cast("long").as("rnk"),
+            ntile(t).over(w).cast("long").as("tile")): _*)
+            .orderBy(uks.map(col): _*)
+        case WfRangeSum(x, oc, p) =>
+          val w = Window.partitionBy(col(pkey)).orderBy(col(oc))
+            .rangeBetween(-p, Window.currentRow)
+          rel.select(uks.map(col) :+
+            sum(col(x).cast(dec)).over(w).cast("double").as("wsum"): _*)
+            .orderBy(uks.map(col): _*)
+      }
+    }
+  }
+
+  /** v8 generator: analytic window functions over a keyed partition.
+    * v1-v7 streams stay FROZEN; v8 gate seeds live at 10001+.
+    */
+  def sampleV8(seed: Long): Fuzzed = {
+    val rnd = new Random(seed)
+    // non-power-of-2 bound (see sampleV6/V7): sequential seeds decorrelate
+    val (fact, pkey) = rnd.nextInt(6) match {
+      case 0 | 1 => (orders, "o_custkey")
+      case 2     => (lineitem, "l_suppkey")
+      case 3     => (lineitem, "l_partkey")
+      case _     => (customer, "c_nationkey")
+    }
+    val preds = (0 until rnd.nextInt(2)).flatMap(_ => mkPred(rnd, fact.cols)).distinct
+    val dbls = fact.cols.filter(_.kind == DblK).map(_.name)
+    val x = pick(rnd, dbls)
+    val shape: WfShape = rnd.nextInt(3) match {
+      case 0 => WfLagLead(x, 1 + rnd.nextInt(2), 1 + rnd.nextInt(3))
+      case 1 => WfRankTile(x, 2 + rnd.nextInt(4), rnd.nextInt(6) < 3)
+      case _ =>
+        val oc = fact.uk.head // single numeric order column (ties allowed)
+        WfRangeSum(x, oc, Seq(10L, 100L, 1000L)(rnd.nextInt(3)))
+    }
+    WfSample(seed, fact, pkey, preds, shape)
+  }
+
   /** The fixed-seed samples registered as `q_fuzz_*` driver-gate queries —
     * cross-engine (Spark vs DuckDB) differential points. Seeds chosen once;
     * NEVER renumber (the driver compares against committed results).
@@ -1612,6 +1726,20 @@ object FuzzSql {
   val gateSeedsV7: Seq[Long] = Seq(
     9801L, 9802L, 9813L, 9817L, 9822L, 9843L, 9889L, 9896L)
 
+  /** v8 gate seeds → `q_fuzz_62`..`q_fuzz_69`; chosen once over the v8
+    * analytic-window surface — customer LAG/LEAD (10002), lineitem
+    * RANGE-framed running sum with a pred (10003), orders RANK+NTILE
+    * (10005), customer RANGE sum (10008), orders RANGE sum with a pred
+    * (10011), lineitem LAG/LEAD with a pred over the NON-unique
+    * (l_orderkey, l_linenumber) order — the tie shape the 200-seed sweep
+    * flagged until the window order appended the value column (10016),
+    * orders LAG/LEAD with a pred (10017), lineitem RANK+NTILE over 6000
+    * rows (10021) — all validated non-degenerate and DuckDB-green at
+    * sf0.001 AND sf0.01. NEVER renumber.
+    */
+  val gateSeedsV8: Seq[Long] = Seq(
+    10002L, 10003L, 10005L, 10008L, 10011L, 10016L, 10017L, 10021L)
+
   val defs: Seq[QueryDef] =
     gateSeeds.map { s =>
       val smp = sample(s)
@@ -1646,6 +1774,11 @@ object FuzzSql {
     } ++ gateSeedsV7.zipWithIndex.map { case (s, i) =>
       val smp = sampleV7(s)
       QueryDef(f"q_fuzz_${54 + i}%02d",
+        (spark, dir) => smp.df(spark, dir),
+        Some(smp.sql))
+    } ++ gateSeedsV8.zipWithIndex.map { case (s, i) =>
+      val smp = sampleV8(s)
+      QueryDef(f"q_fuzz_${62 + i}%02d",
         (spark, dir) => smp.df(spark, dir),
         Some(smp.sql))
     }

@@ -80,6 +80,10 @@ class DifferentialSqlSpec extends SparkSpec {
     differential(FuzzSql.sampleV7)
   }
 
+  test(s"$Samples random v8 plans (LAG/LEAD/RANK/NTILE/RANGE frames)") {
+    differential(FuzzSql.sampleV8)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -171,6 +175,20 @@ class DifferentialSqlSpec extends SparkSpec {
     v7s.flatMap(_.l1Aggs).map(_.getClass.getSimpleName).toSet should contain allOf
       ("CondCnt", "CondDSum", "DSum", "SumInt")
     v7s.flatMap(_.mm) should not be empty
+    // v8: all three analytic shapes, all three fact tables, the non-unique
+    // lineitem order (the tie shape), and a filtered sample of each frame
+    // kind must stay represented
+    val v8 = FuzzSql.gateSeedsV8.map(s => FuzzSql.sampleV8(s).sql).mkString("\n---\n")
+    md5(v8) shouldBe renderedHashV8
+    val v8s = FuzzSql.gateSeedsV8.map(FuzzSql.sampleV8)
+      .collect { case s: FuzzSql.WfSample => s }
+    v8s should have size FuzzSql.gateSeedsV8.size
+    v8s.map(_.shape.getClass.getSimpleName).toSet shouldBe
+      Set("WfLagLead", "WfRankTile", "WfRangeSum")
+    v8s.map(_.fact.name).toSet shouldBe Set("orders", "lineitem", "customer")
+    v8s.exists(s => s.fact.name == "lineitem" &&
+      s.shape.isInstanceOf[FuzzSql.WfLagLead]) shouldBe true
+    v8s.exists(_.preds.nonEmpty) shouldBe true
   }
 
   private val renderedHash = "f311226110f29eaec8de91ab823b3479"
@@ -180,4 +198,5 @@ class DifferentialSqlSpec extends SparkSpec {
   private val renderedHashV5 = "fbe6bf34e0014aa22d9302c659fe94ca"
   private val renderedHashV6 = "74ded63ace9c8d263d09a5eca0d37005"
   private val renderedHashV7 = "bb58e10217ea0520c4737a1c66cc4500"
+  private val renderedHashV8 = "6504b3965428dc5a731d8fe31792f574"
 }
