@@ -27,15 +27,25 @@ object AsofJoin {
     * @param leftTs    left ordering column name
     * @param rightTs   right ordering column name
     * @param rightPrefix prefix for the matched right columns in the output
-    * @param tolerance max staleness `leftTs - rightTs` in the ts columns'
-    *                  own units (numeric ts); a match older than this is
+    * @param tolerance max staleness `leftTs - rightTs` (backward) or max
+    *                  lead `rightTs - leftTs` (forward) in the ts columns'
+    *                  own units (numeric ts); a match further than this is
     *                  reported as NO match (nulled right columns) — pandas
-    *                  merge_asof's `tolerance`. None = unbounded lookback.
+    *                  merge_asof's `tolerance`. None = unbounded.
+    * @param direction "backward" (latest right at-or-before leftTs — the
+    *                  default point-in-time lookup) or "forward" (earliest
+    *                  right at-or-after leftTs — pandas merge_asof
+    *                  direction='forward'; the "next event after" shape).
+    *                  Forward is the SAME one-shuffle plan with the window
+    *                  order reversed — no extra pass, no range join.
     */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPrefix: String = "asof_",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     require(tolerance.forall(_ => !keys.contains(rightTs)),
       "tolerance needs the right ts column in the payload (not a key)")
     val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
@@ -59,19 +69,28 @@ object AsofJoin {
           .as("_asof_payload")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
+    // backward scans time ascending and carries the latest right forward;
+    // forward scans DESCENDING and carries the earliest later right back.
+    // Either way a right row at exactly leftTs sorts before the left row
+    // (side 0 < 1), so exact ties match inclusively.
+    val tsOrd =
+      if (direction == "backward") col("_asof_ts").asc else col("_asof_ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .orderBy(tsOrd, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = taggedRight.unionByName(taggedLeft)
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
-    // tolerance: a too-stale match degrades to no-match (payload → null);
-    // a `when` without `otherwise` nulls both the stale and the already-
+    // tolerance: a too-distant match degrades to no-match (payload → null);
+    // a `when` without `otherwise` nulls both the distant and the already-
     // unmatched case in one expression
     val bounded = tolerance match {
-      case Some(tol) => matched.withColumn("_asof_match",
-        when(col("_asof_ts") - col("_asof_match").getField(rightTs) <= tol,
-          col("_asof_match")))
+      case Some(tol) =>
+        val dist =
+          if (direction == "backward")
+            col("_asof_ts") - col("_asof_match").getField(rightTs)
+          else col("_asof_match").getField(rightTs) - col("_asof_ts")
+        matched.withColumn("_asof_match", when(dist <= tol, col("_asof_match")))
       case None => matched
     }
     bounded.select(leftCols.map(col) ++

@@ -275,6 +275,37 @@ object Events {
              |       THEN click_ts_us END AS click_ts_us
              |FROM m ORDER BY event_id""".stripMargin)),
 
+    // ---- forward as-of join (each click ↔ NEXT purchase at-or-after) ------
+    // merge_asof direction='forward' (the "time-to-next-event" shape):
+    // same one-shuffle union+window plan with the scan order reversed.
+    // DuckDB's native ASOF expresses forward by flipping the inequality
+    // (l.ts <= r.ts picks the SMALLEST satisfying right ts), so the oracle
+    // stays an independent implementation of the same semantics.
+    QueryDef(
+      "q_asof_forward",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id").as("purchase_id"))
+        graft.operators.AsofJoin(clicks, purchases, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "ts_us", direction = "forward")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("asof_purchase_id"),
+            (col("asof_ts_us") - col("ts_us")).as("lead_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts_us,
+             |       p.event_id AS asof_purchase_id,
+             |       epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND c.ts <= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // ---- bucketed range join (clicks within 1h after a signup) ------------
     // operators.RangeJoin bucketizes the time axis (15-min buckets) so the
     // range condition becomes an equi-join on (user, bucket) + residual

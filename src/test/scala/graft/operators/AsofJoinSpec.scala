@@ -27,6 +27,28 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(4))
   }
 
+  test("forward direction matches earliest at-or-after right row; tolerance bounds the lead") {
+    val trades = Seq((1, 10L, "t1"), (1, 20L, "t2"), (2, 15L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1, 5L, 1.0), (1, 18L, 2.0), (1, 20L, 3.0), (2, 99L, 9.0))
+      .toDF("k", "qts", "px")
+    val out = AsofJoin(trades, quotes, Seq("k"), "ts", "qts",
+      direction = "forward")
+      .orderBy("k", "ts")
+      .select("k", "ts", "asof_qts", "asof_px").collect()
+    out(0).getLong(2) shouldBe 18L // t1@10: earliest quote >= 10
+    out(1).getLong(2) shouldBe 20L // t2@20: exact tie matches
+    out(2).getLong(2) shouldBe 99L // t3@15 on key 2: the future quote
+    val bounded = AsofJoin(trades, quotes, Seq("k"), "ts", "qts",
+      direction = "forward", tolerance = Some(10L))
+      .orderBy("k", "ts")
+      .select("k", "ts", "asof_qts").collect()
+    bounded(0).getLong(2) shouldBe 18L // lead 8 <= 10 survives
+    assert(bounded(2).isNullAt(2))     // lead 84 > 10 degrades to no-match
+    an[IllegalArgumentException] should be thrownBy
+      AsofJoin(trades, quotes, Seq("k"), "ts", "qts", direction = "sideways")
+  }
+
   test("left rows and columns all survive; right prefix applied") {
     val l = Seq((1, 10L, "x", 42)).toDF("k", "ts", "payload", "extra")
     val r = Seq((1, 1L, "q")).toDF("k", "rts", "rv")
