@@ -13,7 +13,7 @@ import graft.queries.FuzzSql
   * cross-engine sweep; the 12 `q_fuzz_*` gate entries are the committed
   * always-on subset.
   *
-  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1..v7]
+  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1..v8]
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {

@@ -57,7 +57,13 @@ case class CmsSketch(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == depth,
         s"cms_sketch expects $depth slots, got ${arr.numElements()}")
+      // A NULL element (array(NULL,…) from a NULL input item) skips the
+      // row like the NULL-array case — checked for ALL rows before any
+      // counter moves, so a partial row can never be half-counted.
       var j = 0
+      while (j < depth && !arr.isNullAt(j)) j += 1
+      if (j < depth) return buf
+      j = 0
       while (j < depth) {
         val s = arr.getLong(j)
         require(s >= 0 && s < width, s"slot $s out of [0, $width)")

@@ -50,17 +50,28 @@ object IncrementalAgg {
     rows.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Merge two snapshot-grain states (commutative, associative). */
+  /** Merge two snapshot-grain states (commutative, associative).
+    *
+    * Key equality is NULL-SAFE (`<=>` per key): `groupBy` treats NULL as a
+    * real group, so a snapshot's NULL-key state must merge with the
+    * delta's NULL-key state — a plain equi-join would carry both rows
+    * forever and break `advance == aggregate(base ∪ delta)`.
+    */
   def merge(snapshot: DataFrame, deltaAgg: DataFrame, spec: Spec): DataFrame = {
     val expect = (spec.keys ++ spec.stateCols).sorted
     for (side <- Seq(snapshot, deltaAgg))
       require(side.columns.sorted.sameElements(expect),
         s"state schema mismatch: ${side.columns.sorted.mkString(",")} vs ${expect.mkString(",")}")
     def rename(df: DataFrame, suffix: String) =
-      spec.stateCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+      (spec.keys ++ spec.stateCols).foldLeft(df)((d, c) =>
+        d.withColumnRenamed(c, c + suffix))
+    val cond = spec.keys
+      .map(k => col(s"${k}__o") <=> col(s"${k}__n")).reduce(_ && _)
     val j = rename(snapshot, "__o").join(rename(deltaAgg, "__n"),
-      spec.keys, "full_outer")
+      cond, "full_outer")
     val zero = lit(0).cast(dec)
+    val keyCols = spec.keys.map(k =>
+      coalesce(col(s"${k}__o"), col(s"${k}__n")).as(k))
     val merged =
       (coalesce(col("cnt__o"), lit(0L)) + coalesce(col("cnt__n"), lit(0L)))
         .as("cnt") +:
@@ -71,7 +82,7 @@ object IncrementalAgg {
             least(col(s"mn_${c}__o"), col(s"mn_${c}__n")).as(s"mn_$c")) ++
           spec.maxCols.map(c =>
             greatest(col(s"mx_${c}__o"), col(s"mx_${c}__n")).as(s"mx_$c")))
-    j.select(spec.keys.map(col) ++ merged: _*)
+    j.select(keyCols ++ merged: _*)
   }
 
   /** One refresh step: fold an append-only delta into the snapshot. */

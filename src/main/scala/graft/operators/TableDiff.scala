@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * reference's write-only pipeline cannot offer.
   *
   * Semantics:
-  *   - rows are matched on `keys` (exact equality; a key present on one
-  *     side only is `added`/`removed`);
+  *   - rows are matched on `keys` under NULL-SAFE equality (`<=>` — a
+  *     NULL key component matches a NULL on the other side, so a
+  *     byte-identical row with a NULL in its key reads as `unchanged`,
+  *     not one `added` plus one `removed`); a key present on one side
+  *     only is `added`/`removed`;
   *   - a matched row is `changed` iff ANY non-key column differs under
   *     null-safe equality (NULL vs NULL is equal; NULL vs value differs),
   *     else `unchanged`;
@@ -41,12 +44,14 @@ object TableDiff {
 
     def side(df: DataFrame, suffix: String, marker: String) =
       df.select(
-        keys.map(col) ++
+        keys.map(c => col(c).as(s"${c}_$suffix")) ++
           dataCols.map(c => col(c).as(s"${c}_$suffix")) :+
           lit(1).as(marker): _*)
 
+    val keyCond = keys
+      .map(k => col(s"${k}_old") <=> col(s"${k}_new")).reduce(_ && _)
     val j = side(oldDf, "old", "_in_old")
-      .join(side(newDf, "new", "_in_new"), keys, "full_outer")
+      .join(side(newDf, "new", "_in_new"), keyCond, "full_outer")
 
     val matched = col("_in_old").isNotNull && col("_in_new").isNotNull
     def colChanged(c: String): Column =

@@ -185,7 +185,8 @@ object ObjectStoreSink {
     *   3. retire old versions, keeping the previous one as a grace copy for
     *      readers that resolved the old location mid-swap.
     */
-  def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec): String =
+  def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec,
+      txn: Option[TableManifest.TxnStamp] = None): String =
     lockFor(spec).synchronized {
       val fq = s"${spec.database}.${spec.table}"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
@@ -199,7 +200,7 @@ object ObjectStoreSink {
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
-      TableManifest.commit(next, schemaHash(reread), spec.fileFormat)
+      TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn)
       // ...and the table-root commit log records the version, so "latest
       // committed" never depends on directory-listing order/completeness
       CommitLog.record(tableDir, versionNumber(next))

@@ -47,12 +47,23 @@ object TableManifest {
   @volatile var publisher: CommitPublisher = PosixCommitPublisher
 
   final case class FileEntry(path: String, bytes: Long)
+
+  /** Writer-transaction stamp (the Delta `txn` mechanism): a streaming
+    * writer records (appId, batchId) in the manifest it commits, so its
+    * replay guard keys on ITS OWN last-applied batch instead of the raw
+    * version count — a foreign commit (compaction, manual fix-up) is then
+    * detectable as a version whose stamp isn't the writer's, and fails
+    * loudly rather than masquerading as an applied batch.
+    */
+  final case class TxnStamp(appId: String, batchId: Long)
+
   final case class Manifest(
       files: Seq[FileEntry],
       totalBytes: Long,
       rowCount: Long, // -1 when not derivable from metadata (non-parquet)
       schemaHash: String,
-      committedAtMs: Long)
+      committedAtMs: Long,
+      txn: Option[TxnStamp] = None)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -70,14 +81,15 @@ object TableManifest {
   /** Build + atomically publish the manifest for a fully-written version
     * dir. MUST be called before the catalog repoints at the dir.
     */
-  def commit(versionDir: Path, schemaHash: String, fileFormat: String): Manifest = {
+  def commit(versionDir: Path, schemaHash: String, fileFormat: String,
+      txn: Option[TxnStamp] = None): Manifest = {
     val files = dataFiles(versionDir)
     val entries = files.map(p =>
       FileEntry(versionDir.relativize(p).toString, Files.size(p)))
     val rows =
       if (fileFormat.equalsIgnoreCase("parquet")) parquetRowCount(files) else -1L
     val m = Manifest(entries, entries.map(_.bytes).sum, rows, schemaHash,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), txn)
     publish(versionDir, m)
     m
   }

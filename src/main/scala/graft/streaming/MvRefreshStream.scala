@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.nio.file.Paths
+
 import graft.model.ObjectStoreSpec
 import graft.operators.IncrementalAgg
-import graft.sinks.ObjectStoreSink
+import graft.sinks.{ObjectStoreSink, TableManifest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,45 +14,83 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and the pattern that keeps a 100 TB rollup seconds-fresh: each
   * micro-batch costs |batch| + |snapshot groups|, never a history rescan.
   *
-  * Exactly-once WITHOUT an idempotent sink trick: the commit protocol
-  * itself is the replay guard. Batch b's apply produces table version
-  * b+1, so on foreachBatch replay (crash between replaceTable's commit
-  * and the checkpoint write) `snapshots(spec).size > b` proves the batch
-  * already landed and the apply is skipped — the double-count a naive
-  * re-aggregation would silently introduce cannot happen. This is the
-  * same commit-log-as-dedup-ledger idea Delta's `txn` appIds implement;
-  * here the version NUMBER is the transaction id because the stream is
-  * the table's only writer (single-writer MV refresh).
+  * Exactly-once WITHOUT an idempotent sink trick: every commit this
+  * stream makes carries a [[TableManifest.TxnStamp]] (writer appId +
+  * batch id) — the Delta `txn` mechanism — and the replay guard keys on
+  * THE STAMP of the latest committed version, never the raw version
+  * count. The legal states are exactly:
+  *
+  *   - no versions yet → batch 0 applies (anything else is out of order);
+  *   - latest stamp is ours with `batchId == b` → foreachBatch replay
+  *     (crash between replaceTable's commit and the checkpoint write) —
+  *     skip, the batch already landed;
+  *   - latest stamp is ours with `batchId == b - 1` → apply.
+  *
+  * EVERYTHING else fails loudly: a latest version with a foreign appId or
+  * no stamp at all means some other writer (compaction, manual fix-up)
+  * committed to the single-writer table; `batchId > b` means the
+  * checkpoint was deleted/regressed while the snapshot table was kept
+  * (a genuine replay can only ever be the one in-flight batch); a gap
+  * means batches were lost. The naive `versions > b → skip` guard turned
+  * all of these into silent no-ops — silent data loss — which is the
+  * failure mode this stamp exists to make impossible.
   */
 object MvRefreshStream {
 
-  /** Apply micro-batch `b` (0-based) to the snapshot table; no-op when the
-    * version log shows it already applied.
+  /** Apply micro-batch `b` (0-based) to the snapshot table; no-op only on
+    * a verified same-writer replay of the in-flight batch.
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, b: Long,
-      spec: ObjectStoreSpec, aspec: IncrementalAgg.Spec): Unit = {
-    val applied = ObjectStoreSink.snapshots(spec).size
-    if (applied > b) return // replayed batch: version b+1 is already committed
-    require(applied == b,
-      s"MV refresh out of order: batch $b arrived with $applied versions committed")
+      spec: ObjectStoreSpec, aspec: IncrementalAgg.Spec,
+      appId: String): Unit = {
+    val snaps = ObjectStoreSink.snapshots(spec)
+    if (snaps.isEmpty) {
+      require(b == 0L,
+        s"MV refresh out of order: batch $b arrived with no versions committed")
+    } else {
+      val lastPath = Paths.get(snaps.last.path)
+      val stamp = TableManifest.read(lastPath).flatMap(_.txn)
+      stamp match {
+        case Some(TableManifest.TxnStamp(a, lb)) if a == appId =>
+          if (lb == b) return // replayed in-flight batch: already committed
+          require(lb == b - 1L,
+            s"MV refresh checkpoint/table mismatch: batch $b arrived but " +
+              s"writer '$appId' last applied batch $lb (checkpoint " +
+              "deleted/regressed or batches lost) — refusing to guess")
+        case other =>
+          val who = other.map(t => s"writer '${t.appId}'").getOrElse("no txn stamp")
+          throw new IllegalStateException(
+            s"MV refresh single-writer violation on ${spec.database}.${spec.table}: " +
+              s"latest version ${snaps.last.version} was committed by $who, " +
+              s"expected writer '$appId' — a foreign commit (compaction/manual " +
+              "fix-up) landed on a single-writer MV table; refusing to apply " +
+              s"batch $b on top of unknown state")
+      }
+    }
     val next =
-      if (applied == 0) IncrementalAgg.aggregate(batch, aspec)
+      if (snaps.isEmpty) IncrementalAgg.aggregate(batch, aspec)
       else IncrementalAgg.advance(
         ObjectStoreSink.readVersion(spark, spec, None), batch, aspec)
-    ObjectStoreSink.replaceTable(spark, next, spec): Unit
+    ObjectStoreSink.replaceTable(spark, next, spec,
+      Some(TableManifest.TxnStamp(appId, b))): Unit
   }
 
   /** Start the refresh stream over `src` (a streaming DataFrame of fact
     * rows). AvailableNow drains what exists and stops; a real deployment
-    * passes a processing-time trigger instead.
+    * passes a processing-time trigger instead. The writer id defaults to
+    * the checkpoint location — stable across restarts, unique per stream
+    * — exactly Delta's `txnAppId` convention.
     */
   def start(spark: SparkSession, src: DataFrame, spec: ObjectStoreSpec,
       aspec: IncrementalAgg.Spec, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      appId: Option[String] = None): StreamingQuery = {
+    val writer = appId.getOrElse(checkpoint)
     src.writeStream
       .foreachBatch((batch: DataFrame, id: Long) =>
-        applyBatch(spark, batch, id, spec, aspec))
+        applyBatch(spark, batch, id, spec, aspec, writer))
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 }

@@ -61,4 +61,16 @@ class CmsSketchSpec extends SparkSpec {
         .agg(CmsSketch.cms(array(lit(0L)), W, D))
         .collect()
   }
+
+  test("a NULL input item (NULL slot elements) skips the row like a NULL array") {
+    // slotsFor(NULL) yields array(NULL,…) — non-null array, null elements;
+    // the row must not count, and no counter may move partially
+    val sk = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("x")
+      .agg(CmsSketch.cms(CmsSketch.slotsFor(col("x"), W, D), W, D).as("sk"))
+      .head().getSeq[Long](0)
+    for (j <- 0 until D)
+      sk.slice(j * W, (j + 1) * W).sum shouldBe 3L // only the non-null rows
+    sk shouldBe sketchOf(Seq("a", "a", "b"), 1)
+  }
 }

@@ -50,6 +50,18 @@ class IncrementalAggSpec extends SparkSpec {
     canon(unchanged) shouldBe canon(grown)
   }
 
+  test("NULL group keys merge null-safely: advance == one-shot with NULL groups") {
+    // groupBy treats NULL as a real group; a null-unsafe merge join would
+    // carry a duplicate NULL-key row forever instead of folding the states
+    val base = Seq(("a", 1.0), (null, 2.0), ("b", 3.0), (null, 5.0), ("a", 0.5))
+      .toDF("k", "v")
+    val snap = IncrementalAgg.aggregate(base.filter(col("v") < 2.5), spec)
+    val delta = base.filter(col("v") >= 2.5)
+    val advanced = IncrementalAgg.advance(snap, delta, spec)
+    advanced.count() shouldBe 3L // a, b, NULL — exactly one row per group
+    canon(advanced) shouldBe canon(IncrementalAgg.aggregate(base, spec))
+  }
+
   test("merge rejects a state relation whose schema doesn't match the spec") {
     val good = IncrementalAgg.aggregate(Seq(("a", 1.0)).toDF("k", "v"), spec)
     val bad = good.withColumnRenamed("cnt", "n")

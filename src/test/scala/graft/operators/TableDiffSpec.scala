@@ -56,6 +56,26 @@ class TableDiffSpec extends SparkSpec {
     r("changed_s") shouldBe 2L
   }
 
+  test("a NULL key component matches null-safely: identical rows read unchanged") {
+    // a null-unsafe key join would count the NULL-key row once as added
+    // AND once as removed even when byte-identical across versions
+    val old = Seq((Some(1L), "a"), (Option.empty[Long], "n"), (Some(2L), "b"))
+      .toDF("id", "s")
+    val nw = Seq((Some(1L), "a"), (Option.empty[Long], "n2"), (Some(3L), "c"))
+      .toDF("id", "s")
+    val d = TableDiff.diff(old, nw, Seq("id"))
+    val r = report(d.collect(), d.columns.toSeq)
+    r("rows_added") shouldBe 1L    // id=3
+    r("rows_removed") shouldBe 1L  // id=2
+    r("rows_changed") shouldBe 1L  // id=NULL, s: n → n2
+    r("rows_unchanged") shouldBe 1L
+    val same = TableDiff.diff(old, old, Seq("id"))
+    val rs = report(same.collect(), same.columns.toSeq)
+    rs("rows_added") shouldBe 0L
+    rs("rows_removed") shouldBe 0L
+    rs("rows_unchanged") shouldBe 3L
+  }
+
   test("column order differences between versions are immaterial") {
     val old = Seq((1L, 1.0, "a")).toDF("id", "v", "s")
     val nw = Seq((1.0, "a", 1L)).toDF("v", "s", "id")

@@ -52,18 +52,51 @@ class MvRefreshStreamSpec extends SparkSpec {
     Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
       .repartition(2).write.mode("overwrite").parquet(srcDir)
     val spec = freshSpec("replay")
-    drain(srcDir, spec, graft.Scratch.fresh("graft-mvrs2") + "/ckpt")
+    val ckpt = graft.Scratch.fresh("graft-mvrs2") + "/ckpt"
+    drain(srcDir, spec, ckpt) // appId defaults to the checkpoint path
     ObjectStoreSink.snapshots(spec).size shouldBe 2
     val before = canon(ObjectStoreSink.readVersion(spark, spec, None))
-    // crash-replay of an already-committed batch: version log says skip
+    // crash-replay of the IN-FLIGHT batch (the only legitimate replay):
+    // the txn stamp says batch 1 already committed → skip
     MvRefreshStream.applyBatch(spark,
-      Seq(("a", 99.0)).toDF("k", "v"), 0, spec, aspec)
+      Seq(("a", 99.0)).toDF("k", "v"), 1, spec, aspec, ckpt)
     ObjectStoreSink.snapshots(spec).size shouldBe 2
     canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe before
+    // a regressed batch id (checkpoint deleted while the table was kept)
+    // is NOT a replay — refuse loudly instead of silently dropping data
+    an[IllegalArgumentException] should be thrownBy
+      MvRefreshStream.applyBatch(spark,
+        Seq(("a", 1.0)).toDF("k", "v"), 0, spec, aspec, ckpt)
     // a batch id from the future means lost state — refuse, don't corrupt
     an[IllegalArgumentException] should be thrownBy
       MvRefreshStream.applyBatch(spark,
-        Seq(("a", 1.0)).toDF("k", "v"), 7, spec, aspec)
+        Seq(("a", 1.0)).toDF("k", "v"), 7, spec, aspec, ckpt)
+  }
+
+  test("foreign commit on the single-writer table fails loudly, not silently") {
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src4")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("foreign")
+    val ckpt = graft.Scratch.fresh("graft-mvrs4") + "/ckpt"
+    drain(srcDir, spec, ckpt)
+    ObjectStoreSink.snapshots(spec).size shouldBe 2
+    // a compaction/manual fix-up replaces the table WITHOUT our stamp —
+    // before the txn guard this bumped the version count and the next
+    // legitimate batch was silently skipped as a phantom replay
+    ObjectStoreSink.replaceTable(spark,
+      ObjectStoreSink.readVersion(spark, spec, None), spec)
+    val ex = the[IllegalStateException] thrownBy
+      MvRefreshStream.applyBatch(spark,
+        Seq(("c", 3.0)).toDF("k", "v"), 2, spec, aspec, ckpt)
+    ex.getMessage should include("single-writer violation")
+    // ...and a commit stamped by a DIFFERENT writer id is equally foreign
+    ObjectStoreSink.replaceTable(spark,
+      ObjectStoreSink.readVersion(spark, spec, None), spec,
+      Some(graft.sinks.TableManifest.TxnStamp("other-writer", 2)))
+    an[IllegalStateException] should be thrownBy
+      MvRefreshStream.applyBatch(spark,
+        Seq(("c", 3.0)).toDF("k", "v"), 2, spec, aspec, ckpt)
   }
 
   test("checkpoint restart resumes batch numbering and never double-counts") {

@@ -4,7 +4,7 @@ seeded random queries, then execute each sample's SQL in DuckDB and
 value-compare — same comparator as tools/check.py, over generated plans
 nobody hand-wrote.
 
-Usage: python3 tools/fuzz_check.py [sfdir] [nsamples] [seedbase] [v1..v7]
+Usage: python3 tools/fuzz_check.py [sfdir] [nsamples] [seedbase] [v1..v8]
 """
 import json, os, shutil, subprocess, sys, glob
 
