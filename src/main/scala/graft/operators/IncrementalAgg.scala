@@ -27,16 +27,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IncrementalAgg {
 
+  /** A count-min-sketch state column: `slotsCol` names an input column
+    * holding the depth-length slot array (the caller computes it with
+    * [[graft.functions.CmsSketch.slotsFor]], keeping hashing on the
+    * engine's md5 convention and the state DuckDB-replayable). The
+    * snapshot stores the flattened width×depth counter matrix, which
+    * merges by elementwise + — the same mergeable-partial property as the
+    * sums, so heavy-hitter tracking refreshes at delta cost too.
+    */
+  final case class CmsCol(slotsCol: String, width: Int, depth: Int)
+
   /** Which states the snapshot maintains. Sums are kept as DECIMAL(28,4)
     * partials (exact, order-independent — the dsum convention as stored
     * state); cast at publish time if doubles are wanted.
     */
   final case class Spec(keys: Seq[String], sumCols: Seq[String],
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      cmsCols: Seq[CmsCol] = Nil) {
     require(keys.nonEmpty, "aggregate needs at least one key")
     def stateCols: Seq[String] =
       "cnt" +: (sumCols.map("s_" + _) ++ minCols.map("mn_" + _) ++
-        maxCols.map("mx_" + _))
+        maxCols.map("mx_" + _) ++ cmsCols.map("cms_" + _.slotsCol))
   }
 
   private val dec = DecimalType(28, 4)
@@ -46,7 +57,10 @@ object IncrementalAgg {
     val aggs = count(lit(1)).as("cnt") +:
       (spec.sumCols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
         spec.minCols.map(c => min(col(c)).as(s"mn_$c")) ++
-        spec.maxCols.map(c => max(col(c)).as(s"mx_$c")))
+        spec.maxCols.map(c => max(col(c)).as(s"mx_$c")) ++
+        spec.cmsCols.map(cc =>
+          graft.functions.CmsSketch.cms(col(cc.slotsCol), cc.width, cc.depth)
+            .as(s"cms_${cc.slotsCol}")))
     rows.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -81,7 +95,15 @@ object IncrementalAgg {
           spec.minCols.map(c =>
             least(col(s"mn_${c}__o"), col(s"mn_${c}__n")).as(s"mn_$c")) ++
           spec.maxCols.map(c =>
-            greatest(col(s"mx_${c}__o"), col(s"mx_${c}__n")).as(s"mx_$c")))
+            greatest(col(s"mx_${c}__o"), col(s"mx_${c}__n")).as(s"mx_$c")) ++
+          spec.cmsCols.map { cc =>
+            // counter matrices merge by elementwise +; a one-sided key
+            // contributes against the zero matrix
+            val z = array_repeat(lit(0L), cc.width * cc.depth)
+            zip_with(coalesce(col(s"cms_${cc.slotsCol}__o"), z),
+              coalesce(col(s"cms_${cc.slotsCol}__n"), z),
+              (a, b) => a + b).as(s"cms_${cc.slotsCol}")
+          })
     j.select(keyCols ++ merged: _*)
   }
 

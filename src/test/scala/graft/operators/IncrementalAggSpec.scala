@@ -62,6 +62,24 @@ class IncrementalAggSpec extends SparkSpec {
     canon(advanced) shouldBe canon(IncrementalAgg.aggregate(base, spec))
   }
 
+  test("CMS state column: incremental advance equals the one-shot sketch bit-exactly") {
+    import graft.functions.CmsSketch
+    val (w, dep) = (32, 3)
+    val cspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Nil,
+      cmsCols = Seq(IncrementalAgg.CmsCol("slots", w, dep)))
+    val rows = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"),
+      ("b", "z"), ("c", "q")).toDF("k", "item")
+      .withColumn("slots", CmsSketch.slotsFor(col("item"), w, dep))
+    val oneShot = IncrementalAgg.aggregate(rows, cspec)
+    // split so group c is delta-only and group b is snapshot-only heavy
+    val snap = IncrementalAgg.aggregate(rows.filter(col("item") =!= "q"), cspec)
+    val delta = rows.filter(col("item") === "q")
+    canon(IncrementalAgg.advance(snap, delta, cspec)) shouldBe canon(oneShot)
+    // the merged sketch still answers point estimates: row sums == group cnt
+    val sk = oneShot.filter(col("k") === "a").head().getSeq[Long](2)
+    for (j <- 0 until dep) sk.slice(j * w, (j + 1) * w).sum shouldBe 3L
+  }
+
   test("merge rejects a state relation whose schema doesn't match the spec") {
     val good = IncrementalAgg.aggregate(Seq(("a", 1.0)).toDF("k", "v"), spec)
     val bad = good.withColumnRenamed("cnt", "n")
