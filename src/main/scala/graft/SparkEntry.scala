@@ -21,7 +21,7 @@ object SparkEntry {
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
       MultimodalQueries.defs ++ OpsQueries.defs ++ FuzzSql.defs ++
-      Stats.defs ++ Subqueries.defs ++ TpchFull.defs
+      OperatorFuzz.defs ++ Stats.defs ++ Subqueries.defs ++ TpchFull.defs
 
   /** Flagship: the full config-driven pipeline (read → DQ → script
     * transform → cast → partitioned catalog table → SQL) — the engine's

@@ -78,8 +78,14 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = taggedRight.unionByName(taggedLeft)
-      .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+    // NULL timestamps never match (SQL comparison semantics, either side):
+    // a null-ts right row would otherwise sort first under asc-nulls-first
+    // and phantom-match every left row; a null-ts left row would match in
+    // forward mode (desc puts nulls last). Drop the former, null the latter.
+    val matched = taggedRight.filter(col("_asof_ts").isNotNull)
+      .unionByName(taggedLeft)
+      .withColumn("_asof_match", when(col("_asof_ts").isNotNull,
+        last(col("_asof_payload"), ignoreNulls = true).over(w)))
       .filter(col("_asof_side") === 1)
     // tolerance: a too-distant match degrades to no-match (payload → null);
     // a `when` without `otherwise` nulls both the distant and the already-

@@ -89,9 +89,15 @@ object IncrementalAgg {
     val merged =
       (coalesce(col("cnt__o"), lit(0L)) + coalesce(col("cnt__n"), lit(0L)))
         .as("cnt") +:
-        (spec.sumCols.map(c =>
-          (coalesce(col(s"s_${c}__o"), zero) + coalesce(col(s"s_${c}__n"), zero))
-            .as(s"s_$c")) ++
+        (spec.sumCols.map { c =>
+          // SUM over zero non-null inputs is NULL, not 0 — a sum state may
+          // be NULL both for "group absent this side" and "all inputs were
+          // NULL"; merging must preserve NULL when BOTH sides carry none
+          val (o, n) = (col(s"s_${c}__o"), col(s"s_${c}__n"))
+          when(o.isNull && n.isNull, lit(null).cast(dec))
+            .otherwise(coalesce(o, zero) + coalesce(n, zero))
+            .as(s"s_$c")
+        } ++
           spec.minCols.map(c =>
             least(col(s"mn_${c}__o"), col(s"mn_${c}__n")).as(s"mn_$c")) ++
           spec.maxCols.map(c =>

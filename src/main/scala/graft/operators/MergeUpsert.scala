@@ -38,6 +38,14 @@ object MergeUpsert {
     * RedshiftLoader.scala:149-184): keep target rows whose key is absent from
     * the source, then append all source rows. The source side is typically a
     * small batch → Spark broadcasts it and the 100 TB target never shuffles.
+    *
+    * NULL-key semantics differ from [[apply]] BY DESIGN: the anti-join uses
+    * SQL equality (a NULL key never matches), exactly like the
+    * `DELETE ... WHERE key IN (SELECT key FROM source)` it re-expresses —
+    * a NULL-key target row survives and a NULL-key source row appends a
+    * second row, where [[apply]]'s `<=>` join would merge them. Matched
+    * rows also take the source row WHOLE (no per-column coalesce): a NULL
+    * source attribute overwrites, as delete+insert semantics demand.
     */
   def viaAnti(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val sKeys = broadcast(source.select(keys.map(col).toIndexedSeq: _*).distinct())
