@@ -5,6 +5,7 @@ import graft.model.ObjectStoreSpec
 import graft.operators.IncrementalAgg
 import graft.sinks.ObjectStoreSink
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 class MvRefreshStreamSpec extends SparkSpec {
@@ -97,6 +98,31 @@ class MvRefreshStreamSpec extends SparkSpec {
     an[IllegalStateException] should be thrownBy
       MvRefreshStream.applyBatch(spark,
         Seq(("c", 3.0)).toDF("k", "v"), 2, spec, aspec, ckpt)
+  }
+
+  test("CMS snapshot column refreshes through the stream: streamed ≡ one-shot sketch") {
+    import graft.functions.CmsSketch
+    val (w, dep) = (16, 2)
+    val cspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Nil,
+      cmsCols = Seq(IncrementalAgg.CmsCol("slots", w, dep)))
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src5")
+    val all = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"), ("b", "z"))
+      .toDF("k", "item")
+      .withColumn("slots", CmsSketch.slotsFor(col("item"), w, dep))
+      .drop("item")
+    all.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("cms")
+    val ckpt = graft.Scratch.fresh("graft-mvrs5") + "/ckpt"
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = MvRefreshStream.start(spark, src, spec, cspec, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    ObjectStoreSink.snapshots(spec).size shouldBe 2
+    canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe
+      canon(IncrementalAgg.aggregate(all, cspec))
   }
 
   test("checkpoint restart resumes batch numbering and never double-counts") {
