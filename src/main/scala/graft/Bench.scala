@@ -57,8 +57,9 @@ object Bench {
     * contention the bench feels — 2026-08-13 showed windows where every
     * query ran 1.4× slow while BOTH register spins and the DRAM stream
     * read clean. Constant = the committed BENCH.json q1_agg median from
-    * the r7 verified-quiet window. One-sided ≤1.3× check. */
-  final val CanarySparkRef = 0.58
+    * the round-9 canonical re-baseline (post-frequency-step; was 0.58
+    * from the r7 window). One-sided ≤1.3× check. */
+  final val CanarySparkRef = 0.647
   final val CanarySparkDir = "/root/testdata/sf0.1"
   def canarySec(): Double = {
     var x = 0x9e3779b97f4a7c15L
