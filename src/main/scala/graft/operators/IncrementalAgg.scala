@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType}
 
 /** Incremental maintenance of an additive aggregate table — materialized-
   * view delta maintenance: given the CURRENT aggregate snapshot and a DELTA
@@ -37,17 +37,28 @@ object IncrementalAgg {
     */
   final case class CmsCol(slotsCol: String, width: Int, depth: Int)
 
+  /** A KMV distinct-count sketch state column: `hashCol` names an input
+    * column holding the item's 60-bit hash (the engine's md5-prefix
+    * convention — see [[graft.functions.KmvDistinct]]). The snapshot
+    * stores the k smallest distinct hashes sorted ascending; two sketches
+    * merge as a bounded sorted-distinct union (`slice∘array_sort∘
+    * array_distinct∘concat` — all codegen'd builtins), so distinct-count
+    * estimation refreshes at delta cost like every other state here.
+    */
+  final case class KmvCol(hashCol: String, k: Int)
+
   /** Which states the snapshot maintains. Sums are kept as DECIMAL(28,4)
     * partials (exact, order-independent — the dsum convention as stored
     * state); cast at publish time if doubles are wanted.
     */
   final case class Spec(keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      cmsCols: Seq[CmsCol] = Nil) {
+      cmsCols: Seq[CmsCol] = Nil, kmvCols: Seq[KmvCol] = Nil) {
     require(keys.nonEmpty, "aggregate needs at least one key")
     def stateCols: Seq[String] =
       "cnt" +: (sumCols.map("s_" + _) ++ minCols.map("mn_" + _) ++
-        maxCols.map("mx_" + _) ++ cmsCols.map("cms_" + _.slotsCol))
+        maxCols.map("mx_" + _) ++ cmsCols.map("cms_" + _.slotsCol) ++
+        kmvCols.map("kmv_" + _.hashCol))
   }
 
   private val dec = DecimalType(28, 4)
@@ -60,7 +71,10 @@ object IncrementalAgg {
         spec.maxCols.map(c => max(col(c)).as(s"mx_$c")) ++
         spec.cmsCols.map(cc =>
           graft.functions.CmsSketch.cms(col(cc.slotsCol), cc.width, cc.depth)
-            .as(s"cms_${cc.slotsCol}")))
+            .as(s"cms_${cc.slotsCol}")) ++
+        spec.kmvCols.map(kc =>
+          graft.functions.KmvDistinct.kmv(col(kc.hashCol), kc.k)
+            .as(s"kmv_${kc.hashCol}")))
     rows.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -109,6 +123,15 @@ object IncrementalAgg {
             zip_with(coalesce(col(s"cms_${cc.slotsCol}__o"), z),
               coalesce(col(s"cms_${cc.slotsCol}__n"), z),
               (a, b) => a + b).as(s"cms_${cc.slotsCol}")
+          } ++
+          spec.kmvCols.map { kc =>
+            // bounded sorted-distinct union: keep the k smallest of both
+            // sketches' hashes; a one-sided key unions with empty
+            val e = array().cast(ArrayType(LongType, containsNull = false))
+            slice(array_sort(array_distinct(concat(
+              coalesce(col(s"kmv_${kc.hashCol}__o"), e),
+              coalesce(col(s"kmv_${kc.hashCol}__n"), e)))), 1, kc.k)
+              .as(s"kmv_${kc.hashCol}")
           })
     j.select(keyCols ++ merged: _*)
   }

@@ -80,6 +80,27 @@ class IncrementalAggSpec extends SparkSpec {
     for (j <- 0 until dep) sk.slice(j * w, (j + 1) * w).sum shouldBe 3L
   }
 
+  test("KMV state column: incremental advance equals the one-shot sketch bit-exactly") {
+    val k = 4
+    val kspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Nil,
+      kmvCols = Seq(IncrementalAgg.KmvCol("h", k)))
+    // hashes drawn with collisions across the split (distinct-union) and
+    // more than k per group (bounded truncation), plus a delta-only group
+    val rows = Seq(("a", 9L), ("a", 3L), ("a", 7L), ("b", 5L), ("a", 1L),
+      ("a", 3L), ("b", 8L), ("a", 12L), ("a", 2L), ("c", 4L))
+      .zipWithIndex.map { case ((g, h), i) => (g, h, i.toLong) }
+      .toDF("k", "h", "i")
+    val oneShot = IncrementalAgg.aggregate(rows, kspec)
+    for (cut <- Seq(3, 6, 9)) {
+      val snap = IncrementalAgg.aggregate(rows.filter(col("i") < cut), kspec)
+      val delta = rows.filter(col("i") >= cut)
+      canon(IncrementalAgg.advance(snap, delta, kspec)) shouldBe canon(oneShot)
+    }
+    // the sketch itself: group a has 7 distinct hashes, keeps the 4 smallest
+    oneShot.filter(col("k") === "a").head().getSeq[Long](2) shouldBe
+      Seq(1L, 2L, 3L, 7L)
+  }
+
   test("merge rejects a state relation whose schema doesn't match the spec") {
     val good = IncrementalAgg.aggregate(Seq(("a", 1.0)).toDF("k", "v"), spec)
     val bad = good.withColumnRenamed("cnt", "n")
