@@ -150,6 +150,86 @@ class OperatorFuzzSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- range join
+
+  private val RangeSamples = sys.props.get("opFuzzRange").map(_.toInt).getOrElse(60)
+
+  test(s"$RangeSamples random range-join instances match the brute-force model " +
+    "(negative coords, random bucket widths, null keys/bounds)") {
+    for (seed <- 1 to RangeSamples) {
+      val rnd = new java.util.Random(seed * 49979687L + 13L)
+      val bw = 1L + rnd.nextInt(7)
+      def coord(): Option[Long] =
+        if (rnd.nextInt(12) == 0) None else Some((rnd.nextInt(41) - 20).toLong)
+      val points = (0 until (4 + rnd.nextInt(20))).map { i =>
+        (KeyPool(rnd.nextInt(KeyPool.size)), coord(), i.toLong)
+      }
+      val intervals = (0 until (3 + rnd.nextInt(12))).map { i =>
+        val (a, b) = (coord(), coord())
+        val (lo, hi) = (a, b) match {
+          case (Some(x), Some(y)) => (Some(x min y), Some(x max y))
+          case other              => other
+        }
+        (KeyPool(rnd.nextInt(KeyPool.size)), lo, hi, i.toLong)
+      }
+      val got = RangeJoin.pointInInterval(
+        points.toDF("k", "p", "pid"), intervals.toDF("k", "lo", "hi", "iid"),
+        Seq("k"), pointCol = "p", loCol = "lo", hiCol = "hi",
+        bucketWidth = bw)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // brute force; SQL equi-join semantics: NULL key or bound never matches
+      val want = (for {
+        (pk, pOpt, pid) <- points
+        p <- pOpt.toSeq
+        if pk.isDefined
+        (ik, loOpt, hiOpt, iid) <- intervals
+        if ik == pk
+        lo <- loOpt.toSeq; hi <- hiOpt.toSeq
+        if lo <= p && p <= hi
+      } yield (pid, iid)).sorted
+      withClue(s"seed=$seed bw=$bw\npoints=$points\nintervals=$intervals\n") {
+        got shouldBe want
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ components
+
+  private val CcSamples = sys.props.get("opFuzzCc").map(_.toInt).getOrElse(40)
+
+  test(s"$CcSamples random edge sets: ConnectedComponents (both finish paths) " +
+    "matches a reference union-find") {
+    for (seed <- 1 to CcSamples) {
+      val rnd = new java.util.Random(seed * 86028121L + 19L)
+      val nNodes = 3 + rnd.nextInt(28)
+      val edges = (0 until (2 + rnd.nextInt(40))).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong) // self-loops ok
+      }
+      // reference union-find (union-by-min via path-compressed find)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      val df = edges.toDF("a", "b")
+      for (bound <- Seq(4L << 20, 0L)) { // single-task finish AND iterative
+        val got = ConnectedComponents
+          .components(df, "a", "b", localBound = bound)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"seed=$seed bound=$bound\nedges=$edges\n") {
+          got shouldBe want
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------- incremental aggregate
 
   private def canon(df: DataFrame): Seq[String] = {
