@@ -13,23 +13,46 @@ import graft.queries.FuzzSql
   * cross-engine sweep; the 12 `q_fuzz_*` gate entries are the committed
   * always-on subset.
   *
-  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1] [gen=v1..v8]
+  * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1]
+  *        [gen=v1..v8|asof|incagg]
+  *
+  * `asof`/`incagg` dispatch the OPERATOR-layer generators
+  * ([[graft.queries.OperatorFuzz]]) through the same cross-engine sweep:
+  * randomized AsofJoin instances against DuckDB's native ASOF JOIN, and
+  * randomized IncrementalAgg specs against full recomputation.
   */
 object FuzzDump {
+
+  /** Uniform shape over the SQL-fuzzer and operator-fuzzer samples. */
+  private final case class Dumpable(seed: Long, sql: String,
+      df: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame,
+      describe: String)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 200
     val seedBase = if (args.length > 3) args(3).toLong else 1L
-    val gen: Long => FuzzSql.Fuzzed = args.lift(4) match {
-      case Some("v2") => FuzzSql.sampleV2
-      case Some("v3") => FuzzSql.sampleV3
-      case Some("v4") => FuzzSql.sampleV4
-      case Some("v5") => FuzzSql.sampleV5
-      case Some("v6") => FuzzSql.sampleV6
-      case Some("v7") => FuzzSql.sampleV7
-      case Some("v8") => FuzzSql.sampleV8
-      case _          => FuzzSql.sample
+    def wrap(f: FuzzSql.Fuzzed): Dumpable =
+      Dumpable(f.seed, f.sql, f.df, f.describe)
+    val gen: Long => Dumpable = args.lift(4) match {
+      case Some("v2")     => s => wrap(FuzzSql.sampleV2(s))
+      case Some("v3")     => s => wrap(FuzzSql.sampleV3(s))
+      case Some("v4")     => s => wrap(FuzzSql.sampleV4(s))
+      case Some("v5")     => s => wrap(FuzzSql.sampleV5(s))
+      case Some("v6")     => s => wrap(FuzzSql.sampleV6(s))
+      case Some("v7")     => s => wrap(FuzzSql.sampleV7(s))
+      case Some("v8")     => s => wrap(FuzzSql.sampleV8(s))
+      case Some("asof")   => s => {
+        val f = graft.queries.OperatorFuzz.sampleAsof(s)
+        Dumpable(s, f.sql, f.df, f.desc)
+      }
+      case Some("incagg") => s => {
+        val f = graft.queries.OperatorFuzz.sampleIncAgg(s)
+        Dumpable(s, f.sql, f.df, f.desc)
+      }
+      case _              => s => wrap(FuzzSql.sample(s))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
