@@ -476,5 +476,39 @@ class PlanAuditSpec extends SparkSpec {
     plan should include ("partial_sum")
   }
 
+  test("IncrementalAgg.merge: the null-safe key join still plans as an " +
+    "equi-shuffle (never a nested loop), states aggregate map-side") {
+    val ss = spark
+    import ss.implicits._
+    import graft.operators.IncrementalAgg
+    // the <=> key condition must reach ExtractEquiJoinKeys: EqualNullSafe
+    // is an equi-key, so the merge is ONE hash/sort-merge shuffle at the
+    // group grain — if a refactor demoted it to BroadcastNestedLoopJoin
+    // the whole delta-cost refresh claim dies at scale
+    val spec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Seq("v"),
+      kmvCols = Seq(IncrementalAgg.KmvCol("h", 8)))
+    val rows = Seq(("a", 1.0, 5L), ("b", 2.0, 3L), ("a", 0.5, 9L))
+      .toDF("k", "v", "h")
+    val merged = IncrementalAgg.advance(
+      IncrementalAgg.aggregate(rows, spec), rows, spec)
+    val plan = planString(merged)
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+    plan should include ("partial_") // sketch + sum states combine map-side
+  }
+
+  test("q_opfuzz_01/02 (as-of fuzz draws): one window pass, no join operator at all") {
+    for (name <- Seq("q_opfuzz_01", "q_opfuzz_02")) {
+      val plan = planString(q(name))
+      withClue(s"$name:\n") {
+        plan should include ("Window")
+        (plan should not).include("SortMergeJoin")
+        (plan should not).include("BroadcastNestedLoopJoin")
+        (plan should not).include("CartesianProduct")
+      }
+    }
+  }
+
   private def allDefs: Seq[QueryDef] = Nil // (reserved for future sweeps)
 }
