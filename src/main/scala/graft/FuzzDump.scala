@@ -14,12 +14,16 @@ import graft.queries.FuzzSql
   * always-on subset.
   *
   * Usage: FuzzDump <sfDir> <outDir> [nSamples=200] [seedBase=1]
-  *        [gen=v1..v8|asof|incagg]
+  *        [gen=v1..v8|asof|incagg|cdc|cdcstream]
   *
-  * `asof`/`incagg` dispatch the OPERATOR-layer generators
-  * ([[graft.queries.OperatorFuzz]]) through the same cross-engine sweep:
-  * randomized AsofJoin instances against DuckDB's native ASOF JOIN, and
-  * randomized IncrementalAgg specs against full recomputation.
+  * `asof`/`incagg`/`cdc`/`cdcstream` dispatch the OPERATOR-layer
+  * generators ([[graft.queries.OperatorFuzz]] /
+  * [[graft.queries.CdcStreamFuzz]]) through the same cross-engine sweep:
+  * randomized AsofJoin instances against DuckDB's native ASOF JOIN,
+  * randomized IncrementalAgg specs against full recomputation, and
+  * randomized two-batch CDC op sequences (chained batch apply / the real
+  * checkpointed CdcStream against a partitioned target) against a
+  * relational replay of the same ops.
   */
 object FuzzDump {
 
@@ -50,6 +54,14 @@ object FuzzDump {
       }
       case Some("incagg") => s => {
         val f = graft.queries.OperatorFuzz.sampleIncAgg(s)
+        Dumpable(s, f.sql, f.df, f.desc)
+      }
+      case Some("cdc") => s => {
+        val f = graft.queries.OperatorFuzz.sampleCdc(s)
+        Dumpable(s, f.sql, f.df, f.desc)
+      }
+      case Some("cdcstream") => s => {
+        val f = graft.queries.CdcStreamFuzz.sampleCdcStream(s)
         Dumpable(s, f.sql, f.df, f.desc)
       }
       case _              => s => wrap(FuzzSql.sample(s))

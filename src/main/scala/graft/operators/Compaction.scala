@@ -74,14 +74,37 @@ object Compaction {
         files.size <= parents
       }
     if (alreadyCompact) return files.size
-    val current = spark.table(fq)
+    // Pin ONE committed snapshot: content, version number and txn stamp all
+    // come from the same immutable version dir. The commit then CAS-es on
+    // that version still being latest (`expectVersion`), so a concurrent
+    // writer's commit can never be overwritten by a compacted copy of the
+    // OLD content (lost update); and the snapshot's TxnStamp rides through
+    // UNCHANGED — a streaming MV writer's replay guard (MvRefreshStream)
+    // sees compaction as invisible instead of as a foreign single-writer
+    // violation, because the stamp's claim ("batches 0..b are applied") is
+    // exactly as true of the rewritten files as of the originals.
+    val pinned = ObjectStoreSink.snapshots(spec).lastOption
+    val (current, stamp, expect) = pinned match {
+      case Some(snap) =>
+        (ObjectStoreSink.readVersion(spark, spec, Some(snap.version)),
+          graft.sinks.TableManifest.read(Paths.get(snap.path)).flatMap(_.txn),
+          Some(snap.version))
+      case None => // legacy table outside the manifest protocol: best effort
+        (spark.table(fq), None, None)
+    }
     val packed =
       if (spec.partitionBy.nonEmpty)
         current.repartition(spec.partitionBy.map(col): _*)
       else
         current.repartition(
           math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
-    ObjectStoreSink.replaceTable(spark, packed, spec)
+    try ObjectStoreSink.replaceTable(spark, packed, spec, txn = stamp,
+      expectVersion = expect)
+    catch {
+      // lost the race to a real writer: the table moved on, this rewrite
+      // is stale — drop it; the next maintenance sweep re-evaluates
+      case _: graft.sinks.ConcurrentCommitException => return files.size
+    }
     liveFileCount(spark, spec)
   }
 

@@ -148,23 +148,142 @@ object OperatorFuzz {
     Fuzzed(desc, df, sql)
   }
 
+  /** A seeded CDC-apply instance over `customer` (VERDICT r9 #2 — the
+    * streaming/CDC apply layer was the last oracled-but-never-fuzzed
+    * surface): two randomized change batches — overlapping upsert key
+    * ranges, periodic deletes, within-batch upsert-vs-delete conflicts
+    * resolved by a drawn seq order, after-images with a periodically
+    * OMITTED column (the coalesce-resolve path), deletes of keys that
+    * were never present (before-image mismatch → no-op) — applied in
+    * arrival order through TWO chained [[graft.cdc.CdcApply.applyBatch]]
+    * calls (the exact MERGE the CdcStream foreachBatch runs per
+    * micro-batch). The oracle replays both batches relationally:
+    * last-event-per-key via ROW_NUMBER, upserts as FULL JOIN + per-column
+    * COALESCE, deletes as NOT IN — semantics per reference
+    * CDCMessageProcessor.scala:32-75 / CDCUtil.updateCreateSQL:63-88
+    * (before-image keying, arrival order, last writer wins).
+    *
+    * Determinism: every op's seq is `2k + flip-bit`, so an upsert and a
+    * delete on the same key in the same batch always have DISTINCT seqs
+    * (no row_number tie), and values roundtrip exactly (Double.toString
+    * is shortest-exact; both engines compute `c_acctbal + delta` from the
+    * same parquet double).
+    */
+  def sampleCdc(seed: Long): Fuzzed = {
+    val rnd = new java.util.Random(seed * 9949L + 23L)
+    val T = Seq(600, 800, 1000)(rnd.nextInt(6) % 3)
+    val d1 = Seq(25.0, 50.0, 75.0)(rnd.nextInt(3))
+    val d2 = Seq(-10.0, 30.0, 60.0)(rnd.nextInt(3))
+    val p1 = Seq(83, 97, 101)(rnd.nextInt(3))
+    val p2 = Seq(61, 71, 89)(rnd.nextInt(3))
+    val a1 = T - 50 - 50 * rnd.nextInt(3)   // batch-1 upsert keys in (a1, h1]
+    val h1 = T + 50 + 75 * rnd.nextInt(3)
+    val a2 = T - 100 - 50 * rnd.nextInt(3)  // batch-2 upsert keys in (a2, h2]
+    val h2 = T + 100 * rnd.nextInt(3)       // may be <= a2 → empty upsert set
+    val flip1 = rnd.nextInt(2) // 1 → the delete outranks the upsert on conflicts
+    val flip2 = rnd.nextInt(2)
+    val desc = s"cdc T=$T d=($d1,$d2) p=($p1,$p2) " +
+      s"b1=($a1,$h1] b2=($a2,$h2] flip=($flip1,$flip2)"
+
+    val df = (s: SparkSession, d: String) => {
+      import s.implicits._
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val typed = cust.as[(Long, String, Double)]
+      val target = cust.filter(col("c_custkey") <= T)
+      def upserts(lo: Int, hi: Int, delta: Double, nullMod: Int, flip: Int) =
+        typed.filter(t => t._1 > lo && t._1 <= hi).map { case (k, n, b) =>
+          val after = Map("c_custkey" -> k.toString,
+            "c_acctbal" -> (b + delta).toString) ++
+            (if (k % nullMod == 0) Map.empty[String, String]
+             else Map("c_name" -> n))
+          graft.cdc.CDCMessage("tpch", "public", "customer",
+            isInsert = k > T, isUpdate = k <= T, isDelete = false,
+            before = Map.empty, after = after, seq = 2 * k + (1 - flip))
+        }
+      def deletes(pred: Long => Boolean, flip: Int) =
+        typed.filter(t => pred(t._1)).map { case (k, _, _) =>
+          graft.cdc.CDCMessage("tpch", "public", "customer",
+            isInsert = false, isUpdate = false, isDelete = true,
+            before = Map("c_custkey" -> k.toString), after = Map.empty,
+            seq = 2 * k + flip)
+        }
+      val b1 = upserts(a1, h1, d1, 11, flip1).unionByName(
+        deletes(k => (k <= T && k % p1 == 0) ||
+          (k > a1 && k <= h1 && k % 7 == 0), flip1))
+      val b2 = upserts(a2, h2, d2, 13, flip2).unionByName(
+        deletes(k => (k <= h1 && k % p2 == 0) ||
+          (k > a2 && k <= h2 && k % 5 == 0), flip2))
+      val s1 = graft.cdc.CdcApply.applyBatch(target, b1, Seq("c_custkey"))
+      graft.cdc.CdcApply.applyBatch(s1, b2, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }
+
+    def batchSql(n: Int, lo: Int, hi: Int, delta: Double, nullMod: Int,
+        delPred: String, flip: Int): String =
+      s"""b$n AS (
+         |  SELECT c_custkey AS k, FALSE AS isdel,
+         |         CASE WHEN c_custkey % $nullMod = 0 THEN NULL
+         |              ELSE c_name END AS n,
+         |         c_acctbal + $delta AS b,
+         |         2*c_custkey + ${1 - flip} AS seq
+         |  FROM customer WHERE c_custkey > $lo AND c_custkey <= $hi
+         |  UNION ALL
+         |  SELECT c_custkey, TRUE, NULL, NULL, 2*c_custkey + $flip
+         |  FROM customer WHERE $delPred),
+         |b${n}w AS (
+         |  SELECT k, isdel, n, b FROM (
+         |    SELECT b$n.*, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |    FROM b$n) z WHERE rn = 1),
+         |s$n AS (
+         |  SELECT COALESCE(u.k, t.k) AS k, COALESCE(u.n, t.n) AS n,
+         |         COALESCE(u.b, t.b) AS b
+         |  FROM s${n - 1} t
+         |  FULL JOIN (SELECT * FROM b${n}w WHERE NOT isdel) u ON t.k = u.k
+         |  WHERE COALESCE(u.k, t.k) NOT IN (SELECT k FROM b${n}w WHERE isdel))""".stripMargin
+    val sql =
+      s"""WITH s0 AS (SELECT c_custkey AS k, c_name AS n, c_acctbal AS b
+         |            FROM customer WHERE c_custkey <= $T),
+         |${batchSql(1, a1, h1, d1, 11,
+             s"(c_custkey <= $T AND c_custkey % $p1 = 0) OR " +
+               s"(c_custkey > $a1 AND c_custkey <= $h1 AND c_custkey % 7 = 0)",
+             flip1)},
+         |${batchSql(2, a2, h2, d2, 13,
+             s"(c_custkey <= $h1 AND c_custkey % $p2 = 0) OR " +
+               s"(c_custkey > $a2 AND c_custkey <= $h2 AND c_custkey % 5 = 0)",
+             flip2)}
+         |SELECT k AS c_custkey, n AS c_name, b AS c_acctbal
+         |FROM s2 ORDER BY c_custkey""".stripMargin
+    Fuzzed(desc, df, sql)
+  }
+
   /** Fixed-seed gate entries (the committed always-on subset): 9101 =
     * forward with a 10-min tolerance; 9105 = backward view-to-view
     * SELF-join, unbounded — every left row has an exact-tie match (the
     * inclusive-boundary pattern); 9200 = two-key incremental aggregate
-    * with min and max states.
+    * with min and max states; 9300 = two chained CDC batches with a
+    * delete-outranks-upsert conflict draw; 9301 = the same apply layer
+    * driven through the REAL CdcStream file-envelope stream against a
+    * PARTITIONED target ([[CdcStreamFuzz]]).
     */
   val gateSeedsAsof: Seq[Long] = Seq(9101L, 9105L)
   val gateSeedsIncAgg: Seq[Long] = Seq(9200L)
+  val gateSeedsCdc: Seq[Long] = Seq(9300L)
+  val gateSeedsCdcStream: Seq[Long] = Seq(9301L)
 
-  val defs: Seq[QueryDef] =
-    gateSeedsAsof.zipWithIndex.map { case (s, i) =>
-      val smp = sampleAsof(s)
-      QueryDef(f"q_opfuzz_${1 + i}%02d", (spark, dir) => smp.df(spark, dir),
-        Some(smp.sql))
-    } ++ gateSeedsIncAgg.zipWithIndex.map { case (s, i) =>
-      val smp = sampleIncAgg(s)
-      QueryDef(f"q_opfuzz_${1 + gateSeedsAsof.size + i}%02d",
-        (spark, dir) => smp.df(spark, dir), Some(smp.sql))
-    }
+  val defs: Seq[QueryDef] = {
+    val families: Seq[(Seq[Long], Long => Fuzzed)] = Seq(
+      (gateSeedsAsof, sampleAsof),
+      (gateSeedsIncAgg, sampleIncAgg),
+      (gateSeedsCdc, sampleCdc),
+      (gateSeedsCdcStream, CdcStreamFuzz.sampleCdcStream))
+    families.foldLeft((Seq.empty[QueryDef], 1)) { case ((acc, i0), (seeds, gen)) =>
+      val qs = seeds.zipWithIndex.map { case (s, i) =>
+        val smp = gen(s)
+        QueryDef(f"q_opfuzz_${i0 + i}%02d", (spark, dir) => smp.df(spark, dir),
+          Some(smp.sql))
+      }
+      (acc ++ qs, i0 + seeds.size)
+    }._1
+  }
 }

@@ -7,6 +7,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+/** Optimistic-concurrency conflict: `replaceTable` was asked to commit on
+  * top of `expectVersion`, but another writer committed first. Thrown by
+  * content-preserving maintenance rewrites (compaction, MV adoption) whose
+  * result is only valid if the version they read is still the latest —
+  * committing anyway would resurrect the stale content OVER the concurrent
+  * writer's commit (a lost update). The versioned-dir analogue of an ACID
+  * table format's rewrite-conflict abort (Iceberg RewriteFiles validation).
+  */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 /** Data-lake sink (K1/K2/K3/M5): partitioned parquet (or csv/json/orc) under
   * `spec.path/<table>`, registered in the Spark session catalog so the full
   * SQL surface works over what the pipeline lands — the local equivalent of
@@ -186,12 +196,24 @@ object ObjectStoreSink {
     *      readers that resolved the old location mid-swap.
     */
   def replaceTable(spark: SparkSession, df: DataFrame, spec: ObjectStoreSpec,
-      txn: Option[TableManifest.TxnStamp] = None): String =
+      txn: Option[TableManifest.TxnStamp] = None,
+      expectVersion: Option[Int] = None): String =
     lockFor(spec).synchronized {
       val fq = s"${spec.database}.${spec.table}"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
       val tableDir = Paths.get(spec.path, spec.database, spec.table)
       Files.createDirectories(tableDir)
+      // optimistic CAS for content-preserving rewrites: verified INSIDE the
+      // commit lock, so "expected is still latest" holds through publish
+      expectVersion.foreach { ev =>
+        val latest = (versionDirs(tableDir).filter(TableManifest.isCommitted)
+          .map(versionNumber) ++ CommitLog.read(tableDir).getOrElse(Nil))
+          .maxOption
+        if (!latest.contains(ev)) throw new ConcurrentCommitException(
+          s"$fq: expected to commit on top of version $ev but latest is " +
+            s"${latest.getOrElse("<none>")} — a concurrent writer committed " +
+            "first; aborting instead of resurrecting stale content")
+      }
       val next = nextVersionDir(tableDir)
       val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0

@@ -75,6 +75,34 @@ object MvRefreshStream {
       Some(TableManifest.TxnStamp(appId, b))): Unit
   }
 
+  /** Operator recovery (opt-in, explicit): adopt the CURRENT latest
+    * committed table state as the result of batches `0..batchId` for
+    * writer `appId` — commits a new version with IDENTICAL content
+    * carrying `TxnStamp(appId, batchId)`. This is the escape hatch for a
+    * stream bricked by a genuinely foreign commit (a manual fix-up, a
+    * pre-stamp-carry-through maintenance tool, or a table that predates
+    * the TxnStamp protocol): instead of rebuilding the MV and checkpoint
+    * from scratch, the operator ASSERTS the current content is the
+    * correct through-batch-`batchId` state and re-arms the replay guard.
+    * Deliberately not automatic — the whole point of the guard is that
+    * unknown foreign state needs a human decision, so adoption is a
+    * separate call, never a flag the stream quietly applies. The commit
+    * CAS-es on the adopted version still being latest; racing writers
+    * surface as [[graft.sinks.ConcurrentCommitException]], not as a
+    * silent mis-stamp. Content-preserving compaction does NOT need this:
+    * [[graft.operators.Compaction]] carries the stamp through on its own.
+    */
+  def adopt(spark: SparkSession, spec: ObjectStoreSpec, appId: String,
+      batchId: Long): Unit = {
+    val snaps = ObjectStoreSink.snapshots(spec)
+    require(snaps.nonEmpty,
+      s"nothing to adopt: ${spec.database}.${spec.table} has no committed versions")
+    ObjectStoreSink.replaceTable(spark,
+      ObjectStoreSink.readVersion(spark, spec, Some(snaps.last.version)), spec,
+      Some(TableManifest.TxnStamp(appId, batchId)),
+      expectVersion = Some(snaps.last.version)): Unit
+  }
+
   /** Start the refresh stream over `src` (a streaming DataFrame of fact
     * rows). AvailableNow drains what exists and stops; a real deployment
     * passes a processing-time trigger instead. The writer id defaults to

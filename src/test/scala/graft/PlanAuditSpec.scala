@@ -498,6 +498,30 @@ class PlanAuditSpec extends SparkSpec {
     plan should include ("partial_") // sketch + sum states combine map-side
   }
 
+  test("TableDiff.diff: the null-safe key join still plans as an " +
+    "equi-join (never a nested loop), report aggregates map-side") {
+    val ss = spark
+    import ss.implicits._
+    import graft.operators.TableDiff
+    // same guard as IncrementalAgg.merge above: the <=> key condition must
+    // reach ExtractEquiJoinKeys (EqualNullSafe IS an equi-key), so the diff
+    // is ONE full-outer equi-shuffle at the key grain. A refactor that
+    // breaks the condition out of equi-key form (e.g. wrapping it in a
+    // coalesce or OR) silently demotes the audit trio to a
+    // BroadcastNestedLoopJoin crossing two FULL table versions — the worst
+    // scale regression this repo could take at 100 TB.
+    val oldDf = Seq((1, "a", 1.0), (2, "b", 2.0), (3, null: String, 3.0))
+      .toDF("id", "k2", "v")
+    val newDf = Seq((1, "a", 1.5), (3, null: String, 3.0), (4, "d", 4.0))
+      .toDF("id", "k2", "v")
+    val report = TableDiff.diff(oldDf, newDf, keys = Seq("id", "k2"))
+    val plan = planString(report)
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+    plan should include ("partial_sum") // one-row report combines map-side
+  }
+
   test("q_opfuzz_01/02 (as-of fuzz draws): one window pass, no join operator at all") {
     for (name <- Seq("q_opfuzz_01", "q_opfuzz_02")) {
       val plan = planString(q(name))

@@ -107,4 +107,84 @@ class IncrementalAggSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       IncrementalAgg.merge(good, bad, spec)
   }
+
+  // ------------------------------------------------ merge-order invariance
+
+  private val MergeOrderCases =
+    sys.props.get("incAggMergeOrder").map(_.toInt).getOrElse(200)
+
+  test(s"$MergeOrderCases scalacheck cases: folding merge over ANY k-way " +
+    "split in ANY association/commutation order is bit-identical to the " +
+    "one-shot aggregate (sum+min+max+cms+kmv states, NULL keys and inputs)") {
+    // the commutative+associative claim at IncrementalAgg.merge — with CMS
+    // and KMV sketch states in the snapshot (VERDICT r9 #6), order
+    // invariance is what makes "advance == aggregate(base ∪ delta)" hold
+    // for EVERY refresh history, not just the one split the equivalence
+    // tests fix. scalacheck generators, deterministic seeds — no flaky
+    // reruns.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+
+    val pspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"),
+      cmsCols = Seq(IncrementalAgg.CmsCol("slots", 16, 2)),
+      kmvCols = Seq(IncrementalAgg.KmvCol("h", 4)))
+    def withStates(df: DataFrame): DataFrame = df
+      .withColumn("slots", graft.functions.CmsSketch.slotsFor(col("item"), 16, 2))
+      .withColumn("h", conv(substring(md5(col("item")), 1, 15), 16, 10).cast("long"))
+      .drop("item")
+
+    val genRow: Gen[(Option[String], Option[Double], Option[String])] = for {
+      k <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+      v <- Gen.frequency(4 -> Gen.chooseNum(-400, 400).map(n => Some(n / 4.0)),
+        1 -> Gen.const(None))
+      item <- Gen.frequency(7 -> Gen.chooseNum(0, 9).map(i => Some(s"t$i")),
+        1 -> Gen.const(None))
+    } yield (k, v, item)
+    val genCase = for {
+      rows <- Gen.chooseNum(4, 24).flatMap(n => Gen.listOfN(n, genRow))
+      m <- Gen.chooseNum(2, 5) // k-way split
+      assign <- Gen.listOfN(rows.size, Gen.chooseNum(0, m - 1))
+      picks <- Gen.infiniteLazyList(Gen.chooseNum(0, 1000)) // fold order draws
+    } yield (rows, m, assign, picks.take(2 * m).toList)
+
+    def foldTree(chunks: Seq[DataFrame], picks: Seq[Int]): DataFrame = {
+      // repeatedly merge two drawn elements — random association AND
+      // argument order (commutation) in one walk
+      var pool = chunks.toVector
+      var i = 0
+      while (pool.size > 1) {
+        val a = picks(i % picks.size) % pool.size
+        val bRaw = picks((i + 1) % picks.size) % (pool.size - 1)
+        val b = if (bRaw >= a) bRaw + 1 else bRaw
+        val merged = IncrementalAgg.merge(pool(a), pool(b), pspec)
+        pool = pool.zipWithIndex.collect {
+          case (df, j) if j != a && j != b => df
+        } :+ merged
+        i += 2
+      }
+      pool.head
+    }
+
+    for (case_ <- 0 until MergeOrderCases) {
+      val (rows, m, assign, picks) =
+        genCase.apply(Gen.Parameters.default, Seed(case_.toLong))
+          .getOrElse(fail(s"generator gave up at case $case_"))
+      val df = withStates(rows.toDF("k", "v", "item"))
+      val oneShot = canon(IncrementalAgg.aggregate(df, pspec))
+      val chunks = (0 until m).map { c =>
+        val ids = assign.zipWithIndex.collect { case (`c`, i) => i }.toSet
+        val part = rows.zipWithIndex.collect { case (r, i) if ids(i) => r }
+        IncrementalAgg.aggregate(withStates(part.toDF("k", "v", "item")), pspec)
+      }
+      // two different association/commutation orders over the same chunks
+      val order1 = canon(foldTree(chunks, picks))
+      val order2 = canon(foldTree(chunks, picks.reverse))
+      withClue(s"case=$case_ m=$m rows=$rows assign=$assign picks=$picks\n") {
+        order1 shouldBe oneShot
+        order2 shouldBe oneShot
+      }
+    }
+  }
 }

@@ -22,6 +22,8 @@ object OperatorFuzzSpec {
   final case class LRow(k: Option[String], ts: Option[Long], id: Long)
   final case class RRow(k: Option[String], rts: Option[Long], payload: Long)
   final case class KRow(k: Option[String], a: Option[Int], b: Option[String])
+  /** CDC model row: nullable value + string column keyed by a Long id. */
+  final case class CRow(v: Option[Double], s: Option[String])
 }
 
 class OperatorFuzzSpec extends SparkSpec {
@@ -226,6 +228,192 @@ class OperatorFuzzSpec extends SparkSpec {
         withClue(s"seed=$seed bound=$bound\nedges=$edges\n") {
           got shouldBe want
         }
+      }
+    }
+  }
+
+  // --------------------------------------------------------- cdc apply
+
+  private val CdcSamples = sys.props.get("opFuzzCdc").map(_.toInt).getOrElse(100)
+
+  test(s"$CdcSamples random CDC op sequences through chained " +
+    "CdcApply.applyBatch match a per-key replay model (interleaved " +
+    "insert/update/delete, partial after-images, unparseable values, " +
+    "deletes of absent keys)") {
+    for (seed <- 1 to CdcSamples) {
+      val rnd = new java.util.Random(seed * 52361057L + 41L)
+      val K = 8 + rnd.nextInt(6) % 5 // key domain 0..K+2 (some never in target)
+      // target: random subset of keys with nullable columns
+      val target0 = (0 until K).flatMap { k =>
+        if (rnd.nextInt(2) == 0) Some(k.toLong -> CRow(
+          if (rnd.nextInt(5) == 0) None else Some((rnd.nextInt(400) - 200) / 4.0),
+          if (rnd.nextInt(5) == 0) None else Some("s" + rnd.nextInt(8))))
+        else None
+      }.toMap
+      val nBatches = 1 + rnd.nextInt(3)
+      var seq = 0L
+      // a batch: (key, isDelete, after-image) drawn ops, arrival-ordered
+      val batches = (0 until nBatches).map { _ =>
+        (0 until (1 + rnd.nextInt(10))).map { _ =>
+          val k = rnd.nextInt(K + 3).toLong
+          val isDel = rnd.nextInt(3) == 0
+          seq += 1
+          val after: Map[String, String] =
+            if (isDel) Map.empty
+            else Map("id" -> k.toString) ++
+              (rnd.nextInt(4) match { // v: present | missing | garbage
+                case 0 => Map.empty[String, String]
+                case 1 if rnd.nextInt(8) == 0 => Map("v" -> "not a number")
+                case _ => Map("v" -> ((rnd.nextInt(400) - 200) / 4.0).toString)
+              }) ++
+              (if (rnd.nextInt(4) == 0) Map.empty[String, String]
+               else Map("s" -> ("s" + rnd.nextInt(8))))
+          (k, isDel, after, seq)
+        }
+      }
+
+      // engine: chain the real per-micro-batch MERGE apply
+      val tDf = target0.toSeq.map { case (k, r) => (k, r.v, r.s) }
+        .toDF("id", "v", "s")
+      val got = batches.foldLeft(tDf) { (state, ops) =>
+        val msgs = ops.map { case (k, isDel, after, sq) =>
+          graft.cdc.CDCMessage("d", "p", "t",
+            isInsert = !isDel && !target0.contains(k), isUpdate = !isDel,
+            isDelete = isDel,
+            before = if (isDel) Map("id" -> k.toString) else Map.empty,
+            after = after, seq = sq)
+        }.toDS()
+        graft.cdc.CdcApply.applyBatch(state, msgs, Seq("id"))
+      }.collect().map(r => r.getLong(0) -> CRow(
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[String]))).toMap
+
+      // model: per batch, LAST op per key applied against batch-START state
+      // (reference CDCMessageProcessor semantics: last event per key wins,
+      // upsert columns coalesce — a missing or unparseable after-image
+      // column keeps the matched row's old value)
+      val want = batches.foldLeft(target0) { (state, ops) =>
+        val last = ops.groupBy(_._1).map { case (k, os) => k -> os.maxBy(_._4) }
+        last.foldLeft(state) { case (st, (k, (_, isDel, after, _))) =>
+          if (isDel) st - k
+          else {
+            val av = after.get("v").flatMap(_.toDoubleOption)
+            val as = after.get("s")
+            val old = st.get(k)
+            st + (k -> CRow(av.orElse(old.flatMap(_.v)),
+              as.orElse(old.flatMap(_.s))))
+          }
+        }
+      }
+      withClue(s"seed=$seed\ntarget=$target0\nbatches=$batches\n") {
+        got shouldBe want
+      }
+    }
+  }
+
+  // ------------------------------------------------- cdc stream (e2e fuzz)
+
+  private val CdcStreamSamples =
+    sys.props.get("opFuzzCdcStream").map(_.toInt).getOrElse(8)
+
+  test(s"$CdcStreamSamples random CDC streams (partitioned + unpartitioned " +
+    "targets, partition-moving updates, checkpoint restart between batches) " +
+    "match the replay model") {
+    import java.nio.file.Files
+    for (seed <- 1 to CdcStreamSamples) {
+      val rnd = new java.util.Random(seed * 87178291L + 53L)
+      val partitioned = rnd.nextInt(6) < 3
+      val K = 10
+      def grpOf(g: Int) = g.toString
+      // live state used for accurate mid-batch before images: key -> grp
+      val target0 = (0 until K).flatMap { k =>
+        if (rnd.nextInt(3) > 0) Some(k.toLong ->
+          ((k % 3), (rnd.nextInt(400) - 200) / 4.0))
+        else None
+      }.toMap
+
+      def jstr(v: String) = "\"" + v + "\"" // values are alnum-safe here
+      def obj(m: Seq[(String, String)]) =
+        if (m.isEmpty) "null"
+        else m.map { case (k, v) => jstr(k) + ": " + jstr(v) }
+          .mkString("{", ", ", "}")
+      def env(op: String, before: Seq[(String, String)],
+          after: Seq[(String, String)], sq: Long) =
+        s"""{"payload": {"op": "$op", "before": ${obj(before)}, """ +
+          s""""after": ${obj(after)}, "source": {"db": "d", "schema": "p", """ +
+          s""""table": "t"}, "ts_ms": $sq}}"""
+
+      // generate 2 batches; before images track MID-BATCH grp truth (what a
+      // real Debezium source emits), the model applies last-op-per-key
+      // against batch-start state (what the engine does)
+      var seq = 0L
+      var modelState = target0 // key -> (grp, v)
+      val batchLines = (0 until 2).map { _ =>
+        val midGrp = scala.collection.mutable.Map[Long, Int](
+          modelState.view.mapValues(_._1).toSeq: _*)
+        val ops = (1 + rnd.nextInt(8)) // (key, isDel, afterGrp, afterV, seq)
+        val drawn = (0 until ops).map { _ =>
+          val k = rnd.nextInt(K + 2).toLong
+          seq += 1
+          midGrp.get(k) match {
+            case Some(g) if rnd.nextInt(4) == 0 => // delete live key
+              midGrp.remove(k)
+              (env("d", Seq("id" -> k.toString, "grp" -> grpOf(g)), Nil, seq),
+                (k, true, 0, 0.0, seq))
+            case Some(g) => // update, moving partition 1/3 of the time
+              val ng = if (rnd.nextInt(3) == 0) (g + 1) % 3 else g
+              val nv = (rnd.nextInt(400) - 200) / 4.0
+              midGrp(k) = ng
+              (env("u", Seq("id" -> k.toString, "grp" -> grpOf(g)),
+                Seq("id" -> k.toString, "v" -> nv.toString,
+                  "grp" -> grpOf(ng)), seq),
+                (k, false, ng, nv, seq))
+            case None if rnd.nextInt(5) == 0 => // delete of an absent key
+              (env("d", Seq("id" -> k.toString,
+                "grp" -> grpOf(rnd.nextInt(3))), Nil, seq),
+                (k, true, 0, 0.0, seq))
+            case None => // insert
+              val ng = rnd.nextInt(3)
+              val nv = (rnd.nextInt(400) - 200) / 4.0
+              midGrp(k) = ng
+              (env("c", Nil, Seq("id" -> k.toString, "v" -> nv.toString,
+                "grp" -> grpOf(ng)), seq),
+                (k, false, ng, nv, seq))
+          }
+        }
+        val last = drawn.map(_._2).groupBy(_._1)
+          .map { case (k, os) => k -> os.maxBy(_._5) }
+        modelState = last.foldLeft(modelState) {
+          case (st, (k, (_, isDel, g, v, _))) =>
+            if (isDel) st - k else st + (k -> (g, v))
+        }
+        drawn.map(_._1)
+      }
+
+      val lake = scratchDir(s"cdcfz$seed").getAbsolutePath
+      val inDir = scratchDir(s"cdcfzin$seed").toPath
+      val ckpt = scratchDir(s"cdcfzck$seed").getAbsolutePath
+      val sink = graft.model.ObjectStoreSpec(path = lake,
+        database = "graft_cdcfz", table = s"t$seed",
+        partitionBy = if (partitioned) Seq("grp") else Nil)
+      graft.sinks.ObjectStoreSink.write(spark,
+        target0.toSeq.map { case (k, (g, v)) => (k, v, grpOf(g)) }
+          .toDF("id", "v", "grp"), sink)
+
+      batchLines.zipWithIndex.foreach { case (lines, i) =>
+        Files.writeString(inDir.resolve(s"b$i.jsonl"), lines.mkString("\n"))
+        graft.streaming.CdcStream
+          .start(spark, inDir.toString, sink, Seq("id"), ckpt)
+          .awaitTermination(180000) shouldBe true
+      }
+      val got = spark.table(s"graft_cdcfz.t$seed")
+        // partition-column type inference may read grp dirs back as int
+        .select(col("id"), col("v"), col("grp").cast("string").as("grp"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(2).toInt, r.getDouble(1)))).toMap
+      withClue(s"seed=$seed partitioned=$partitioned\ntarget=$target0\n" +
+        s"batches=$batchLines\n") {
+        got shouldBe modelState
       }
     }
   }

@@ -165,4 +165,72 @@ class CommitProtocolHammerSpec extends SparkSpec {
         .filter(_.contains(".tmp-")) shouldBe empty
     } finally ObjectStoreSink.retireGraceMs = prevGrace
   }
+
+  test("MV stream writer racing a compactor: every batch lands exactly once, " +
+    "compaction never bricks the stream and never resurrects stale content") {
+    import graft.operators.IncrementalAgg
+    import graft.streaming.MvRefreshStream
+    val root = scratchDir("mvhammer").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_hammer",
+      table = "mv")
+    val tableDir = java.nio.file.Paths.get(root, spec.database, spec.table)
+    val aspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Seq("v"))
+    val appId = "mv-writer"
+    val nBatches = sys.props.get("stressMv").map(_.toInt).getOrElse(14)
+    def batchDf(b: Int) =
+      Seq(("a", b.toDouble), ("k" + b % 5, 1.0)).toDF("k", "v")
+
+    // seed batch 0 so the compactor always has a table to look at
+    MvRefreshStream.applyBatch(spark, batchDf(0), 0L, spec, aspec, appId)
+
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val writerDone = new AtomicBoolean(false)
+    val compactions = new AtomicInteger(0)
+    val writer = new Thread(() => {
+      try {
+        for (b <- 1 until nBatches)
+          // with stamp carry-through + CAS'd compaction this must NEVER
+          // throw: a compactor commit is invisible to the replay guard,
+          // and a compactor can never clobber an MV commit (it aborts)
+          MvRefreshStream.applyBatch(spark, batchDf(b), b.toLong, spec, aspec, appId)
+      } catch { case t: Throwable => failures.add(t): Unit }
+      finally writerDone.set(true)
+    })
+    val compactor = new Thread(() => {
+      val rnd = new Random(524287)
+      while (!writerDone.get()) {
+        try {
+          graft.operators.Compaction.compact(spark, spec): Unit
+          compactions.incrementAndGet(): Unit
+        } catch { case t: Throwable => failures.add(t): Unit }
+        Thread.sleep(rnd.nextInt(40).toLong)
+      }
+    })
+    writer.start(); compactor.start()
+    writer.join(600000); compactor.join(60000)
+
+    import scala.jdk.CollectionConverters._
+    withClue("mv/compactor failures:\n" + failures.asScala
+      .map(t => s"  ${t.getClass.getSimpleName}: ${t.getMessage}").mkString("\n")) {
+      failures.asScala.toList shouldBe Nil
+    }
+    // no silent skip, no double-apply, no lost update: the final content is
+    // the full aggregate of every batch, bit-for-bit
+    val want = IncrementalAgg.aggregate(
+      (0 until nBatches).map(batchDf).reduce(_ union _), aspec)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    ObjectStoreSink.readVersion(spark, spec, None)
+      .orderBy("k").collect().map(_.toSeq).toSeq shouldBe want
+    // the latest stamp is the writer's last batch (compaction carried it)
+    TableManifest.read(java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)).flatMap(_.txn) shouldBe
+      Some(TableManifest.TxnStamp(appId, (nBatches - 1).toLong))
+    // single lineage at quiescence: the log names exactly the committed dirs
+    val committedDirs = new java.io.File(tableDir.toString).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v-\\d{6}"))
+      .filter(f => TableManifest.isCommitted(f.toPath))
+      .map(_.getName.drop(2).toInt).sorted.toSeq
+    CommitLog.read(tableDir) shouldBe Some(committedDirs)
+    ObjectStoreSink.snapshots(spec).map(_.version) shouldBe committedDirs
+  }
 }

@@ -258,6 +258,29 @@ class SinksSpec extends SparkSpec {
     spark.table("graft_t7.g").count() shouldBe 2
   }
 
+  test("replaceTable expectVersion CAS: stale expectation aborts with " +
+    "ConcurrentCommitException, current one commits") {
+    val root = scratchDir("cas").getAbsolutePath
+    val spec = ObjectStoreSpec(path = root, database = "graft_cas", table = "t")
+    ObjectStoreSink.write(spark, Seq((1, "a")).toDF("id", "s"), spec)
+    ObjectStoreSink.replaceTable(spark, Seq((2, "b")).toDF("id", "s"), spec)
+    val latest = ObjectStoreSink.snapshots(spec).last.version
+    // a maintenance rewrite that pinned version 1 loses the race: the
+    // stale content must NEVER land on top of version `latest`
+    val ex = the[ConcurrentCommitException] thrownBy
+      ObjectStoreSink.replaceTable(spark, Seq((1, "a")).toDF("id", "s"), spec,
+        expectVersion = Some(latest - 1))
+    ex.getMessage should include("concurrent writer")
+    spark.table("graft_cas.t").as[(Int, String)].collect().toSeq shouldBe
+      Seq((2, "b")) // the aborted rewrite left no trace
+    ObjectStoreSink.snapshots(spec).last.version shouldBe latest
+    // the CURRENT version CAS-es through
+    ObjectStoreSink.replaceTable(spark, Seq((3, "c")).toDF("id", "s"), spec,
+      expectVersion = Some(latest))
+    spark.table("graft_cas.t").as[(Int, String)].collect().toSeq shouldBe
+      Seq((3, "c"))
+  }
+
   test("text sink: csv + payload text") {
     val dir = scratchDir("text").getAbsolutePath
     TextSink.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "name"),

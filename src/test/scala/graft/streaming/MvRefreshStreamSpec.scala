@@ -100,6 +100,58 @@ class MvRefreshStreamSpec extends SparkSpec {
         Seq(("c", 3.0)).toDF("k", "v"), 2, spec, aspec, ckpt)
   }
 
+  test("compaction is invisible to the replay guard: the TxnStamp rides " +
+    "through and the next batch applies normally") {
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src6")
+    val d1 = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+    d1.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("compact")
+    val ckpt = graft.Scratch.fresh("graft-mvrs6") + "/ckpt"
+    drain(srcDir, spec, ckpt) // batches 0 and 1 committed, stamped (ckpt, 1)
+    ObjectStoreSink.snapshots(spec).size shouldBe 2
+    // maintenance rewrite: content-preserving, carries the stamp through
+    graft.operators.Compaction.compact(spark, spec): Unit
+    val snaps = ObjectStoreSink.snapshots(spec)
+    val stamp = graft.sinks.TableManifest
+      .read(java.nio.file.Paths.get(snaps.last.path)).flatMap(_.txn)
+    stamp shouldBe Some(graft.sinks.TableManifest.TxnStamp(ckpt, 1L))
+    // the next batch applies with NO violation and NO silent skip
+    val d2 = Seq(("b", 7.0)).toDF("k", "v")
+    MvRefreshStream.applyBatch(spark, d2, 2, spec, aspec, ckpt)
+    canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe
+      canon(IncrementalAgg.aggregate(d1.union(d2), aspec))
+  }
+
+  test("adopt() re-arms a bricked stream: explicit recovery from a foreign " +
+    "commit without rebuilding the MV or checkpoint") {
+    val srcDir = graft.Scratch.fresh("graft-mvrs-src7")
+    val d1 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    d1.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val spec = freshSpec("adopt")
+    val ckpt = graft.Scratch.fresh("graft-mvrs7") + "/ckpt"
+    drain(srcDir, spec, ckpt)
+    // a manual fix-up commits without our stamp → the stream is bricked
+    ObjectStoreSink.replaceTable(spark,
+      ObjectStoreSink.readVersion(spark, spec, None), spec)
+    an[IllegalStateException] should be thrownBy
+      MvRefreshStream.applyBatch(spark,
+        Seq(("c", 3.0)).toDF("k", "v"), 2, spec, aspec, ckpt)
+    // the operator inspects the table, decides the content is the correct
+    // through-batch-1 state, and adopts it — the guard re-arms
+    MvRefreshStream.adopt(spark, spec, ckpt, batchId = 1L)
+    MvRefreshStream.applyBatch(spark,
+      Seq(("c", 3.0)).toDF("k", "v"), 2, spec, aspec, ckpt)
+    canon(ObjectStoreSink.readVersion(spark, spec, None)) shouldBe
+      canon(IncrementalAgg.aggregate(
+        d1.union(Seq(("c", 3.0)).toDF("k", "v")), aspec))
+    // adoption is NOT a blanket bypass: a fresh foreign commit bricks again
+    ObjectStoreSink.replaceTable(spark,
+      ObjectStoreSink.readVersion(spark, spec, None), spec)
+    an[IllegalStateException] should be thrownBy
+      MvRefreshStream.applyBatch(spark,
+        Seq(("d", 4.0)).toDF("k", "v"), 3, spec, aspec, ckpt)
+  }
+
   test("CMS snapshot column refreshes through the stream: streamed ≡ one-shot sketch") {
     import graft.functions.CmsSketch
     val (w, dep) = (16, 2)

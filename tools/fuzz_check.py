@@ -4,7 +4,7 @@ seeded random queries, then execute each sample's SQL in DuckDB and
 value-compare — same comparator as tools/check.py, over generated plans
 nobody hand-wrote.
 
-Usage: python3 tools/fuzz_check.py [sfdir] [nsamples] [seedbase] [v1..v8|asof|incagg]
+Usage: python3 tools/fuzz_check.py [sfdir] [nsamples] [seedbase] [v1..v8|asof|incagg|cdc|cdcstream]
 """
 import json, os, shutil, subprocess, sys, glob
 
@@ -12,7 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 N = sys.argv[2] if len(sys.argv) > 2 else "200"
 BASE = sys.argv[3] if len(sys.argv) > 3 else "1"
-GEN = sys.argv[4] if len(sys.argv) > 4 else "v1"  # v1..v8 | asof | incagg
+GEN = sys.argv[4] if len(sys.argv) > 4 else "v1"  # v1..v8 | asof | incagg | cdc | cdcstream
 OUT = "/tmp/graft_fuzz_out"
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
