@@ -418,6 +418,95 @@ class OperatorFuzzSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------- mssql-cdc pairing (S12/J4)
+
+  private val MsSqlSamples =
+    sys.props.get("opFuzzMssql").map(_.toInt).getOrElse(30)
+
+  test(s"$MsSqlSamples random MSSQL-style change tables: seqval pairing + " +
+    "watermarked two-window poll + apply match a replay model") {
+    import graft.cdc.{CdcApply, MsSqlStyleCdc, WatermarkStore}
+    import graft.model.JdbcSourceSpec
+    // Event grammar per real SQL Server CDC: a seqval carries ONE op-1
+    // (delete, full before image), ONE op-2 (insert), or an op-3/op-4
+    // update pair. Orphan halves cannot occur across polls — both halves
+    // share the seqval and the watermark predicate is `seqval > wm`, so a
+    // pair is never split by a window boundary (the reference's pairing
+    // argument, MsSqlCDCRunnerSlave.scala:34-187); the generator therefore
+    // never emits them, and `CdcSpec` pins the single-half passthrough.
+    for (seed <- 1 to MsSqlSamples) {
+      val rnd = new java.util.Random(seed * 15787001L + 59L)
+      val dir = scratchDir(s"msfz$seed").toPath
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      c.createStatement().executeUpdate(
+        """CREATE TABLE ch ("__$operation" INT, "__$seqval" BIGINT,
+          |id INT, v VARCHAR(20))""".stripMargin.replace("\n", " "))
+      def ins(op: Int, seqval: Long, id: Int, v: Option[String]): Unit =
+        c.createStatement().executeUpdate(
+          s"INSERT INTO ch VALUES ($op, $seqval, $id, " +
+            v.map(s => s"'$s'").getOrElse("NULL") + ")")
+
+      val K = 8
+      var state = (0 until K).flatMap { k =>
+        if (rnd.nextInt(2) == 0) Some(k -> Option.when(rnd.nextInt(5) > 0)("v" + rnd.nextInt(9)))
+        else None
+      }.toMap
+      val target = state.toSeq.map { case (k, v) => (k, v.orNull) }.toDF("id", "v")
+
+      // two poll windows of events over ascending seqvals; the model is
+      // last-event-per-key per WINDOW applied against window-start state
+      // (CdcApply semantics — the engine's per-batch MERGE)
+      var seqval = 100L
+      def window(): Seq[(Long, Int, Int, Option[String])] = // seqval, op, id, v
+        (0 until (2 + rnd.nextInt(7))).map { _ =>
+          val id = rnd.nextInt(K + 2)
+          seqval += 1 + rnd.nextInt(3)
+          rnd.nextInt(3) match {
+            case 0 => (seqval, 1, id, Option.when(rnd.nextInt(5) > 0)("d" + rnd.nextInt(9)))
+            case 1 => (seqval, 2, id, Option.when(rnd.nextInt(5) > 0)("i" + rnd.nextInt(9)))
+            case _ => (seqval, 34, id, Option.when(rnd.nextInt(5) > 0)("u" + rnd.nextInt(9)))
+          }
+        }
+      def emit(w: Seq[(Long, Int, Int, Option[String])]): Unit = w.foreach {
+        case (sv, 34, id, v) => // update pair: before half + after half
+          ins(3, sv, id, Some("old" + id)); ins(4, sv, id, v)
+        case (sv, op, id, v) => ins(op, sv, id, v)
+      }
+      def modelApply(w: Seq[(Long, Int, Int, Option[String])]): Unit = {
+        val last = w.groupBy(_._3).map { case (id, evs) => id -> evs.maxBy(_._1) }
+        last.toSeq.sortBy(_._1).foreach { case (id, (_, op, _, v)) =>
+          if (op == 1) state -= id
+          else { // insert or update-after: full image, v may be NULL →
+                 // coalesce keeps the old value on matched keys
+            val old = state.get(id)
+            state += id -> v.orElse(old.flatten)
+          }
+        }
+      }
+
+      val store = new WatermarkStore(dir.resolve("wm.properties"))
+      val spec = JdbcSourceSpec(url = url, table = "ch")
+      var applied = target
+      for (w <- Seq(window(), window())) {
+        emit(w)
+        val poll = MsSqlStyleCdc.poll(spark, s"ds$seed", spec, store)
+        poll.rows shouldBe w.map(_._1).distinct.size
+        applied = CdcApply.applyBatch(applied, poll.messages, Seq("id"))
+          .persist()
+        applied.count() // materialize before the next window mutates ch
+        poll.commit(store, s"ds$seed")
+        modelApply(w)
+      }
+      c.close()
+      val got = applied.collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+      withClue(s"seed=$seed\ntarget state progression expected=$state\n") {
+        got shouldBe state
+      }
+    }
+  }
+
   // ------------------------------------------------- incremental aggregate
 
   private def canon(df: DataFrame): Seq[String] = {
