@@ -180,6 +180,14 @@ class CommitProtocolHammerSpec extends SparkSpec {
     def batchDf(b: Int) =
       Seq(("a", b.toDouble), ("k" + b % 5, 1.0)).toDF("k", "v")
 
+    // AQE's partition coalescing collapses the tiny aggregate to ONE output
+    // file, which would leave the compactor with nothing to do (every
+    // check reads already-compact) — disable it for the race so each MV
+    // commit genuinely fragments the table like a production micro-batch
+    val prevCoalesce =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
     // seed batch 0 so the compactor always has a table to look at
     MvRefreshStream.applyBatch(spark, batchDf(0), 0L, spec, aspec, appId)
 
@@ -198,10 +206,13 @@ class CommitProtocolHammerSpec extends SparkSpec {
     })
     val compactor = new Thread(() => {
       val rnd = new Random(524287)
-      while (!writerDone.get()) {
+      var extra = 0 // post-race attempts if every in-race CAS was lost
+      while (!writerDone.get() || (compactions.get() == 0 && extra < 10)) {
+        if (writerDone.get()) extra += 1
         try {
-          graft.operators.Compaction.compact(spark, spec): Unit
-          compactions.incrementAndGet(): Unit
+          val before = graft.operators.Compaction.liveFileCount(spark, spec)
+          val after = graft.operators.Compaction.compact(spark, spec)
+          if (after < before) compactions.incrementAndGet(): Unit
         } catch { case t: Throwable => failures.add(t): Unit }
         Thread.sleep(rnd.nextInt(40).toLong)
       }
@@ -214,6 +225,10 @@ class CommitProtocolHammerSpec extends SparkSpec {
       .map(t => s"  ${t.getClass.getSimpleName}: ${t.getMessage}").mkString("\n")) {
       failures.asScala.toList shouldBe Nil
     }
+    // the race must be real: the compactor actually committed rewrites
+    // while the writer ran (each MV commit lands ~4 shuffle-partition
+    // files, re-fragmenting the table), not vacuously no-op'd throughout
+    compactions.get() should be > 0
     // no silent skip, no double-apply, no lost update: the final content is
     // the full aggregate of every batch, bit-for-bit
     val want = IncrementalAgg.aggregate(
@@ -232,5 +247,11 @@ class CommitProtocolHammerSpec extends SparkSpec {
       .map(_.getName.drop(2).toInt).sorted.toSeq
     CommitLog.read(tableDir) shouldBe Some(committedDirs)
     ObjectStoreSink.snapshots(spec).map(_.version) shouldBe committedDirs
+    } finally prevCoalesce match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
   }
 }
