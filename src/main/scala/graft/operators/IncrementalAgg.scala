@@ -37,6 +37,17 @@ object IncrementalAgg {
     */
   final case class CmsCol(slotsCol: String, width: Int, depth: Int)
 
+  /** A bottom-k-by-hash SAMPLE state column: `hashCol` names an input
+    * column holding a unique row key's 60-bit hash (the md5-prefix
+    * convention), `valueCol` the double payload to sample. The snapshot
+    * stores the k lexicographically-smallest distinct (hash, value) pairs
+    * ([[graft.functions.HashSample]]) — a reproducible uniform per-group
+    * sample whose derived estimates (quantiles, means) refresh at delta
+    * cost; two sketches merge as a bounded sorted-distinct union, the
+    * exact KMV algebra with a payload.
+    */
+  final case class SampleCol(hashCol: String, valueCol: String, k: Int)
+
   /** A KMV distinct-count sketch state column: `hashCol` names an input
     * column holding the item's 60-bit hash (the engine's md5-prefix
     * convention — see [[graft.functions.KmvDistinct]]). The snapshot
@@ -53,12 +64,14 @@ object IncrementalAgg {
     */
   final case class Spec(keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      cmsCols: Seq[CmsCol] = Nil, kmvCols: Seq[KmvCol] = Nil) {
+      cmsCols: Seq[CmsCol] = Nil, kmvCols: Seq[KmvCol] = Nil,
+      sampleCols: Seq[SampleCol] = Nil) {
     require(keys.nonEmpty, "aggregate needs at least one key")
     def stateCols: Seq[String] =
       "cnt" +: (sumCols.map("s_" + _) ++ minCols.map("mn_" + _) ++
         maxCols.map("mx_" + _) ++ cmsCols.map("cms_" + _.slotsCol) ++
-        kmvCols.map("kmv_" + _.hashCol))
+        kmvCols.map("kmv_" + _.hashCol) ++
+        sampleCols.map("smp_" + _.hashCol))
   }
 
   private val dec = DecimalType(28, 4)
@@ -74,7 +87,10 @@ object IncrementalAgg {
             .as(s"cms_${cc.slotsCol}")) ++
         spec.kmvCols.map(kc =>
           graft.functions.KmvDistinct.kmv(col(kc.hashCol), kc.k)
-            .as(s"kmv_${kc.hashCol}")))
+            .as(s"kmv_${kc.hashCol}")) ++
+        spec.sampleCols.map(sc =>
+          graft.functions.HashSample.sample(col(sc.hashCol), col(sc.valueCol), sc.k)
+            .as(s"smp_${sc.hashCol}")))
     rows.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -132,6 +148,15 @@ object IncrementalAgg {
               coalesce(col(s"kmv_${kc.hashCol}__o"), e),
               coalesce(col(s"kmv_${kc.hashCol}__n"), e)))), 1, kc.k)
               .as(s"kmv_${kc.hashCol}")
+          } ++
+          spec.sampleCols.map { sc =>
+            // same bounded union, struct-lexicographic on (h, v); a
+            // one-sided key self-concats the present side (distinct
+            // collapses it) — avoids a typed empty-struct-array literal
+            val (o, n) = (col(s"smp_${sc.hashCol}__o"), col(s"smp_${sc.hashCol}__n"))
+            slice(array_sort(array_distinct(concat(
+              coalesce(o, n), coalesce(n, o)))), 1, sc.k)
+              .as(s"smp_${sc.hashCol}")
           })
     j.select(keyCols ++ merged: _*)
   }

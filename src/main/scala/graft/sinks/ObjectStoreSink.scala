@@ -14,6 +14,10 @@ import java.util.Comparator
   * committing anyway would resurrect the stale content OVER the concurrent
   * writer's commit (a lost update). The versioned-dir analogue of an ACID
   * table format's rewrite-conflict abort (Iceberg RewriteFiles validation).
+  * Within one driver the check rides the per-table commit lock; a
+  * cross-driver object-store deployment backs the same compare-and-commit
+  * with its [[CommitPublisher]]'s conditional-PUT primitives
+  * (`If-Match`/`ifGenerationMatch`), exactly like the commit log.
   */
 final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 

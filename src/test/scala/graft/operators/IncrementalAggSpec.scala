@@ -101,6 +101,34 @@ class IncrementalAggSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 7L)
   }
 
+  test("sample state column: incremental advance equals the one-shot " +
+    "bottom-k sample bit-exactly") {
+    val k = 3
+    val sspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Nil,
+      sampleCols = Seq(IncrementalAgg.SampleCol("h", "v", k)))
+    // duplicate (h, v) pairs across the split (distinct-union), same hash
+    // with different payloads (lexicographic tie-break), > k per group
+    // (bounded truncation), a NULL payload (skipped), a delta-only group
+    val rows = Seq(
+      ("a", 9L, Some(1.5)), ("a", 3L, Some(2.0)), ("a", 7L, Some(0.5)),
+      ("b", 5L, Some(4.0)), ("a", 1L, None), ("a", 3L, Some(2.0)),
+      ("a", 3L, Some(1.0)), ("b", 8L, Some(6.0)), ("a", 12L, Some(9.0)),
+      ("c", 4L, Some(7.0)))
+      .zipWithIndex.map { case ((g, h, v), i) => (g, h, v, i.toLong) }
+      .toDF("k", "h", "v", "i")
+    val oneShot = IncrementalAgg.aggregate(rows, sspec)
+    for (cut <- Seq(3, 6, 9)) {
+      val snap = IncrementalAgg.aggregate(rows.filter(col("i") < cut), sspec)
+      val delta = rows.filter(col("i") >= cut)
+      canon(IncrementalAgg.advance(snap, delta, sspec)) shouldBe canon(oneShot)
+    }
+    // group a: null payload at h=1 skipped; distinct pairs sorted (h, v)
+    // are (3,1.0),(3,2.0),(7,0.5),(9,1.5),(12,9.0) → bottom-3 kept
+    oneShot.filter(col("k") === "a").head().getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+      Seq((3L, 1.0), (3L, 2.0), (7L, 0.5))
+  }
+
   test("merge rejects a state relation whose schema doesn't match the spec") {
     val good = IncrementalAgg.aggregate(Seq(("a", 1.0)).toDF("k", "v"), spec)
     val bad = good.withColumnRenamed("cnt", "n")
@@ -115,7 +143,8 @@ class IncrementalAggSpec extends SparkSpec {
 
   test(s"$MergeOrderCases scalacheck cases: folding merge over ANY k-way " +
     "split in ANY association/commutation order is bit-identical to the " +
-    "one-shot aggregate (sum+min+max+cms+kmv states, NULL keys and inputs)") {
+    "one-shot aggregate (sum+min+max+cms+kmv+sample states, NULL keys " +
+    "and inputs)") {
     // the commutative+associative claim at IncrementalAgg.merge — with CMS
     // and KMV sketch states in the snapshot (VERDICT r9 #6), order
     // invariance is what makes "advance == aggregate(base ∪ delta)" hold
@@ -129,7 +158,8 @@ class IncrementalAggSpec extends SparkSpec {
     val pspec = IncrementalAgg.Spec(keys = Seq("k"), sumCols = Seq("v"),
       minCols = Seq("v"), maxCols = Seq("v"),
       cmsCols = Seq(IncrementalAgg.CmsCol("slots", 16, 2)),
-      kmvCols = Seq(IncrementalAgg.KmvCol("h", 4)))
+      kmvCols = Seq(IncrementalAgg.KmvCol("h", 4)),
+      sampleCols = Seq(IncrementalAgg.SampleCol("h", "v", 4)))
     def withStates(df: DataFrame): DataFrame = df
       .withColumn("slots", graft.functions.CmsSketch.slotsFor(col("item"), 16, 2))
       .withColumn("h", conv(substring(md5(col("item")), 1, 15), 16, 10).cast("long"))
