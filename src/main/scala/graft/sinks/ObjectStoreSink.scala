@@ -312,18 +312,60 @@ object ObjectStoreSink {
     * crashed writer's directory can never be read.
     */
   def readVersion(spark: SparkSession, spec: ObjectStoreSpec,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    spark.read.format(spec.fileFormat).load(resolveSnapshot(spec, version).path)
+
+  private def resolveSnapshot(spec: ObjectStoreSpec, version: Option[Int]): Snapshot = {
     val snaps = snapshots(spec)
     if (snaps.isEmpty) throw new PipelineSpecException(
       s"no committed versions for ${spec.database}.${spec.table} under ${spec.path}")
-    val snap = version match {
+    version match {
       case None => snaps.last
       case Some(v) => snaps.find(_.version == v).getOrElse(
         throw new PipelineSpecException(
           s"version $v of ${spec.database}.${spec.table} does not exist or " +
             s"is not committed (have: ${snaps.map(_.version).mkString(", ")})"))
     }
-    spark.read.format(spec.fileFormat).load(snap.path)
+  }
+
+  /** Zone-map-pruned read: resolve the committed snapshot like
+    * [[readVersion]], drop every data file whose manifest-recorded column
+    * ranges provably cannot intersect `preds` ([[ZoneMap.prune]] — a
+    * driver-side O(files) metadata decision; no scan task ever launches
+    * for a skipped file), then apply the predicate EXACTLY on the
+    * survivors, so the result equals `readVersion(...).filter(preds)`
+    * regardless of how sharp the stats are. Returns the exact DataFrame
+    * plus the skip accounting. Files lacking stats (non-parquet formats,
+    * legacy manifests) are simply never skipped — same rows, no speedup.
+    */
+  def readVersionPruned(spark: SparkSession, spec: ObjectStoreSpec,
+      preds: Seq[ZoneMap.Bound], version: Option[Int] = None)
+      : (DataFrame, ZoneMap.PruneReport) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = resolveSnapshot(spec, version)
+    val vdir = Paths.get(snap.path)
+    val manifest = TableManifest.read(vdir).getOrElse(
+      throw new PipelineSpecException(
+        s"committed version ${snap.version} of ${spec.database}.${spec.table} " +
+          "lost its manifest — refusing to substitute a directory listing"))
+    val (kept, report) = ZoneMap.prune(manifest, preds)
+    val pruned =
+      if (kept.size == manifest.files.size)
+        spark.read.format(spec.fileFormat).load(snap.path)
+      else if (kept.isEmpty)
+        // provably empty — keep the snapshot's schema, read nothing
+        spark.read.format(spec.fileFormat).load(snap.path).where(lit(false))
+      else
+        // basePath keeps partition-directory columns resolvable when
+        // loading an explicit file subset of a partitioned layout
+        spark.read.format(spec.fileFormat).option("basePath", snap.path)
+          .load(kept.map(f => vdir.resolve(f.path).toString): _*)
+    val exact = preds.foldLeft(pruned) { (d, p) =>
+      val c = col(p.column)
+      val d1 = p.lower.map(v => d.where(c >= lit(v))).getOrElse(d)
+      p.upper.map(v => d1.where(c <= lit(v))).getOrElse(d1)
+    }
+    (exact, report)
   }
 
   /** Re-register a table whose catalog entry is gone but whose versioned

@@ -46,7 +46,21 @@ object TableManifest {
     */
   @volatile var publisher: CommitPublisher = PosixCommitPublisher
 
-  final case class FileEntry(path: String, bytes: Long)
+  /** Per-file, per-column zone-map entry: the [min, max] value range and
+    * null count lifted out of the parquet footer at commit time. `typ` is
+    * the comparison domain — "long" (all integral/date physical types),
+    * "double" (float/double), "string" (ASCII-only UTF8 binary — non-ASCII
+    * ranges are dropped because parquet orders bytes while the JVM orders
+    * UTF-16 code units, and an order mismatch would make pruning unsound),
+    * or "null" (the file holds ONLY nulls for this column — provably
+    * disjoint from any range predicate). Columns without complete stats
+    * simply have no entry: absence always means "cannot prune", never
+    * "empty".
+    */
+  final case class ColStats(typ: String, min: String, max: String, nulls: Long)
+
+  final case class FileEntry(path: String, bytes: Long,
+      stats: Option[Map[String, ColStats]] = None)
 
   /** Writer-transaction stamp (the Delta `txn` mechanism): a streaming
     * writer records (appId, batchId) in the manifest it commits, so its
@@ -84,10 +98,11 @@ object TableManifest {
   def commit(versionDir: Path, schemaHash: String, fileFormat: String,
       txn: Option[TxnStamp] = None): Manifest = {
     val files = dataFiles(versionDir)
-    val entries = files.map(p =>
-      FileEntry(versionDir.relativize(p).toString, Files.size(p)))
-    val rows =
-      if (fileFormat.equalsIgnoreCase("parquet")) parquetRowCount(files) else -1L
+    val (rows, stats) = footerMeta(versionDir, files, fileFormat)
+    val entries = files.map { p =>
+      val rel = versionDir.relativize(p).toString
+      FileEntry(rel, Files.size(p), stats.get(rel))
+    }
     val m = Manifest(entries, entries.map(_.bytes).sum, rows, schemaHash,
       System.currentTimeMillis(), txn)
     publish(versionDir, m)
@@ -104,10 +119,11 @@ object TableManifest {
       schemaHash: Option[String] = None): Option[Manifest] =
     read(versionDir).map { old =>
       val files = dataFiles(versionDir)
-      val entries = files.map(p =>
-        FileEntry(versionDir.relativize(p).toString, Files.size(p)))
-      val rows =
-        if (fileFormat.equalsIgnoreCase("parquet")) parquetRowCount(files) else -1L
+      val (rows, stats) = footerMeta(versionDir, files, fileFormat)
+      val entries = files.map { p =>
+        val rel = versionDir.relativize(p).toString
+        FileEntry(rel, Files.size(p), stats.get(rel))
+      }
       val m = old.copy(files = entries, totalBytes = entries.map(_.bytes).sum,
         rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash))
       publish(versionDir, m)
@@ -161,17 +177,91 @@ object TableManifest {
     out.result().sortBy(_.toString)
   }
 
-  /** Exact row count from parquet footers — metadata-only, no data read. */
-  private def parquetRowCount(files: Seq[Path]): Long = {
+  /** Exact row count + per-file column zone maps, from parquet footers
+    * only — O(files) metadata reads, never a data scan. Stats are keyed by
+    * the file's versionDir-relative path; a column appears only when EVERY
+    * row group of the file carries usable statistics for it (a single
+    * stats-less chunk makes the file's range unknowable → no entry → never
+    * pruned). One unreadable footer degrades the whole commit to
+    * (rowCount = -1, no stats) — identical to the non-parquet path.
+    */
+  private def footerMeta(versionDir: Path, files: Seq[Path], fileFormat: String)
+      : (Long, Map[String, Map[String, ColStats]]) = {
+    if (!fileFormat.equalsIgnoreCase("parquet") || files.isEmpty)
+      return (if (fileFormat.equalsIgnoreCase("parquet")) 0L else -1L, Map.empty)
     val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { p =>
+    var rows = 0L
+    val stats = Map.newBuilder[String, Map[String, ColStats]]
+    files.foreach { p =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      } catch { case _: Exception => return -1L } // not parquet after all
-    }.sum
+        try {
+          rows += r.getRecordCount
+          val cols = footerColStats(r.getFooter)
+          if (cols.nonEmpty) stats += versionDir.relativize(p).toString -> cols
+        } finally r.close()
+      } catch { case _: Exception => return (-1L, Map.empty) } // not parquet
+    }
+    (rows, stats.result())
+  }
+
+  /** Merge one file's column-chunk statistics across its row groups into
+    * per-column [min, max] ranges. Only domains whose JVM comparison order
+    * provably matches parquet's stats order are kept: integral → "long",
+    * floating → "double", ASCII-only UTF8 binary → "string" (parquet
+    * compares unsigned bytes, the JVM compares UTF-16 code units — equal
+    * orders only inside ASCII, so a non-ASCII range is DROPPED, not
+    * approximated). An all-null file column becomes typ "null" (provably
+    * disjoint from every range predicate). Booleans, int96, and
+    * unannotated binary carry no entry.
+    */
+  private def footerColStats(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
+      : Map[String, ColStats] = {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+    chunks.groupBy(_.getPath.toDotString).flatMap { case (name, cs) =>
+      val ss = cs.map(_.getStatistics)
+      if (ss.exists(s => s == null || s.isEmpty)) None
+      else {
+        val nulls = ss.map(s => math.max(0L, s.getNumNulls)).sum
+        val nonNull = ss.filter(_.hasNonNullValue)
+        if (nonNull.isEmpty) Some(name -> ColStats("null", "", "", nulls))
+        else nonNull.head match {
+          case _: IntStatistics | _: LongStatistics =>
+            val vals = nonNull.map {
+              case s: IntStatistics => (s.getMin.toLong, s.getMax.toLong)
+              case s: LongStatistics => (s.getMin, s.getMax)
+            }
+            Some(name -> ColStats("long",
+              vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
+          case _: FloatStatistics | _: DoubleStatistics =>
+            val vals = nonNull.map {
+              case s: FloatStatistics => (s.getMin.toDouble, s.getMax.toDouble)
+              case s: DoubleStatistics => (s.getMin, s.getMax)
+            }
+            // a NaN endpoint means the writer's ordering is undefined for
+            // this chunk — no sound range exists
+            if (vals.exists(v => v._1.isNaN || v._2.isNaN)) None
+            else Some(name -> ColStats("double",
+              vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
+          case _: BinaryStatistics
+              if cs.head.getPrimitiveType.getLogicalTypeAnnotation ==
+                LogicalTypeAnnotation.stringType() =>
+            val vals = nonNull.map { case s: BinaryStatistics =>
+              (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+            }
+            val (mn, mx) = (vals.map(_._1).min, vals.map(_._2).max)
+            if ((mn + mx).forall(_ < 128))
+              Some(name -> ColStats("string", mn, mx, nulls))
+            else None
+          case _ => None
+        }
+      }
+    }
   }
 
   private def newestMtime(versionDir: Path): Long = {
