@@ -17,7 +17,7 @@ object SparkEntry {
       Embeddings.recallDefs ++ Embeddings.quantDefs ++
       Dedup.defs ++ Dedup.clusterDefs ++
       Dedup.incrementalDefs ++ Dedup.containmentDefs ++
-      Dedup.streamEquivDefs ++
+      Dedup.streamEquivDefs ++ Dedup.fuzzyDefs ++
       Curation.defs ++ CurationOps.defs ++ PipelineQueries.defs ++
       PipelineQueries.cdcDefs ++ PipelineQueries.infraDefs ++
       MultimodalQueries.defs ++ OpsQueries.defs ++ FuzzSql.defs ++

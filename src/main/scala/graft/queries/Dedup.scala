@@ -618,6 +618,86 @@ object Dedup {
             |SELECT doc_id, COUNT(*) AS n_tok, bit_xor(h) AS hash_xor
             |FROM hashes GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 
+  /** Sorted-neighborhood fuzzy-duplicate pairs — the CHARACTER-level member
+    * of the dedup family (MinHash/SimHash/containment are token-level and
+    * blind to small in-word edits: typos, OCR noise, near-identical
+    * boilerplate openings). Classic entity-resolution shape (Hernández &
+    * Stolfo, "The merge/purge problem", SIGMOD'95): normalize a bounded
+    * key (first [[FuzzyPrefixLen]] chars, lowercased, ASCII-squashed),
+    * sort within a block, compare each record to its next
+    * [[FuzzyWindow]] neighbors only, verify with exact Levenshtein.
+    *
+    * Scale: the block key is (source, first [[FuzzyBlockLen]] key chars),
+    * so the window sort never sees more than one block — no global sort,
+    * no all-pairs join; candidate count is ≤ W·n. Degenerate blocks
+    * (boilerplate prefixes shared by millions of docs) are dropped by the
+    * same broadcast hot-block cap as the LSH buckets — bounded recall
+    * traded for a bounded plan, and the Levenshtein verify runs on
+    * bounded [[FuzzyPrefixLen]]-char keys, never document bodies.
+    */
+  val FuzzyPrefixLen = 24
+  val FuzzyBlockLen = 4
+  val FuzzyWindow = 8
+  val FuzzyMaxDist = 14
+  val FuzzyMaxBlock = 256
+
+  private def fuzzyKeys(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("source"), col("doc_id"),
+      regexp_replace(lower(substring(col("text"), 1, FuzzyPrefixLen)),
+        "[^a-z0-9 ]", "").as("pfx"))
+      .withColumn("blk", substring(col("pfx"), 1, FuzzyBlockLen))
+
+  def fuzzyNeighborPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = fuzzyKeys(s, d)
+    // same broadcast-blacklist shape as lshCandidates: per-block counts
+    // partial-aggregate map-side; >cap survivors are tiny; the anti-join
+    // re-shuffles nothing
+    val hotBlocks = keys.groupBy("source", "blk")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > FuzzyMaxBlock)
+      .select("source", "blk")
+    val kept = keys.join(broadcast(hotBlocks), Seq("source", "blk"), "left_anti")
+    val w = Window.partitionBy("source", "blk").orderBy("pfx", "doc_id")
+    val withNbrs = kept.select(col("source"), col("doc_id"), col("pfx"),
+      array((1 to FuzzyWindow).map(i =>
+        struct(lead("pfx", i).over(w).as("p2"),
+          lead("doc_id", i).over(w).as("id2"))): _*).as("nbrs"))
+    withNbrs.select(col("source"), col("doc_id").as("id_a"),
+        col("pfx").as("pfx_a"), explode(col("nbrs")).as("n"))
+      .where(col("n.id2").isNotNull)
+      .withColumn("dist",
+        levenshtein(col("pfx_a"), col("n.p2")).cast(LongType))
+      .where(col("dist") <= FuzzyMaxDist)
+      .select(col("source"), col("id_a"), col("n.id2").as("id_b"), col("dist"))
+  }
+
+  private val fuzzyNeighborSql: String =
+    s"""WITH p AS (
+       |  SELECT source, doc_id,
+       |    regexp_replace(lower(substring(text, 1, $FuzzyPrefixLen)),
+       |                   '[^a-z0-9 ]', '', 'g') AS pfx
+       |  FROM documents),
+       |b AS (SELECT *, substring(pfx, 1, $FuzzyBlockLen) AS blk FROM p),
+       |c AS (SELECT source, blk, COUNT(*) AS n FROM b GROUP BY 1, 2),
+       |s AS (
+       |  SELECT b.source, b.blk, b.doc_id, b.pfx,
+       |    ROW_NUMBER() OVER (PARTITION BY b.source, b.blk
+       |                       ORDER BY b.pfx, b.doc_id) AS rn
+       |  FROM b JOIN c ON b.source = c.source AND b.blk = c.blk
+       |  WHERE c.n <= $FuzzyMaxBlock)
+       |SELECT * FROM (
+       |  SELECT a.source AS source, a.doc_id AS id_a, z.doc_id AS id_b,
+       |         CAST(levenshtein(a.pfx, z.pfx) AS BIGINT) AS dist
+       |  FROM s a JOIN s z
+       |    ON a.source = z.source AND a.blk = z.blk
+       |   AND z.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
+       |  WHERE levenshtein(a.pfx, z.pfx) <= $FuzzyMaxDist) pairs""".stripMargin
+
+  val fuzzyDefs: Seq[QueryDef] = Seq(QueryDef(
+    "q_fuzzy_neighbors",
+    (s, d) => fuzzyNeighborPairs(s, d).orderBy("source", "id_a", "id_b"),
+    Some(s"$fuzzyNeighborSql\nORDER BY source, id_a, id_b")))
+
   // lazy: referenced by `defs` above, which initializes first in the object
   private lazy val simhash60Sql: String = {
     val h = s"CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)"

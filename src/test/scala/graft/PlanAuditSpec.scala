@@ -174,6 +174,25 @@ class PlanAuditSpec extends SparkSpec {
     (fin should not).include("CartesianProduct")
   }
 
+  test("q_fuzzy_neighbors: pairs come from a partition-local window, " +
+    "never a self-join; hot-block blacklist broadcasts") {
+    val df = q("q_fuzzy_neighbors")
+    // the blacklist anti-join must broadcast its tiny side (same stance as
+    // q_lsh_pairs; at this SF no block exceeds the cap, so AQE may also
+    // erase it from the final plan via empty-relation propagation)
+    val static = df.queryExecution.sparkPlan.toString
+    static should include regex "BroadcastHashJoin.*LeftAnti"
+    // sorted-neighborhood's whole point: candidate pairs are generated by
+    // bounded lead() windows over (source, block) partitions — a self-join
+    // on the block key (the rn-range join the oracle uses) must never
+    // appear in the Spark plan, and nothing may go quadratic
+    val fin = planString(df)
+    fin should include ("Window")
+    (fin should not).include("SortMergeJoin")
+    (fin should not).include("CartesianProduct")
+    (fin should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("q_containment_pairs: shingle stage materializes once; branches read the cache") {
     val df = q("q_containment_pairs")
     df.collect()
