@@ -227,9 +227,22 @@ object TableManifest {
       val ss = cs.map(_.getStatistics)
       if (ss.exists(s => s == null || s.isEmpty)) None
       else {
-        val nulls = ss.map(s => math.max(0L, s.getNumNulls)).sum
+        // -1 = UNKNOWN (some chunk didn't record null counts): range
+        // pruning never uses null counts, but metadata-only COUNT(col)
+        // answering must see "unknown", never a fabricated 0
+        val nulls =
+          if (ss.exists(s => !s.isNumNullsSet || s.getNumNulls < 0)) -1L
+          else ss.map(_.getNumNulls).sum
         val nonNull = ss.filter(_.hasNonNullValue)
-        if (nonNull.isEmpty) Some(name -> ColStats("null", "", "", nulls))
+        if (nonNull.isEmpty) {
+          // provably all-null ONLY when every chunk's recorded null count
+          // equals its value count — a writer may drop min/max for
+          // oversized binary values while the chunk still holds data, and
+          // absence of a range is not evidence of absence of values
+          val allNull = cs.forall(c => c.getStatistics.isNumNullsSet &&
+            c.getStatistics.getNumNulls == c.getValueCount)
+          if (allNull) Some(name -> ColStats("null", "", "", nulls)) else None
+        }
         else nonNull.head match {
           case _: IntStatistics | _: LongStatistics =>
             val vals = nonNull.map {

@@ -85,6 +85,61 @@ object ZoneMap {
     case _ => false
   }
 
+  // --- metadata-only aggregate answering ----------------------------------
+  // Exact COUNT(*) / COUNT(col) / MIN(col) / MAX(col) derived from the
+  // manifest alone — zero scan tasks, O(files) driver work. At 100 TB these
+  // are the queries a planner should NEVER run over data (the Delta/Iceberg
+  // stats-answering analogue; Spark's own OptimizeMetadataOnlyQuery does
+  // this for partition columns only). Every answer is Option-typed: None
+  // means the manifest cannot PROVE the value (a file without stats, an
+  // unknown null count, mixed domains) and the caller must fall back to a
+  // scan — there is no "probably right" path.
+
+  /** Exact row count, when the manifest recorded one (parquet commits). */
+  def metaCount(m: Manifest): Option[Long] =
+    if (m.rowCount >= 0) Some(m.rowCount) else None
+
+  /** Exact COUNT(column) (non-null count): total rows minus the per-file
+    * null counts — provable only when every file carries stats for the
+    * column with a KNOWN null count.
+    */
+  def metaNonNullCount(m: Manifest, column: String): Option[Long] =
+    metaCount(m).flatMap { rows =>
+      val per = m.files.map(_.stats.flatMap(_.get(column)))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else {
+        val nulls = per.flatten.map(_.nulls)
+        if (nulls.exists(_ < 0)) None else Some(rows - nulls.sum)
+      }
+    }
+
+  /** Exact MIN/MAX of a column as a merged [[TableManifest.ColStats]]
+    * range — provable only when every file carries stats for the column in
+    * ONE domain. All-null files contribute nothing (SQL MIN/MAX ignore
+    * NULL); a table whose every file is all-null has no min/max → None.
+    * The merged `nulls` is the table-wide null count, or -1 if any file's
+    * is unknown.
+    */
+  def metaRange(m: Manifest, column: String): Option[ColStats] = {
+    val per = m.files.map(_.stats.flatMap(_.get(column)))
+    if (per.isEmpty || per.exists(_.isEmpty)) return None
+    val cs = per.flatten
+    val nulls = if (cs.exists(_.nulls < 0)) -1L else cs.map(_.nulls).sum
+    val valued = cs.filter(_.typ != "null")
+    if (valued.isEmpty) return None
+    valued.map(_.typ).distinct match {
+      case Seq("long") => Some(ColStats("long",
+        valued.map(_.min.toLong).min.toString,
+        valued.map(_.max.toLong).max.toString, nulls))
+      case Seq("double") => Some(ColStats("double",
+        valued.map(_.min.toDouble).min.toString,
+        valued.map(_.max.toDouble).max.toString, nulls))
+      case Seq("string") => Some(ColStats("string",
+        valued.map(_.min).min, valued.map(_.max).max, nulls))
+      case _ => None
+    }
+  }
+
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)

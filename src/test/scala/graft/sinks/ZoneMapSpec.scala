@@ -160,6 +160,80 @@ class ZoneMapSpec extends SparkSpec {
     out.count() shouldBe 10
   }
 
+  test("metadata aggregates are exact: COUNT/COUNT(col)/MIN/MAX from the " +
+    "manifest equal the relational answers, nulls included") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmmeta").getAbsolutePath,
+      database = "graft_zm_meta", table = "t")
+    val df = ss.range(0, 100).toDF("id")
+      .withColumn("v", when(col("id") % 4 =!= 0, col("id").cast("double")))
+      .withColumn("s", concat(lit("k"), format_string("%03d", col("id"))))
+      .repartitionByRange(5, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    ZoneMap.metaCount(m) shouldBe Some(100L)
+    ZoneMap.metaNonNullCount(m, "v") shouldBe Some(75L) // 25 nulls
+    ZoneMap.metaNonNullCount(m, "id") shouldBe Some(100L)
+    val vr = ZoneMap.metaRange(m, "v").get
+    (vr.min.toDouble, vr.max.toDouble) shouldBe (1.0, 99.0)
+    val sr = ZoneMap.metaRange(m, "s").get
+    (sr.min, sr.max) shouldBe ("k000", "k099")
+    // a column the stats don't cover answers None, never a guess
+    ZoneMap.metaNonNullCount(m, "absent") shouldBe None
+    ZoneMap.metaRange(m, "absent") shouldBe None
+  }
+
+  test("metadata MIN/MAX stay exact for long string values (no footer " +
+    "truncation under the Spark writer)") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmlong").getAbsolutePath,
+      database = "graft_zm_long", table = "t")
+    // 400-char values: if the writer truncated chunk-level min/max, the
+    // manifest range would diverge from the relational answer and
+    // metadata answering for strings would have to be disabled
+    val df = Seq((1L, "a" * 399 + "b"), (2L, "z" * 399 + "y"))
+      .toDF("id", "s").coalesce(1)
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    val sr = ZoneMap.metaRange(m, "s").get
+    sr.min shouldBe "a" * 399 + "b"
+    sr.max shouldBe "z" * 399 + "y"
+  }
+
+  test("an all-null column counts as zero non-null but yields no MIN/MAX") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmnulls").getAbsolutePath,
+      database = "graft_zm_nulls", table = "t")
+    val df = ss.range(0, 10).toDF("id")
+      .withColumn("dead", lit(null).cast("long"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    ZoneMap.metaNonNullCount(m, "dead") shouldBe Some(0L)
+    ZoneMap.metaRange(m, "dead") shouldBe None // SQL MIN over all-null = NULL
+    // and such a column still PRUNES under any bounded predicate
+    val (_, rep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("dead", lower = Some(0L))))
+    rep.filesKept shouldBe 0
+  }
+
+  test("unknown provenance propagates: a file without stats or an unknown " +
+    "null count makes every metadata answer None") {
+    import TableManifest.{ColStats, FileEntry, Manifest}
+    val withStats = FileEntry("a.parquet", 10,
+      Some(Map("x" -> ColStats("long", "0", "9", 2))))
+    val noStats = FileEntry("b.parquet", 10, None)
+    val unknownNulls = FileEntry("c.parquet", 10,
+      Some(Map("x" -> ColStats("long", "1", "5", -1))))
+    val mixed = Manifest(Seq(withStats, noStats), 20, 100, "h", 0L)
+    ZoneMap.metaNonNullCount(mixed, "x") shouldBe None
+    ZoneMap.metaRange(mixed, "x") shouldBe None
+    val unk = Manifest(Seq(withStats, unknownNulls), 20, 100, "h", 0L)
+    ZoneMap.metaNonNullCount(unk, "x") shouldBe None // null count unknowable
+    ZoneMap.metaRange(unk, "x").get.min shouldBe "0" // range still provable
+    ZoneMap.metaRange(unk, "x").get.nulls shouldBe -1L
+    // rowCount -1 (non-parquet commit): even COUNT(*) refuses
+    val noRows = Manifest(Seq(withStats), 10, -1, "h", 0L)
+    ZoneMap.metaCount(noRows) shouldBe None
+    ZoneMap.metaNonNullCount(noRows, "x") shouldBe None
+  }
+
   test("partitioned tables: explicit file-subset reads keep the partition " +
     "column resolvable and prune on data columns") {
     val spec = ObjectStoreSpec(path = scratchDir("zmpart").getAbsolutePath,
