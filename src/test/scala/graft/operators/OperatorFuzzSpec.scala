@@ -507,6 +507,73 @@ class OperatorFuzzSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ zone-map pruning
+
+  private val ZoneSamples = sys.props.get("opFuzzZone").map(_.toInt).getOrElse(30)
+
+  test(s"$ZoneSamples random lakes: zone-map pruned reads equal unpruned " +
+    "filtered reads under NaN/±0.0/non-ASCII/null/mixed-domain adversaries") {
+    import graft.model.ObjectStoreSpec
+    import graft.sinks.{ObjectStoreSink, ZoneMap}
+    import org.apache.spark.sql.functions.lit
+    // the invariant that makes file skipping SAFE to ship: pruning is a
+    // pure optimization — for ANY data layout and ANY bound, the pruned
+    // read equals readVersion + the identical residual filter. The value
+    // pools are chosen to hit every soundness cliff: NaN poisons footer
+    // ranges (must suppress stats, and Spark treats NaN as greatest),
+    // -0.0 == 0.0 in both IEEE compares and Spark, non-ASCII strings must
+    // suppress stats only when they reach the recorded bounds, longs past
+    // 2^53 must refuse double-domain proofs, and null-only files must
+    // prune without ever eating rows from mixed files.
+    val vPool: Seq[Option[Double]] = Seq(Some(1.5), Some(-3.25), Some(0.0),
+      Some(-0.0), Some(Double.NaN), Some(1e300), Some(-1e300), None)
+    val sPool: Seq[Option[String]] = Seq(Some(""), Some("aa"), Some("zz"),
+      Some("café"), Some("row-42"), Some("z" * 50), None)
+    val idPool: Seq[Option[Long]] = Seq(Some(0L), Some(5L), Some(-7L),
+      Some(1L << 60), Some(123L), None)
+    var filesSkipped = 0
+    for (seed <- 1 to ZoneSamples) {
+      val rnd = new java.util.Random(seed * 48611L + 11L)
+      val rows = (0 until (5 + rnd.nextInt(36))).map { _ =>
+        (idPool(rnd.nextInt(idPool.size)), vPool(rnd.nextInt(vPool.size)),
+          sPool(rnd.nextInt(sPool.size)))
+      }
+      val spec = ObjectStoreSpec(
+        path = scratchDir(s"zmf$seed").getAbsolutePath,
+        database = "graft_zmf", table = s"t$seed")
+      ObjectStoreSink.replaceTable(spark,
+        rows.toDF("id", "v", "s").repartition(1 + rnd.nextInt(4)), spec)
+      def draw(colName: String): ZoneMap.Bound = {
+        def boundVal(): Any = colName match {
+          // cross-domain draws exercise the refuse-to-prune paths
+          case "id" => if (rnd.nextInt(6) < 4) rnd.nextInt(20).toLong - 8L
+            else rnd.nextInt(20).toDouble - 8.0
+          case "v" => if (rnd.nextInt(8) == 0) Double.NaN
+            else (rnd.nextInt(40) - 20) / 4.0
+          case _ => sPool(rnd.nextInt(sPool.size - 1)).get // never null
+        }
+        ZoneMap.Bound(colName,
+          lower = if (rnd.nextInt(10) < 7) Some(boundVal()) else None,
+          upper = if (rnd.nextInt(10) < 7) Some(boundVal()) else None)
+      }
+      val cols = rnd.shuffle(Seq("id", "v", "s")).take(1 + rnd.nextInt(2))
+      val preds = cols.map(draw)
+      val (pruned, rep) = ObjectStoreSink.readVersionPruned(spark, spec, preds)
+      val full = preds.foldLeft(ObjectStoreSink.readVersion(spark, spec)) {
+        (d, p) =>
+          val c = col(p.column)
+          val d1 = p.lower.map(x => d.where(c >= lit(x))).getOrElse(d)
+          p.upper.map(x => d1.where(c <= lit(x))).getOrElse(d1)
+      }
+      withClue(s"seed=$seed preds=$preds report=$rep\nrows=$rows\n") {
+        canon(pruned) shouldBe canon(full)
+      }
+      filesSkipped += rep.filesSkipped
+    }
+    // the sweep must actually exercise skipping, not vacuously keep all
+    filesSkipped should be > 0
+  }
+
   // ------------------------------------------------- incremental aggregate
 
   private def canon(df: DataFrame): Seq[String] = {
