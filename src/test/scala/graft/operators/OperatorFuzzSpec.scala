@@ -509,10 +509,11 @@ class OperatorFuzzSpec extends SparkSpec {
 
   // ------------------------------------------------------ zone-map pruning
 
-  private val ZoneSamples = sys.props.get("opFuzzZone").map(_.toInt).getOrElse(30)
+  private val ZoneSamples = sys.props.get("opFuzzZone").map(_.toInt).getOrElse(50)
 
   test(s"$ZoneSamples random lakes: zone-map pruned reads equal unpruned " +
-    "filtered reads under NaN/±0.0/non-ASCII/null/mixed-domain adversaries") {
+    "filtered reads under NaN/±0.0/non-ASCII/null/temporal/extreme-long " +
+    "mixed-domain adversaries") {
     import graft.model.ObjectStoreSpec
     import graft.sinks.{ObjectStoreSink, ZoneMap}
     import org.apache.spark.sql.functions.lit
@@ -523,40 +524,68 @@ class OperatorFuzzSpec extends SparkSpec {
     // ranges (must suppress stats, and Spark treats NaN as greatest),
     // -0.0 == 0.0 in both IEEE compares and Spark, non-ASCII strings must
     // suppress stats only when they reach the recorded bounds, longs past
-    // 2^53 must refuse double-domain proofs, and null-only files must
-    // prune without ever eating rows from mixed files.
+    // 2^53 must refuse double-domain proofs, Long.MinValue/MaxValue bounds
+    // and values must compare without wrapping, pre-1970 dates/timestamps
+    // must floor (not truncate) into epoch days/micros, and null-only
+    // files must prune without ever eating rows from mixed files.
     val vPool: Seq[Option[Double]] = Seq(Some(1.5), Some(-3.25), Some(0.0),
       Some(-0.0), Some(Double.NaN), Some(1e300), Some(-1e300), None)
     val sPool: Seq[Option[String]] = Seq(Some(""), Some("aa"), Some("zz"),
       Some("café"), Some("row-42"), Some("z" * 50), None)
     val idPool: Seq[Option[Long]] = Seq(Some(0L), Some(5L), Some(-7L),
-      Some(1L << 60), Some(123L), None)
+      Some(1L << 60), Some(123L), Some(Long.MinValue), Some(Long.MaxValue),
+      None)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def t(s: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val dtPool: Seq[Option[java.sql.Date]] = Seq(Some(d("1969-12-31")),
+      Some(d("1970-01-01")), Some(d("1900-02-28")), Some(d("2024-06-15")),
+      Some(d("9999-12-31")), None)
+    val tsPool: Seq[Option[java.sql.Timestamp]] = Seq(
+      Some(t("1969-12-31T23:59:59.999999Z")), Some(t("1970-01-01T00:00:00Z")),
+      Some(t("1905-03-04T05:06:07.000008Z")),
+      Some(t("2262-04-11T23:47:16.854775Z")), None)
     var filesSkipped = 0
     for (seed <- 1 to ZoneSamples) {
       val rnd = new java.util.Random(seed * 48611L + 11L)
       val rows = (0 until (5 + rnd.nextInt(36))).map { _ =>
         (idPool(rnd.nextInt(idPool.size)), vPool(rnd.nextInt(vPool.size)),
-          sPool(rnd.nextInt(sPool.size)))
+          sPool(rnd.nextInt(sPool.size)), dtPool(rnd.nextInt(dtPool.size)),
+          tsPool(rnd.nextInt(tsPool.size)))
       }
       val spec = ObjectStoreSpec(
         path = scratchDir(s"zmf$seed").getAbsolutePath,
         database = "graft_zmf", table = s"t$seed")
       ObjectStoreSink.replaceTable(spark,
-        rows.toDF("id", "v", "s").repartition(1 + rnd.nextInt(4)), spec)
+        rows.toDF("id", "v", "s", "dt", "ts").repartition(1 + rnd.nextInt(4)),
+        spec)
       def draw(colName: String): ZoneMap.Bound = {
         def boundVal(): Any = colName match {
           // cross-domain draws exercise the refuse-to-prune paths
-          case "id" => if (rnd.nextInt(6) < 4) rnd.nextInt(20).toLong - 8L
-            else rnd.nextInt(20).toDouble - 8.0
+          case "id" =>
+            rnd.nextInt(12) match {
+              case 0 => Long.MinValue
+              case 1 => Long.MaxValue
+              case n if n < 9 => rnd.nextInt(20).toLong - 8L
+              case _ => rnd.nextInt(20).toDouble - 8.0
+            }
           case "v" => if (rnd.nextInt(8) == 0) Double.NaN
             else (rnd.nextInt(40) - 20) / 4.0
+          case "dt" =>
+            // Date and LocalDate spellings must behave identically
+            val dv = dtPool(rnd.nextInt(dtPool.size - 1)).get
+            if (rnd.nextBoolean()) dv else dv.toLocalDate
+          case "ts" =>
+            val tv = tsPool(rnd.nextInt(tsPool.size - 1)).get
+            if (rnd.nextBoolean()) tv else tv.toInstant
           case _ => sPool(rnd.nextInt(sPool.size - 1)).get // never null
         }
         ZoneMap.Bound(colName,
           lower = if (rnd.nextInt(10) < 7) Some(boundVal()) else None,
           upper = if (rnd.nextInt(10) < 7) Some(boundVal()) else None)
       }
-      val cols = rnd.shuffle(Seq("id", "v", "s")).take(1 + rnd.nextInt(2))
+      val cols = new scala.util.Random(rnd.nextLong())
+        .shuffle(Seq("id", "v", "s", "dt", "ts")).take(1 + rnd.nextInt(3))
       val preds = cols.map(draw)
       val (pruned, rep) = ObjectStoreSink.readVersionPruned(spark, spec, preds)
       val full = preds.foldLeft(ObjectStoreSink.readVersion(spark, spec)) {
