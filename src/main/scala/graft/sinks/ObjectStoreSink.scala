@@ -128,8 +128,9 @@ object ObjectStoreSink {
       // the catalog schema (partition columns last, like the reference's
       // reordered INSERT...SELECT, ObjectStoreLoader.scala:183-201)
       val cat = spark.table(fq).columns
-      df.select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-        .write.mode(mode).insertInto(fq)
+      withTsMicros(spark)(
+        df.select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          .write.mode(mode).insertInto(fq))
       refreshManifest(spark, fq, spec)
     }
   }
@@ -221,7 +222,8 @@ object ObjectStoreSink {
       val next = nextVersionDir(tableDir)
       val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
-      sw.save(next.toString) // materialize BEFORE touching the live table
+      // materialize BEFORE touching the live table
+      withTsMicros(spark)(sw.save(next.toString))
       val reread = spark.read.format(spec.fileFormat).load(next.toString)
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
@@ -238,6 +240,23 @@ object ObjectStoreSink {
       retireOldVersions(tableDir, keep = 2)
       fq
     }
+
+  /** Table data is written with int64-micros timestamps for the scope of
+    * the write: INT96 (Spark's legacy parquet default) records NO column
+    * statistics, so a lake committed as INT96 could never zone-map-prune
+    * or metadata-answer a timestamp column. Scoped, not session-global —
+    * query OUTPUT files keep the session's own convention so external
+    * consumers of non-table parquet see no change.
+    */
+  private def withTsMicros[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   private def schemaHash(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -48,14 +48,26 @@ object TableManifest {
 
   /** Per-file, per-column zone-map entry: the [min, max] value range and
     * null count lifted out of the parquet footer at commit time. `typ` is
-    * the comparison domain — "long" (all integral/date physical types),
+    * the comparison domain — "long" (plain signed integral physical types),
     * "double" (float/double), "string" (ASCII-only UTF8 binary — non-ASCII
     * ranges are dropped because parquet orders bytes while the JVM orders
     * UTF-16 code units, and an order mismatch would make pruning unsound),
-    * or "null" (the file holds ONLY nulls for this column — provably
-    * disjoint from any range predicate). Columns without complete stats
-    * simply have no entry: absence always means "cannot prune", never
-    * "empty".
+    * "date" (int32 DATE annotation; min/max are epoch-day counts), "tsus"
+    * / "tsms" (int64 TIMESTAMP annotation adjusted to UTC, micro- resp.
+    * milli-second epoch offsets — unadjusted/NTZ and NANOS timestamps
+    * get no range), "null" (the file holds ONLY nulls for this
+    * column — provably disjoint from any range predicate), or "opaque"
+    * (no sound comparison order exists for the domain: the entry carries
+    * ONLY the null count — it never prunes, but keeps metadata-only
+    * COUNT(col) answerable). Int32/int64
+    * columns with a DECIMAL annotation carry NO entry: their stats are
+    * UNSCALED values, and comparing an integral predicate against
+    * unscaled stats would prune unsoundly (e.g. decimal(10,2) -50.00 is
+    * stored as -5000, which an integral bound of -100 would "prove"
+    * disjoint while the row matches). Unsigned-int annotations are also
+    * dropped (parquet orders them unsigned, the JVM signed). Columns
+    * without complete stats simply have no entry: absence always means
+    * "cannot prune", never "empty".
     */
   final case class ColStats(typ: String, min: String, max: String, nulls: Long)
 
@@ -101,12 +113,23 @@ object TableManifest {
     val (rows, stats) = footerMeta(versionDir, files, fileFormat)
     val entries = files.map { p =>
       val rel = versionDir.relativize(p).toString
-      FileEntry(rel, Files.size(p), stats.get(rel))
+      FileEntry(rel, Files.size(p), mergedStats(rel, stats))
     }
     val m = Manifest(entries, entries.map(_.bytes).sum, rows, schemaHash,
       System.currentTimeMillis(), txn)
     publish(versionDir, m)
     m
+  }
+
+  /** Footer stats for `rel` unioned with its partition-directory-derived
+    * column stats (the footer wins on a name clash — partition columns are
+    * never IN the data files, so a clash means a same-named data column).
+    */
+  private def mergedStats(rel: String,
+      footer: Map[String, Map[String, ColStats]]): Option[Map[String, ColStats]] = {
+    val part = partitionStats(rel)
+    val merged = part ++ footer.getOrElse(rel, Map.empty)
+    if (merged.isEmpty) None else Some(merged)
   }
 
   /** Re-list and republish after an in-place write into a committed dir
@@ -122,7 +145,7 @@ object TableManifest {
       val (rows, stats) = footerMeta(versionDir, files, fileFormat)
       val entries = files.map { p =>
         val rel = versionDir.relativize(p).toString
-        FileEntry(rel, Files.size(p), stats.get(rel))
+        FileEntry(rel, Files.size(p), mergedStats(rel, stats))
       }
       val m = old.copy(files = entries, totalBytes = entries.map(_.bytes).sum,
         rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash))
@@ -233,6 +256,12 @@ object TableManifest {
         val nulls =
           if (ss.exists(s => !s.isNumNullsSet || s.getNumNulls < 0)) -1L
           else ss.map(_.getNumNulls).sum
+        // when no SOUND comparison order exists for the domain, the null
+        // accounting alone is still provable: "opaque" carries the null
+        // count with no range — it can never prune, but metadata-only
+        // COUNT(col) stays answerable for decimals, NaN-poisoned floats,
+        // non-ASCII strings, int96, booleans, raw binary, …
+        def opaque = Some(name -> ColStats("opaque", "", "", nulls))
         val nonNull = ss.filter(_.hasNonNullValue)
         if (nonNull.isEmpty) {
           // provably all-null ONLY when every chunk's recorded null count
@@ -241,7 +270,7 @@ object TableManifest {
           // absence of a range is not evidence of absence of values
           val allNull = cs.forall(c => c.getStatistics.isNumNullsSet &&
             c.getStatistics.getNumNulls == c.getValueCount)
-          if (allNull) Some(name -> ColStats("null", "", "", nulls)) else None
+          if (allNull) Some(name -> ColStats("null", "", "", nulls)) else opaque
         }
         else nonNull.head match {
           case _: IntStatistics | _: LongStatistics =>
@@ -249,8 +278,13 @@ object TableManifest {
               case s: IntStatistics => (s.getMin.toLong, s.getMax.toLong)
               case s: LongStatistics => (s.getMin, s.getMax)
             }
-            Some(name -> ColStats("long",
-              vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
+            // the logical annotation decides the comparison DOMAIN — raw
+            // int32/int64 stats mean different things under different
+            // annotations, and a domain mix-up is an unsound prune
+            integralDomain(cs.head.getPrimitiveType.getLogicalTypeAnnotation)
+              .map(dom => name -> ColStats(dom,
+                vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
+              .orElse(opaque)
           case _: FloatStatistics | _: DoubleStatistics =>
             val vals = nonNull.map {
               case s: FloatStatistics => (s.getMin.toDouble, s.getMax.toDouble)
@@ -258,7 +292,7 @@ object TableManifest {
             }
             // a NaN endpoint means the writer's ordering is undefined for
             // this chunk — no sound range exists
-            if (vals.exists(v => v._1.isNaN || v._2.isNaN)) None
+            if (vals.exists(v => v._1.isNaN || v._2.isNaN)) opaque
             else Some(name -> ColStats("double",
               vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
           case _: BinaryStatistics
@@ -270,10 +304,87 @@ object TableManifest {
             val (mn, mx) = (vals.map(_._1).min, vals.map(_._2).max)
             if ((mn + mx).forall(_ < 128))
               Some(name -> ColStats("string", mn, mx, nulls))
-            else None
-          case _ => None
+            else opaque
+          case _ => opaque
         }
       }
+    }
+  }
+
+  /** Per-file column stats derived from the file's `key=value` partition
+    * directories: a file under `source=web/` provably holds ONLY
+    * `source = "web"` rows, so min = max = value and nulls = 0 — which
+    * makes zone-map pruning compose with the partition layout: a Bound on
+    * a partition column skips whole partition directories driver-side,
+    * exactly like a Bound on a range-clustered data column. The stats
+    * domain must match how Spark READS the value back (partition-column
+    * type inference): a value that round-trips as a decimal long is
+    * recorded as "long" (Spark infers an integral type), the Hive null
+    * sentinel as "null", any other pure-ASCII value as "string"; values
+    * Spark would infer as dates/doubles/non-ASCII get NO entry — a
+    * cross-domain compare never prunes, so absence is always safe.
+    */
+  private[graft] def partitionStats(rel: String): Map[String, ColStats] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else unescapePartitionValue(seg.substring(i + 1)).flatMap { v =>
+        val name = seg.substring(0, i)
+        if (v == "__HIVE_DEFAULT_PARTITION__")
+          Some(name -> ColStats("null", "", "", -1L))
+        else if (v.toLongOption.exists(_.toString == v))
+          Some(name -> ColStats("long", v, v, 0L))
+        else if (v.nonEmpty && v.forall(c => c >= ' ' && c < 127) &&
+          v.toDoubleOption.isEmpty && !looksTemporal(v))
+          Some(name -> ColStats("string", v, v, 0L))
+        else None
+      }
+    }.toMap
+
+  /** Values partition-type inference would read back as DATE/TIMESTAMP —
+    * their JVM string order is NOT the read-back column's order, so they
+    * must not carry "string" stats.
+    */
+  private def looksTemporal(v: String): Boolean =
+    v.length >= 10 && v.take(10).matches(raw"\d{4}-\d{2}-\d{2}")
+
+  /** Hive partition-path unescape: `%xx` → byte. Conservative — any
+    * malformed escape or multi-byte (non-ASCII) result yields None.
+    */
+  private def unescapePartitionValue(s: String): Option[String] =
+    if (!s.contains('%')) Some(s)
+    else try {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%') {
+          val b = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          if (b >= 128) return None // multi-byte UTF-8: order not provable
+          out.append(b.toChar); i += 3
+        } else { out.append(s.charAt(i)); i += 1 }
+      }
+      Some(out.toString)
+    } catch { case _: Exception => None }
+
+  /** The [[ColStats]] comparison domain for int32/int64 physical stats, by
+    * logical annotation — or None when no JVM-side compare provably matches
+    * parquet's stats order (unsigned ints, unscaled decimals, NANOS or
+    * non-UTC timestamps, TIME). See the [[ColStats]] soundness notes.
+    */
+  private def integralDomain(
+      ann: org.apache.parquet.schema.LogicalTypeAnnotation): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    ann match {
+      case null => Some("long") // plain INT32/INT64
+      case i: IntLogicalTypeAnnotation if i.isSigned => Some("long")
+      case _: DateLogicalTypeAnnotation => Some("date")
+      case t: TimestampLogicalTypeAnnotation if t.isAdjustedToUTC =>
+        t.getUnit match {
+          case TimeUnit.MICROS => Some("tsus")
+          case TimeUnit.MILLIS => Some("tsms")
+          case _ => None // NANOS: no lossless micros mapping at the edges
+        }
+      case _ => None // unsigned int, decimal (unscaled!), time, non-UTC ts
     }
   }
 

@@ -82,6 +82,20 @@ object ZoneMap {
     case "string" =>
       p.lower.collect { case s: String => s }.exists(_ > cs.max) ||
         p.upper.collect { case s: String => s }.exists(_ < cs.min)
+    case "date" =>
+      val (mn, mx) = (cs.min.toLong, cs.max.toLong)
+      p.lower.flatMap(asDays).exists(_ > mx) ||
+        p.upper.flatMap(asDays).exists(_ < mn)
+    case "tsus" | "tsms" =>
+      // unify on the micros domain; a millis→micros overflow (year ±294k)
+      // simply refuses the proof instead of wrapping into a wrong one
+      val scale = if (cs.typ == "tsms") 1000L else 1L
+      try {
+        val mn = Math.multiplyExact(cs.min.toLong, scale)
+        val mx = Math.multiplyExact(cs.max.toLong, scale)
+        p.lower.flatMap(asMicros).exists(_ > mx) ||
+          p.upper.flatMap(asMicros).exists(_ < mn)
+      } catch { case _: ArithmeticException => false }
     case _ => false
   }
 
@@ -127,8 +141,8 @@ object ZoneMap {
     val nulls = if (cs.exists(_.nulls < 0)) -1L else cs.map(_.nulls).sum
     val valued = cs.filter(_.typ != "null")
     if (valued.isEmpty) return None
-    valued.map(_.typ).distinct match {
-      case Seq("long") => Some(ColStats("long",
+    valued.map(_.typ).distinct.sorted match {
+      case Seq("long") | Seq("date") => Some(ColStats(valued.head.typ,
         valued.map(_.min.toLong).min.toString,
         valued.map(_.max.toLong).max.toString, nulls))
       case Seq("double") => Some(ColStats("double",
@@ -136,8 +150,39 @@ object ZoneMap {
         valued.map(_.max.toDouble).max.toString, nulls))
       case Seq("string") => Some(ColStats("string",
         valued.map(_.min).min, valued.map(_.max).max, nulls))
+      case Seq("tsus") | Seq("tsms") | Seq("tsms", "tsus") =>
+        // normalize to micros (millis ×1000 is exact); overflow refuses
+        try {
+          val us = valued.map { c =>
+            val k = if (c.typ == "tsms") 1000L else 1L
+            (Math.multiplyExact(c.min.toLong, k),
+              Math.multiplyExact(c.max.toLong, k))
+          }
+          Some(ColStats("tsus", us.map(_._1).min.toString,
+            us.map(_._2).max.toString, nulls))
+        } catch { case _: ArithmeticException => None }
       case _ => None
     }
+  }
+
+  /** Epoch-day count of a date-typed bound value. */
+  private def asDays(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Epoch-micros of a timestamp-typed bound value. `Instant`-based — the
+    * epochSecond/nano split floors correctly for pre-1970 instants, where
+    * naive `getTime / 1000` truncation would be off by one.
+    */
+  private def asMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => asMicros(t.toInstant)
+    case i: java.time.Instant =>
+      try Some(Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      catch { case _: ArithmeticException => None }
+    case _ => None
   }
 
   private def asLong(v: Any): Option[Long] = v match {

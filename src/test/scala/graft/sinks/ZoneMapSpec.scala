@@ -133,7 +133,12 @@ class ZoneMapSpec extends SparkSpec {
     val df = Seq((1L, "café"), (2L, "zebra")).toDF("id", "s").coalesce(1)
     ObjectStoreSink.replaceTable(spark, df, spec)
     val st = TableManifest.read(liveDir(spec)).get.files.head.stats.get
-    st.get("s") shouldBe None // non-ASCII max → order proof unavailable
+    // non-ASCII max → order proof unavailable → no RANGE, but the null
+    // accounting is still provable ("opaque" never prunes, still counts)
+    st("s").typ shouldBe "opaque"
+    st("s").nulls shouldBe 0L
+    ZoneMap.metaNonNullCount(TableManifest.read(liveDir(spec)).get, "s") shouldBe Some(2L)
+    ZoneMap.metaRange(TableManifest.read(liveDir(spec)).get, "s") shouldBe None
     st("id").typ shouldBe "long" // sibling column unaffected
     // and the read path treats the missing entry as unprunable, not empty
     val (out, rep) = ObjectStoreSink.readVersionPruned(spark, spec,
@@ -232,6 +237,190 @@ class ZoneMapSpec extends SparkSpec {
     val noRows = Manifest(Seq(withStats), 10, -1, "h", 0L)
     ZoneMap.metaCount(noRows) shouldBe None
     ZoneMap.metaNonNullCount(noRows, "x") shouldBe None
+  }
+
+  test("partition-directory values become per-file stats: bounds on a " +
+    "partition column prune whole dirs, composing with data-column bounds") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmpstats").getAbsolutePath,
+      database = "graft_zm_pst", table = "t", partitionBy = Seq("lang"))
+    val df = ss.range(0, 300).toDF("id")
+      .withColumn("lang", element_at(
+        array(lit("de"), lit("en"), lit("fr"), lit("zh")),
+        (col("id") % 4 + 1).cast("int")))
+      .repartitionByRange(5, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    // every file carries min = max = its dir value with a zero null count
+    m.files.foreach { fe =>
+      val st = fe.stats.get("lang")
+      st.typ shouldBe "string"
+      st.min shouldBe st.max
+      st.nulls shouldBe 0L
+      fe.path should include(s"lang=${st.min}")
+    }
+    // partition-only bound prunes dirs
+    val (langDf, langRep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("lang", Some("de"), Some("en"))))
+    langRep.filesKept should be < langRep.filesTotal
+    canon(langDf) shouldBe canon(df.where(col("lang").between("de", "en")))
+    // ...and composes with a data-column zone map: strictly fewer files
+    val (bothDf, bothRep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("lang", Some("de"), Some("en")),
+        ZoneMap.Bound("id", Some(0L), Some(50L))))
+    bothRep.filesKept should be < langRep.filesKept
+    canon(bothDf) shouldBe canon(
+      df.where(col("lang").between("de", "en") && col("id").between(0, 50)))
+    // metadata MIN/MAX over the partition column answers from the dirs
+    val lr = ZoneMap.metaRange(m, "lang").get
+    (lr.min, lr.max, lr.nulls) shouldBe ("de", "zh", 0L)
+  }
+
+  test("numeric-looking partition values are recorded in the long domain " +
+    "(matching Spark's read-back type inference) and prune exactly") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmpnum").getAbsolutePath,
+      database = "graft_zm_pnum", table = "t", partitionBy = Seq("bucket"))
+    val df = ss.range(0, 120).toDF("id")
+      .withColumn("bucket", (col("id") % 4).cast("string"))
+      .repartitionByRange(3, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    m.files.foreach(_.stats.get("bucket").typ shouldBe "long")
+    val (out, rep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("bucket", Some(2L), Some(3L))))
+    rep.filesKept should be < rep.filesTotal
+    // bucket reads back as an inferred integral type — compare counts
+    out.count() shouldBe 60
+  }
+
+  test("partition-value stats: escapes decode, ambiguous renderings and " +
+    "temporal-looking values get no entry, the Hive null dir is typ null") {
+    TableManifest.partitionStats("lang=en/part-0.parquet") shouldBe
+      Map("lang" -> TableManifest.ColStats("string", "en", "en", 0L))
+    TableManifest.partitionStats("b=42/part-0.parquet") shouldBe
+      Map("b" -> TableManifest.ColStats("long", "42", "42", 0L))
+    TableManifest.partitionStats("b=-7/x=a b/part-0.parquet").keySet shouldBe
+      Set("b", "x")
+    // %3A unescapes to ':' (ASCII) — value recorded
+    TableManifest.partitionStats("k=a%3Ab/p.parquet")("k").min shouldBe "a:b"
+    // multi-byte escape → order unprovable → no entry
+    TableManifest.partitionStats("k=caf%C3%A9/p.parquet") shouldBe empty
+    // "0123" renders back as 123 (inference ambiguity) → no entry;
+    // doubles and dates likewise (inference changes the comparison domain)
+    TableManifest.partitionStats("k=0123/p.parquet") shouldBe empty
+    TableManifest.partitionStats("k=1.5/p.parquet") shouldBe empty
+    TableManifest.partitionStats("k=2024-01-01/p.parquet") shouldBe empty
+    TableManifest.partitionStats(
+      "k=__HIVE_DEFAULT_PARTITION__/p.parquet")("k").typ shouldBe "null"
+    // non-partition paths contribute nothing
+    TableManifest.partitionStats("part-00000.parquet") shouldBe empty
+  }
+
+  test("date and timestamp columns get their own stats domains and prune " +
+    "under Date/LocalDate/Timestamp/Instant bounds, pre-1970 included") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmtempo").getAbsolutePath,
+      database = "graft_zm_tmp", table = "t")
+    val df = ss.range(0, 400).toDF("id")
+      .withColumn("d", expr("date_add(DATE'1965-01-01', CAST(id * 31 AS INT))"))
+      .withColumn("ts", expr("timestamp_micros(-86400000000 + id * 9876543210)"))
+      .repartitionByRange(8, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    m.files.foreach { fe =>
+      fe.stats.get("d").typ shouldBe "date"
+      fe.stats.get("ts").typ shouldBe "tsus"
+    }
+    // java.sql.Date bounds (pre-1970 → negative epoch days)
+    val dLo = java.sql.Date.valueOf("1966-01-01")
+    val dHi = java.sql.Date.valueOf("1967-06-01")
+    val (dDf, dRep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("d", Some(dLo), Some(dHi))))
+    dRep.filesKept should be < dRep.filesTotal
+    canon(dDf) shouldBe canon(df.where(col("d").between(dLo, dHi)))
+    // LocalDate spelling of the same bound prunes identically
+    val (dDf2, dRep2) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("d", Some(dLo.toLocalDate), Some(dHi.toLocalDate))))
+    dRep2.filesKept shouldBe dRep.filesKept
+    canon(dDf2) shouldBe canon(dDf)
+    // timestamp bounds as Timestamp and Instant
+    val tLo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(500000))
+    val (tDf, tRep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("ts", Some(tLo))))
+    tRep.filesKept should be < tRep.filesTotal
+    canon(tDf) shouldBe canon(df.where(col("ts") >= lit(tLo)))
+    val (tDf2, tRep2) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("ts", Some(tLo.toInstant))))
+    tRep2.filesKept shouldBe tRep.filesKept
+    canon(tDf2) shouldBe canon(tDf)
+    // cross-domain bounds never prune: a long against date stats
+    ZoneMap.prune(m, Seq(ZoneMap.Bound("d", Some(0L))))._1.size shouldBe
+      m.files.size
+    // metadata MIN/MAX flow through the temporal domains exactly
+    val dr = ZoneMap.metaRange(m, "d").get
+    dr.typ shouldBe "date"
+    dr.min.toLong shouldBe df.agg(min("d")).head.getDate(0)
+      .toLocalDate.toEpochDay
+    val tr = ZoneMap.metaRange(m, "ts").get
+    tr.typ shouldBe "tsus"
+    tr.min.toLong shouldBe -86400000000L
+  }
+
+  test("decimal-backed integer stats are refused a range (unscaled values " +
+    "order differently) but keep the opaque null accounting") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmdec").getAbsolutePath,
+      database = "graft_zm_dec", table = "t")
+    val df = ss.range(0, 40).toDF("id")
+      .withColumn("amt", when(col("id") % 5 =!= 0,
+        (col("id") - 20).cast("decimal(10,2)") / 4))
+      .repartitionByRange(2, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val m = TableManifest.read(liveDir(spec)).get
+    m.files.foreach(_.stats.get("amt").typ shouldBe "opaque")
+    // a bound on the decimal column must keep every file: the unscaled
+    // footer values (-5000 for -50.00) would otherwise prove false
+    // disjointness against integral bounds
+    ZoneMap.prune(m, Seq(ZoneMap.Bound("amt", Some(-100L))))._1.size shouldBe
+      m.files.size
+    ZoneMap.metaRange(m, "amt") shouldBe None
+    ZoneMap.metaNonNullCount(m, "amt") shouldBe Some(32L)
+  }
+
+  test("tsms stats merge with tsus into an exact micros range; millis " +
+    "overflow refuses instead of wrapping") {
+    import TableManifest.{ColStats, FileEntry, Manifest}
+    val us = FileEntry("a.parquet", 1,
+      Some(Map("ts" -> ColStats("tsus", "-5000000", "1000000", 0))))
+    val ms = FileEntry("b.parquet", 1,
+      Some(Map("ts" -> ColStats("tsms", "-10000", "2000", 0))))
+    val merged = ZoneMap.metaRange(Manifest(Seq(us, ms), 2, 10, "h", 0L), "ts").get
+    merged.typ shouldBe "tsus"
+    merged.min.toLong shouldBe -10000000L // -10000 ms → micros, below -5000000
+    merged.max.toLong shouldBe 2000000L
+    val huge = FileEntry("c.parquet", 1,
+      Some(Map("ts" -> ColStats("tsms", "0", Long.MaxValue.toString, 0))))
+    ZoneMap.metaRange(Manifest(Seq(huge), 1, 10, "h", 0L), "ts") shouldBe None
+    // pruning against overflowing millis stats also refuses (keeps)
+    ZoneMap.prune(Manifest(Seq(huge), 1, 10, "h", 0L),
+      Seq(ZoneMap.Bound("ts", None, Some(java.time.Instant.EPOCH))))
+      ._1 should have size 1
+  }
+
+  test("zone maps compose with version pinning: a pruned read of an old " +
+    "version is blind to the live table's rewrite") {
+    val spec = ObjectStoreSpec(path = scratchDir("zmpin").getAbsolutePath,
+      database = "graft_zm_pin", table = "t")
+    val v1df = ss.range(0, 200).toDF("id").repartitionByRange(4, col("id"))
+    ObjectStoreSink.replaceTable(spark, v1df, spec)
+    val v1 = ObjectStoreSink.snapshots(spec).last.version
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(1000, 1200).toDF("id").repartitionByRange(4, col("id")), spec)
+    val (pinned, rep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("id", Some(0L), Some(60L))), version = Some(v1))
+    rep.filesKept should be < rep.filesTotal
+    canon(pinned) shouldBe canon(v1df.where(col("id") <= 60))
+    // the live read sees only the rewrite
+    val (live, _) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("id", Some(0L), Some(60L))))
+    live.count() shouldBe 0
   }
 
   test("partitioned tables: explicit file-subset reads keep the partition " +
