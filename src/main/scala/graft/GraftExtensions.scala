@@ -24,19 +24,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // manifest-backed planner seams over versioned tables: zero-scan
+    // COUNT/MIN/MAX answering and automatic zone-map file skipping — see
+    // graft.plans.MetaAggRule / graft.plans.ZoneMapScanRule
+    ext.injectOptimizerRule(_ => graft.plans.MetaAggRule)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanRule)
+  }
 }
 
 object GraftExtensions {
 
-  /** Register the same functions on an ALREADY-BUILT session (builder-time
-    * extensions can't reach it).
+  /** Register the same functions AND the metadata-aggregate optimizer rule
+    * on an ALREADY-BUILT session (builder-time extensions can't reach it).
+    * Idempotent.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, info, builder)
     }
+    val rules = Seq(graft.plans.MetaAggRule, graft.plans.ZoneMapScanRule)
+    val extra = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      extra ++ rules.filterNot(extra.contains)
+  }
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v

@@ -1,0 +1,161 @@
+package graft.plans
+
+import graft.sinks.ZoneMap
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+/** Planner seam for zone-map file skipping: a `Filter` whose range/equality
+  * conjuncts constrain stats-covered columns of a manifest-committed
+  * versioned table gets its scan's [[FileIndex]] swapped for a
+  * [[ZoneMapPrunedIndex]] that simply never lists the provably-disjoint
+  * files — scan tasks for skipped files are never created. SQL users write
+  * `WHERE n_chars BETWEEN a AND b` and the manifest prunes for them, the
+  * automatic twin of the explicit
+  * [[graft.sinks.ObjectStoreSink.readVersionPruned]] API (which remains the
+  * version-pinning entry point). The reference delegated exactly this to
+  * its warehouse's metadata layer (AthenaUtil.scala:61-160).
+  *
+  * Soundness: the Filter node is LEFT IN PLACE, so the surviving files are
+  * re-filtered exactly — pruning is strictly a listing optimization, and
+  * every refusal path (no manifest, foreign file in the dir, no convertible
+  * bound, nothing provably skippable) degrades to the unmodified plan.
+  * Bound extraction is conservative: only direct `attr (cmp) literal`
+  * conjuncts in losslessly-convertible domains become bounds; strict
+  * comparisons weaken to closed bounds (a superset — sound); anything else
+  * (casts, functions, disjunctions, IN-lists) is ignored rather than
+  * approximated.
+  *
+  * At 100 TB the win is the same as Delta/Iceberg data skipping: the
+  * driver drops files in O(files) metadata work instead of scheduling a
+  * task per file to discover row-group disjointness one executor at a
+  * time.
+  */
+object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, l: LogicalRelation) => rewrite(f, cond, l).getOrElse(f)
+  }
+
+  private def rewrite(f: Filter, cond: Expression,
+      l: LogicalRelation): Option[Filter] = l.relation match {
+    case hfs: HadoopFsRelation
+        if !hfs.location.isInstanceOf[ZoneMapPrunedIndex] =>
+      for {
+        (root, _) <- ManifestEvidence.bareParquetRoot(hfs)
+        m <- ManifestEvidence.committedManifest(root, hfs)
+        preds = extractBounds(splitConjunctivePredicates(cond))
+        if preds.nonEmpty
+        idx <- {
+          val (kept, rep) = ZoneMap.prune(m, preds)
+          if (rep.filesSkipped == 0) None // nothing provable — don't touch
+          else {
+            val keep = kept
+              .map(fe => root.resolve(fe.path).normalize.toString).toSet
+            Some(new ZoneMapPrunedIndex(hfs.location, keep, rep))
+          }
+        }
+      } yield Filter(cond,
+        l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
+    case _ => None
+  }
+
+  /** Conjuncts of the shape `attr (cmp) literal` become [[ZoneMap.Bound]]s.
+    * Sides that don't convert losslessly are dropped (pruning on fewer
+    * constraints keeps more files — always sound); strict inequalities
+    * use their closed relaxation for the same reason.
+    */
+  private def extractBounds(conjuncts: Seq[Expression]): Seq[ZoneMap.Bound] =
+    conjuncts.flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        mk(a, lo = Some((v, dt)), up = None)
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        mk(a, lo = Some((v, dt)), up = None)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        mk(a, lo = None, up = Some((v, dt)))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        mk(a, lo = None, up = Some((v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        mk(a, lo = None, up = Some((v, dt)))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        mk(a, lo = None, up = Some((v, dt)))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        mk(a, lo = Some((v, dt)), up = None)
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        mk(a, lo = Some((v, dt)), up = None)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        mk(a, lo = Some((v, dt)), up = Some((v, dt)))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        mk(a, lo = Some((v, dt)), up = Some((v, dt)))
+      case _ => None
+    }
+
+  private def mk(a: AttributeReference, lo: Option[(Any, DataType)],
+      up: Option[(Any, DataType)]): Option[ZoneMap.Bound] = {
+    val lower = lo.flatMap((external _).tupled)
+    val upper = up.flatMap((external _).tupled)
+    if (lower.isEmpty && upper.isEmpty) None
+    else Some(ZoneMap.Bound(a.name, lower, upper))
+  }
+
+  /** Catalyst internal literal → the external value [[ZoneMap]] compares
+    * in. Only domains with an exact mapping; a null literal never becomes
+    * a bound (the comparison is unsatisfiable — Spark folds it anyway).
+    */
+  private def external(v: Any, dt: DataType): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => Some(v)
+      case StringType => Some(v.toString) // UTF8String → String
+      case DateType => Some(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong))
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _ => None // decimal/binary/…: no lossless external compare
+    }
+}
+
+/** A [[FileIndex]] view that never lists the zone-map-skipped files. All
+  * metadata behavior delegates to the base index (partition discovery,
+  * refresh, roots); only the file enumeration is filtered, so partition
+  * pruning and this compose — a file survives iff BOTH its partition
+  * matches and its stats may match.
+  */
+final class ZoneMapPrunedIndex(base: FileIndex, keep: Set[String],
+    val report: ZoneMap.PruneReport) extends FileIndex {
+
+  // an unparseable path can never be proven skippable — keep, never drop
+  private def keeps(p: org.apache.hadoop.fs.Path): Boolean =
+    try keep.contains(java.nio.file.Paths.get(p.toUri.getPath).normalize.toString)
+    catch { case _: Exception => true }
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = base.rootPaths
+
+  override def partitionSchema: StructType = base.partitionSchema
+
+  override def refresh(): Unit = base.refresh()
+
+  override def metadataOpsTimeNs: Option[Long] = base.metadataOpsTimeNs
+
+  override def sizeInBytes: Long = report.bytesKept
+
+  override def inputFiles: Array[String] = base.inputFiles.filter(u =>
+    try keep.contains(java.nio.file.Paths.get(
+      java.net.URI.create(u).getPath).normalize.toString)
+    catch { case _: Exception => true })
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    base.listFiles(partitionFilters, dataFilters)
+      .map(pd => PartitionDirectory(pd.values,
+        pd.files.filter(f => keeps(f.getPath))))
+      .filter(_.files.nonEmpty)
+
+  override def toString: String =
+    s"ZoneMapPrunedIndex(${report.filesKept}/${report.filesTotal} files, base = $base)"
+}

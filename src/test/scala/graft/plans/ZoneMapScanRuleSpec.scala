@@ -1,0 +1,142 @@
+package graft.plans
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.model.ObjectStoreSpec
+import graft.sinks.ObjectStoreSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** The zone-map planner seam: SQL/DataFrame range predicates over a
+  * manifest-committed versioned table must swap the scan's FileIndex for a
+  * pruned view (files provably disjoint are never listed), keep results
+  * exact (the Filter stays), and refuse whenever the evidence or the
+  * predicate shape doesn't support a proof.
+  */
+class ZoneMapScanRuleSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  GraftExtensions.register(spark)
+
+  /** 0..399 clustered into 8 range-disjoint files on `id`. */
+  private def ranged(tag: String): (String, DataFrame) = {
+    val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
+      database = s"graft_zsr_$tag", table = "t")
+    val df = ss.range(0, 400).toDF("id")
+      .withColumn("v", col("id").cast("double") / 4.0)
+      .withColumn("name", concat(lit("row-"), format_string("%04d", col("id"))))
+      .repartitionByRange(8, col("id"))
+    (ObjectStoreSink.replaceTable(spark, df, spec), df)
+  }
+
+  private def pruneReports(df: DataFrame): Seq[graft.sinks.ZoneMap.PruneReport] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case z: ZoneMapPrunedIndex => Seq(z.report)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }.flatten
+
+  private def canon(df: DataFrame) = df.orderBy("id").collect().toSeq
+
+  test("a SQL WHERE band prunes the scan's file listing and stays exact; " +
+    "the executed scan reads only surviving files") {
+    val (fq, df) = ranged("band")
+    val q = spark.sql(s"SELECT id, v, name FROM $fq WHERE id BETWEEN 100 AND 130")
+    val reps = pruneReports(q)
+    reps should have size 1
+    reps.head.filesTotal shouldBe 8
+    reps.head.filesKept should be < 8
+    canon(q) shouldBe canon(df.where(col("id").between(100, 130))
+      .select("id", "v", "name"))
+    // the physical scan's input files reflect the pruned listing
+    q.inputFiles.length shouldBe reps.head.filesKept
+  }
+
+  test("equality and strict comparisons prune (strict relaxes to closed — " +
+    "a sound superset) and mixed convertible/unconvertible conjuncts keep " +
+    "the convertible bounds") {
+    val (fq, df) = ranged("shapes")
+    val eq = spark.sql(s"SELECT id FROM $fq WHERE id = 250")
+    pruneReports(eq).head.filesKept should be < 8
+    eq.collect().map(_.getLong(0)).toSeq shouldBe Seq(250L)
+    val strict = spark.sql(s"SELECT id FROM $fq WHERE id > 350 AND v < 95.5")
+    pruneReports(strict).head.filesKept should be < 8
+    canon(strict) shouldBe canon(
+      df.where(col("id") > 350 && col("v") < 95.5).select("id"))
+    // an unconvertible conjunct (expression over the column) rides along:
+    // only the literal band prunes, the whole predicate still applies
+    val mixed = spark.sql(
+      s"SELECT id FROM $fq WHERE id >= 380 AND (id % 7) = 3")
+    pruneReports(mixed).head.filesKept should be < 8
+    canon(mixed) shouldBe canon(
+      df.where(col("id") >= 380 && col("id") % 7 === 3).select("id"))
+  }
+
+  test("refusals: disjunctions extract no bounds, foreign files break " +
+    "evidence, non-manifest dirs never rewrite — results stay correct") {
+    val (fq, df) = ranged("refuse")
+    val or = spark.sql(s"SELECT id FROM $fq WHERE id < 10 OR id > 390")
+    pruneReports(or) shouldBe empty
+    or.count() shouldBe 19
+    // foreign file: evidence identity breaks, no prune, rows visible
+    val vdir = java.nio.file.Paths.get(new java.net.URI(
+      spark.table(fq).inputFiles.head)).getParent
+    Seq(9999L).toDF("id").coalesce(1).write.mode("append").parquet(vdir.toString)
+    spark.catalog.refreshTable(fq)
+    val after = spark.sql(s"SELECT id FROM $fq WHERE id >= 9000")
+    pruneReports(after) shouldBe empty
+    after.collect().map(_.getLong(0)).toSeq shouldBe Seq(9999L)
+    // plain parquet dir without a manifest
+    val plain = scratchDir("zsrplain").getAbsolutePath + "/p.parquet"
+    df.write.mode("overwrite").parquet(plain)
+    val pq = spark.read.parquet(plain).where(col("id") < 5)
+    pruneReports(pq) shouldBe empty
+    pq.count() shouldBe 5
+  }
+
+  test("partition-dir stats and data-column zone maps compose through the " +
+    "rule on a path read: an equality on the partition column plus a data " +
+    "band prunes both ways") {
+    val spec = ObjectStoreSpec(path = scratchDir("zsrpart").getAbsolutePath,
+      database = "graft_zsr_part", table = "t", partitionBy = Seq("lang"))
+    val df = ss.range(0, 300).toDF("id")
+      .withColumn("lang", element_at(
+        array(lit("de"), lit("en"), lit("fr")), (col("id") % 3 + 1).cast("int")))
+      .repartitionByRange(5, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val vdir = java.nio.file.Paths.get(spec.path, spec.database, spec.table)
+      .toFile.listFiles().filter(_.getName.startsWith("v-"))
+      .sortBy(_.getName).last.getAbsolutePath
+    val q = spark.read.parquet(vdir)
+      .where(col("lang") === "en" && col("id").between(0, 60))
+    val reps = pruneReports(q)
+    reps should have size 1
+    // strictly harder than either axis alone could manage with 15 files
+    // (5 range buckets × 3 lang dirs): only en-dirs intersecting the band
+    val keptLang = graft.sinks.ZoneMap.prune(
+      graft.sinks.TableManifest.read(java.nio.file.Paths.get(vdir)).get,
+      Seq(graft.sinks.ZoneMap.Bound("lang", Some("en"), Some("en"))))._2
+    reps.head.filesKept should be < keptLang.filesKept
+    q.select("id", "lang").orderBy("id").collect().toSeq shouldBe
+      df.where(col("lang") === "en" && col("id").between(0, 60))
+        .select("id", "lang").orderBy("id").collect().toSeq
+  }
+
+  test("the rewrite is stable: re-planning the same query neither stacks " +
+    "pruned indexes nor changes the report") {
+    val (fq, _) = ranged("stable")
+    def reps = pruneReports(
+      spark.sql(s"SELECT id FROM $fq WHERE id BETWEEN 0 AND 40"))
+    val first = reps
+    val second = reps
+    first should have size 1
+    second should have size 1
+    first.head shouldBe second.head
+  }
+}
