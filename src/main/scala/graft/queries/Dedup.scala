@@ -645,11 +645,23 @@ object Dedup {
     t(s, d, "documents").select(col("source"), col("doc_id"),
       regexp_replace(lower(substring(col("text"), 1, FuzzyPrefixLen)),
         "[^a-z0-9 ]", "").as("pfx"))
-      .withColumn("blk", substring(col("pfx"), 1, FuzzyBlockLen))
 
-  def fuzzyNeighborPairs(s: SparkSession, d: String): DataFrame = {
+  def fuzzyNeighborPairs(s: SparkSession, d: String): DataFrame =
+    neighborPairsPass(fuzzyKeys(s, d), reversed = false)
+
+  /** One sorted-neighborhood pass. `reversed = true` sorts and blocks on the
+    * REVERSED key — the standard multi-pass merge/purge move (Hernández &
+    * Stolfo §4.2: each pass uses a differently-ordered key so records a
+    * prefix typo pushed far apart in one ordering become neighbors in the
+    * other). The Levenshtein verify always runs on the original key:
+    * edit distance is invariant under reversal of both arguments, so both
+    * passes admit pairs by the SAME criterion and a union is coherent.
+    */
+  private def neighborPairsPass(keys0: DataFrame, reversed: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keys = fuzzyKeys(s, d)
+    val sk = if (reversed) reverse(col("pfx")) else col("pfx")
+    val keys = keys0.withColumn("sk", sk)
+      .withColumn("blk", substring(col("sk"), 1, FuzzyBlockLen))
     // same broadcast-blacklist shape as lshCandidates: per-block counts
     // partial-aggregate map-side; >cap survivors are tiny; the anti-join
     // re-shuffles nothing
@@ -657,7 +669,7 @@ object Dedup {
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > FuzzyMaxBlock)
       .select("source", "blk")
     val kept = keys.join(broadcast(hotBlocks), Seq("source", "blk"), "left_anti")
-    val w = Window.partitionBy("source", "blk").orderBy("pfx", "doc_id")
+    val w = Window.partitionBy("source", "blk").orderBy("sk", "doc_id")
     val withNbrs = kept.select(col("source"), col("doc_id"), col("pfx"),
       array((1 to FuzzyWindow).map(i =>
         struct(lead("pfx", i).over(w).as("p2"),
@@ -669,6 +681,25 @@ object Dedup {
         levenshtein(col("pfx_a"), col("n.p2")).cast(LongType))
       .where(col("dist") <= FuzzyMaxDist)
       .select(col("source"), col("id_a"), col("n.id2").as("id_b"), col("dist"))
+  }
+
+  /** Two-pass sorted neighborhood: the forward-key pass unioned with the
+    * reversed-key pass, pairs normalized to (least id, greatest id) and
+    * deduplicated. Strictly-higher recall than one pass at the SAME plan
+    * bound — each pass is O(window·n) with its own hot-block cap, there is
+    * still no self-join anywhere, and the union is a cheap distinct on
+    * already-small pair sets. This is how merge/purge is actually run in
+    * production (multi-pass with independent keys beats one pass with a
+    * bigger window at equal cost).
+    */
+  def fuzzyNeighborPairs2Pass(s: SparkSession, d: String): DataFrame = {
+    val keys = fuzzyKeys(s, d)
+    val both = neighborPairsPass(keys, reversed = false)
+      .unionAll(neighborPairsPass(keys, reversed = true))
+    both.select(col("source"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .distinct()
   }
 
   private val fuzzyNeighborSql: String =
@@ -693,10 +724,53 @@ object Dedup {
        |   AND z.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
        |  WHERE levenshtein(a.pfx, z.pfx) <= $FuzzyMaxDist) pairs""".stripMargin
 
-  val fuzzyDefs: Seq[QueryDef] = Seq(QueryDef(
-    "q_fuzzy_neighbors",
-    (s, d) => fuzzyNeighborPairs(s, d).orderBy("source", "id_a", "id_b"),
-    Some(s"$fuzzyNeighborSql\nORDER BY source, id_a, id_b")))
+  /** Oracle replay of both sorted-neighborhood passes: pass 1 sorts/blocks
+    * on the key, pass 2 on its reversal; pairs normalized and unioned,
+    * mirroring [[fuzzyNeighborPairs2Pass]] exactly.
+    */
+  private val fuzzyNeighbor2PassSql: String = {
+    def pass(i: Int, sk: String) =
+      s"""k$i AS (SELECT source, doc_id, pfx, $sk AS sk FROM p),
+         |b$i AS (SELECT *, substring(sk, 1, $FuzzyBlockLen) AS blk FROM k$i),
+         |c$i AS (SELECT source, blk, COUNT(*) AS n FROM b$i GROUP BY 1, 2),
+         |s$i AS (
+         |  SELECT b$i.source, b$i.blk, b$i.doc_id, b$i.pfx,
+         |    ROW_NUMBER() OVER (PARTITION BY b$i.source, b$i.blk
+         |                       ORDER BY b$i.sk, b$i.doc_id) AS rn
+         |  FROM b$i JOIN c$i ON b$i.source = c$i.source AND b$i.blk = c$i.blk
+         |  WHERE c$i.n <= $FuzzyMaxBlock)""".stripMargin
+    def pairs(i: Int) =
+      s"""SELECT a.source AS source, a.doc_id AS id_a, z.doc_id AS id_b,
+         |       CAST(levenshtein(a.pfx, z.pfx) AS BIGINT) AS dist
+         |FROM s$i a JOIN s$i z
+         |  ON a.source = z.source AND a.blk = z.blk
+         | AND z.rn BETWEEN a.rn + 1 AND a.rn + $FuzzyWindow
+         |WHERE levenshtein(a.pfx, z.pfx) <= $FuzzyMaxDist""".stripMargin
+    s"""WITH p AS (
+       |  SELECT source, doc_id,
+       |    regexp_replace(lower(substring(text, 1, $FuzzyPrefixLen)),
+       |                   '[^a-z0-9 ]', '', 'g') AS pfx
+       |  FROM documents),
+       |${pass(1, "pfx")},
+       |${pass(2, "reverse(pfx)")},
+       |raw AS (
+       |${pairs(1)}
+       |UNION ALL
+       |${pairs(2)})
+       |SELECT DISTINCT source, LEAST(id_a, id_b) AS id_a,
+       |       GREATEST(id_a, id_b) AS id_b, dist
+       |FROM raw""".stripMargin
+  }
+
+  val fuzzyDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_fuzzy_neighbors",
+      (s, d) => fuzzyNeighborPairs(s, d).orderBy("source", "id_a", "id_b"),
+      Some(s"$fuzzyNeighborSql\nORDER BY source, id_a, id_b")),
+    QueryDef(
+      "q_fuzzy_neighbors_2pass",
+      (s, d) => fuzzyNeighborPairs2Pass(s, d).orderBy("source", "id_a", "id_b"),
+      Some(s"$fuzzyNeighbor2PassSql\nORDER BY source, id_a, id_b")))
 
   // lazy: referenced by `defs` above, which initializes first in the object
   private lazy val simhash60Sql: String = {

@@ -94,4 +94,45 @@ class FuzzyNeighborsSpec extends SparkSpec {
       (3L, "cc", "aaaa nearly the same text"))) // different source
     pairs(dir) shouldBe empty
   }
+
+  private def pairs2(dir: String) =
+    Dedup.fuzzyNeighborPairs2Pass(spark, dir).orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSeq
+
+  test("the reversed-key second pass recovers pairs a leading-prefix edit " +
+    "pushed into different first-pass blocks: strictly higher recall") {
+    // identical 20-char tails, different first 4 chars: pass 1 blocks on
+    // "aaaa" vs "bbbb" (never compared); pass 2 blocks and sorts on the
+    // REVERSED key, where the shared tail makes them adjacent
+    val dir = corpus("fz2rec", Seq(
+      (1L, "web", "aaaa identical tail text"),
+      (2L, "web", "bbbb identical tail text")))
+    pairs(dir) shouldBe empty // the single-pass recall hole, pinned
+    pairs2(dir) shouldBe Seq((1L, 2L, 4L)) // 4 leading substitutions
+  }
+
+  test("two-pass output is a normalized superset of one pass: every " +
+    "single-pass pair survives, ids ordered least-first, no duplicates") {
+    val rows = (1L to 40L).map { i =>
+      val tail = if (i % 3 == 0) "shared ending here" else s"tail $i here"
+      (i, "web", s"doc ${i % 7} prefix $tail")
+    } ++ Seq((100L, "web", "qqqq totally unique body"),
+      (101L, "web", "rqqq totally unique body"))
+    val dir = corpus("fz2sup", rows)
+    val one = pairs(dir).map { case (a, b, dd) =>
+      (math.min(a, b), math.max(a, b), dd) }.toSet
+    val two = pairs2(dir)
+    two.toSet.size shouldBe two.size // distinct
+    two.foreach { case (a, b, _) => a should be < b }
+    one.subsetOf(two.toSet) shouldBe true
+  }
+
+  test("both passes verify by the same criterion: a reversed-key neighbor " +
+    "over the distance threshold is still rejected") {
+    // shared 4-char reversed block ("txet"), but 15 > FuzzyMaxDist edits
+    val dir = corpus("fz2thr", Seq(
+      (1L, "web", "aaaaaaaaaaaaaaaa hit text"),
+      (2L, "web", "bbbbbbbbbbbbbbbb hit text")))
+    pairs2(dir) shouldBe empty
+  }
 }
