@@ -1,43 +1,79 @@
 package graft.plans
 
-import java.nio.file.{Path, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import graft.sinks.TableManifest
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 
 /** Shared evidence gate for the manifest-backed planner rules
   * ([[MetaAggRule]], [[ZoneMapScanRule]]): a rewrite may trust the
-  * manifest's statistics only when the scan it replaces reads EXACTLY the
-  * file set those statistics were lifted from. Any mismatch — a foreign
-  * file dropped into the directory, a stale manifest, a multi-root scan —
+  * manifest's statistics only for files those statistics were lifted
+  * from. The manifest governing a scan is located STRUCTURALLY — ascend
+  * from each scan root to the nearest `_manifest.json` directory (a scan
+  * that Spark's catalog partition pruning already narrowed has the kept
+  * partition DIRS as its roots, all inside one version dir; a full-table
+  * scan has the version dir itself) — and then verified by file-set
+  * containment. Every failure mode (relative/remote paths, roots under
+  * different manifests, a scanned file the manifest doesn't know)
   * refuses, and the plan runs unmodified.
   */
 private[plans] object ManifestEvidence {
 
-  /** The scan's single root directory, iff it is a plain parquet scan on a
-    * filesystem the manifest reader can reach. Refusal, never a throw: a
-    * relative root (no URI scheme — streaming sinks under a relative
-    * checkpoint dir do this) or a non-local scheme simply yields None and
-    * the plan runs unmodified.
+  /** The manifest governing this parquet scan plus the scan's
+    * manifest-relative file list — `scanned ⊆ manifest` NOT yet checked;
+    * use [[exact]] or [[covering]].
     */
-  def bareParquetRoot(hfs: HadoopFsRelation): Option[(Path, HadoopFsRelation)] =
-    hfs.location.rootPaths match {
-      case Seq(root)
-          if hfs.fileFormat.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
-        try Some((Paths.get(root.toUri), hfs))
-        catch { case _: Exception => None }
-      case _ => None
+  private def manifestFor(hfs: HadoopFsRelation)
+      : Option[(Path, TableManifest.Manifest, Seq[String])] = {
+    if (!hfs.fileFormat.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      return None
+    val roots = hfs.location.rootPaths
+    if (roots.isEmpty) return None
+    try {
+      val dirs = roots.map(r => ascendToManifest(Paths.get(r.toUri)))
+      if (dirs.exists(_.isEmpty)) return None
+      val distinct = dirs.flatten.distinct
+      if (distinct.size != 1) return None // roots under different commits
+      val root = distinct.head
+      TableManifest.read(root).map { m =>
+        (root, m, hfs.location.inputFiles.toSeq
+          .map(u => root.relativize(Paths.get(new java.net.URI(u))).toString))
+      }
+    } catch { case _: Exception => None } // relative/remote/foreign paths
+  }
+
+  /** Nearest ancestor (or self) holding a committed manifest, bounded so
+    * a pathological layout can't walk the whole filesystem. Partition
+    * dirs nest only a few levels under their version dir.
+    */
+  private def ascendToManifest(p: Path, depth: Int = 6): Option[Path] =
+    if (depth < 0 || p == null) None
+    else if (Files.exists(p.resolve(TableManifest.ManifestName))) Some(p)
+    else ascendToManifest(p.getParent, depth - 1)
+
+  /** Totality gate (aggregate answering): the scan's file set is EXACTLY
+    * the manifest's — COUNT/MIN/MAX over the whole table are provable
+    * only from all of it.
+    */
+  def exact(hfs: HadoopFsRelation): Option[TableManifest.Manifest] =
+    manifestFor(hfs).collect {
+      case (_, m, scanned)
+          if scanned.sorted == m.files.map(_.path).sorted => m
     }
 
-  /** The manifest, iff committed AND its file set is exactly the scan's. */
-  def committedManifest(root: Path,
-      hfs: HadoopFsRelation): Option[TableManifest.Manifest] =
-    TableManifest.read(root).filter { m =>
-      try {
-        val scanned = hfs.location.inputFiles.toSeq
-          .map(u => root.relativize(Paths.get(new java.net.URI(u))).toString)
-        scanned.sorted == m.files.map(_.path).sorted
-      } catch { case _: Exception => false }
+  /** Per-file gate (zone-map pruning): every scanned file is IN the
+    * manifest — a file's own stats refute a predicate for that file
+    * regardless of which sibling files the scan kept, so partition-pruned
+    * catalog scans still qualify. Returns the manifest restricted to the
+    * scanned files, plus the manifest root.
+    */
+  def covering(hfs: HadoopFsRelation)
+      : Option[(Path, TableManifest.Manifest)] =
+    manifestFor(hfs).flatMap { case (root, m, scanned) =>
+      val byPath = m.files.map(f => f.path -> f).toMap
+      val entries = scanned.map(byPath.get)
+      if (entries.exists(_.isEmpty)) None // a file the manifest can't vouch for
+      else Some((root, m.copy(files = entries.flatten)))
     }
 }

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.nio.file.{Path, Paths}
-
 import graft.sinks.{TableManifest, ZoneMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
@@ -48,24 +46,24 @@ object MetaAggRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] =
     for {
-      (root, rel) <- bareScan(child)
-      m <- ManifestEvidence.committedManifest(root, rel)
+      rel <- bareScan(child)
+      m <- ManifestEvidence.exact(rel)
       values <- traverseOpt(aggExprs.map(answer(_, m)))
     } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
 
   private def traverseOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
-  /** The child qualifies only as a bare single-root parquet file scan,
-    * optionally under an attribute-only projection (column pruning changes
-    * nothing the manifest proves; anything else might).
+  /** The child qualifies only as a bare parquet file scan, optionally
+    * under an attribute-only projection (column pruning changes nothing
+    * the manifest proves; anything else might).
     */
-  private def bareScan(plan: LogicalPlan): Option[(Path, HadoopFsRelation)] =
+  private def bareScan(plan: LogicalPlan): Option[HadoopFsRelation] =
     plan match {
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         bareScan(c)
       case l: LogicalRelation => l.relation match {
-        case hfs: HadoopFsRelation => ManifestEvidence.bareParquetRoot(hfs)
+        case hfs: HadoopFsRelation => Some(hfs)
         case _ => None
       }
       case _ => None

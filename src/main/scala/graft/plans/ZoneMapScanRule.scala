@@ -23,10 +23,11 @@ import org.apache.spark.sql.types._
   * every refusal path (no manifest, foreign file in the dir, no convertible
   * bound, nothing provably skippable) degrades to the unmodified plan.
   * Bound extraction is conservative: only direct `attr (cmp) literal`
-  * conjuncts in losslessly-convertible domains become bounds; strict
-  * comparisons weaken to closed bounds (a superset — sound); anything else
-  * (casts, functions, disjunctions, IN-lists) is ignored rather than
-  * approximated.
+  * conjuncts (=, <=>, <, <=, >, >=, literal IN-lists relaxed to their
+  * [min, max], IS NOT NULL) in losslessly-convertible domains become
+  * bounds; strict comparisons weaken to closed bounds (a superset —
+  * sound); anything else (casts, functions, disjunctions) is ignored
+  * rather than approximated.
   *
   * At 100 TB the win is the same as Delta/Iceberg data skipping: the
   * driver drops files in O(files) metadata work instead of scheduling a
@@ -44,8 +45,9 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
     case hfs: HadoopFsRelation
         if !hfs.location.isInstanceOf[ZoneMapPrunedIndex] =>
       for {
-        (root, _) <- ManifestEvidence.bareParquetRoot(hfs)
-        m <- ManifestEvidence.committedManifest(root, hfs)
+        // covering (⊆), not exact: partition-pruned catalog scans whose
+        // surviving files the manifest vouches for still qualify
+        (root, m) <- ManifestEvidence.covering(hfs)
         preds = extractBounds(splitConjunctivePredicates(cond))
         if preds.nonEmpty
         idx <- {
@@ -89,8 +91,56 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
         mk(a, lo = Some((v, dt)), up = Some((v, dt)))
       case EqualTo(Literal(v, dt), a: AttributeReference) =>
         mk(a, lo = Some((v, dt)), up = Some((v, dt)))
+      // null-safe equality to a NON-null literal is plain equality for
+      // range purposes (null <=> lit is false, so no null row survives)
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt))
+          if v != null =>
+        mk(a, lo = Some((v, dt)), up = Some((v, dt)))
+      case EqualNullSafe(Literal(v, dt), a: AttributeReference)
+          if v != null =>
+        mk(a, lo = Some((v, dt)), up = Some((v, dt)))
+      // IN over literals relaxes to [min, max] of the list — a sound
+      // superset. Dropped null elements match nothing extra; any
+      // unconvertible or NaN element refuses the whole list.
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        inListBound(a, list.collect { case l: Literal => l })
+      // large literal lists arrive as InSet (internal-format values)
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        inListBound(a, hset.toSeq.map(v => Literal(v, a.dataType)))
+      case IsNotNull(a: AttributeReference) =>
+        Some(ZoneMap.Bound(a.name, nonNull = true))
       case _ => None
     }
+
+  private def inListBound(a: AttributeReference,
+      lits: Seq[Literal]): Option[ZoneMap.Bound] = {
+    val ext = lits.filter(_.value != null)
+      .map(l => external(l.value, l.dataType))
+    if (ext.isEmpty || ext.exists(_.isEmpty)) return None
+    val vals = ext.flatten
+    if (vals.exists { case d: Double => d.isNaN; case f: Float => f.isNaN
+      case _ => false }) return None // Spark orders NaN specially — refuse
+    val sorted = try vals.sortWith(externalLt) catch {
+      case _: Exception => return None
+    }
+    Some(ZoneMap.Bound(a.name, Some(sorted.head), Some(sorted.last)))
+  }
+
+  /** Value-domain order for the external representations [[external]]
+    * emits; heterogeneous pairs throw and the caller refuses.
+    */
+  private def externalLt(x: Any, y: Any): Boolean = (x, y) match {
+    case (a: Number, b: Number)
+        if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] &&
+          !b.isInstanceOf[java.lang.Double] && !b.isInstanceOf[java.lang.Float] =>
+      a.longValue < b.longValue
+    case (a: Number, b: Number) => a.doubleValue < b.doubleValue
+    case (a: String, b: String) => a < b
+    case (a: java.time.LocalDate, b: java.time.LocalDate) => a.isBefore(b)
+    case (a: java.time.Instant, b: java.time.Instant) => a.isBefore(b)
+    case _ => throw new IllegalArgumentException("mixed domains")
+  }
 
   private def mk(a: AttributeReference, lo: Option[(Any, DataType)],
       up: Option[(Any, DataType)]): Option[ZoneMap.Bound] = {

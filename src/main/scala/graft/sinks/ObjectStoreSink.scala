@@ -382,7 +382,8 @@ object ObjectStoreSink {
     val exact = preds.foldLeft(pruned) { (d, p) =>
       val c = col(p.column)
       val d1 = p.lower.map(v => d.where(c >= lit(v))).getOrElse(d)
-      p.upper.map(v => d1.where(c <= lit(v))).getOrElse(d1)
+      val d2 = p.upper.map(v => d1.where(c <= lit(v))).getOrElse(d1)
+      if (p.nonNull) d2.where(c.isNotNull) else d2
     }
     (exact, report)
   }

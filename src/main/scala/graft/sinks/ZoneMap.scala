@@ -38,10 +38,14 @@ object ZoneMap {
   /** Closed-range predicate on one column: keep rows with
     * `lower <= column <= upper` (each side optional). Values are plain
     * Scala literals — Int/Long for "long" stats, Double/Float for
-    * "double", String for "string".
+    * "double", String for "string", java.sql.Date/LocalDate for "date",
+    * java.sql.Timestamp/Instant for "tsus"/"tsms". `nonNull` adds an
+    * `IS NOT NULL` requirement, which prunes provably-all-null file
+    * columns even with no range (any bounded side already implies it).
     */
   final case class Bound(column: String,
-      lower: Option[Any] = None, upper: Option[Any] = None)
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      nonNull: Boolean = false)
 
   final case class PruneReport(filesTotal: Int, filesKept: Int,
       bytesTotal: Long, bytesKept: Long) {
@@ -65,8 +69,9 @@ object ZoneMap {
       case None => true // no stats → unknowable → keep
       case Some(cs) if cs.typ == "null" =>
         // a range compare against NULL is never true: any bounded
-        // predicate is disjoint from an all-null file column
-        p.lower.isEmpty && p.upper.isEmpty
+        // predicate (or an explicit IS NOT NULL requirement) is disjoint
+        // from an all-null file column
+        p.lower.isEmpty && p.upper.isEmpty && !p.nonNull
       case Some(cs) => !disjoint(cs, p)
     }
 

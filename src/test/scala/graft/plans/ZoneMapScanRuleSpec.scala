@@ -128,6 +128,58 @@ class ZoneMapScanRuleSpec extends SparkSpec {
         .select("id", "lang").orderBy("id").collect().toSeq
   }
 
+  test("IN-lists (and their InSet form), null-safe equality, and IS NOT " +
+    "NULL all prune: IN relaxes to [min, max], IS NOT NULL drops all-null " +
+    "file columns") {
+    val (fq, df) = ranged("inset")
+    val in = spark.sql(s"SELECT id FROM $fq WHERE id IN (371, 385)")
+    pruneReports(in).head.filesKept should be < 8
+    in.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(371L, 385L)
+    // 15 values > the default InSet conversion threshold (10)
+    val vals = (360 to 374).mkString(", ")
+    val inset = spark.sql(s"SELECT id FROM $fq WHERE id IN ($vals)")
+    pruneReports(inset).head.filesKept should be < 8
+    inset.count() shouldBe 15
+    val nullSafe = spark.sql(s"SELECT id FROM $fq WHERE id <=> 250")
+    pruneReports(nullSafe).head.filesKept should be < 8
+    nullSafe.collect().map(_.getLong(0)).toSeq shouldBe Seq(250L)
+    // a file whose `v` is ALL null prunes under a bare IS NOT NULL
+    val spec = ObjectStoreSpec(path = scratchDir("zsrnn").getAbsolutePath,
+      database = "graft_zsr_nn", table = "t")
+    val nn = ss.range(0, 200).toDF("id")
+      .withColumn("v", when(col("id") >= 100, col("id")))
+      .repartitionByRange(2, col("id")) // file A: v all null, file B: set
+    val nfq = ObjectStoreSink.replaceTable(spark, nn, spec)
+    val q = spark.sql(s"SELECT id FROM $nfq WHERE v IS NOT NULL")
+    val rep = pruneReports(q)
+    rep.head.filesKept should be < rep.head.filesTotal
+    q.count() shouldBe 100
+  }
+
+  test("catalog partition pruning composes: the covering (subset) evidence " +
+    "gate lets zone maps prune inside the partitions Spark already kept") {
+    val spec = ObjectStoreSpec(path = scratchDir("zsrcat").getAbsolutePath,
+      database = "graft_zsr_cat", table = "t", partitionBy = Seq("lang"))
+    val df = ss.range(0, 300).toDF("id")
+      .withColumn("lang", element_at(
+        array(lit("de"), lit("en"), lit("fr")), (col("id") % 3 + 1).cast("int")))
+      .repartitionByRange(5, col("id"))
+    val fq = ObjectStoreSink.replaceTable(spark, df, spec)
+    // partition filter + data band THROUGH THE CATALOG: Spark's own
+    // PruneFileSourcePartitions narrows the index to the en dir first,
+    // then the covering gate still vouches for the survivors
+    val q = spark.table(fq).where(col("lang") === "en" && col("id") <= 60)
+    val reps = pruneReports(q)
+    withClue(s"plan:\n${q.queryExecution.optimizedPlan}\n") {
+      reps should have size 1
+      // the en dir holds 5 range files; the band keeps ~2
+      reps.head.filesKept should be < reps.head.filesTotal
+    }
+    q.select("id", "lang").orderBy("id").collect().toSeq shouldBe
+      df.where(col("lang") === "en" && col("id") <= 60)
+        .select("id", "lang").orderBy("id").collect().toSeq
+  }
+
   test("the rewrite is stable: re-planning the same query neither stacks " +
     "pruned indexes nor changes the report") {
     val (fq, _) = ranged("stable")

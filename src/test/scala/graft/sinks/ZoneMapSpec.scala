@@ -216,6 +216,12 @@ class ZoneMapSpec extends SparkSpec {
     val (_, rep) = ObjectStoreSink.readVersionPruned(spark, spec,
       Seq(ZoneMap.Bound("dead", lower = Some(0L))))
     rep.filesKept shouldBe 0
+    // an explicit IS NOT NULL requirement prunes it too, and the read
+    // path applies the same residual (exactness holds on mixed tables)
+    val (nnDf, nnRep) = ObjectStoreSink.readVersionPruned(spark, spec,
+      Seq(ZoneMap.Bound("dead", nonNull = true)))
+    nnRep.filesKept shouldBe 0
+    nnDf.count() shouldBe 0
   }
 
   test("unknown provenance propagates: a file without stats or an unknown " +
