@@ -36,11 +36,29 @@ private[plans] object ManifestEvidence {
       val distinct = dirs.flatten.distinct
       if (distinct.size != 1) return None // roots under different commits
       val root = distinct.head
-      TableManifest.read(root).map { m =>
+      cachedRead(root).map { m =>
         (root, m, hfs.location.inputFiles.toSeq
           .map(u => root.relativize(Paths.get(new java.net.URI(u))).toString))
       }
     } catch { case _: Exception => None } // relative/remote/foreign paths
+  }
+
+  /** The optimizer revisits a plan several times per query (fixed-point
+    * batches, AQE re-optimization), and each visit would otherwise
+    * re-parse the manifest JSON. Cache by (path, mtime, size) — an
+    * in-place republish (refreshManifest's atomic rename) changes the
+    * identity, so staleness is bounded by mtime granularity exactly like
+    * Spark's own file-listing caches. Bounded: cleared wholesale past 256
+    * entries (manifests are per-table; a session touches few).
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, java.nio.file.attribute.FileTime, Long), Option[TableManifest.Manifest]]()
+
+  private def cachedRead(root: Path): Option[TableManifest.Manifest] = {
+    val mf = root.resolve(TableManifest.ManifestName)
+    val key = (mf.toString, Files.getLastModifiedTime(mf), Files.size(mf))
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.computeIfAbsent(key, _ => TableManifest.read(root))
   }
 
   /** Nearest ancestor (or self) holding a committed manifest, bounded so

@@ -41,6 +41,78 @@ object MetaAggRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
       rewrite(agg, aggExprs, child).getOrElse(agg)
+    case agg @ Aggregate(groupings, aggExprs, child, _)
+        if groupings.nonEmpty && groupings.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteGrouped(agg,
+        groupings.map(_.asInstanceOf[AttributeReference]), aggExprs, child)
+        .getOrElse(agg)
+  }
+
+  /** GROUP BY over columns that are SINGLE-VALUED per file (partition
+    * columns — their dir-derived stats have min == max; any range-
+    * clustered column where every file's min equals its max also
+    * qualifies): each group is a set of whole files, so its COUNT(*) is
+    * the sum of per-file footer row counts, its COUNT(col)/MIN/MAX are
+    * the group's sub-manifest answers — the manifest-stats generalization
+    * of Spark's OptimizeMetadataOnlyQuery. Any file where a grouping
+    * column is multi-valued, unconvertible, or missing stats refuses the
+    * whole rewrite. An empty table yields zero groups — exactly grouped-
+    * aggregate semantics.
+    */
+  private def rewriteGrouped(agg: Aggregate, keys: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      rel <- bareScan(child)
+      m <- ManifestEvidence.exact(rel)
+      rows <- groupedRows(keys, aggExprs, m)
+    } yield LocalRelation(agg.output, rows)
+
+  /** Grouping-key normalization mirroring Spark's NormalizeFloatingNumbers:
+    * -0.0 and 0.0 are ONE group, but their boxed forms are not equal —
+    * left unnormalized, two files constant at -0.0 and 0.0 would split a
+    * group Spark's aggregation merges.
+    */
+  private def normalizeKey(v: Any): Any = v match {
+    case d: Double if d == 0.0 => 0.0
+    case f: Float if f == 0.0f => 0.0f
+    case other => other
+  }
+
+  private def groupedRows(keys: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression],
+      m: TableManifest.Manifest): Option[Seq[InternalRow]] = {
+    // per file, the single value of every grouping column — or refuse
+    val fileKeys: Seq[Option[Seq[Any]]] = m.files.map { fe =>
+      traverseOpt(keys.map { k =>
+        fe.stats.flatMap(_.get(k.name)).flatMap[Any] {
+          case cs if cs.typ == "null" => Some(null) // NULL group key
+          // single-valued means min == max AND provably zero nulls: a file
+          // with {v, null} would otherwise fold its null rows (a separate
+          // SQL group!) into v's group. min/max ignore nulls, so the range
+          // alone cannot prove single-valuedness.
+          case cs if cs.min == cs.max && cs.nulls == 0L =>
+            internalValue(cs.typ, cs.min, k.dataType).map(normalizeKey)
+          case _ => None // multi-valued (or not provably null-free)
+        }
+      })
+    }
+    if (fileKeys.exists(_.isEmpty)) return None
+    val groups = m.files.zip(fileKeys.flatten).groupBy(_._2)
+    val keyIndex = keys.map(_.exprId)
+    val out = groups.toSeq.map { case (keyVals, members) =>
+      val files = members.map(_._1)
+      val groupRows =
+        if (files.forall(_.rows >= 0)) files.map(_.rows).sum else -1L
+      val subM = m.copy(files = files, rowCount = groupRows)
+      traverseOpt(aggExprs.map {
+        case a: AttributeReference if keyIndex.contains(a.exprId) =>
+          Some(keyVals(keyIndex.indexOf(a.exprId)))
+        case Alias(a: AttributeReference, _) if keyIndex.contains(a.exprId) =>
+          Some(keyVals(keyIndex.indexOf(a.exprId)))
+        case e => answer(e, subM)
+      }).map(InternalRow.fromSeq)
+    }
+    traverseOpt(out)
   }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],

@@ -71,8 +71,14 @@ object TableManifest {
     */
   final case class ColStats(typ: String, min: String, max: String, nulls: Long)
 
+  /** `rows` is the file's exact footer row count, or -1 when unknown
+    * (non-parquet commits, manifests written before the field existed —
+    * json4s fills the default on old JSON). Per-file counts are what make
+    * GROUPED metadata aggregates provable: a partition-valued group's
+    * COUNT(*) is the sum of its files' rows.
+    */
   final case class FileEntry(path: String, bytes: Long,
-      stats: Option[Map[String, ColStats]] = None)
+      stats: Option[Map[String, ColStats]] = None, rows: Long = -1L)
 
   /** Writer-transaction stamp (the Delta `txn` mechanism): a streaming
     * writer records (appId, batchId) in the manifest it commits, so its
@@ -110,10 +116,11 @@ object TableManifest {
   def commit(versionDir: Path, schemaHash: String, fileFormat: String,
       txn: Option[TxnStamp] = None): Manifest = {
     val files = dataFiles(versionDir)
-    val (rows, stats) = footerMeta(versionDir, files, fileFormat)
+    val (rows, stats, perFile) = footerMeta(versionDir, files, fileFormat)
     val entries = files.map { p =>
       val rel = versionDir.relativize(p).toString
-      FileEntry(rel, Files.size(p), mergedStats(rel, stats))
+      FileEntry(rel, Files.size(p), mergedStats(rel, stats),
+        perFile.getOrElse(rel, -1L))
     }
     val m = Manifest(entries, entries.map(_.bytes).sum, rows, schemaHash,
       System.currentTimeMillis(), txn)
@@ -142,10 +149,11 @@ object TableManifest {
       schemaHash: Option[String] = None): Option[Manifest] =
     read(versionDir).map { old =>
       val files = dataFiles(versionDir)
-      val (rows, stats) = footerMeta(versionDir, files, fileFormat)
+      val (rows, stats, perFile) = footerMeta(versionDir, files, fileFormat)
       val entries = files.map { p =>
         val rel = versionDir.relativize(p).toString
-        FileEntry(rel, Files.size(p), mergedStats(rel, stats))
+        FileEntry(rel, Files.size(p), mergedStats(rel, stats),
+          perFile.getOrElse(rel, -1L))
       }
       val m = old.copy(files = entries, totalBytes = entries.map(_.bytes).sum,
         rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash))
@@ -209,12 +217,14 @@ object TableManifest {
     * (rowCount = -1, no stats) — identical to the non-parquet path.
     */
   private def footerMeta(versionDir: Path, files: Seq[Path], fileFormat: String)
-      : (Long, Map[String, Map[String, ColStats]]) = {
+      : (Long, Map[String, Map[String, ColStats]], Map[String, Long]) = {
     if (!fileFormat.equalsIgnoreCase("parquet") || files.isEmpty)
-      return (if (fileFormat.equalsIgnoreCase("parquet")) 0L else -1L, Map.empty)
+      return (if (fileFormat.equalsIgnoreCase("parquet")) 0L else -1L,
+        Map.empty, Map.empty)
     val conf = new org.apache.hadoop.conf.Configuration()
     var rows = 0L
     val stats = Map.newBuilder[String, Map[String, ColStats]]
+    val perFile = Map.newBuilder[String, Long]
     files.foreach { p =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -222,12 +232,13 @@ object TableManifest {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           rows += r.getRecordCount
+          perFile += versionDir.relativize(p).toString -> r.getRecordCount
           val cols = footerColStats(r.getFooter)
           if (cols.nonEmpty) stats += versionDir.relativize(p).toString -> cols
         } finally r.close()
-      } catch { case _: Exception => return (-1L, Map.empty) } // not parquet
+      } catch { case _: Exception => return (-1L, Map.empty, Map.empty) } // not parquet
     }
-    (rows, stats.result())
+    (rows, stats.result(), perFile.result())
   }
 
   /** Merge one file's column-chunk statistics across its row groups into

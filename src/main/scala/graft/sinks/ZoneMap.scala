@@ -120,14 +120,19 @@ object ZoneMap {
 
   /** Exact COUNT(column) (non-null count): total rows minus the per-file
     * null counts — provable only when every file carries stats for the
-    * column with a KNOWN null count.
+    * column with a KNOWN null count. An all-null entry ("null" typ) with
+    * an unrecorded count (partition-dir Hive-null sentinel) is still
+    * provable when the FILE's row count is known: every row is null.
     */
   def metaNonNullCount(m: Manifest, column: String): Option[Long] =
     metaCount(m).flatMap { rows =>
-      val per = m.files.map(_.stats.flatMap(_.get(column)))
+      val per = m.files.map(fe => fe.stats.flatMap(_.get(column)).map(cs =>
+        if (cs.nulls >= 0) cs.nulls
+        else if (cs.typ == "null" && fe.rows >= 0) fe.rows
+        else -1L))
       if (per.isEmpty || per.exists(_.isEmpty)) None
       else {
-        val nulls = per.flatten.map(_.nulls)
+        val nulls = per.flatten
         if (nulls.exists(_ < 0)) None else Some(rows - nulls.sum)
       }
     }

@@ -124,6 +124,75 @@ class MetaAggRuleSpec extends SparkSpec {
     assertMetaOnly(spark.sql(s"SELECT count(amt) AS n FROM $fq"))
   }
 
+  test("GROUP BY a partition column answers per-group COUNT(*)/COUNT(col)/" +
+    "MIN/MAX from the manifest — NULL partition group included") {
+    val spec = graft.model.ObjectStoreSpec(
+      path = scratchDir("grp").getAbsolutePath,
+      database = "graft_mar_grp", table = "t", partitionBy = Seq("grp"))
+    val df = ss.range(0, 240).toDF("id")
+      .withColumn("grp", when(col("id") % 4 =!= 3,
+        concat(lit("g"), (col("id") % 4).cast("string"))))
+      .withColumn("v", when(col("id") % 5 =!= 0, col("id").cast("double")))
+      .repartitionByRange(3, col("id"))
+    val fq = ObjectStoreSink.replaceTable(spark, df, spec)
+    val q = spark.sql(s"SELECT grp, count(*) AS n, count(v) AS nv, " +
+      s"min(id) AS mn, max(id) AS mx FROM $fq GROUP BY grp ORDER BY grp")
+    assertMetaOnly(q)
+    q.collect().toSeq shouldBe
+      df.groupBy("grp").agg(count(lit(1)), count(col("v")), min("id"), max("id"))
+        .orderBy("grp").collect().toSeq
+    // count of the grouping column itself: the NULL-dir group is all null
+    val q2 = spark.sql(s"SELECT grp, count(grp) AS ng FROM $fq GROUP BY grp")
+    assertMetaOnly(q2)
+    q2.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap shouldBe
+      Map(Some("g0") -> 60L, Some("g1") -> 60L, Some("g2") -> 60L, None -> 0L)
+  }
+
+  test("a file whose grouping column is constant but carries nulls is NOT " +
+    "single-valued: the rewrite refuses — null rows are their own group") {
+    val fq = commitTable("grpnull", ss.range(0, 50).toDF("id")
+      .withColumn("c", when(col("id") % 5 =!= 0, lit("x")))
+      .coalesce(1)) // one file: min = max = "x" BUT 10 null rows
+    val q = spark.sql(s"SELECT c, count(*) AS n FROM $fq GROUP BY c ORDER BY c")
+    assertScans(q)
+    q.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSeq shouldBe
+      Seq(None -> 10L, Some("x") -> 40L)
+  }
+
+  test("zero-valued grouping keys refuse: parquet widens zero stats to " +
+    "[-0.0, 0.0], so a constant-zero file is never provably single-valued " +
+    "— and -0.0 vs 0.0 can therefore never split a group") {
+    val df = ss.range(0, 10).toDF("id")
+      .withColumn("z", when(col("id") < 5, lit(-0.0)).otherwise(lit(0.0)))
+      .repartitionByRange(2, col("id")) // file A all -0.0, file B all 0.0
+    val fq = commitTable("zeros", df)
+    val q = spark.sql(s"SELECT z, count(*) AS n FROM $fq GROUP BY z")
+    assertScans(q) // refusal is the sound outcome here
+    q.collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe
+      Seq((0.0, 10L)) // Spark folds the zeros into ONE group
+    // a nonzero constant double per file DOES qualify
+    val fq2 = commitTable("dkeys", ss.range(0, 12).toDF("id")
+      .withColumn("z", when(col("id") < 6, lit(1.5)).otherwise(lit(-2.5)))
+      .repartitionByRange(2, col("id")))
+    val q2 = spark.sql(s"SELECT z, count(*) AS n FROM $fq2 GROUP BY z ORDER BY z")
+    assertMetaOnly(q2)
+    q2.collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe
+      Seq((-2.5, 6L), (1.5, 6L))
+  }
+
+  test("grouped rewrite refuses multi-valued grouping columns and " +
+    "expression groupings — the scan stays and answers stay correct") {
+    val fq = commitTable("grpref", ss.range(0, 100).toDF("id")
+      .withColumn("k", col("id") % 10) // multi-valued in every file
+      .repartitionByRange(4, col("id")))
+    val multi = spark.sql(s"SELECT k, count(*) AS n FROM $fq GROUP BY k")
+    assertScans(multi)
+    multi.count() shouldBe 10
+    val exprGrp = spark.sql(s"SELECT id % 2 AS e, count(*) FROM $fq GROUP BY 1")
+    assertScans(exprGrp)
+    exprGrp.count() shouldBe 2
+  }
+
   test("a non-versioned plain parquet directory (no manifest) is never " +
     "rewritten") {
     val dir = scratchDir("plain").getAbsolutePath + "/plain.parquet"
