@@ -27,10 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // manifest-backed planner seams over versioned tables: zero-scan
-    // COUNT/MIN/MAX answering and automatic zone-map file skipping — see
-    // graft.plans.MetaAggRule / graft.plans.ZoneMapScanRule
+    // COUNT/MIN/MAX answering, automatic zone-map file skipping, and
+    // dim-driven join file pruning — see graft.plans.MetaAggRule /
+    // graft.plans.ZoneMapScanRule / graft.plans.JoinPruneRule
     ext.injectOptimizerRule(_ => graft.plans.MetaAggRule)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanRule)
+    ext.injectOptimizerRule(_ => graft.plans.JoinPruneRule)
   }
 }
 
@@ -44,7 +46,8 @@ object GraftExtensions {
     functions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, info, builder)
     }
-    val rules = Seq(graft.plans.MetaAggRule, graft.plans.ZoneMapScanRule)
+    val rules = Seq(graft.plans.MetaAggRule, graft.plans.ZoneMapScanRule,
+      graft.plans.JoinPruneRule)
     val extra = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       extra ++ rules.filterNot(extra.contains)

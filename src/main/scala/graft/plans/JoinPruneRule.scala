@@ -1,0 +1,238 @@
+package graft.plans
+
+import graft.sinks.ZoneMap
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, max, min}
+
+/** Planner seam for dim-driven join file pruning — the automatic twin of
+  * [[graft.operators.JoinPrune.factForEquiJoin]], and the manifest-side
+  * analogue of dynamic file pruning / runtime filters: when an equi-join
+  * pairs a manifest-committed fact scan with a small, result-stable build
+  * side, the build side's distinct key set is collected AT PLANNING TIME
+  * (the same bounded build-side materialization Spark's own DPP performs)
+  * and turned into a driver-side file-skipping proof against the fact's
+  * zone maps ([[ZoneMap.pruneInSet]]). Fact files provably holding no join
+  * partner are never LISTED — scan tasks for them are never created.
+  * Spark's DPP prunes partition directories only; its runtime bloom
+  * filters still schedule a task per file. At 100 TB the listing is the
+  * first decision that matters, and this makes it from metadata alone.
+  * The reference delegated join execution (and any partition elimination)
+  * to its warehouse (AthenaUtil.scala:61-160).
+  *
+  * Soundness. The join node is LEFT IN PLACE, so surviving rows are
+  * re-matched exactly — pruning is strictly a listing optimization. A file
+  * is dropped only when its recorded [min, max] window provably contains
+  * no key EQUAL to any build-side key (EqualTo conjuncts only — never
+  * `<=>`, whose NULL <=> NULL = true a null-free key-set proof cannot
+  * cover). Which side may be pruned depends on the join type — the pruned
+  * side must be one whose partner-free rows cannot reach the output:
+  * Inner (both sides), LeftSemi (both), LeftOuter (right side only),
+  * RightOuter (left only), LeftAnti (right only — a right row matching no
+  * left key never flips any left row's match-existence). The key
+  * attribute must reach the scan through value-preserving nodes only
+  * (Project/Filter/Join/Union/Generate, or an Aggregate grouping BY the
+  * key): a Window or Limit between scan and join could change SURVIVING
+  * rows' values when files are dropped, so those shapes refuse. An
+  * embedded outer join needs no refusal: pruning can only add
+  * null-extended rows whose key IS NULL, and the retained top-level
+  * equi-join discards them.
+  *
+  * The build side is executed twice (once collected here, once by the
+  * real join), so it must be RESULT-STABLE: every node from a
+  * deterministic whitelist, no Limit/Offset/Sample/Tail (their result
+  * sets are execution-order-dependent), no streaming source, every
+  * expression deterministic. Data-file immutability between the two
+  * executions is the versioned-table contract (commits write new version
+  * dirs; files never mutate in place).
+  *
+  * Cost gates: the build side's estimated size must be within
+  * `spark.graft.joinPrune.maxDimBytes` (default: the session's
+  * autoBroadcastJoinThreshold — the same "this side is small" judgment
+  * that picks broadcast joins), the key collection is capped at
+  * `spark.graft.joinPrune.maxKeys` distinct keys (overflow degrades to a
+  * 1-row min/max aggregate and a range proof), and a rewrite only lands
+  * when it provably skips at least one file. `spark.graft.joinPrune
+  * .enabled=false` disables the rule. Every refusal path — no manifest,
+  * foreign files, unstable build side, lossy key domain, nothing
+  * skippable, any exception — leaves the plan untouched.
+  */
+object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Re-entrancy guard: collecting the build side runs the optimizer on
+    * this thread again; the nested pass must not fire this rule.
+    */
+  private val inRule = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inRule.get || conf.getConfString(
+        "spark.graft.joinPrune.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case j: Join => rewrite(j).getOrElse(j)
+    }
+  }
+
+  /** Join types → which children may be pruned (partner-free rows of that
+    * side cannot reach the output).
+    */
+  private def prunableSides(t: JoinType): (Boolean, Boolean) = t match {
+    case Inner | LeftSemi => (true, true)
+    case LeftOuter | LeftAnti => (false, true)
+    case RightOuter => (true, false)
+    case _ => (false, false)
+  }
+
+  private def rewrite(j: Join): Option[Join] = {
+    val (leftOk, rightOk) = prunableSides(j.joinType)
+    if (!leftOk && !rightOk) return None
+    val conjuncts = j.condition.map(splitConjunctivePredicates).getOrElse(Nil)
+    val equis = conjuncts.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+    }
+    equis.view.flatMap { case (a, b) =>
+      val (lk, rk) =
+        if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
+          (Some(a), Some(b))
+        else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+          (Some(b), Some(a))
+        else (None, None)
+      (lk, rk) match {
+        case (Some(fk), Some(dk)) =>
+          (if (leftOk) tryPrune(j, factSide = j.left, fk, j.right, dk)
+            .map(nl => j.copy(left = nl)) else None)
+            .orElse(if (rightOk) tryPrune(j, factSide = j.right, dk, j.left, fk)
+              .map(nr => j.copy(right = nr)) else None)
+        case _ => None
+      }
+    }.headOption
+  }
+
+  /** The fact side with its scan's listing pruned by the dim's key set —
+    * None on any refusal.
+    */
+  private def tryPrune(j: Join, factSide: LogicalPlan,
+      factKey: AttributeReference, dimSide: LogicalPlan,
+      dimKey: AttributeReference): Option[LogicalPlan] =
+    try {
+      for {
+        scan <- pathToScan(factSide, factKey)
+        hfs = scan.relation.asInstanceOf[HadoopFsRelation]
+        (root, m) <- ManifestEvidence.covering(hfs)
+        if m.files.size > 1 && resultStable(dimSide) && dimSmall(dimSide)
+        keep <- {
+          val keys = collectKeys(hfs, dimSide, dimKey)
+          keys.flatMap {
+            case scala.util.Right(ks) => ZoneMap.pruneInSet(m, factKey.name, ks)
+            case scala.util.Left((lo, hi)) =>
+              val b = ZoneMap.Bound(factKey.name, lower = lo, upper = hi,
+                nonNull = true)
+              Some(ZoneMap.prune(m, Seq(b)))
+          } match {
+            case Some((kept, rep)) if rep.filesSkipped > 0 =>
+              Some((kept.map(fe =>
+                root.resolve(fe.path).normalize.toString).toSet, rep))
+            case _ => None
+          }
+        }
+      } yield {
+        val idx = new ZoneMapPrunedIndex(hfs.location, keep._1, keep._2)
+        factSide.transformUp {
+          case l: LogicalRelation if l.eq(scan) =>
+            l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession))
+        }
+      }
+    } catch { case _: Exception => None } // refusal, never a guess
+
+  /** The unique manifest-eligible scan the key attribute reaches through
+    * value-preserving nodes only. Project/Filter/Union/Generate pass rows
+    * (and the key column) through unchanged; a Join can at most add
+    * null-extended rows whose key is NULL (discarded by the retained
+    * top-level equi-join); an Aggregate is sound only when the key is one
+    * of its grouping ATTRIBUTES — then every group a dropped file touched
+    * has a partner-free key. Anything else (Window, Limit, Expand, …)
+    * could change surviving rows' values, so the walk refuses.
+    */
+  private def pathToScan(p: LogicalPlan,
+      key: AttributeReference): Option[LogicalRelation] = p match {
+    case l: LogicalRelation if l.outputSet.contains(key) =>
+      l.relation match {
+        case h: HadoopFsRelation if !h.location.isInstanceOf[ZoneMapPrunedIndex]
+          => Some(l)
+        case _ => None
+      }
+    case _: Project | _: Filter | _: Join | _: Union | _: Generate |
+         _: SubqueryAlias =>
+      p.children.filter(_.outputSet.contains(key)) match {
+        case Seq(c) => pathToScan(c, key)
+        case _ => None
+      }
+    case a: Aggregate if a.groupingExpressions.exists {
+      case ar: AttributeReference => ar.exprId == key.exprId
+      case _ => false
+    } => pathToScan(a.child, key)
+    case _ => None
+  }
+
+  /** Result-stable build side: executing it twice yields the same row
+    * set. Whitelisted relational nodes only, every expression
+    * deterministic, nothing execution-order-dependent
+    * (Limit/Offset/Sample/Tail), no streaming source.
+    */
+  private def resultStable(p: LogicalPlan): Boolean =
+    !p.isStreaming && p.collectFirst {
+      case n if !stableNode(n) => n
+      case n if n.expressions.exists(!_.deterministic) => n
+    }.isEmpty
+
+  private def stableNode(n: LogicalPlan): Boolean = n match {
+    case _: LocalRelation | _: LogicalRelation | _: OneRowRelation |
+         _: Project | _: Filter | _: Join | _: Aggregate | _: Union |
+         _: Distinct | _: Generate | _: Sort | _: Window | _: Expand |
+         _: SubqueryAlias | _: Range | _: RepartitionOperation => true
+    case _ => false
+  }
+
+  private def dimSmall(dim: LogicalPlan): Boolean = {
+    val cap = conf.getConfString("spark.graft.joinPrune.maxDimBytes", "")
+      match {
+        case "" =>
+          val b = conf.autoBroadcastJoinThreshold
+          if (b > 0) b else 10L << 20
+        case s => s.toLong
+      }
+    dim.stats.sizeInBytes <= BigInt(cap)
+  }
+
+  /** The build side's distinct non-null keys (Right), or its [min, max]
+    * when the set exceeds `maxKeys` (Left — the O(1)-driver fallback).
+    * None when even the range is unknowable (all-null/empty dim still
+    * returns Right(empty): every fact file is provably partner-free).
+    */
+  private def collectKeys(hfs: HadoopFsRelation, dim: LogicalPlan,
+      key: AttributeReference)
+      : Option[Either[(Option[Any], Option[Any]), Seq[Any]]] = {
+    val maxKeys = conf.getConfString(
+      "spark.graft.joinPrune.maxKeys", "100000").toInt
+    inRule.set(true)
+    try {
+      // null filter + projection built logically (no name resolution —
+      // duplicate or exotic column names in the build side can't bite),
+      // then renamed to a clean handle for the API calls
+      val ds = org.apache.spark.sql.GraftSqlBridge.ofRows(hfs.sparkSession,
+        Project(Seq(key), Filter(IsNotNull(key), dim))).toDF("k")
+      val rows = ds.distinct().limit(maxKeys + 1).collect()
+      if (rows.length <= maxKeys)
+        Some(scala.util.Right(rows.toSeq.map(_.get(0))))
+      else {
+        val r = ds.agg(min(col("k")), max(col("k")), count(col("k"))).head
+        if (r.isNullAt(0)) None
+        else Some(scala.util.Left((Option(r.get(0)), Option(r.get(1)))))
+      }
+    } finally inRule.set(false)
+  }
+}

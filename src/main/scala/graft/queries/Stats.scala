@@ -143,5 +143,178 @@ object Stats {
              |FROM lineitem
              |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 7
              |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Z-order × zone maps × planner rule -------------------------------
+    // The multi-dimensional skipping story end-to-end: lineitem committed
+    // Z-ORDERED on (l_partkey, l_suppkey) through the versioned-table
+    // protocol (manifest lifts each file's footer ranges), then a 2-D band
+    // query (cell-separable bands) runs as PLAIN SQL — ZoneMapScanRule
+    // prunes the scan's listing from the manifest. The z-curve is what
+    // makes BOTH dimensions prunable at once: the query REQUIREs that
+    // EACH dimension alone proves skips (a 1-D sort could only ever
+    // skip on its own column) and that the SQL scan was pruned. The
+    // oracle answers from the ORIGINAL table — layout + skipping must be
+    // invisible to results. At 100 TB this composition (Morton layout →
+    // footer stats → manifest → driver-side listing prune) is what turns
+    // a petabyte 2-D range scan into a handful of file reads.
+    QueryDef(
+      "q_zonemap_zorder",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-zmzorder"),
+          database = "graft_ops", table = "zmz_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          graft.operators.ZOrder.layout(
+            t(s, d, "lineitem"), Seq("l_partkey", "l_suppkey"), 16), spec)
+        val live = java.nio.file.Paths.get(
+          graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+        val m = graft.sinks.TableManifest.read(live).get
+        val zm = graft.sinks.ZoneMap
+        val pkOnly = zm.prune(m, Seq(zm.Bound("l_partkey", Some(20L), Some(120L))))._2
+        val skOnly = zm.prune(m, Seq(zm.Bound("l_suppkey", Some(0L), Some(4L))))._2
+        require(pkOnly.filesSkipped > 0 && skOnly.filesSkipped > 0,
+          s"z-order did not make both dimensions prunable: pk=$pkOnly sk=$skOnly")
+        graft.GraftExtensions.register(s)
+        val df = s.sql(
+          """SELECT l_returnflag, count(*) AS cnt,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+            |FROM graft_ops.zmz_li
+            |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 0 AND 4
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val reports = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+        }.flatten
+        require(reports.nonEmpty && reports.head.filesKept < reports.head.filesTotal,
+          s"SQL scan over the z-ordered table was not pruned: $reports")
+        df
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 0 AND 4
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- dim-driven join file pruning (runtime-filter analogue) ---------
+    // The classic star-join read path at 100 TB: a selective dimension's
+    // join-key set prunes FACT FILES from the manifest before the join
+    // plan even lists them. The dim here is deliberately BIMODAL (the
+    // oldest + newest tenth of part keys — the hot-old + hot-new id shape
+    // runtime filters exist for): its [min, max] range spans the whole
+    // clustered fact, so range relaxation proves nothing, while the
+    // per-file key-set probe (binary search of the sorted dim keys inside
+    // each file's recorded window) drops every middle file. The query
+    // REQUIREs exactly that separation, then joins and aggregates; the
+    // oracle replays the same join over the ORIGINAL table — pruning must
+    // be invisible to results.
+    QueryDef(
+      "q_join_prune",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-joinprune"),
+          database = "graft_ops", table = "jp_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        // fact committed range-clustered on the join key (the layout a
+        // sort/Z-order maintenance pass leaves behind)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem").repartitionByRange(16, col("l_partkey")), spec)
+        val part = t(s, d, "part")
+        val mx = part.agg(max("p_partkey")).head.getLong(0) // 1-row planning agg
+        val tenth = mx / 10
+        val dim = part
+          .where(col("p_partkey") <= tenth || col("p_partkey") > mx - tenth)
+          .select("p_partkey")
+        val (fact, rep) = graft.operators.JoinPrune.factForEquiJoin(
+          s, spec, dim, "l_partkey", "p_partkey")
+        require(rep.keySetUsed &&
+          rep.set.exists(_.filesSkipped > rep.range.filesSkipped),
+          s"key-set prune did not beat the range relaxation: $rep")
+        fact.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(28,4)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      // FLOOR(... / 10.0), not "/ 10": DuckDB's `/` on integers is float
+      // division; the Spark side's Long division floors (mx >= 0)
+      Some("""WITH b AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS mx,
+             |  CAST(FLOOR(MAX(p_partkey) / 10.0) AS BIGINT) AS tenth FROM part)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, part, b
+             |WHERE l_partkey = p_partkey
+             |  AND (p_partkey <= b.tenth OR p_partkey > b.mx - b.tenth)
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- join file pruning through the PLANNER SEAM ---------------------
+    // Same star-join read path as q_join_prune, but nobody calls the
+    // library: the fact is a catalog table, the dim a plain SQL subquery,
+    // and graft.plans.JoinPruneRule collects the dim's key set at planning
+    // time and prunes the fact's file LISTING from the manifest. The dim
+    // is the same deliberately BIMODAL shape — its [min, max] spans the
+    // whole clustered fact, so ANY file skipped proves the per-file
+    // key-set probe fired, not the range relaxation. The query REQUIREs
+    // the optimized plan to carry a pruned listing; the oracle replays
+    // the join over the ORIGINAL table — the rewrite must be invisible
+    // to results.
+    QueryDef(
+      "q_join_prune_sql",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-joinprune-sql"),
+          database = "graft_ops", table = "jp2_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem").repartitionByRange(16, col("l_partkey")), spec)
+        val part = t(s, d, "part")
+        part.createOrReplaceTempView("jp2_part")
+        val mx = part.agg(max("p_partkey")).head.getLong(0) // 1-row planning agg
+        val tenth = mx / 10
+        graft.GraftExtensions.register(s)
+        val df = s.sql(
+          s"""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM graft_ops.jp2_li f
+             |JOIN (SELECT p_partkey FROM jp2_part
+             |      WHERE p_partkey <= $tenth OR p_partkey > ${mx - tenth}) d
+             |  ON f.l_partkey = d.p_partkey
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val reports = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+        }.flatten
+        require(reports.nonEmpty && reports.head.filesKept < reports.head.filesTotal,
+          s"JoinPruneRule did not prune the fact listing: $reports")
+        df
+      },
+      Some("""WITH b AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS mx,
+             |  CAST(FLOOR(MAX(p_partkey) / 10.0) AS BIGINT) AS tenth FROM part)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, part, b
+             |WHERE l_partkey = p_partkey
+             |  AND (p_partkey <= b.tenth OR p_partkey > b.mx - b.tenth)
+             |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)))
 }

@@ -44,6 +44,11 @@ object Pipeline {
   def run(spark: SparkSession, spec0: PipelineSpec, inputPath: String,
       loadScript: String => String = defaultLoadScript): Result = {
     val spec = spec0.normalized.validated
+    // the engine's SQL surface travels with the pipeline: custom kernels
+    // plus the manifest-backed planner seams (zero-scan metadata
+    // aggregates, zone-map file skipping) are available to every
+    // downstream spark.sql over the tables this run lands. Idempotent.
+    graft.GraftExtensions.register(spark)
     val token = GuidV5.nameUUID(s"${spec.name}:$inputPath:${System.nanoTime}").toString
     def info(step: String, msg: String): Unit = status.info(token, spec.name, step, msg)
     info("begin", s"Pipeline started for $inputPath")

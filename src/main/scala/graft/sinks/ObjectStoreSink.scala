@@ -368,17 +368,8 @@ object ObjectStoreSink {
         s"committed version ${snap.version} of ${spec.database}.${spec.table} " +
           "lost its manifest — refusing to substitute a directory listing"))
     val (kept, report) = ZoneMap.prune(manifest, preds)
-    val pruned =
-      if (kept.size == manifest.files.size)
-        spark.read.format(spec.fileFormat).load(snap.path)
-      else if (kept.isEmpty)
-        // provably empty — keep the snapshot's schema, read nothing
-        spark.read.format(spec.fileFormat).load(snap.path).where(lit(false))
-      else
-        // basePath keeps partition-directory columns resolvable when
-        // loading an explicit file subset of a partitioned layout
-        spark.read.format(spec.fileFormat).option("basePath", snap.path)
-          .load(kept.map(f => vdir.resolve(f.path).toString): _*)
+    val pruned = readSubset(spark, snap.path, spec.fileFormat, kept,
+      manifest.files.size)
     val exact = preds.foldLeft(pruned) { (d, p) =>
       val c = col(p.column)
       val d1 = p.lower.map(v => d.where(c >= lit(v))).getOrElse(d)
@@ -386,6 +377,24 @@ object ObjectStoreSink {
       if (p.nonNull) d2.where(c.isNotNull) else d2
     }
     (exact, report)
+  }
+
+  /** Load exactly `kept` of a committed snapshot's data files. basePath
+    * keeps partition-directory columns resolvable when loading an explicit
+    * file subset of a partitioned layout; an empty subset keeps the
+    * snapshot's schema and reads nothing. Pure listing decision — rows
+    * inside kept files are untouched.
+    */
+  private[graft] def readSubset(spark: SparkSession, snapPath: String,
+      fileFormat: String, kept: Seq[TableManifest.FileEntry],
+      totalFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vdir = Paths.get(snapPath)
+    if (kept.size == totalFiles) spark.read.format(fileFormat).load(snapPath)
+    else if (kept.isEmpty)
+      spark.read.format(fileFormat).load(snapPath).where(lit(false))
+    else spark.read.format(fileFormat).option("basePath", snapPath)
+      .load(kept.map(f => vdir.resolve(f.path).toString): _*)
   }
 
   /** Re-register a table whose catalog entry is gone but whose versioned

@@ -104,6 +104,116 @@ object ZoneMap {
     case _ => false
   }
 
+  // --- equi-join key-set pruning ------------------------------------------
+  // The build side of a selective equi-join, turned into a file-skipping
+  // proof: a fact file whose [min, max] window contains NO dim key cannot
+  // produce an inner-join match, so it need not be read. Strictly stronger
+  // than relaxing the key set to its [min, max] range (the IN-list
+  // relaxation): a bimodal key set (hot-old + hot-new ids) spans nearly the
+  // whole fact range, yet every middle file is provably partner-free. This
+  // is the manifest-side analogue of dynamic file pruning in Delta/Spark's
+  // DPP — but decided driver-side in O(files · log keys) from metadata,
+  // before a single fact scan task exists.
+
+  /** The files of `m` that may hold a row whose `column` EQUALS some value
+    * in `keys` — the sound file superset for an inner/left-semi equi-join
+    * probe side. None = the key set cannot carry a proof (mixed key
+    * domains, NaN keys — Spark treats NaN = NaN as true while footer stats
+    * exclude NaN — or values outside the stats domains); the caller must
+    * fall back to range pruning or the full listing. Null keys are dropped
+    * first (`null = x` is never true); an EMPTY key set therefore proves
+    * every file partner-free. Per-file refusals (no stats, mismatched
+    * stats domain) keep the file, exactly like [[prune]]; an all-null file
+    * column is dropped — non-null keys cannot equal NULL.
+    */
+  def pruneInSet(m: Manifest, column: String, keys: Seq[Any])
+      : Option[(Seq[FileEntry], PruneReport)] =
+    keyDomain(keys.filterNot(_ == null)).map { case (kd, sorted) =>
+      val kept = m.files.filter { fe =>
+        fe.stats.flatMap(_.get(column)) match {
+          case None => true // no stats → unknowable → keep
+          case Some(cs) if cs.typ == "null" => false // non-null keys ≠ NULL
+          case Some(cs) => anyKeyInFile(cs, kd, sorted)
+        }
+      }
+      (kept, PruneReport(m.files.size, kept.size,
+        m.files.map(_.bytes).sum, kept.map(_.bytes).sum))
+    }
+
+  /** Classify a non-null key set into ONE stats-comparable domain with its
+    * sorted external form. Integral first (exact), then double (NaN
+    * refuses; ±0.0 normalized to +0.0 — SQL-equal, and parquet widens zero
+    * bounds the same way), then string (compared in JVM order, exact
+    * against the ASCII-only bounds the manifest records), then epoch-day
+    * dates and epoch-micro timestamps. A heterogeneous or unconvertible
+    * set refuses wholesale — pruning must never guess.
+    */
+  private def keyDomain(keys: Seq[Any]): Option[(String, IndexedSeq[Any])] = {
+    if (keys.isEmpty) return Some(("empty", Vector.empty))
+    val longs = keys.map(asLong)
+    if (longs.forall(_.isDefined))
+      return Some(("long", longs.flatten.sorted.toIndexedSeq))
+    val doubles = keys.map(asDouble)
+    if (doubles.forall(_.isDefined)) {
+      val ds = doubles.flatten
+      if (ds.exists(_.isNaN)) return None
+      return Some(("double", ds.map(z).sorted.toIndexedSeq))
+    }
+    if (keys.forall(_.isInstanceOf[String]))
+      return Some(("string",
+        keys.collect { case s: String => s }.sorted.toIndexedSeq))
+    val days = keys.map(asDays)
+    if (days.forall(_.isDefined))
+      return Some(("date", days.flatten.sorted.toIndexedSeq))
+    val micros = keys.map(asMicros)
+    if (micros.forall(_.isDefined))
+      return Some(("tsus", micros.flatten.sorted.toIndexedSeq))
+    None
+  }
+
+  /** ±0.0 → +0.0 (SQL-equal; keeps the binary search order total). */
+  private def z(d: Double): Double = if (d == 0.0) 0.0 else d
+
+  /** True when some key can fall inside the file column's recorded range.
+    * Domain mismatch keeps the file (no proof); timestamp scale overflow
+    * keeps; NaN bounds (a writer should never record them) keep.
+    */
+  private def anyKeyInFile(cs: ColStats, keyDomain: String,
+      sorted: IndexedSeq[Any]): Boolean = (cs.typ, keyDomain) match {
+    case (_, "empty") => false // no keys → no partner anywhere
+    case ("long", "long") =>
+      anyIn(sorted.asInstanceOf[IndexedSeq[Long]], cs.min.toLong, cs.max.toLong)
+    case ("double", "double") =>
+      val (mn, mx) = (z(cs.min.toDouble), z(cs.max.toDouble))
+      if (mn.isNaN || mx.isNaN) true
+      else anyIn(sorted.asInstanceOf[IndexedSeq[Double]], mn, mx)
+    case ("string", "string") =>
+      anyIn(sorted.asInstanceOf[IndexedSeq[String]], cs.min, cs.max)
+    case ("date", "date") =>
+      anyIn(sorted.asInstanceOf[IndexedSeq[Long]], cs.min.toLong, cs.max.toLong)
+    case ("tsus" | "tsms", "tsus") =>
+      val scale = if (cs.typ == "tsms") 1000L else 1L
+      try anyIn(sorted.asInstanceOf[IndexedSeq[Long]],
+        Math.multiplyExact(cs.min.toLong, scale),
+        Math.multiplyExact(cs.max.toLong, scale))
+      catch { case _: ArithmeticException => true }
+    case _ => true // mixed domains: lossy compare carries no proof
+  }
+
+  /** ∃ element of `sorted` in [lo, hi] — binary search for the first
+    * element ≥ lo, then one bound check. O(log n) per file.
+    */
+  private def anyIn[T](sorted: IndexedSeq[T], lo: T, hi: T)(
+      implicit ord: Ordering[T]): Boolean = {
+    var l = 0
+    var h = sorted.length
+    while (l < h) {
+      val mid = (l + h) >>> 1
+      if (ord.lt(sorted(mid), lo)) l = mid + 1 else h = mid
+    }
+    l < sorted.length && ord.lteq(sorted(l), hi)
+  }
+
   // --- metadata-only aggregate answering ----------------------------------
   // Exact COUNT(*) / COUNT(col) / MIN(col) / MAX(col) derived from the
   // manifest alone — zero scan tasks, O(files) driver work. At 100 TB these

@@ -11,6 +11,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over a raw logical plan (`Dataset.ofRows` is sql-private).
+    * Used by planner rules that must execute a bounded build-side plan at
+    * optimization time (graft.plans.JoinPruneRule).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a SQL function on an EXISTING session (sessionState is
     * sql-private; `withExtensions` only reaches sessions built after the
     * fact). Used by GraftExtensions.register.

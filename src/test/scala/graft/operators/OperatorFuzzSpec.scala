@@ -603,6 +603,92 @@ class OperatorFuzzSpec extends SparkSpec {
     filesSkipped should be > 0
   }
 
+  // --------------------------------------------- metadata-aggregate planner
+
+  private val MetaAggSamples =
+    sys.props.get("opFuzzMetaAgg").map(_.toInt).getOrElse(25)
+
+  test(s"$MetaAggSamples random lakes: SQL aggregates with the planner " +
+    "rules registered equal the relational answers — grouped and global, " +
+    "partitioned and not, NaN/±0.0/extreme/null adversaries, refusal " +
+    "paths included") {
+    import graft.model.ObjectStoreSpec
+    import graft.sinks.ObjectStoreSink
+    // the invariant that makes the MetaAggRule SHIPPABLE: for ANY lake
+    // layout and ANY supported aggregate query, the SQL answer with the
+    // rules active equals the answer computed relationally from the
+    // original rows — whether the rewrite fired (manifest answers) or
+    // refused (scan answers). Effectiveness is asserted separately: the
+    // sweep must actually rewrite some queries, or it only ever tested
+    // the refusal path.
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    graft.GraftExtensions.register(spark)
+    val grpPool: Seq[Option[String]] =
+      Seq(Some("a"), Some("b"), Some("c"), None)
+    val vPool: Seq[Option[Double]] = Seq(Some(1.5), Some(-3.25), Some(0.0),
+      Some(-0.0), Some(Double.NaN), Some(1e300), None)
+    val idPool: Seq[Option[Long]] = Seq(Some(0L), Some(7L), Some(-12L),
+      Some(Long.MinValue), Some(Long.MaxValue), Some(1L << 60), None)
+    var rewrites = 0
+    for (seed <- 1 to MetaAggSamples) {
+      val rnd = new java.util.Random(seed * 77261L + 5L)
+      val rows = (0 until (4 + rnd.nextInt(40))).map { _ =>
+        (idPool(rnd.nextInt(idPool.size)), grpPool(rnd.nextInt(grpPool.size)),
+          vPool(rnd.nextInt(vPool.size)))
+      }
+      val partitioned = rnd.nextInt(5) < 3
+      val spec = ObjectStoreSpec(
+        path = scratchDir(s"maf$seed").getAbsolutePath,
+        database = "graft_maf", table = s"t$seed",
+        partitionBy = if (partitioned) Seq("grp") else Nil)
+      val df = rows.toDF("id", "grp", "v")
+      val fq = ObjectStoreSink.replaceTable(spark,
+        df.repartition(1 + rnd.nextInt(3)), spec)
+      val aggDefs = Seq(
+        ("count(*)", count(lit(1))), ("count(id)", count(col("id"))),
+        ("count(v)", count(col("v"))), ("count(grp)", count(col("grp"))),
+        ("min(id)", min("id")), ("max(id)", max("id")),
+        ("min(v)", min("v")), ("max(v)", max("v")),
+        ("min(grp)", min("grp")), ("max(grp)", max("grp")))
+      val picked = new scala.util.Random(rnd.nextLong())
+        .shuffle(aggDefs).take(1 + rnd.nextInt(4))
+      val grouped = rnd.nextBoolean()
+      val sqlAggs = picked.zipWithIndex
+        .map { case ((sql, _), i) => s"$sql AS a$i" }.mkString(", ")
+      val cols = picked.zipWithIndex
+        .map { case ((_, c), i) => c.as(s"a$i") }
+      val (got, want) =
+        if (grouped) (
+          spark.sql(s"SELECT grp, $sqlAggs FROM $fq GROUP BY grp"),
+          df.groupBy("grp").agg(cols.head, cols.tail: _*))
+        else (
+          spark.sql(s"SELECT $sqlAggs FROM $fq"),
+          df.agg(cols.head, cols.tail: _*))
+      val fired = got.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty
+      if (fired) rewrites += 1
+      // -0.0 == 0.0 in SQL: MIN/MAX may surface either bit pattern
+      // depending on evaluation order (stats record -0.0 via parquet's
+      // zero-widening; a scan returns whichever row came first) — both
+      // answers are SQL-equal, so compare under zero normalization
+      def canonZ(dfx: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val cs = dfx.columns.sorted
+        dfx.select(cs.head, cs.tail: _*).collect()
+          .map(_.toSeq.map {
+            case d: java.lang.Double if d.doubleValue == 0.0 => "0.0"
+            case x => String.valueOf(x)
+          }.mkString("|")).sorted.toSeq
+      }
+      withClue(s"seed=$seed partitioned=$partitioned grouped=$grouped " +
+        s"aggs=${picked.map(_._1)} fired=$fired\nrows=$rows\n") {
+        canonZ(got) shouldBe canonZ(want)
+      }
+    }
+    // the sweep must exercise the REWRITE path, not only refusals
+    rewrites should be > 0
+  }
+
   // ------------------------------------------------- incremental aggregate
 
   private def canon(df: DataFrame): Seq[String] = {
