@@ -27,12 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // manifest-backed planner seams over versioned tables: zero-scan
-    // COUNT/MIN/MAX answering, automatic zone-map file skipping, and
-    // dim-driven join file pruning — see graft.plans.MetaAggRule /
-    // graft.plans.ZoneMapScanRule / graft.plans.JoinPruneRule
+    // COUNT/MIN/MAX answering, automatic zone-map file skipping,
+    // dim-driven join file pruning, and materialized-view rewrite — see
+    // graft.plans.MetaAggRule / ZoneMapScanRule / JoinPruneRule /
+    // MvRewriteRule
     ext.injectOptimizerRule(_ => graft.plans.MetaAggRule)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanRule)
     ext.injectOptimizerRule(_ => graft.plans.JoinPruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
   }
 }
 
@@ -47,7 +49,7 @@ object GraftExtensions {
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, info, builder)
     }
     val rules = Seq(graft.plans.MetaAggRule, graft.plans.ZoneMapScanRule,
-      graft.plans.JoinPruneRule)
+      graft.plans.JoinPruneRule, graft.plans.MvRewriteRule)
     val extra = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       extra ++ rules.filterNot(extra.contains)

@@ -228,7 +228,11 @@ final case class ObjectStoreSpec(
     fileFormat: String = "parquet",
     writeMode: String = "append", // append | overwrite
     deleteBeforeWrite: Boolean = false,
-    keyFields: Seq[String] = Nil)
+    keyFields: Seq[String] = Nil,
+    // opt-in per-file Bloom indexes built at commit for point/IN/join-key
+    // file skipping on unclustered layouts (graft.sinks.BloomIndex);
+    // partition columns are ignored (directory pruning already covers them)
+    bloomColumns: Seq[String] = Nil)
 
 /** Warehouse-shaped JDBC sink (reference Snowflake/Redshift/Postgres loaders
   * collapsed to one Spark JDBC writer): create-table-if-absent from the

@@ -45,13 +45,15 @@ import org.apache.spark.sql.functions.{col, count, max, min}
 object JoinPrune {
 
   /** `dimKeys` = distinct non-null build keys observed (`-1` when the cap
-    * overflowed and only the range aggregate ran); `range`/`set` are the
-    * per-strength skip accountings (`set` empty when refused or
-    * overflowed); `result` is the accounting of the prune actually
-    * applied.
+    * overflowed and only the range aggregate ran); `range`/`set`/`bloom`
+    * are the per-strength skip accountings (`set` empty when refused or
+    * overflowed; `bloom` empty when the fact table carries no
+    * [[graft.sinks.BloomIndex]] sidecar for the key or the probe refused);
+    * `result` is the accounting of the prune actually applied.
     */
   final case class Report(version: Int, dimKeys: Long, keySetUsed: Boolean,
       range: ZoneMap.PruneReport, set: Option[ZoneMap.PruneReport],
+      bloom: Option[ZoneMap.PruneReport],
       result: ZoneMap.PruneReport)
 
   /** The fact snapshot pruned for an equi-join with `dim` on
@@ -105,10 +107,21 @@ object JoinPrune {
       case Some((k, r)) => (k, r, true)
       case None => (rangeKept, rangeRep, false)
     }
+    // third proof strength: per-file bloom probes refine the survivors —
+    // the only prune an UNCLUSTERED fact layout can offer (every file's
+    // [min, max] spans the key range, but a sparse key set still misses
+    // most files' actual content). Sound superset semantics as above.
+    val bloomResult =
+      if (overflowed) None
+      else graft.sinks.BloomIndex.pruneAmong(
+        java.nio.file.Paths.get(snap.path), kept, factKey,
+        keyRows.map(_.get(0)).toSeq, manifest.files.size,
+        manifest.files.map(_.bytes).sum)
+    val (finalKept, finalRep) = bloomResult.getOrElse((kept, rep))
     val df = ObjectStoreSink.readSubset(spark, snap.path, spec.fileFormat,
-      kept, manifest.files.size)
+      finalKept, manifest.files.size)
     (df, Report(snap.version, nKeys, usedSet, rangeRep,
-      setResult.map(_._2), rep))
+      setResult.map(_._2), bloomResult.map(_._2), finalRep))
   }
 
   /** Order for min/max over the collected external key values — used only

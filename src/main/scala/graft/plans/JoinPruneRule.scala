@@ -127,7 +127,14 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         keep <- {
           val keys = collectKeys(hfs, dimSide, dimKey)
           keys.flatMap {
-            case scala.util.Right(ks) => ZoneMap.pruneInSet(m, factKey.name, ks)
+            case scala.util.Right(ks) =>
+              // key-set zone-map probe, then the bloom sidecar refines —
+              // on an UNCLUSTERED fact only the blooms can prove skips
+              ZoneMap.pruneInSet(m, factKey.name, ks).map { case (k0, r0) =>
+                graft.sinks.BloomIndex.pruneAmong(root, k0, factKey.name,
+                  ks, m.files.size, m.files.map(_.bytes).sum)
+                  .getOrElse((k0, r0))
+              }
             case scala.util.Left((lo, hi)) =>
               val b = ZoneMap.Bound(factKey.name, lower = lo, upper = hi,
                 nonNull = true)

@@ -48,10 +48,24 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
         // covering (⊆), not exact: partition-pruned catalog scans whose
         // surviving files the manifest vouches for still qualify
         (root, m) <- ManifestEvidence.covering(hfs)
-        preds = extractBounds(splitConjunctivePredicates(cond))
-        if preds.nonEmpty
+        conjuncts = splitConjunctivePredicates(cond)
+        preds = extractBounds(conjuncts)
+        keySets = extractKeySets(conjuncts)
+        if preds.nonEmpty || keySets.nonEmpty
         idx <- {
-          val (kept, rep) = ZoneMap.prune(m, preds)
+          val (kept0, rep0) = ZoneMap.prune(m, preds)
+          // equality/IN conjuncts additionally probe the per-file bloom
+          // sidecar ([[graft.sinks.BloomIndex]]) — the skipping proof for
+          // UNCLUSTERED layouts whose zone-map windows all span the
+          // predicate. Each key set refines independently (conjunct
+          // semantics: a surviving file must pass every probe).
+          val totalBytes = m.files.map(_.bytes).sum
+          val (kept, rep) = keySets.foldLeft((kept0, rep0)) {
+            case ((k, r), (c, ks)) =>
+              graft.sinks.BloomIndex
+                .pruneAmong(root, k, c, ks, m.files.size, totalBytes)
+                .getOrElse((k, r))
+          }
           if (rep.filesSkipped == 0) None // nothing provable — don't touch
           else {
             val keep = kept
@@ -112,6 +126,39 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
         Some(ZoneMap.Bound(a.name, nonNull = true))
       case _ => None
     }
+
+  /** Conjuncts carrying EXACT key sets (`=`, non-null `<=>`, literal
+    * IN/InSet) for bloom probing — unlike [[extractBounds]]' [min, max]
+    * relaxation, these keep every key: the per-file probe needs the
+    * actual set. Null elements are dropped (`x = null` / `x IN (…, null)`
+    * can never be true); any unconvertible element refuses the conjunct.
+    */
+  private def extractKeySets(
+      conjuncts: Seq[Expression]): Seq[(String, Seq[Any])] =
+    conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
+        external(v, dt).map(k => a.name -> Seq(k))
+      case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
+        external(v, dt).map(k => a.name -> Seq(k))
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) if v != null =>
+        external(v, dt).map(k => a.name -> Seq(k))
+      case EqualNullSafe(Literal(v, dt), a: AttributeReference) if v != null =>
+        external(v, dt).map(k => a.name -> Seq(k))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        keySetOf(a, list.collect { case l: Literal => l })
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        keySetOf(a, hset.toSeq.map(v => Literal(v, a.dataType)))
+      case _ => None
+    }
+
+  private def keySetOf(a: AttributeReference,
+      lits: Seq[Literal]): Option[(String, Seq[Any])] = {
+    val nn = lits.filter(_.value != null)
+    if (nn.isEmpty) return None
+    val ext = nn.map(l => external(l.value, l.dataType))
+    if (ext.exists(_.isEmpty)) None else Some(a.name -> ext.flatten)
+  }
 
   private def inListBound(a: AttributeReference,
       lits: Seq[Literal]): Option[ZoneMap.Bound] = {

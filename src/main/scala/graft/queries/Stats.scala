@@ -316,5 +316,168 @@ object Stats {
              |WHERE l_partkey = p_partkey
              |  AND (p_partkey <= b.tenth OR p_partkey > b.mx - b.tenth)
              |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- per-file bloom index: the unclustered-layout skipping proof ----
+    // lineitem committed HASH-distributed on l_orderkey: every file's
+    // zone-map window spans the whole key range, so a 3-key point probe
+    // range-proves NOTHING — the query REQUIREs exactly that — while the
+    // per-file bloom sidecar (built at commit, probed driver-side with
+    // the engine's own xxhash64 convention) drops the files that provably
+    // hold none of the keys. False positives only keep an extra file
+    // (re-filtered exactly); false negatives cannot happen. The oracle
+    // replays the IN-lookup over the ORIGINAL table — the index must be
+    // invisible to results. At 100 TB this is the needle-in-haystack
+    // read path: O(files) driver-side bloom tests instead of a scan task
+    // per file.
+    QueryDef(
+      "q_bloom_prune",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-bloomprune"),
+          database = "graft_ops", table = "bp_li",
+          writeMode = "overwrite", deleteBeforeWrite = true,
+          bloomColumns = Seq("l_orderkey"))
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem").repartition(32, col("l_orderkey")), spec)
+        val r = t(s, d, "lineitem")
+          .agg(min("l_orderkey"), max("l_orderkey")).head // 1-row planning agg
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val keys = Seq(mn, (mn + mx) / 2, mx)
+        val vdir = java.nio.file.Paths.get(
+          graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+        val m = graft.sinks.TableManifest.read(vdir).get
+        val zm = graft.sinks.ZoneMap
+        // the zone-map proof is structurally impossible on this layout
+        val (_, zmRep) = zm.pruneInSet(m, "l_orderkey", keys).get
+        require(zmRep.filesSkipped == 0,
+          s"layout unexpectedly clustered — zone maps pruned: $zmRep")
+        val (kept, bRep) = graft.sinks.BloomIndex.prune(
+          vdir, m, "l_orderkey", keys).get
+        require(bRep.filesSkipped > 0,
+          s"bloom index proved nothing on a 3-key probe: $bRep")
+        graft.sinks.ObjectStoreSink.readSubset(s, vdir.toString, "parquet",
+          kept, m.files.size)
+          .where(col("l_orderkey").isin(keys: _*))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH b AS (SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn,
+             |  CAST(MAX(l_orderkey) AS BIGINT) AS mx FROM lineitem)
+             |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem, b
+             |WHERE l_orderkey IN (b.mn, CAST(FLOOR((b.mn + b.mx) / 2.0) AS BIGINT), b.mx)
+             |GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- bloom skipping through the PLANNER SEAM -------------------------
+    // Same unclustered layout, but nobody calls the library: a plain SQL
+    // IN-lookup over the catalog table gets its scan listing pruned by
+    // ZoneMapScanRule's bloom probes (the IN's [min, max] relaxation
+    // proves nothing here — any skip is bloom evidence). The query
+    // REQUIREs the optimized plan to carry the pruned listing; the oracle
+    // replays the lookup over the ORIGINAL table.
+    QueryDef(
+      "q_bloom_sql",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-bloomsql"),
+          database = "graft_ops", table = "bp2_li",
+          writeMode = "overwrite", deleteBeforeWrite = true,
+          bloomColumns = Seq("l_orderkey"))
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem").repartition(32, col("l_orderkey")), spec)
+        val r = t(s, d, "lineitem")
+          .agg(min("l_orderkey"), max("l_orderkey")).head // 1-row planning agg
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        graft.GraftExtensions.register(s)
+        val df = s.sql(
+          s"""SELECT l_orderkey, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM graft_ops.bp2_li
+             |WHERE l_orderkey IN ($mn, ${(mn + mx) / 2}, $mx)
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+        val reports = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+        }.flatten
+        require(reports.nonEmpty && reports.head.filesKept < reports.head.filesTotal,
+          s"bloom probes did not prune the SQL scan listing: $reports")
+        df
+      },
+      Some("""WITH b AS (SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn,
+             |  CAST(MAX(l_orderkey) AS BIGINT) AS mx FROM lineitem)
+             |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, b
+             |WHERE l_orderkey IN (b.mn, CAST(FLOOR((b.mn + b.mx) / 2.0) AS BIGINT), b.mx)
+             |GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- materialized-view query rewrite ---------------------------------
+    // The repeated-dashboard read path at 100 TB: the defining aggregate
+    // is maintained as a snapshot table; a user re-issuing the SAME query
+    // (Spark's canonicalized sameResult proof — the CacheManager
+    // machinery pointed at a durable snapshot) is answered from the
+    // snapshot with ZERO base-table scans, gated by a freshness pin
+    // (base version + manifest file-set signature, so in-place appends
+    // refuse too). The query REQUIREs the optimized plan to scan ONLY
+    // the snapshot; the oracle computes the aggregate from the base rows
+    // — the rewrite must be invisible to results.
+    QueryDef(
+      "q_mv_rewrite",
+      (s, d) => {
+        val baseSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvrw"),
+          database = "graft_ops", table = "mvr_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val fq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem"), baseSpec)
+        val defSql =
+          s"""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM $fq GROUP BY l_returnflag""".stripMargin
+        val mvSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvrw-mv"),
+          database = "graft_ops", table = "mvr_mv",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val mvFq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          s.sql(defSql), mvSpec)
+        graft.GraftExtensions.register(s)
+        graft.plans.MvRewriteRule.register("q_mv_rewrite_mv", s.sql(defSql),
+          () => s.table(mvFq), Seq(baseSpec))
+        try {
+          val df = s.sql(defSql + " ORDER BY l_returnflag")
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.map(_.toString)
+                case _ => Seq("<non-fs>")
+              }
+          }.flatten
+          require(roots.nonEmpty && roots.forall(_.contains("/mvr_mv/")),
+            s"query was not answered from the MV snapshot: $roots")
+          df
+        } finally graft.plans.MvRewriteRule.deregister("q_mv_rewrite_mv")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)))
 }

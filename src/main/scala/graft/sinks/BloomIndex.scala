@@ -1,0 +1,250 @@
+package graft.sinks
+
+import java.io.ByteArrayInputStream
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+
+import graft.sinks.TableManifest.FileEntry
+import graft.sinks.ZoneMap.PruneReport
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Per-file Bloom-filter index, the skipping proof for layouts zone maps
+  * are blind to. A range-clustered table prunes on [min, max] windows;
+  * an UNCLUSTERED layout (hash-distributed writes, append order) gives
+  * every file a full-range window, so a point lookup `id = K` or a sparse
+  * IN-list still lists every file. A per-file Bloom filter answers "might
+  * this file contain K?" in O(1) from metadata: false positives only keep
+  * an extra file (re-filtered exactly by the retained predicate), false
+  * negatives cannot happen, so a negative is a sound skip — the same
+  * contract as Parquet's column bloom filters and Iceberg's puffin blobs,
+  * rebuilt here at the MANIFEST level so the decision is driver-side,
+  * before a single scan task exists. The reference had no file-skipping
+  * layer at all (scans were delegated wholesale, AthenaUtil.scala:61-160).
+  *
+  * Build: at commit, one extra pass over the just-written version dir
+  * (`spark.read … groupBy(input_file_name)`) aggregates one filter per
+  * (file, column) with Spark's own distributed BloomFilterAggregate over
+  * `xxhash64(col)` — the hashing convention of the engine's runtime
+  * filters. The filters land in a `_blooms.json` sidecar next to the
+  * manifest, published through the same atomic [[CommitPublisher]] seam.
+  * The sidecar is auxiliary: absence (crash between manifest and sidecar,
+  * pre-bloom versions, unsupported column type) only disables the
+  * optimization.
+  *
+  * Probe: the driver recomputes `xxhash64` of each external key — the
+  * SAME hash the build side applied, via a local Catalyst eval of
+  * [[XxHash64]] over a typed literal — and keeps a file iff ANY key might
+  * be contained. Type discipline is what keeps this sound: xxhash64 of an
+  * int and of a long differ, so the sidecar records the column's build
+  * type and every key must convert LOSSLESSLY to it or the probe refuses
+  * wholesale. Float/double/decimal columns are refused at build time
+  * (±0.0 and NaN have multiple bit patterns that are SQL-equal but hash
+  * differently — a false negative waiting to happen); string columns are
+  * indexed only under the default binary collation (non-binary equality
+  * is not byte equality).
+  *
+  * Scale stance: sidecar bytes are bounded by `maxIndexBytes` — the bit
+  * budget degrades (higher false-positive rate, weaker-but-sound pruning)
+  * rather than the sidecar growing unbounded; probing is O(files · keys)
+  * bloom tests capped by `maxProbes`, refusing (not subsetting — an
+  * absence proof must test every key) beyond it. File immutability inside
+  * a committed version dir is the versioned-table contract that makes a
+  * sidecar entry permanently valid; files the sidecar does not cover are
+  * always kept.
+  */
+object BloomIndex {
+
+  val SidecarName = "_blooms.json"
+
+  /** `typ` is the build-side column type (Spark catalogString) — the hash
+    * domain every probe key must convert to losslessly. `files` maps
+    * manifest-relative data-file paths to base64 bloom bits (the
+    * BloomFilterImpl serialization Spark's might_contain consumes).
+    */
+  final case class ColBlooms(typ: String, files: Map[String, String])
+
+  final case class Sidecar(cols: Map[String, ColBlooms])
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Build per-file blooms for `columns` over a freshly committed version
+    * dir and publish the sidecar. Columns that don't exist, aren't
+    * soundly hashable (float/double/decimal/non-binary collation), or
+    * can't be sized (no row counts) are silently skipped — absence never
+    * breaks reads. No-op when nothing qualifies.
+    */
+  def build(spark: SparkSession, versionDir: Path, fileFormat: String,
+      columns: Seq[String], m: TableManifest.Manifest,
+      maxIndexBytes: Long = 64L << 20): Unit = {
+    if (columns.isEmpty || m.files.isEmpty) return
+    val df = spark.read.format(fileFormat).load(versionDir.toString)
+    val typed = columns.distinct.flatMap { c =>
+      df.schema.find(_.name == c).flatMap(f => buildType(f.dataType).map(c -> _))
+    }
+    if (typed.isEmpty) return
+    // size from the manifest's per-file footer counts (the largest file
+    // bounds every filter's expected-item count)
+    val perFile = m.files.map(_.rows)
+    val expected0: Long =
+      if (perFile.forall(_ >= 0)) math.max(64L, perFile.max)
+      else if (m.rowCount >= 0)
+        math.max(64L, 2L * m.rowCount / math.max(1, m.files.size))
+      else return // unsizable (non-parquet without counts): skip
+    // BloomFilterAggregate's own item cap (runtime-filter conf default);
+    // beyond it the filter saturates gracefully (higher fpp, still sound)
+    val expected = math.min(expected0, 4000000L)
+    // ~16 bits/item ≈ 0.05% fpp; degrade bits (never refuse) to stay
+    // inside the sidecar budget — a coarser filter is still sound
+    val ideal = math.min(expected * 16L, 1L << 23)
+    val budgetBits =
+      (maxIndexBytes * 8L) / math.max(1L, m.files.size.toLong * typed.size)
+    val numBits = math.max(1024L, math.min(ideal, budgetBits))
+
+    val aggs = typed.map { case (c, _) =>
+      GraftSqlBridge.column(new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(c))),
+        Literal(expected), Literal(numBits)).toAggregateExpression())
+        .as(s"bf_$c")
+    }
+    // one distributed pass, one row per data file — driver-side result is
+    // files × columns × numBits/8 bytes, bounded by maxIndexBytes
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val enc = Base64.getEncoder
+    val cols = typed.zipWithIndex.map { case ((c, t), i) =>
+      val files = rows.flatMap { r =>
+        for {
+          rel <- relPath(versionDir, r.getString(0))
+          bits <- Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]])
+        } yield rel -> enc.encodeToString(bits)
+      }.toMap
+      c -> ColBlooms(t, files)
+    }.toMap
+    TableManifest.publisher.publish(versionDir, SidecarName,
+      Serialization.writePretty(Sidecar(cols)))
+  }
+
+  def read(versionDir: Path): Option[Sidecar] = {
+    val f = versionDir.resolve(SidecarName)
+    if (!Files.exists(f)) None
+    else
+      try Some(JsonMethods.parse(Files.readString(f)).extract[Sidecar])
+      catch { case _: Exception => None }
+  }
+
+  /** The subset of `files` that may hold a row with `column` equal to some
+    * key in `keys`, by per-file bloom probes. None = no proof possible
+    * (no sidecar, column not indexed, a key outside the build type's
+    * lossless domain, or keys × files beyond `maxProbes`) — the caller
+    * keeps its current file set. Files the sidecar doesn't cover are
+    * kept. Null keys are dropped (`null = x` is never true); an empty
+    * key set proves every file partner-free.
+    */
+  def pruneAmong(versionDir: Path, files: Seq[FileEntry], column: String,
+      keys: Seq[Any], filesTotal: Int, totalBytes: Long,
+      maxProbes: Long = 4000000L): Option[(Seq[FileEntry], PruneReport)] =
+    for {
+      sc <- read(versionDir)
+      cb <- sc.cols.get(column)
+      nonNull = keys.filterNot(_ == null)
+      if nonNull.size.toLong * files.size <= maxProbes
+      hashes <- {
+        val hs = nonNull.map(k => keyHash(cb.typ, k))
+        if (hs.exists(_.isEmpty)) None else Some(hs.flatten)
+      }
+    } yield {
+      val dec = Base64.getDecoder
+      val kept = files.filter { fe =>
+        cb.files.get(fe.path) match {
+          case None => true // not covered → unknowable → keep
+          case Some(b64) =>
+            try {
+              val bf = BloomFilter.readFrom(
+                new ByteArrayInputStream(dec.decode(b64)))
+              hashes.exists(bf.mightContainLong)
+            } catch { case _: Exception => true } // corrupt entry → keep
+        }
+      }
+      (kept, PruneReport(filesTotal, kept.size, totalBytes,
+        kept.map(_.bytes).sum))
+    }
+
+  /** Whole-manifest convenience form of [[pruneAmong]]. */
+  def prune(versionDir: Path, m: TableManifest.Manifest, column: String,
+      keys: Seq[Any]): Option[(Seq[FileEntry], PruneReport)] =
+    pruneAmong(versionDir, m.files, column, keys, m.files.size,
+      m.files.map(_.bytes).sum)
+
+  /** Column types the hash proof is sound for. Floating point is refused
+    * (±0.0 / NaN bit-pattern aliases are SQL-equal but hash apart);
+    * decimals are refused (scale aliasing); strings only under the
+    * default binary collation.
+    */
+  private def buildType(dt: DataType): Option[String] = dt match {
+    case LongType => Some("bigint")
+    case IntegerType => Some("int")
+    case ShortType => Some("smallint")
+    case ByteType => Some("tinyint")
+    case StringType => Some("string")
+    case DateType => Some("date")
+    case TimestampType => Some("timestamp")
+    case _ => None
+  }
+
+  /** xxhash64 of an external key value AS the build-side type — a local
+    * Catalyst eval of the same expression the build aggregated, so build
+    * and probe hash identically. None = the key does not convert
+    * losslessly (a long key probing an int column, a fractional key, a
+    * foreign type): no proof, refuse.
+    */
+  private[sinks] def keyHash(typ: String, v: Any): Option[Long] = {
+    val lit: Option[Literal] = typ match {
+      case "bigint" => ZoneMap.asLong(v).map(Literal(_, LongType))
+      case "int" => ZoneMap.asLong(v).collect {
+        case l if l.isValidInt => Literal(l.toInt, IntegerType) }
+      case "smallint" => ZoneMap.asLong(v).collect {
+        case l if l.isValidShort => Literal(l.toShort, ShortType) }
+      case "tinyint" => ZoneMap.asLong(v).collect {
+        case l if l.isValidByte => Literal(l.toByte, ByteType) }
+      case "string" => v match {
+        case s: String => Some(Literal(UTF8String.fromString(s), StringType))
+        case _ => None
+      }
+      case "date" => ZoneMap.asDays(v).collect {
+        case d if d.isValidInt => Literal(d.toInt, DateType) }
+      case "timestamp" => ZoneMap.asMicros(v).map(Literal(_, TimestampType))
+      case _ => None
+    }
+    lit.map(l => new XxHash64(Seq(l), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long])
+  }
+
+  /** Manifest-relative path of an `input_file_name()` URI under
+    * `versionDir`; None for foreign/unparseable paths (never indexed).
+    */
+  private def relPath(versionDir: Path, uri: String): Option[String] =
+    try {
+      val p = Paths.get(java.net.URI.create(uri).getPath).normalize
+      if (p.startsWith(versionDir.normalize))
+        Some(versionDir.normalize.relativize(p).toString)
+      else None
+    } catch {
+      case _: Exception =>
+        try {
+          val p = Paths.get(uri).normalize
+          if (p.startsWith(versionDir.normalize))
+            Some(versionDir.normalize.relativize(p).toString)
+          else None
+        } catch { case _: Exception => None }
+    }
+}

@@ -144,10 +144,17 @@ object ObjectStoreSink {
     lockFor(spec).synchronized {
       val loc = currentLocation(spark, fq)
       val hash = schemaHash(spark.table(fq))
-      if (TableManifest.refresh(loc, spec.fileFormat, Some(hash)).isEmpty)
-        // legacy manifest-less live dir (pre-manifest table, appended to
-        // after upgrade): adopt it into the protocol on first touch
-        TableManifest.commit(loc, hash, spec.fileFormat): Unit
+      val m = TableManifest.refresh(loc, spec.fileFormat, Some(hash))
+        .getOrElse(
+          // legacy manifest-less live dir (pre-manifest table, appended to
+          // after upgrade): adopt it into the protocol on first touch
+          TableManifest.commit(loc, hash, spec.fileFormat))
+      // in-place writes add/replace files under NEW names (never mutate a
+      // data file), so a stale sidecar is sound — uncovered files are
+      // always kept; rebuilding here restores full coverage
+      if (spec.bloomColumns.nonEmpty)
+        BloomIndex.build(spark, loc, spec.fileFormat,
+          spec.bloomColumns.filterNot(spec.partitionBy.contains), m)
       // keep the commit log covering the live version (legacy tables gain
       // a log the first time they are touched)
       loc.getFileName.toString match {
@@ -228,7 +235,13 @@ object ObjectStoreSink {
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
-      TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn)
+      val manifest =
+        TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn)
+      // auxiliary bloom sidecar AFTER the manifest: a crash in between
+      // leaves a committed version that simply doesn't bloom-prune
+      if (spec.bloomColumns.nonEmpty)
+        BloomIndex.build(spark, next, spec.fileFormat,
+          spec.bloomColumns.filterNot(spec.partitionBy.contains), manifest)
       // ...and the table-root commit log records the version, so "latest
       // committed" never depends on directory-listing order/completeness
       CommitLog.record(tableDir, versionNumber(next))

@@ -286,7 +286,7 @@ object ZoneMap {
   }
 
   /** Epoch-day count of a date-typed bound value. */
-  private def asDays(v: Any): Option[Long] = v match {
+  private[sinks] def asDays(v: Any): Option[Long] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
@@ -296,7 +296,7 @@ object ZoneMap {
     * epochSecond/nano split floors correctly for pre-1970 instants, where
     * naive `getTime / 1000` truncation would be off by one.
     */
-  private def asMicros(v: Any): Option[Long] = v match {
+  private[sinks] def asMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => asMicros(t.toInstant)
     case i: java.time.Instant =>
       try Some(Math.addExact(
@@ -305,7 +305,7 @@ object ZoneMap {
     case _ => None
   }
 
-  private def asLong(v: Any): Option[Long] = v match {
+  private[sinks] def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
@@ -313,7 +313,7 @@ object ZoneMap {
     case _ => None // a fractional bound vs integral stats: no lossless compare
   }
 
-  private def asDouble(v: Any): Option[Double] = v match {
+  private[sinks] def asDouble(v: Any): Option[Double] = v match {
     case d: Double => Some(d)
     case f: Float => Some(f.toDouble)
     // small integrals are exactly representable; beyond 2^53 the coercion

@@ -689,6 +689,126 @@ class OperatorFuzzSpec extends SparkSpec {
     rewrites should be > 0
   }
 
+  // ------------------------------------------------------ bloom index
+
+  private val BloomSamples =
+    sys.props.get("opFuzzBloom").map(_.toInt).getOrElse(20)
+
+  test(s"$BloomSamples random lakes: bloom-pruned point/IN reads equal " +
+    "the full filter — long/int/string/date/timestamp domains, unicode, " +
+    "extremes, nulls, layouts, budget squeezes; refusals keep everything") {
+    import graft.model.ObjectStoreSpec
+    import graft.sinks.{BloomIndex, ObjectStoreSink, TableManifest}
+    // the invariant that makes the index SHIPPABLE: for ANY committed
+    // layout and ANY probe set the sidecar can prove against, reading
+    // only the kept files under the equality/IN predicate returns
+    // EXACTLY the full table's matching rows — no false negative ever.
+    // Effectiveness is asserted separately across the sweep.
+    var skips = 0L
+    for (seed <- 1 to BloomSamples) {
+      val rnd = new java.util.Random(seed * 48271L + 11L)
+      val domain = Seq("long", "int", "string", "date", "ts")(rnd.nextInt(5))
+      val n = 60 + rnd.nextInt(300)
+      def strPool(i: Int) = Seq(s"doc-$i", s"ü-$i", s"漢字$i", s"$i")(i % 4)
+      val longPool: Int => Option[Long] = i =>
+        if (i % 17 == 0) None
+        else if (i % 13 == 0) Some(Long.MaxValue - i)
+        else if (i % 11 == 0) Some(Long.MinValue + i)
+        else Some((i * 31L) % 500L)
+      // (key as Any|null, payload)
+      val rows: Seq[(Any, Int)] = (0 until n).map { i =>
+        val k: Any = domain match {
+          case "long" => longPool(i).orNull
+          case "int" => if (i % 17 == 0) null else Int.box((i * 7) % 400)
+          case "string" => if (i % 19 == 0) null else strPool(i)
+          case "date" => if (i % 17 == 0) null
+            else java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay((i * 97L) % 40000L - 5000L))
+          case _ => if (i % 17 == 0) null
+            else java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(i * 86400L - 1000000L, 0))
+        }
+        (k, i)
+      }
+      val df = domain match {
+        case "long" => rows.map(r => (Option(r._1).map(_.asInstanceOf[Long]), r._2))
+          .toDF("key", "payload")
+        case "int" => rows.map(r => (Option(r._1).map(_.asInstanceOf[Int]), r._2))
+          .toDF("key", "payload")
+        case "string" => rows.map(r => (Option(r._1).map(_.asInstanceOf[String]), r._2))
+          .toDF("key", "payload")
+        case "date" => rows.map(r => (Option(r._1).map(_.asInstanceOf[java.sql.Date]), r._2))
+          .toDF("key", "payload")
+        case _ => rows.map(r => (Option(r._1).map(_.asInstanceOf[java.sql.Timestamp]), r._2))
+          .toDF("key", "payload")
+      }
+      val files = 2 + rnd.nextInt(5)
+      val layout = rnd.nextInt(6) match {
+        case 0 => df.repartition(files, col("payload")) // unrelated hash
+        case 1 => df.repartitionByRange(files, col("key")) // clustered
+        case _ => df.repartition(files, col("key")) // hash on key
+      }
+      val spec = ObjectStoreSpec(
+        path = scratchDir(s"blf$seed").getAbsolutePath,
+        database = "graft_blf", table = s"t$seed",
+        bloomColumns = Seq("key"))
+      ObjectStoreSink.replaceTable(spark, layout, spec)
+      val vdir = java.nio.file.Paths.get(
+        ObjectStoreSink.snapshots(spec).last.path)
+      val m = TableManifest.read(vdir).get
+      // random budget squeeze: rebuild with a tiny byte cap sometimes —
+      // fpp degrades, soundness must not
+      if (rnd.nextInt(3) == 0)
+        BloomIndex.build(spark, vdir, "parquet", Seq("key"), m,
+          maxIndexBytes = 32L * files)
+      // probe sets: present / absent / mixed / with null / empty
+      val present = rows.collect { case (k, _) if k != null => k }
+      val absent: Seq[Any] = domain match {
+        case "long" => Seq(999999L, -424242L)
+        case "int" => Seq(Int.box(999999), Int.box(-5))
+        case "string" => Seq("absent-…", "×")
+        case "date" => Seq(java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(200000L)))
+        case _ => Seq(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(4102444800L)))
+      }
+      val draws: Seq[Seq[Any]] = Seq(
+        Seq(present(rnd.nextInt(present.size))),
+        absent,
+        (0 until 3).map(_ => present(rnd.nextInt(present.size))) ++
+          absent.take(1) :+ null,
+        Seq.empty[Any])
+      for (probe <- draws) {
+        BloomIndex.prune(vdir, m, "key", probe) match {
+          case None => fail(s"seed=$seed domain=$domain: prune refused a " +
+            "convertible probe set — sidecar missing?")
+          case Some((kept, rep)) =>
+            skips += rep.filesSkipped
+            val nn = probe.filterNot(_ == null)
+            val want = df.where(
+              if (nn.isEmpty) org.apache.spark.sql.functions.lit(false)
+              else col("key").isin(nn: _*))
+              .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+            val got = ObjectStoreSink.readSubset(spark, vdir.toString,
+              "parquet", kept, m.files.size)
+              .where(
+                if (nn.isEmpty) org.apache.spark.sql.functions.lit(false)
+                else col("key").isin(nn: _*))
+              .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+            withClue(s"seed=$seed domain=$domain probe=$probe " +
+              s"kept=${rep.filesKept}/${rep.filesTotal}\n") {
+              got shouldBe want
+            }
+        }
+      }
+      // cross-domain refusal: a key that cannot convert losslessly
+      val alien: Any = if (domain == "string") 3.5 else "alien"
+      BloomIndex.prune(vdir, m, "key", Seq(alien)) shouldBe None
+    }
+    // the sweep must prove real skips, not only keep-everything paths
+    skips should be > 0L
+  }
+
   // ------------------------------------------------- incremental aggregate
 
   private def canon(df: DataFrame): Seq[String] = {

@@ -1,0 +1,154 @@
+package graft.plans
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.model.ObjectStoreSpec
+import graft.sinks.ObjectStoreSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** MV query rewrite: a registered snapshot answers a result-identical
+  * query with ZERO base-table scans, refuses the moment any base table
+  * moves past the pinned version, and never substitutes across shape or
+  * semantic differences.
+  */
+class MvRewriteRuleSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  GraftExtensions.register(spark)
+
+  private def commitBase(tag: String, rows: Seq[(String, Long)])
+      : (ObjectStoreSpec, String) = {
+    val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
+      database = s"graft_mvr_$tag", table = "base")
+    val fq = ObjectStoreSink.replaceTable(spark,
+      rows.toDF("k", "v").repartition(4), spec)
+    (spec, fq)
+  }
+
+  /** One-shot refresh: recompute the defining query, commit the snapshot,
+    * re-register — the manual twin of what an IncrementalAgg/streaming
+    * refresh would do after folding a delta.
+    */
+  private def refreshAndRegister(name: String, baseSpec: ObjectStoreSpec,
+      fq: String, mvSpec: ObjectStoreSpec): String = {
+    val defining = spark.sql(defSql(fq))
+    val mvFq = ObjectStoreSink.replaceTable(spark, defining, mvSpec)
+    MvRewriteRule.register(name, spark.sql(defSql(fq)),
+      () => spark.table(mvFq), Seq(baseSpec))
+    mvFq
+  }
+
+  private def defSql(fq: String) =
+    s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $fq GROUP BY k"
+
+  private def scans(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq("<non-fs>")
+      }
+    }.flatten
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cs = df.columns.sorted
+    df.select(cs.head, cs.tail: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  private def disabled[T](body: => T): T = {
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    try body finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+  }
+
+  test("a result-identical query is answered from the snapshot: zero base " +
+    "scans, hash-identical to the unrewritten answer; ORDER BY above the " +
+    "matched subtree still rewrites") {
+    val (baseSpec, fq) = commitBase("hit",
+      Seq(("a", 1L), ("a", 2L), ("b", 5L), (null, 7L)))
+    val mvSpec = ObjectStoreSpec(path = scratchDir("hitmv").getAbsolutePath,
+      database = "graft_mvr_hit", table = "mv")
+    refreshAndRegister("mv_hit", baseSpec, fq, mvSpec)
+    try {
+      val q = spark.sql(defSql(fq) + " ORDER BY k")
+      val roots = scans(q)
+      roots should have size 1
+      roots.head should include("/mv/")
+      canon(q) shouldBe disabled(canon(spark.sql(defSql(fq) + " ORDER BY k")))
+      q.count() shouldBe 3
+    } finally MvRewriteRule.deregister("mv_hit")
+  }
+
+  test("staleness: the instant a base table commits past the pinned " +
+    "version the rewrite refuses; a refresh + re-register re-arms it") {
+    val (baseSpec, fq) = commitBase("stale", Seq(("a", 1L), ("b", 2L)))
+    val mvSpec = ObjectStoreSpec(path = scratchDir("stalemv").getAbsolutePath,
+      database = "graft_mvr_stale", table = "mv")
+    refreshAndRegister("mv_stale", baseSpec, fq, mvSpec)
+    try {
+      scans(spark.sql(defSql(fq))).head should include("/mv/")
+      // base moves: snapshot is now provably stale
+      ObjectStoreSink.replaceTable(spark,
+        Seq(("a", 10L), ("c", 30L)).toDF("k", "v").repartition(2), baseSpec)
+      val q = spark.sql(defSql(fq))
+      scans(q).head should include("/base/")
+      // the refusal is what keeps the answer CURRENT (cols sorted:
+      // cnt|k|sv)
+      canon(q) shouldBe Seq("1|a|10", "1|c|30")
+      // recompute through the protocol and re-arm
+      refreshAndRegister("mv_stale", baseSpec, fq, mvSpec)
+      val q2 = spark.sql(defSql(fq))
+      scans(q2).head should include("/mv/")
+      canon(q2) shouldBe disabled(canon(spark.sql(defSql(fq))))
+    } finally MvRewriteRule.deregister("mv_stale")
+  }
+
+  test("an in-place append keeps the version NUMBER — the pinned file-set " +
+    "signature still catches it and the rewrite refuses") {
+    val (baseSpec, fq) = commitBase("append", Seq(("a", 1L), ("b", 2L)))
+    val mvSpec = ObjectStoreSpec(
+      path = scratchDir("appendmv").getAbsolutePath,
+      database = "graft_mvr_append", table = "mv")
+    refreshAndRegister("mv_append", baseSpec, fq, mvSpec)
+    try {
+      scans(spark.sql(defSql(fq))).head should include("/mv/")
+      val v0 = ObjectStoreSink.snapshots(baseSpec).last.version
+      Seq(("a", 100L)).toDF("k", "v").repartition(1)
+        .write.mode("append").insertInto(fq)
+      ObjectStoreSink.refreshManifest(spark, fq, baseSpec)
+      // same version number, different content
+      ObjectStoreSink.snapshots(baseSpec).last.version shouldBe v0
+      val q = spark.sql(defSql(fq))
+      scans(q).head should include("/base/")
+      canon(q) shouldBe Seq("1|b|2", "2|a|101")
+    } finally MvRewriteRule.deregister("mv_append")
+  }
+
+  test("refusals: a semantically different query (extra WHERE), a " +
+    "shape-mismatched snapshot reader, a deregistered name, the kill " +
+    "switch") {
+    val (baseSpec, fq) = commitBase("refuse", Seq(("a", 1L), ("b", 2L)))
+    val mvSpec = ObjectStoreSpec(
+      path = scratchDir("refusemv").getAbsolutePath,
+      database = "graft_mvr_refuse", table = "mv")
+    val mvFq = refreshAndRegister("mv_refuse", baseSpec, fq, mvSpec)
+    try {
+      // different semantics never match
+      scans(spark.sql(
+        s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $fq " +
+          "WHERE k = 'a' GROUP BY k")).head should include("/base/")
+      // kill switch
+      disabled(scans(spark.sql(defSql(fq))).head) should include("/base/")
+      // shape mismatch: a reader with renamed-but-retyped columns refuses
+      MvRewriteRule.register("mv_refuse", spark.sql(defSql(fq)),
+        () => spark.table(mvFq).select(col("k"), col("sv").cast("int"),
+          col("cnt")), Seq(baseSpec))
+      scans(spark.sql(defSql(fq))).head should include("/base/")
+      // deregistered name stops matching
+      MvRewriteRule.deregister("mv_refuse")
+      scans(spark.sql(defSql(fq))).head should include("/base/")
+    } finally MvRewriteRule.deregister("mv_refuse")
+  }
+}

@@ -191,4 +191,39 @@ class ZoneMapScanRuleSpec extends SparkSpec {
     second should have size 1
     first.head shouldBe second.head
   }
+
+  test("bloom sidecar probes prune equality/IN lookups on an UNCLUSTERED " +
+    "layout where zone-map windows prove nothing; without the sidecar " +
+    "the same query refuses") {
+    // hash-distributed ids: every file's [min, max] spans ~the full range
+    val mk = (tag: String, blooms: Seq[String]) => {
+      val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
+        database = s"graft_zsr_$tag", table = "t", bloomColumns = blooms)
+      val df = ss.range(0, 800).toDF("id")
+        .withColumn("name", concat(lit("n"), col("id")))
+        .repartition(8, col("id"))
+      (ObjectStoreSink.replaceTable(spark, df, spec), df)
+    }
+    val (fq, df) = mk("bloomsql", Seq("id", "name"))
+    val q = spark.sql(s"SELECT id, name FROM $fq WHERE id IN (3, 400, 797)")
+    val reps = pruneReports(q)
+    reps should have size 1
+    reps.head.filesKept should be < reps.head.filesTotal
+    canon(q) shouldBe canon(
+      df.where(col("id").isin(3L, 400L, 797L)).select("id", "name"))
+    // string equality probes its own sidecar
+    val qs = spark.sql(s"SELECT id, name FROM $fq WHERE name = 'n400'")
+    pruneReports(qs).head.filesKept should be <
+      pruneReports(qs).head.filesTotal
+    qs.select("id").as[Long].collect() shouldBe Array(400L)
+    // conjunct composition: each key set refines independently
+    val qb = spark.sql(
+      s"SELECT id FROM $fq WHERE id = 400 AND name = 'n400'")
+    pruneReports(qb).head.filesKept should be >= 1
+    qb.as[Long].collect() shouldBe Array(400L)
+    // no sidecar → equality over the unclustered layout proves nothing
+    val (fq2, _) = mk("nobloomsql", Nil)
+    pruneReports(
+      spark.sql(s"SELECT id FROM $fq2 WHERE id = 400")) shouldBe empty
+  }
 }

@@ -25,6 +25,8 @@ FAM[R11D]="q_pipeline_e2e q_multimodal_audio q_compact_roundtrip"
 FAM[R11E]="q_fuzz_39 q_fuzz_44 q_fuzz_46 q_fuzz_49 q_fuzz_56 q_fuzz_57 q_fuzz_60 q_knn_incremental q_join_star q_topk q_tpch_q7 q_tpch_q20 q_embed_clusters q_knn_recall"
 FAM[R11F]="q_fuzz_08 q_fuzz_31 q_fuzz_32 q_fuzz_41 q_jdbc_pull q_decontaminate q_domain_overlap"
 FAM[R11G]="q_meta_agg_group q_zonemap_zorder q_join_prune q_join_prune_sql"
+FAM[R11H]="q_bloom_prune q_bloom_sql"
+FAM[R11I]="q_mv_rewrite"
 
 declare -A DIRS
 DIRS[x1]="/root/testdata/sf0.1"
