@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanRule)
     ext.injectOptimizerRule(_ => graft.plans.JoinPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // SQL maintenance verbs (OPTIMIZE / VACUUM / SHOW SNAPSHOTS) in front
+    // of Spark's parser — additive only, everything else delegates.
+    // Parser injection is builder-time only (spark.sql.extensions=
+    // graft.GraftExtensions); register() below cannot retrofit it onto a
+    // live session.
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

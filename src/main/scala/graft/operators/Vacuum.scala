@@ -31,35 +31,49 @@ object Vacuum {
     var tables = 0
     var retired = 0
     var freed = 0L
-    val now = System.currentTimeMillis()
     for {
       db <- listDirs(Paths.get(lakeRoot))
       table <- listDirs(db)
     } {
-      val versions = listVersionDirs(table)
-      if (versions.nonEmpty) {
-        tables += 1
-        // under the sink's per-table commit lock: CommitLog.prune is a
-        // read-modify-write of _commits.json, and a vacuum racing a
-        // concurrent commit's CommitLog.record would otherwise publish a
-        // log that drops the just-recorded version (lost update)
-        graft.sinks.ObjectStoreSink.withTableLock(table) {
-          // same retention rule as the commit path: committed versions
-          // retire graceMs after their _superseded stamp (never from write
-          // mtime); uncommitted crash leftovers once quiescent for the grace
-          val retiring = versions.dropRight(keep)
-            .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
-          retiring.foreach { p =>
-            freed += treeBytes(p)
-            deleteTree(p)
-            retired += 1
-          }
-          if (retiring.nonEmpty) // keep the commit log truthful post-retire
-            graft.sinks.CommitLog.prune(table, v => table.resolve(f"v-$v%06d"))
-        }
-      }
+      val r = vacuumTable(table, keep, graceMs)
+      tables += r.tablesScanned
+      retired += r.versionsRetired
+      freed += r.bytesFreed
     }
     Report(tables, retired, freed)
+  }
+
+  /** Retire one table's superseded versions — the per-table unit the
+    * lake sweep (and the SQL `VACUUM <table>` command) delegates to.
+    */
+  def vacuumTable(tableDir: Path, keep: Int = 2,
+      graceMs: Long = ObjectStoreSink.retireGraceMs): Report = {
+    require(keep >= 1, "vacuum must keep at least the live version")
+    val now = System.currentTimeMillis()
+    val versions = listVersionDirs(tableDir)
+    if (versions.isEmpty) return Report(0, 0, 0L)
+    var retired = 0
+    var freed = 0L
+    // under the sink's per-table commit lock: CommitLog.prune is a
+    // read-modify-write of _commits.json, and a vacuum racing a
+    // concurrent commit's CommitLog.record would otherwise publish a
+    // log that drops the just-recorded version (lost update)
+    graft.sinks.ObjectStoreSink.withTableLock(tableDir) {
+      // same retention rule as the commit path: committed versions
+      // retire graceMs after their _superseded stamp (never from write
+      // mtime); uncommitted crash leftovers once quiescent for the grace
+      val retiring = versions.dropRight(keep)
+        .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
+      retiring.foreach { p =>
+        freed += treeBytes(p)
+        deleteTree(p)
+        retired += 1
+      }
+      if (retiring.nonEmpty) // keep the commit log truthful post-retire
+        graft.sinks.CommitLog.prune(tableDir,
+          v => tableDir.resolve(f"v-$v%06d"))
+    }
+    Report(1, retired, freed)
   }
 
   private def listDirs(p: Path): Seq[Path] =

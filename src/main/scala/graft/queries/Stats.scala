@@ -479,5 +479,45 @@ object Stats {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
              |FROM lineitem
              |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- SQL maintenance surface ----------------------------------------
+    // The lakehouse operator verbs as PLAIN SQL (the reference's warehouse
+    // exposed the same: Athena Iceberg OPTIMIZE/VACUUM) — parsed by
+    // graft.plans.GraftSqlParser in front of Spark's parser, executed
+    // through the real maintenance operators over the versioned-table
+    // protocol. The query REQUIREs the OPTIMIZE report to show real
+    // bin-packing and SHOW SNAPSHOTS to inventory both versions with the
+    // row count preserved; the oracle checks the post-maintenance table
+    // still answers exactly — maintenance must be invisible to results.
+    QueryDef(
+      "q_sql_maintenance",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlmaint"),
+          database = "graft_ops", table = "sqm_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem").repartition(24), spec)
+        val opt = s.sql(
+          s"OPTIMIZE graft_ops.sqm_li TARGET ${256L << 20} BYTES").collect()(0)
+        require(opt.getString(0) == "compact" &&
+          opt.getInt(2) < opt.getInt(1),
+          s"OPTIMIZE did not bin-pack the fragmented table: $opt")
+        val snaps = s.sql("SHOW SNAPSHOTS graft_ops.sqm_li").collect()
+        require(snaps.length == 2 && snaps.last.getBoolean(5) &&
+          snaps.map(_.getLong(2)).distinct.length == 1,
+          s"snapshot inventory wrong after maintenance: ${snaps.toSeq}")
+        s.sql(
+          """SELECT l_returnflag, count(*) AS cnt,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+            |    AS sum_qty
+            |FROM graft_ops.sqm_li
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)))
 }

@@ -459,6 +459,43 @@ object ObjectStoreSink {
           s"[${existing.mkString(", ")}], spec says [${spec.partitionBy.mkString(", ")}]")
   }
 
+  /** Reverse-engineer the [[ObjectStoreSpec]] of an already-registered
+    * versioned table from the catalog alone — the entry point for SQL
+    * maintenance commands (`OPTIMIZE` / `VACUUM` / `SHOW SNAPSHOTS`),
+    * where the user names a table, not a spec. The protocol's layout is
+    * `path/database/table/v-NNNNNN`, so the lake root, names, partition
+    * columns (catalog) and file format (manifest extension) are all
+    * derivable. Throws on tables that don't follow the layout — a
+    * maintenance command must never guess at a foreign directory tree.
+    */
+  def specFor(spark: SparkSession, database: String,
+      table: String): ObjectStoreSpec = {
+    val fq = s"$database.$table"
+    val loc = currentLocation(spark, fq)
+    val tableDir = loc.getFileName.toString match {
+      case VersionDir(_) => loc.getParent
+      case _ => loc
+    }
+    if (tableDir.getFileName.toString != table ||
+      tableDir.getParent == null ||
+      tableDir.getParent.getFileName.toString != database ||
+      tableDir.getParent.getParent == null)
+      throw new graft.model.PipelineSpecException(
+        s"$fq at $loc does not follow the versioned-table layout " +
+          "path/database/table/v-NNNNNN — refusing maintenance")
+    val fmt = TableManifest.read(loc).toSeq
+      .flatMap(_.files.map(_.path)).headOption match {
+      case Some(p) if p.endsWith(".orc") => "orc"
+      case _ => "parquet"
+    }
+    import spark.implicits._
+    val parts = spark.catalog.listColumns(fq)
+      .filter(_.isPartition).map(_.name).collect().toSeq
+    ObjectStoreSpec(path = tableDir.getParent.getParent.toString,
+      database = database, table = table, partitionBy = parts,
+      fileFormat = fmt)
+  }
+
   private def currentLocation(spark: SparkSession, fq: String): Path = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(fq)
     Paths.get(spark.sessionState.catalog.getTableMetadata(ident).location)

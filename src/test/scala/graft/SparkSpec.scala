@@ -16,6 +16,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      // mirrors Verify/Bench: full engine surface incl. the
+      // maintenance-SQL parser (builder-time only)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,7 @@ FAM[R11F]="q_fuzz_08 q_fuzz_31 q_fuzz_32 q_fuzz_41 q_jdbc_pull q_decontaminate q
 FAM[R11G]="q_meta_agg_group q_zonemap_zorder q_join_prune q_join_prune_sql"
 FAM[R11H]="q_bloom_prune q_bloom_sql"
 FAM[R11I]="q_mv_rewrite"
+FAM[R11J]="q_sql_maintenance"
 
 declare -A DIRS
 DIRS[x1]="/root/testdata/sf0.1"
