@@ -123,6 +123,13 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         scan <- pathToScan(factSide, factKey)
         hfs = scan.relation.asInstanceOf[HadoopFsRelation]
         (root, m) <- ManifestEvidence.covering(hfs)
+        // benefit gate (the judgment Spark's own DPP applies): collecting
+        // the build side is a PLANNING-TIME job, only worth paying when
+        // the fact is big enough that skipped files buy back more than
+        // the collection costs. Tiny facts refuse — scanning them whole
+        // is cheaper than planning their prune.
+        if m.files.map(_.bytes).sum >= conf.getConfString(
+          "spark.graft.joinPrune.minFactBytes", (32L << 20).toString).toLong
         if m.files.size > 1 && resultStable(dimSide) && dimSmall(dimSide)
         keep <- {
           val keys = collectKeys(hfs, dimSide, dimKey)

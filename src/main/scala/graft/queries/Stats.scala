@@ -285,28 +285,34 @@ object Stats {
         val mx = part.agg(max("p_partkey")).head.getLong(0) // 1-row planning agg
         val tenth = mx / 10
         graft.GraftExtensions.register(s)
-        val df = s.sql(
-          s"""SELECT l_returnflag, count(*) AS cnt,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
-             |FROM graft_ops.jp2_li f
-             |JOIN (SELECT p_partkey FROM jp2_part
-             |      WHERE p_partkey <= $tenth OR p_partkey > ${mx - tenth}) d
-             |  ON f.l_partkey = d.p_partkey
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
-        val reports = df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            l.relation match {
-              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                h.location match {
-                  case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
-                  case _ => Nil
-                }
-              case _ => Nil
-            }
-        }.flatten
-        require(reports.nonEmpty && reports.head.filesKept < reports.head.filesTotal,
-          s"JoinPruneRule did not prune the fact listing: $reports")
-        df
+        // the production benefit gate refuses sf-test-sized facts; open it
+        // for this demonstration (the plan is FORCED by the REQUIRE below,
+        // so the conf can be restored before returning)
+        s.conf.set("spark.graft.joinPrune.minFactBytes", "0")
+        try {
+          val df = s.sql(
+            s"""SELECT l_returnflag, count(*) AS cnt,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+               |FROM graft_ops.jp2_li f
+               |JOIN (SELECT p_partkey FROM jp2_part
+               |      WHERE p_partkey <= $tenth OR p_partkey > ${mx - tenth}) d
+               |  ON f.l_partkey = d.p_partkey
+               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          val reports = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location match {
+                    case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                    case _ => Nil
+                  }
+                case _ => Nil
+              }
+          }.flatten
+          require(reports.nonEmpty && reports.head.filesKept < reports.head.filesTotal,
+            s"JoinPruneRule did not prune the fact listing: $reports")
+          df
+        } finally s.conf.unset("spark.graft.joinPrune.minFactBytes")
       },
       Some("""WITH b AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS mx,
              |  CAST(FLOOR(MAX(p_partkey) / 10.0) AS BIGINT) AS tenth FROM part)

@@ -13,12 +13,26 @@ import org.apache.spark.sql.functions._
   * join-type soundness table, and refuse on every unstable or unprovable
   * shape.
   */
-class JoinPruneRuleSpec extends SparkSpec {
+class JoinPruneRuleSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private val ss = spark
   import ss.implicits._
 
   GraftExtensions.register(spark)
+
+  // the production default refuses tiny facts (the planning-time key
+  // collection wouldn't pay for itself); these fixtures ARE tiny, so the
+  // suite runs with the gate open and restores the default after
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.joinPrune.minFactBytes", "0")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.joinPrune.minFactBytes")
+    super.afterAll()
+  }
 
   /** ids 0..799 clustered into 8 range-disjoint files on `id`. */
   private def fact(tag: String): (DataFrame, DataFrame) = {
