@@ -1,51 +1,66 @@
 package graft.plans
 
+import graft.sinks.TableManifest.FileEntry
 import graft.sinks.{TableManifest, ZoneMap}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BoundReference, Expression, Literal, NamedExpression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Planner seam for metadata-only aggregate answering: a global (ungrouped,
-  * unfiltered) `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` over a
-  * manifest-committed versioned table collapses to a [[LocalRelation]]
-  * holding the answer — ZERO scan tasks, O(files) driver work, invariant to
-  * table size. SQL users get it for free once the rule is registered
-  * ([[graft.GraftExtensions]]); the reference's users just wrote SQL against
-  * Athena (AthenaUtil.scala:30-113) and relied on the warehouse to shortcut
-  * these — this is the Spark-native equivalent, the manifest-stats analogue
-  * of Spark's own `OptimizeMetadataOnlyQuery` (which handles partition
-  * columns only).
+/** Planner seam for metadata-only aggregate answering: a global or
+  * partition-filtered `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)`
+  * over a manifest-committed versioned table collapses to a
+  * [[LocalRelation]] holding the answer — ZERO scan tasks, O(files) driver
+  * work, invariant to table size. SQL users get it for free once the rule
+  * is registered ([[graft.GraftExtensions]]); the reference's users just
+  * wrote SQL against Athena (AthenaUtil.scala:30-113) and relied on the
+  * warehouse to shortcut these — this is the Spark-native equivalent, the
+  * manifest-stats analogue of Spark's own `OptimizeMetadataOnlyQuery`
+  * (which handles partition columns only and cannot do counts at all).
   *
   * Soundness gates (the rewrite fires only when ALL hold):
-  *   - the aggregate's child is the BARE relation (or a column-pruning
-  *     projection of it) — any surviving filter/expression disqualifies;
-  *   - the relation is a single-root parquet scan whose root directory
-  *     carries a committed [[TableManifest]], and the scan's enumerated
-  *     file set is EXACTLY the manifest's file set — a foreign file or a
-  *     stale manifest refuses the proof (the stats were lifted from those
-  *     very footers, so identity of the file set is identity of evidence);
+  *   - the aggregate's child is the relation under only column-pruning
+  *     projections and [[Filter]]s whose every referenced column is
+  *     SINGLE-VALUED per file (partition columns; any file where min ==
+  *     max with provably zero nulls): a deterministic predicate over
+  *     per-file constants is exactly decidable file-by-file, so the
+  *     qualifying files form a provable sub-table. Any file where a
+  *     referenced column is multi-valued, stats-less, or unconvertible
+  *     refuses the whole rewrite — never a partial guess;
+  *   - the relation is a single-root parquet scan under a committed
+  *     [[TableManifest]]; unfiltered aggregates demand the scan's file set
+  *     be EXACTLY the manifest's ([[ManifestEvidence.exact]] — totality of
+  *     evidence), filtered ones demand every scanned file be IN the
+  *     manifest ([[ManifestEvidence.covering]] — the retained Filter
+  *     semantics apply to the scan's own file set, which catalog partition
+  *     pruning may already have narrowed);
   *   - every aggregate is answerable from [[ZoneMap]]'s Option-typed API
   *     in a stats domain that maps LOSSLESSLY onto the column's Catalyst
   *     type (long↔integrals, double↔float/double, ASCII string, date,
   *     UTC-adjusted micro/milli timestamps). Unknown null counts, mixed
   *     domains, decimals, distinct/filtered aggregates → no rewrite, the
   *     scan runs. There is no "probably right" path.
+  *
+  * `spark.graft.metaAgg.enabled=false` disables the rule.
   */
-object MetaAggRule extends Rule[LogicalPlan] {
+object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(Nil, aggExprs, child, _) =>
-      rewrite(agg, aggExprs, child).getOrElse(agg)
-    case agg @ Aggregate(groupings, aggExprs, child, _)
-        if groupings.nonEmpty && groupings.forall(_.isInstanceOf[AttributeReference]) =>
-      rewriteGrouped(agg,
-        groupings.map(_.asInstanceOf[AttributeReference]), aggExprs, child)
-        .getOrElse(agg)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.metaAgg.enabled", "true") != "true")
+      return plan
+    plan.transformDown {
+      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+        rewrite(agg, aggExprs, child).getOrElse(agg)
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.nonEmpty && groupings.forall(_.isInstanceOf[AttributeReference]) =>
+        rewriteGrouped(agg,
+          groupings.map(_.asInstanceOf[AttributeReference]), aggExprs, child)
+          .getOrElse(agg)
+    }
   }
 
   /** GROUP BY over columns that are SINGLE-VALUED per file (partition
@@ -62,8 +77,7 @@ object MetaAggRule extends Rule[LogicalPlan] {
   private def rewriteGrouped(agg: Aggregate, keys: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
     for {
-      rel <- bareScan(child)
-      m <- ManifestEvidence.exact(rel)
+      m <- evidence(child)
       rows <- groupedRows(keys, aggExprs, m)
     } yield LocalRelation(agg.output, rows)
 
@@ -78,24 +92,27 @@ object MetaAggRule extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** The single value a column provably holds in EVERY row of one file —
+    * or None when the file cannot prove single-valuedness. Single-valued
+    * means min == max AND provably zero nulls: a file with {v, null} would
+    * otherwise fold its null rows (a separate SQL group / a row the filter
+    * must judge as NULL) into v. min/max ignore nulls, so the range alone
+    * cannot prove it. An all-null column ("null" typ) is the constant NULL.
+    */
+  private def singleValue(fe: FileEntry, a: AttributeReference): Option[Any] =
+    fe.stats.flatMap(_.get(a.name)).flatMap[Any] {
+      case cs if cs.typ == "null" => Some(null)
+      case cs if cs.min == cs.max && cs.nulls == 0L =>
+        internalValue(cs.typ, cs.min, a.dataType).map(normalizeKey)
+      case _ => None // multi-valued (or not provably null-free)
+    }
+
   private def groupedRows(keys: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       m: TableManifest.Manifest): Option[Seq[InternalRow]] = {
     // per file, the single value of every grouping column — or refuse
-    val fileKeys: Seq[Option[Seq[Any]]] = m.files.map { fe =>
-      traverseOpt(keys.map { k =>
-        fe.stats.flatMap(_.get(k.name)).flatMap[Any] {
-          case cs if cs.typ == "null" => Some(null) // NULL group key
-          // single-valued means min == max AND provably zero nulls: a file
-          // with {v, null} would otherwise fold its null rows (a separate
-          // SQL group!) into v's group. min/max ignore nulls, so the range
-          // alone cannot prove single-valuedness.
-          case cs if cs.min == cs.max && cs.nulls == 0L =>
-            internalValue(cs.typ, cs.min, k.dataType).map(normalizeKey)
-          case _ => None // multi-valued (or not provably null-free)
-        }
-      })
-    }
+    val fileKeys: Seq[Option[Seq[Any]]] =
+      m.files.map(fe => traverseOpt(keys.map(k => singleValue(fe, k))))
     if (fileKeys.exists(_.isEmpty)) return None
     val groups = m.files.zip(fileKeys.flatten).groupBy(_._2)
     val keyIndex = keys.map(_.exprId)
@@ -118,28 +135,84 @@ object MetaAggRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] =
     for {
-      rel <- bareScan(child)
-      m <- ManifestEvidence.exact(rel)
+      m <- evidence(child)
       values <- traverseOpt(aggExprs.map(answer(_, m)))
     } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
 
   private def traverseOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
-  /** The child qualifies only as a bare parquet file scan, optionally
-    * under an attribute-only projection (column pruning changes nothing
-    * the manifest proves; anything else might).
+  /** The manifest restricted to exactly the rows the aggregate's child
+    * produces — or None when no proof exists. Unfiltered children demand
+    * file-set totality ([[ManifestEvidence.exact]]); a Filter chain
+    * demands containment ([[ManifestEvidence.covering]] — the scan's own
+    * file set, possibly already partition-pruned, is what the retained
+    * predicate governs) and then keeps the files whose per-file constant
+    * values satisfy every conjunct, recomputing the sub-manifest's row
+    * count from per-file footer counts.
     */
-  private def bareScan(plan: LogicalPlan): Option[HadoopFsRelation] =
+  private def evidence(child: LogicalPlan): Option[TableManifest.Manifest] =
+    unwrap(child).flatMap { case (rel, conds) =>
+      if (conds.isEmpty) ManifestEvidence.exact(rel)
+      else ManifestEvidence.covering(rel)
+        .flatMap { case (_, m) => applyConds(conds, m) }
+    }
+
+  /** The child qualifies only as a parquet file scan under attribute-only
+    * projections (column pruning changes nothing the manifest proves) and
+    * Filters (collected as conjuncts for per-file evaluation); anything
+    * else might change rows or values — refuse.
+    */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(HadoopFsRelation, Seq[Expression])] =
     plan match {
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        bareScan(c)
+        unwrap(c)
+      case Filter(cond, c) =>
+        unwrap(c).map { case (rel, cs) =>
+          (rel, splitConjunctivePredicates(cond) ++ cs) }
       case l: LogicalRelation => l.relation match {
-        case hfs: HadoopFsRelation => Some(hfs)
+        case hfs: HadoopFsRelation => Some((hfs, Nil))
         case _ => None
       }
       case _ => None
     }
+
+  /** Keep the files whose per-file constant values satisfy ALL conjuncts —
+    * exact SQL Filter semantics, because every referenced column is
+    * provably single-valued per file, so the predicate's value for one
+    * file IS its value for every row in it (NULL/false both drop). Any
+    * file where a referenced column isn't provably single-valued, a
+    * nondeterministic/subquery conjunct, or an eval error refuses — the
+    * scan runs.
+    */
+  private def applyConds(conds: Seq[Expression],
+      m: TableManifest.Manifest): Option[TableManifest.Manifest] =
+    try {
+      val cond = conds.reduce(And)
+      if (!cond.deterministic ||
+        cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
+      val refs = cond.references.toSeq.map {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      val idx = refs.map(_.exprId).zipWithIndex.toMap
+      val bound = cond.transform {
+        case a: AttributeReference =>
+          BoundReference(idx(a.exprId), a.dataType, nullable = true)
+      }
+      val kept = Seq.newBuilder[FileEntry]
+      m.files.foreach { fe =>
+        val vals = refs.map(a => singleValue(fe, a))
+        if (vals.exists(_.isEmpty)) return None // not provably single-valued
+        if (bound.eval(InternalRow.fromSeq(vals.map(_.get))) == true)
+          kept += fe
+      }
+      val files = kept.result()
+      Some(m.copy(files = files,
+        rowCount =
+          if (files.forall(_.rows >= 0)) files.map(_.rows).sum else -1L))
+    } catch { case _: Exception => None } // refusal, never a guess
 
   /** The internal-format answer for one output expression, or None when
     * the manifest cannot prove it.

@@ -36,8 +36,15 @@ import org.apache.spark.sql.types._
   */
 object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, l: LogicalRelation) => rewrite(f, cond, l).getOrElse(f)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // kill-switch, matching the other planner seams' spark.graft.*.enabled
+    // convention — lets a session (or a bench isolating per-rule overhead)
+    // turn the seam off without rebuilding extensions
+    if (conf.getConfString(
+        "spark.graft.zoneMapScan.enabled", "true") != "true") return plan
+    plan.transformDown {
+      case f @ Filter(cond, l: LogicalRelation) => rewrite(f, cond, l).getOrElse(f)
+    }
   }
 
   private def rewrite(f: Filter, cond: Expression,

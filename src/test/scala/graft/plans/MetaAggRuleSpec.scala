@@ -77,10 +77,13 @@ class MetaAggRuleSpec extends SparkSpec {
       df.agg(min("d"), max("d"), min("ts"), max("ts")).collect().toSeq
   }
 
-  test("a WHERE clause, grouping, DISTINCT, or an unanswerable aggregate " +
-    "refuses the rewrite — the scan stays and answers stay correct") {
+  test("a WHERE clause on a multi-valued column, grouping by expression, " +
+    "DISTINCT, or an unanswerable aggregate refuses the rewrite — the scan " +
+    "stays and answers stay correct") {
     val fq = commitTable("refuse",
       ss.range(0, 60).toDF("id").repartitionByRange(3, col("id")))
+    // id is range-clustered (multi-valued in every file): the predicate is
+    // not decidable from per-file constants, so the rewrite must refuse
     val filtered = spark.sql(s"SELECT count(*) AS n FROM $fq WHERE id > 10")
     assertScans(filtered)
     filtered.head.getLong(0) shouldBe 49L
@@ -193,10 +196,97 @@ class MetaAggRuleSpec extends SparkSpec {
     exprGrp.count() shouldBe 2
   }
 
+  test("a Filter on single-valued (partition) columns composes: global and " +
+    "grouped aggregates answer from the qualifying sub-manifest, NULL " +
+    "partition and NULL-eval semantics exact") {
+    val spec = graft.model.ObjectStoreSpec(
+      path = scratchDir("fil").getAbsolutePath,
+      database = "graft_mar_fil", table = "t", partitionBy = Seq("grp"))
+    val df = ss.range(0, 240).toDF("id")
+      .withColumn("grp", when(col("id") % 4 =!= 3,
+        concat(lit("g"), (col("id") % 4).cast("string"))))
+      .withColumn("v", when(col("id") % 5 =!= 0, col("id").cast("double")))
+      .repartitionByRange(3, col("id"))
+    val fq = ObjectStoreSink.replaceTable(spark, df, spec)
+    // equality on the partition column: the null partition's rows eval the
+    // predicate to NULL and drop — exact SQL semantics, zero scans
+    val eq = spark.sql(s"SELECT count(*) AS n, count(v) AS nv, " +
+      s"min(id) AS mn, max(id) AS mx FROM $fq WHERE grp = 'g1'")
+    assertMetaOnly(eq)
+    eq.collect().toSeq shouldBe
+      df.where(col("grp") === "g1")
+        .agg(count(lit(1)), count(col("v")), min("id"), max("id"))
+        .collect().toSeq
+    // IS NULL keeps exactly the Hive null partition
+    val nul = spark.sql(s"SELECT count(*) AS n FROM $fq WHERE grp IS NULL")
+    assertMetaOnly(nul)
+    nul.head.getLong(0) shouldBe 60L
+    // range + inequality conjuncts compose; grouped + filtered composes
+    val grouped = spark.sql(s"SELECT grp, count(*) AS n, max(id) AS mx " +
+      s"FROM $fq WHERE grp >= 'g1' AND grp <> 'g2' GROUP BY grp ORDER BY grp")
+    assertMetaOnly(grouped)
+    grouped.collect().toSeq shouldBe
+      df.where(col("grp") >= "g1" && col("grp") =!= "g2")
+        .groupBy("grp").agg(count(lit(1)), max("id"))
+        .orderBy("grp").collect().toSeq
+    // a predicate satisfied by NO partition: zero groups / count(*) = 0
+    val none = spark.sql(s"SELECT grp, count(*) AS n FROM $fq " +
+      s"WHERE grp = 'zzz' GROUP BY grp")
+    assertMetaOnly(none)
+    none.collect() shouldBe empty
+    val zero = spark.sql(s"SELECT count(*) AS n FROM $fq WHERE grp = 'zzz'")
+    assertMetaOnly(zero)
+    zero.head.getLong(0) shouldBe 0L
+  }
+
+  test("a Filter referencing ANY non-single-valued column refuses — even " +
+    "when a partition-column conjunct alone would qualify (partial proof " +
+    "is no proof)") {
+    val spec = graft.model.ObjectStoreSpec(
+      path = scratchDir("filref").getAbsolutePath,
+      database = "graft_mar_filref", table = "t", partitionBy = Seq("grp"))
+    val df = ss.range(0, 120).toDF("id")
+      .withColumn("grp", concat(lit("g"), (col("id") % 3).cast("string")))
+      .repartitionByRange(2, col("id"))
+    val fq = ObjectStoreSink.replaceTable(spark, df, spec)
+    // id is multi-valued per file: the id conjunct is undecidable from
+    // per-file constants, so the WHOLE filter refuses (no partial answer)
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM $fq WHERE grp = 'g1' AND id < 999")
+    assertScans(q)
+    q.head.getLong(0) shouldBe 40L
+    // a file that is CONSTANT but carries nulls is not single-valued
+    // either: {v, null} can't prove the predicate's value for every row
+    val fq2 = commitTable("filnul", ss.range(0, 50).toDF("id")
+      .withColumn("c", when(col("id") % 5 =!= 0, lit("x")))
+      .coalesce(1))
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM $fq2 WHERE c = 'x'")
+    assertScans(q2)
+    q2.head.getLong(0) shouldBe 40L
+    // nondeterministic predicates never qualify (0.5 keeps the optimizer
+    // from range-folding the rand() away — see the rule-refusal test note)
+    val q3 = spark.sql(
+      s"SELECT count(*) AS n FROM $fq WHERE grp = 'g1' AND rand(7) >= 0.5")
+    assertScans(q3)
+  }
+
   test("a non-versioned plain parquet directory (no manifest) is never " +
     "rewritten") {
     val dir = scratchDir("plain").getAbsolutePath + "/plain.parquet"
     ss.range(0, 10).toDF("id").write.mode("overwrite").parquet(dir)
     assertScans(spark.read.parquet(dir).agg(count(lit(1))))
+  }
+
+  test("spark.graft.metaAgg.enabled=false disables the seam (answers stay " +
+    "correct through the scan) and re-enabling restores it") {
+    val fq = commitTable("kill",
+      ss.range(0, 30).toDF("id").repartitionByRange(3, col("id")))
+    spark.conf.set("spark.graft.metaAgg.enabled", "false")
+    try {
+      val q = spark.sql(s"SELECT count(*) AS n FROM $fq")
+      assertScans(q)
+      q.head.getLong(0) shouldBe 30L
+    } finally spark.conf.unset("spark.graft.metaAgg.enabled")
+    assertMetaOnly(spark.sql(s"SELECT count(*) AS n FROM $fq"))
   }
 }

@@ -226,4 +226,18 @@ class ZoneMapScanRuleSpec extends SparkSpec {
     pruneReports(
       spark.sql(s"SELECT id FROM $fq2 WHERE id = 400")) shouldBe empty
   }
+
+  test("spark.graft.zoneMapScan.enabled=false disables the seam (answers " +
+    "stay correct through the full listing) and re-enabling restores it") {
+    val (fq, df) = ranged("kill")
+    spark.conf.set("spark.graft.zoneMapScan.enabled", "false")
+    try {
+      val q = spark.sql(s"SELECT id FROM $fq WHERE id BETWEEN 100 AND 130")
+      pruneReports(q) shouldBe empty
+      canon(q) shouldBe canon(
+        df.where(col("id").between(100, 130)).select("id"))
+    } finally spark.conf.unset("spark.graft.zoneMapScan.enabled")
+    pruneReports(spark.sql(
+      s"SELECT id FROM $fq WHERE id BETWEEN 100 AND 130")) should have size 1
+  }
 }
