@@ -45,9 +45,22 @@ import org.apache.spark.sql.functions.{col, count, max, min}
   * real join), so it must be RESULT-STABLE: every node from a
   * deterministic whitelist, no Limit/Offset/Sample/Tail (their result
   * sets are execution-order-dependent), no streaming source, every
-  * expression deterministic. Data-file immutability between the two
-  * executions is the versioned-table contract (commits write new version
-  * dirs; files never mutate in place).
+  * expression deterministic — and every relation LEAF a source whose two
+  * executions provably see the same rows (literals, Range, file scans;
+  * a mutable JDBC/custom source could return new keys between the two
+  * executions, silently dropping already-pruned fact rows, so it
+  * refuses). Data-file immutability between the two executions is the
+  * versioned-table contract (commits write new version dirs; files never
+  * mutate in place).
+  *
+  * EVERY equi-conjunct composes — a two-key join refines the kept file
+  * set with both keys' probes (a surviving file must pass every conjunct,
+  * the same conjunct semantics ZoneMapScanRule applies to bounds) — and
+  * BOTH sides are attempted when the join type allows: an inner join of
+  * two manifest-backed tables prunes each side's listing by the other's
+  * keys, each computed against the other side's ORIGINAL plan (dropping a
+  * partner-free row can never create or destroy a different row's
+  * partner, so the two prunes don't interact).
   *
   * Cost gates: the build side's estimated size must be within
   * `spark.graft.joinPrune.maxDimBytes` (default: the session's
@@ -91,76 +104,127 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     val (leftOk, rightOk) = prunableSides(j.joinType)
     if (!leftOk && !rightOk) return None
     val conjuncts = j.condition.map(splitConjunctivePredicates).getOrElse(Nil)
+    // oriented equi pairs: (left-side key, right-side key)
     val equis = conjuncts.collect {
-      case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) =>
+        (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(b) && j.right.outputSet.contains(a) =>
+        (b, a)
     }
-    equis.view.flatMap { case (a, b) =>
-      val (lk, rk) =
-        if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
-          (Some(a), Some(b))
-        else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
-          (Some(b), Some(a))
-        else (None, None)
-      (lk, rk) match {
-        case (Some(fk), Some(dk)) =>
-          (if (leftOk) tryPrune(j, factSide = j.left, fk, j.right, dk)
-            .map(nl => j.copy(left = nl)) else None)
-            .orElse(if (rightOk) tryPrune(j, factSide = j.right, dk, j.left, fk)
-              .map(nr => j.copy(right = nr)) else None)
-        case _ => None
-      }
-    }.headOption
+    if (equis.isEmpty) return None
+    // every equi-conjunct composes (a surviving file must pass EVERY key's
+    // probe — conjunct semantics, like ZoneMapScanRule's bounds), and both
+    // sides are attempted when the join type allows: an inner join between
+    // two manifest-backed tables prunes each side by the other's keys.
+    // Build-side key sets are collected once per dim attribute.
+    val collected =
+      scala.collection.mutable.Map.empty[Long, Option[KeySet]]
+    def keysOf(dim: LogicalPlan, k: AttributeReference): Option[KeySet] =
+      collected.getOrElseUpdate(k.exprId.id, collectKeys(dim, k))
+    val newLeft =
+      if (leftOk) pruneSide(j.left, j.right, equis, keysOf) else None
+    val newRight =
+      if (rightOk) pruneSide(j.right, j.left, equis.map(_.swap), keysOf)
+      else None
+    if (newLeft.isEmpty && newRight.isEmpty) None
+    else Some(j.copy(left = newLeft.getOrElse(j.left),
+      right = newRight.getOrElse(j.right)))
   }
 
-  /** The fact side with its scan's listing pruned by the dim's key set —
-    * None on any refusal.
+  /** The build side's evidence for one key: the distinct non-null key set,
+    * or its [min, max] when the set exceeds `maxKeys`.
     */
-  private def tryPrune(j: Join, factSide: LogicalPlan,
-      factKey: AttributeReference, dimSide: LogicalPlan,
-      dimKey: AttributeReference): Option[LogicalPlan] =
+  private type KeySet = Either[(Option[Any], Option[Any]), Seq[Any]]
+
+  /** `factSide` with every manifest-eligible scan its keys reach pruned by
+    * the dim side's key sets — None when nothing proves a skip.
+    */
+  private def pruneSide(factSide: LogicalPlan, dimSide: LogicalPlan,
+      keys: Seq[(AttributeReference, AttributeReference)],
+      keysOf: (LogicalPlan, AttributeReference) => Option[KeySet])
+      : Option[LogicalPlan] =
     try {
-      for {
-        scan <- pathToScan(factSide, factKey)
-        hfs = scan.relation.asInstanceOf[HadoopFsRelation]
-        (root, m) <- ManifestEvidence.covering(hfs)
-        // benefit gate (the judgment Spark's own DPP applies): collecting
-        // the build side is a PLANNING-TIME job, only worth paying when
-        // the fact is big enough that skipped files buy back more than
-        // the collection costs. Tiny facts refuse — scanning them whole
-        // is cheaper than planning their prune.
-        if m.files.map(_.bytes).sum >= conf.getConfString(
-          "spark.graft.joinPrune.minFactBytes", (32L << 20).toString).toLong
-        if m.files.size > 1 && resultStable(dimSide) && dimSmall(dimSide)
-        keep <- {
-          val keys = collectKeys(hfs, dimSide, dimKey)
-          keys.flatMap {
-            case scala.util.Right(ks) =>
-              // key-set zone-map probe, then the bloom sidecar refines —
-              // on an UNCLUSTERED fact only the blooms can prove skips
-              ZoneMap.pruneInSet(m, factKey.name, ks).map { case (k0, r0) =>
-                graft.sinks.BloomIndex.pruneAmong(root, k0, factKey.name,
-                  ks, m.files.size, m.files.map(_.bytes).sum)
-                  .getOrElse((k0, r0))
-              }
-            case scala.util.Left((lo, hi)) =>
-              val b = ZoneMap.Bound(factKey.name, lower = lo, upper = hi,
-                nonNull = true)
-              Some(ZoneMap.prune(m, Seq(b)))
-          } match {
-            case Some((kept, rep)) if rep.filesSkipped > 0 =>
-              Some((kept.map(fe =>
-                root.resolve(fe.path).normalize.toString).toSet, rep))
-            case _ => None
+      if (!resultStable(dimSide) || !dimSmall(dimSide)) return None
+      // keys grouped by the scan INSTANCE they reach through value-
+      // preserving nodes (reference identity — a self-join's structurally
+      // equal scans are distinct prune targets, and a key must only ever
+      // refine the scan its own attribute came from)
+      val byScan = keys.flatMap { case (fk, dk) =>
+        pathToScan(factSide, fk).map(scan => (scan, fk, dk))
+      }
+      val groups = byScan.foldLeft(
+        Vector.empty[(LogicalRelation,
+          Vector[(AttributeReference, AttributeReference)])]) {
+        case (acc, (s, fk, dk)) =>
+          acc.indexWhere(_._1.eq(s)) match {
+            case -1 => acc :+ (s -> Vector((fk, dk)))
+            case i => acc.updated(i, acc(i)._1 -> (acc(i)._2 :+ ((fk, dk))))
           }
-        }
-      } yield {
-        val idx = new ZoneMapPrunedIndex(hfs.location, keep._1, keep._2)
-        factSide.transformUp {
+      }
+      val pruned = groups.flatMap { case (scan, pairs) =>
+        pruneScan(scan, pairs, dimSide, keysOf).map(scan -> _)
+      }
+      if (pruned.isEmpty) None
+      else Some(pruned.foldLeft(factSide) { case (side, (scan, idx)) =>
+        val hfs = scan.relation.asInstanceOf[HadoopFsRelation]
+        side.transformUp {
           case l: LogicalRelation if l.eq(scan) =>
             l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession))
         }
-      }
+      })
     } catch { case _: Exception => None } // refusal, never a guess
+
+  /** The pruned FileIndex for one fact scan, refined by every key pair
+    * that reaches it — None when gates refuse or nothing is skippable.
+    */
+  private def pruneScan(scan: LogicalRelation,
+      pairs: Seq[(AttributeReference, AttributeReference)],
+      dimSide: LogicalPlan,
+      keysOf: (LogicalPlan, AttributeReference) => Option[KeySet])
+      : Option[ZoneMapPrunedIndex] = {
+    val hfs = scan.relation.asInstanceOf[HadoopFsRelation]
+    ManifestEvidence.covering(hfs).flatMap { case (root, m) =>
+      // benefit gate (the judgment Spark's own DPP applies): collecting
+      // the build side is a PLANNING-TIME job, only worth paying when
+      // the fact is big enough that skipped files buy back more than
+      // the collection costs. Tiny facts refuse — scanning them whole
+      // is cheaper than planning their prune.
+      val totalBytes = m.files.map(_.bytes).sum
+      if (totalBytes < conf.getConfString(
+        "spark.graft.joinPrune.minFactBytes", (32L << 20).toString).toLong ||
+        m.files.size <= 1) None
+      else {
+        // each key pair refines the kept set independently; a pair whose
+        // key set can't carry a proof contributes nothing (never widens)
+        val kept = pairs.foldLeft(m.files) { case (cur, (fk, dk)) =>
+          keysOf(dimSide, dk).flatMap {
+            case scala.util.Right(ks) =>
+              // key-set zone-map probe, then the bloom sidecar refines —
+              // on an UNCLUSTERED fact only the blooms can prove skips
+              ZoneMap.pruneInSet(m.copy(files = cur), fk.name, ks)
+                .map { case (k0, _) =>
+                  graft.sinks.BloomIndex.pruneAmong(root, k0, fk.name,
+                    ks, m.files.size, totalBytes).map(_._1).getOrElse(k0)
+                }
+            case scala.util.Left((lo, hi)) =>
+              val b = ZoneMap.Bound(fk.name, lower = lo, upper = hi,
+                nonNull = true)
+              Some(ZoneMap.prune(m.copy(files = cur), Seq(b))._1)
+          }.getOrElse(cur)
+        }
+        if (kept.size >= m.files.size) None // nothing provable — don't touch
+        else {
+          val rep = ZoneMap.PruneReport(m.files.size, kept.size,
+            totalBytes, kept.map(_.bytes).sum)
+          Some(new ZoneMapPrunedIndex(hfs.location,
+            kept.map(fe => root.resolve(fe.path).normalize.toString).toSet,
+            rep))
+        }
+      }
+    }
+  }
 
   /** The unique manifest-eligible scan the key attribute reaches through
     * value-preserving nodes only. Project/Filter/Union/Generate pass rows
@@ -204,10 +268,18 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     }.isEmpty
 
   private def stableNode(n: LogicalPlan): Boolean = n match {
-    case _: LocalRelation | _: LogicalRelation | _: OneRowRelation |
-         _: Project | _: Filter | _: Join | _: Aggregate | _: Union |
+    // relation leaves: only sources whose TWO executions provably see the
+    // same rows qualify — literals, Range, and file scans (HadoopFsRelation
+    // snapshots its file listing; data files are immutable under the
+    // versioned-table contract). A mutable external source (JDBC, a custom
+    // BaseRelation) can return NEW keys between the planning-time
+    // collection and the real join, and fact files holding those keys
+    // would already be pruned — silent row loss, so such leaves refuse.
+    case l: LogicalRelation => l.relation.isInstanceOf[HadoopFsRelation]
+    case _: LocalRelation | _: OneRowRelation | _: Range => true
+    case _: Project | _: Filter | _: Join | _: Aggregate | _: Union |
          _: Distinct | _: Generate | _: Sort | _: Window | _: Expand |
-         _: SubqueryAlias | _: Range | _: RepartitionOperation => true
+         _: SubqueryAlias | _: RepartitionOperation => true
     case _ => false
   }
 
@@ -227,9 +299,8 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     * None when even the range is unknowable (all-null/empty dim still
     * returns Right(empty): every fact file is provably partner-free).
     */
-  private def collectKeys(hfs: HadoopFsRelation, dim: LogicalPlan,
-      key: AttributeReference)
-      : Option[Either[(Option[Any], Option[Any]), Seq[Any]]] = {
+  private def collectKeys(dim: LogicalPlan,
+      key: AttributeReference): Option[KeySet] = {
     val maxKeys = conf.getConfString(
       "spark.graft.joinPrune.maxKeys", "100000").toInt
     inRule.set(true)
@@ -237,7 +308,8 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       // null filter + projection built logically (no name resolution —
       // duplicate or exotic column names in the build side can't bite),
       // then renamed to a clean handle for the API calls
-      val ds = org.apache.spark.sql.GraftSqlBridge.ofRows(hfs.sparkSession,
+      val ds = org.apache.spark.sql.GraftSqlBridge.ofRows(
+        org.apache.spark.sql.SparkSession.active,
         Project(Seq(key), Filter(IsNotNull(key), dim))).toDF("k")
       val rows = ds.distinct().limit(maxKeys + 1).collect()
       if (rows.length <= maxKeys)

@@ -324,6 +324,93 @@ object Stats {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- MULTI-KEY join file pruning through the planner seam ------------
+    // A two-key equi-join where the FIRST conjunct's key (l_partkey) is
+    // unclustered in the fact — its per-file windows span the whole key
+    // range, so its probe provably proves NOTHING (REQUIREd against the
+    // manifest directly) — while the SECOND conjunct's key (l_shipdate,
+    // the fact's cluster column; the dim holds a 30-day band) drops most
+    // files. Every equi-conjunct must compose for this plan to prune at
+    // all: a first-proving-conjunct-only rule leaves it unpruned. The
+    // oracle replays the two-key join over the ORIGINAL rows — the
+    // rewrite must be invisible to results.
+    QueryDef(
+      "q_join_prune_multikey",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-joinprune-mk"),
+          database = "graft_ops", table = "jp3_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        // shipdate arrives TIMESTAMP_NTZ (no UTC adjustment → parquet
+        // footers carry no sound range for it, by the manifest's own
+        // rules); committing it CAST under the UTC session gives the
+        // cluster column real tsus stats — the layout choice a lakehouse
+        // makes deliberately
+        val li = t(s, d, "lineitem")
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          li.repartitionByRange(16, col("l_shipdate")), spec)
+        li.createOrReplaceTempView("jp3_src")
+        // 30-day band from the earliest shipdate (1-row planning agg);
+        // the literal is embedded so the build side stays subquery-free
+        val mn = t(s, d, "lineitem").agg(min("l_shipdate")).head
+          .getAs[java.time.LocalDateTime](0)
+        val cut = java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS").format(mn.plusDays(30))
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.graft.joinPrune.minFactBytes", "0")
+        try {
+          val df = s.sql(
+            s"""SELECT l_returnflag, count(*) AS cnt,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+               |    AS sum_qty
+               |FROM graft_ops.jp3_li f
+               |JOIN (SELECT DISTINCT l_partkey AS pk, l_shipdate AS sd
+               |      FROM jp3_src
+               |      WHERE l_shipdate <= TIMESTAMP '$cut'
+               |        AND l_suppkey = 0) d
+               |  ON f.l_partkey = d.pk AND f.l_shipdate = d.sd
+               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          val reports = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location match {
+                    case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                    case _ => Nil
+                  }
+                case _ => Nil
+              }
+          }.flatten
+          require(reports.nonEmpty && reports.head.filesKept < reports.head.filesTotal,
+            s"two-key JoinPruneRule did not prune the fact listing: $reports")
+          // the first conjunct alone is provably powerless on this layout:
+          // every kept-or-dropped decision came from the SECOND key
+          val m = graft.sinks.TableManifest.read(java.nio.file.Paths.get(
+            graft.sinks.ObjectStoreSink.snapshots(spec).last.path)).get
+          val pkKeys = s.sql(
+            s"""SELECT DISTINCT l_partkey FROM jp3_src
+               |WHERE l_shipdate <= TIMESTAMP '$cut'
+               |  AND l_suppkey = 0""".stripMargin)
+            .collect().map(_.getLong(0)).toSeq
+          val pkOnly = graft.sinks.ZoneMap.pruneInSet(m, "l_partkey", pkKeys).get._2
+          require(pkOnly.filesSkipped == 0,
+            s"layout unexpectedly partkey-clustered — first key pruned: $pkOnly")
+          df
+        } finally s.conf.unset("spark.graft.joinPrune.minFactBytes")
+      },
+      Some("""WITH b AS (SELECT MIN(l_shipdate) + INTERVAL 30 DAY AS cut
+             |           FROM lineitem)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem f
+             |JOIN (SELECT DISTINCT l_partkey AS pk, l_shipdate AS sd
+             |      FROM lineitem, b
+             |      WHERE l_shipdate <= b.cut AND l_suppkey = 0) d
+             |  ON f.l_partkey = d.pk AND f.l_shipdate = d.sd
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- per-file bloom index: the unclustered-layout skipping proof ----
     // lineitem committed HASH-distributed on l_orderkey: every file's
     // zone-map window spans the whole key range, so a 3-key point probe

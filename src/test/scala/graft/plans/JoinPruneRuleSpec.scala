@@ -191,6 +191,71 @@ class JoinPruneRuleSpec extends SparkSpec
     qn.count() shouldBe 0
   }
 
+  test("multi-key composition: pruning fires on the SECOND equi-conjunct " +
+    "when the first proves nothing, and two proving keys refine each other") {
+    val (f, _) = fact("multikey")
+    // first key (grp) is multi-valued in every file — its probe keeps all;
+    // second key (id) is the clustered one that actually prunes
+    val dim = Seq(("1", 3L), ("3", 799L)).toDF("g", "k")
+    val q = f.join(dim, f("grp") === dim("g") && f("id") === dim("k"))
+    val rep = reports(q).head
+    rep.filesSkipped should be >= 5
+    canon(q) shouldBe disabled(canon(
+      f.join(dim, f("grp") === dim("g") && f("id") === dim("k"))))
+    // two proving keys compose conjunctively: id2 mirrors the clustering,
+    // its band keeps only the LOW file, so the composed kept set must be
+    // strictly smaller than the id-only prune that keeps low + high
+    val f2spec = ObjectStoreSpec(path = scratchDir("mk2").getAbsolutePath,
+      database = "graft_jpr_mk2", table = "f")
+    val df2 = ss.range(0, 800).toDF("id")
+      .withColumn("id2", col("id"))
+      .repartitionByRange(8, col("id"))
+    val f2 = spark.table(ObjectStoreSink.replaceTable(spark, df2, f2spec))
+    val dim2 = Seq((3L, 3L), (799L, 50L)).toDF("k1", "k2")
+    val single = f2.join(dim2, f2("id") === dim2("k1"))
+    val both = f2.join(dim2,
+      f2("id") === dim2("k1") && f2("id2") === dim2("k2"))
+    reports(both).head.filesKept should be < reports(single).head.filesKept
+    canon(both) shouldBe disabled(canon(f2.join(dim2,
+      f2("id") === dim2("k1") && f2("id2") === dim2("k2"))))
+  }
+
+  test("both sides of an inner join between two manifest-backed tables " +
+    "prune — each by the other's keys — and the result stays exact") {
+    val (a, _) = fact("bothA") // ids 0..799, 8 files
+    val bspec = ObjectStoreSpec(path = scratchDir("bothB").getAbsolutePath,
+      database = "graft_jpr_bothb", table = "f")
+    // ids 100..150 ∪ 900..950: the low band overlaps A, the high band is
+    // provably partner-free against A's [0, 799]
+    val bdf = (ss.range(100, 151).toDF("bid") unionAll
+      ss.range(900, 951).toDF("bid")).repartitionByRange(4, col("bid"))
+    val b = spark.table(ObjectStoreSink.replaceTable(spark, bdf, bspec))
+    val q = a.join(b, a("id") === b("bid"))
+    val reps = reports(q)
+    reps should have size 2 // BOTH listings pruned
+    reps.foreach(_.filesSkipped should be > 0)
+    canon(q) shouldBe disabled(canon(a.join(b, a("id") === b("bid"))))
+    q.count() shouldBe 51
+  }
+
+  test("a mutable relation leaf (JDBC) in the build side refuses: its two " +
+    "executions could see different keys, so no file may be dropped") {
+    val (f, _) = fact("jdbcdim")
+    val url = s"jdbc:derby:${scratchDir("jpderby").getAbsolutePath}/db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE dim (k BIGINT)")
+      st.execute("INSERT INTO dim VALUES (5), (790)")
+      st.close()
+    } finally c.close()
+    val dim = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "dim").load()
+    val q = f.join(dim, f("id") === dim("K"))
+    reports(q) shouldBe empty // JDBCRelation is not a snapshot source
+    q.count() shouldBe 2
+  }
+
   test("SQL surface: a star-shape SELECT over the catalog table prunes " +
     "the fact listing and hash-matches the unpruned answer") {
     val spec = ObjectStoreSpec(path = scratchDir("sqlstar").getAbsolutePath,
