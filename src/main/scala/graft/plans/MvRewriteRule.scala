@@ -34,8 +34,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - FRESHNESS: registration pins every base table's committed version;
   *     the rule re-reads the lakes' current committed versions at plan
   *     time and refuses if ANY base moved — a stale snapshot is never
-  *     substituted. After an MV refresh, re-registering (same name) is
-  *     what re-arms the rewrite; [[register]] is idempotent by name.
+  *     substituted. A refresh re-arms the rewrite through
+  *     [[refreshed]] (or the two-phase [[beginRefresh]] /
+  *     [[completeRefresh]]): the watermark is captured BEFORE the refresh
+  *     reads base data, so concurrent appends only ever make the pin
+  *     conservative, never stale. [[register]] stays idempotent by name
+  *     for manual re-arming.
   *   - SHAPE: the snapshot read must match the subtree's output
   *     positionally in arity and exact data types. Nullability the
   *     round-trip widened (parquet reads back nullable) is restored with
@@ -51,17 +55,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object MvRewriteRule extends Rule[LogicalPlan] {
 
-  /** A registered MV: the OPTIMIZED defining plan (the canonical match
-    * target), a reader of the FINALIZED snapshot content, and the base
-    * lakes pinned by BOTH committed version and manifest file-set
-    * signature. The signature is what catches in-place appends and
-    * dynamic partition overwrites, which change a version's content
-    * WITHOUT bumping its number — data files are immutable under the
-    * commit protocol, so an identical (path, bytes, rows) set is an
-    * identical table.
+  /** A registered MV: the defining-query THUNK (re-resolved to derive the
+    * canonical match target after every refresh — a base commit repoints
+    * the catalog at a new version dir, so the optimized plan must be
+    * re-derived against the current resolution or `sameResult` can never
+    * match again), the OPTIMIZED defining plan, a reader of the FINALIZED
+    * snapshot content, and the base lakes pinned by BOTH committed
+    * version and manifest file-set signature. The signature is what
+    * catches in-place appends and dynamic partition overwrites, which
+    * change a version's content WITHOUT bumping its number — data files
+    * are immutable under the commit protocol, so an identical (path,
+    * bytes, rows) set is an identical table.
     */
-  final case class Registration(name: String, view: LogicalPlan,
-      read: () => DataFrame, bases: Seq[(ObjectStoreSpec, Int, String)])
+  final case class Registration(name: String, defining: () => DataFrame,
+      view: LogicalPlan, read: () => DataFrame,
+      bases: Seq[(ObjectStoreSpec, Int, String)])
+
+  /** A captured freshness watermark — see [[beginRefresh]]. */
+  type Pin = Seq[(ObjectStoreSpec, Int, String)]
 
   private val registry = new ConcurrentHashMap[String, Registration]()
 
@@ -73,16 +84,32 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** Register (or re-register after a refresh — idempotent by name) an MV.
-    * `defining` is the view's defining query over the base tables;
-    * `read` must produce the FINALIZED snapshot content with the same
-    * columns, positionally; `bases` are the versioned lakes the snapshot
-    * was refreshed against — their CURRENT committed versions are pinned
-    * as the freshness watermark, so call this only when the snapshot is
-    * in fact current.
+    * `defining` is a THUNK of the view's defining query over the base
+    * tables (a thunk, not a plan, so [[completeRefresh]] can re-resolve it
+    * against the catalog's current version dirs); `read` must produce the
+    * FINALIZED snapshot content with the same columns, positionally;
+    * `bases` are the versioned lakes the snapshot was refreshed against —
+    * their CURRENT committed versions are pinned as the freshness
+    * watermark, so call this only when the snapshot is in fact current.
+    */
+  def register(name: String, defining: () => DataFrame,
+      read: () => DataFrame, bases: Seq[ObjectStoreSpec]): Unit = {
+    val pinned = pinBases(name, bases)
+    val view = withGuard(defining().queryExecution.optimizedPlan)
+    registry.put(name, Registration(name, defining, view, read, pinned)): Unit
+  }
+
+  /** Materialized-plan convenience overload — refresh re-arming
+    * ([[completeRefresh]]) will then keep refusing (a captured DataFrame
+    * can't be re-resolved), so long-lived MVs should pass the thunk form.
     */
   def register(name: String, defining: DataFrame, read: () => DataFrame,
-      bases: Seq[ObjectStoreSpec]): Unit = {
-    val pinned = bases.map { s =>
+      bases: Seq[ObjectStoreSpec]): Unit =
+    register(name, () => defining, read, bases)
+
+  private def pinBases(name: String,
+      bases: Seq[ObjectStoreSpec]): Pin =
+    bases.map { s =>
       val snaps = ObjectStoreSink.snapshots(s)
       require(snaps.nonEmpty,
         s"MV '$name': base ${s.database}.${s.table} has no committed version")
@@ -92,8 +119,48 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           s"${last.version} has no readable manifest"))
       (s, last.version, sig)
     }
-    val view = withGuard(defining.queryExecution.optimizedPlan)
-    registry.put(name, Registration(name, view, read, pinned)): Unit
+
+  /** Capture the registered bases' CURRENT committed versions as the
+    * watermark an in-flight refresh will re-arm with. MUST be called
+    * BEFORE the refresh body reads any base data — then a concurrent
+    * append can only land AFTER the capture, the refreshed snapshot
+    * reflects at-least the captured content, and a query-time base
+    * version NEWER than the pin refuses (conservative, never stale).
+    * Capturing after the read would invert that: the pin could claim a
+    * version whose late-arriving files the snapshot never saw.
+    */
+  def beginRefresh(name: String): Pin = {
+    val r = Option(registry.get(name)).getOrElse(throw new NoSuchElementException(
+      s"MV '$name' is not registered"))
+    pinBases(name, r.bases.map(_._1))
+  }
+
+  /** Re-arm the rewrite after a successful refresh: swap in the pin
+    * captured by [[beginRefresh]] and re-derive the canonical defining
+    * plan against the catalog's CURRENT resolution (the refresh commit
+    * repointed version dirs, so the old optimized plan can never
+    * `sameResult` a new query again). Call only after the refresh body
+    * committed the snapshot successfully.
+    */
+  def completeRefresh(name: String, pin: Pin): Unit =
+    Option(registry.get(name)).foreach { r =>
+      val view = withGuard(r.defining().queryExecution.optimizedPlan)
+      registry.put(name, r.copy(view = view, bases = pin)): Unit
+    }
+
+  /** Refresh-and-re-arm sugar: capture the watermark, run the caller's
+    * refresh body (which must bring the snapshot up to date with
+    * everything committed at capture time — reading the bases' live
+    * state inside the body satisfies that), then re-arm. The rewrite
+    * never lapses across refreshes and never fires stale: an append
+    * landing mid-body leaves the query-time version ahead of the pin,
+    * which refuses until the next refresh.
+    */
+  def refreshed[T](name: String)(body: => T): T = {
+    val pin = beginRefresh(name)
+    val out = body
+    completeRefresh(name, pin)
+    out
   }
 
   def deregister(name: String): Unit = registry.remove(name): Unit

@@ -574,6 +574,84 @@ object Stats {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- MV rewrite across a refresh cycle: stale refusal + auto re-arm --
+    // The full lifecycle the repeated-dashboard path lives through at
+    // 100 TB: (1) the rewrite fires from the registered snapshot; (2) an
+    // append moves the base WITHOUT a refresh — the SAME SQL must fall
+    // back to the base scan (stale snapshots are never substituted,
+    // plan-REQUIREd); (3) the refresh runs inside MvRewriteRule.refreshed
+    // {...} — NO manual re-register — which captures the freshness
+    // watermark BEFORE the refresh reads, re-derives the canonical plan
+    // against the new base resolution, and re-arms: the SAME SQL rewrites
+    // again (plan-REQUIREd). The oracle recomputes the post-append
+    // aggregate from the raw rows — both the refusal path and the
+    // re-armed path must be invisible to results.
+    QueryDef(
+      "q_mv_rewrite_refresh",
+      (s, d) => {
+        val baseSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvrr"),
+          database = "graft_ops", table = "mvrr_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val fq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem"), baseSpec)
+        val defSql =
+          s"""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM $fq GROUP BY l_returnflag""".stripMargin
+        val mvSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvrr-mv"),
+          database = "graft_ops", table = "mvrr_mv",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val mvFq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          s.sql(defSql), mvSpec)
+        graft.GraftExtensions.register(s)
+        def roots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.map(_.toString)
+                case _ => Seq("<non-fs>")
+              }
+          }.flatten
+        graft.plans.MvRewriteRule.register("q_mv_rewrite_refresh_mv",
+          () => s.sql(defSql), () => s.table(mvFq), Seq(baseSpec))
+        try {
+          val q1 = roots(s.sql(defSql))
+          require(q1.nonEmpty && q1.forall(_.contains("/mvrr_mv/")),
+            s"initial rewrite did not fire: $q1")
+          // base moves on (a fifth of the rows appended again); the stale
+          // snapshot must REFUSE — the query falls back to the base scan
+          graft.sinks.ObjectStoreSink.replaceTable(s,
+            s.table(fq).unionAll(
+              t(s, d, "lineitem").where(col("l_orderkey") % 5 === 0)),
+            baseSpec)
+          val q2 = roots(s.sql(defSql))
+          require(q2.nonEmpty && q2.forall(_.contains("/mvrr_li/")),
+            s"stale MV snapshot was substituted after a base append: $q2")
+          // refresh inside refreshed{} — no manual re-register anywhere —
+          // and the SAME SQL answers from the snapshot again
+          graft.plans.MvRewriteRule.refreshed("q_mv_rewrite_refresh_mv") {
+            graft.sinks.ObjectStoreSink.replaceTable(s, s.sql(defSql), mvSpec)
+          }
+          val df = s.sql(defSql + " ORDER BY l_returnflag")
+          val q3 = roots(df)
+          require(q3.nonEmpty && q3.forall(_.contains("/mvrr_mv/")),
+            s"refresh did not re-arm the rewrite: $q3")
+          df
+        } finally graft.plans.MvRewriteRule.deregister("q_mv_rewrite_refresh_mv")
+      },
+      Some("""WITH base AS (SELECT * FROM lineitem
+             |              UNION ALL
+             |              SELECT * FROM lineitem WHERE l_orderkey % 5 = 0)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM base
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- SQL maintenance surface ----------------------------------------
     // The lakehouse operator verbs as PLAIN SQL (the reference's warehouse
     // exposed the same: Athena Iceberg OPTIMIZE/VACUUM) — parsed by

@@ -121,4 +121,27 @@ object MvRefreshStream {
       .trigger(trigger)
       .start()
   }
+
+  /** Drain everything currently available and re-arm the MV rewrite seam
+    * ([[graft.plans.MvRewriteRule]]) for `mvName` when the drain commits
+    * cleanly. Ordering is what makes the re-arm sound: the freshness
+    * watermark is captured BEFORE the AvailableNow drain starts, the
+    * drain applies at-least everything committed at capture time (the
+    * trigger snapshots availability at start, start > capture), so the
+    * refreshed snapshot can only be AHEAD of the pin — and a base append
+    * landing mid-drain leaves the query-time version ahead of the pin,
+    * which refuses until the next drain. A mid-flight trigger (the
+    * always-on processing-time form) has no such quiesce point; its
+    * operator re-arms at an explicit drain instead, which is why this is
+    * a separate entry point and not a flag on [[start]].
+    */
+  def refreshAndRearm(spark: SparkSession, src: DataFrame,
+      spec: ObjectStoreSpec, aspec: IncrementalAgg.Spec, checkpoint: String,
+      mvName: String, appId: Option[String] = None): Unit = {
+    val pin = graft.plans.MvRewriteRule.beginRefresh(mvName)
+    val q = start(spark, src, spec, aspec, checkpoint,
+      Trigger.AvailableNow(), appId)
+    q.awaitTermination()
+    graft.plans.MvRewriteRule.completeRefresh(mvName, pin)
+  }
 }

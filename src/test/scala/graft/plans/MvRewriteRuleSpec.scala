@@ -126,6 +126,65 @@ class MvRewriteRuleSpec extends SparkSpec {
     } finally MvRewriteRule.deregister("mv_append")
   }
 
+  test("refreshed{} re-arms the rewrite with NO manual re-register: stale " +
+    "refusal in between, snapshot answers again after, exactness " +
+    "throughout") {
+    val (baseSpec, fq) = commitBase("rearm", Seq(("a", 1L), ("b", 2L)))
+    val mvSpec = ObjectStoreSpec(path = scratchDir("rearmmv").getAbsolutePath,
+      database = "graft_mvr_rearm", table = "mv")
+    val mvFq = ObjectStoreSink.replaceTable(spark,
+      spark.sql(defSql(fq)), mvSpec)
+    // thunk registration: the canonical plan can be re-derived per refresh
+    MvRewriteRule.register("mv_rearm", () => spark.sql(defSql(fq)),
+      () => spark.table(mvFq), Seq(baseSpec))
+    try {
+      scans(spark.sql(defSql(fq))).head should include("/mv/")
+      // base moves on: the rewrite must refuse until a refresh lands
+      ObjectStoreSink.replaceTable(spark,
+        Seq(("a", 10L), ("c", 30L)).toDF("k", "v").repartition(2), baseSpec)
+      scans(spark.sql(defSql(fq))).head should include("/base/")
+      // the refresh path re-arms by itself — no register call anywhere
+      MvRewriteRule.refreshed("mv_rearm") {
+        ObjectStoreSink.replaceTable(spark, spark.sql(defSql(fq)), mvSpec)
+      }
+      val q = spark.sql(defSql(fq))
+      scans(q).head should include("/mv/")
+      canon(q) shouldBe disabled(canon(spark.sql(defSql(fq))))
+      canon(q) shouldBe Seq("1|a|10", "1|c|30")
+    } finally MvRewriteRule.deregister("mv_rearm")
+  }
+
+  test("a base append racing the refresh leaves the re-armed pin BEHIND " +
+    "the current version — conservative refusal, and the next refreshed{} " +
+    "recovers") {
+    val (baseSpec, fq) = commitBase("race", Seq(("a", 1L)))
+    val mvSpec = ObjectStoreSpec(path = scratchDir("racemv").getAbsolutePath,
+      database = "graft_mvr_race", table = "mv")
+    val mvFq = ObjectStoreSink.replaceTable(spark,
+      spark.sql(defSql(fq)), mvSpec)
+    MvRewriteRule.register("mv_race", () => spark.sql(defSql(fq)),
+      () => spark.table(mvFq), Seq(baseSpec))
+    try {
+      // the watermark is captured FIRST; an append that lands before the
+      // refresh body reads is included in the snapshot but NOT in the pin
+      // — the re-armed rewrite refuses (conservative), never serves a pin
+      // it can't prove
+      val pin = MvRewriteRule.beginRefresh("mv_race")
+      ObjectStoreSink.replaceTable(spark,
+        Seq(("a", 1L), ("z", 9L)).toDF("k", "v"), baseSpec)
+      ObjectStoreSink.replaceTable(spark, spark.sql(defSql(fq)), mvSpec)
+      MvRewriteRule.completeRefresh("mv_race", pin)
+      val q = spark.sql(defSql(fq))
+      scans(q).head should include("/base/")
+      canon(q) shouldBe Seq("1|a|1", "1|z|9")
+      // a clean refresh cycle re-arms fully
+      MvRewriteRule.refreshed("mv_race") {
+        ObjectStoreSink.replaceTable(spark, spark.sql(defSql(fq)), mvSpec)
+      }
+      scans(spark.sql(defSql(fq))).head should include("/mv/")
+    } finally MvRewriteRule.deregister("mv_race")
+  }
+
   test("refusals: a semantically different query (extra WHERE), a " +
     "shape-mismatched snapshot reader, a deregistered name, the kill " +
     "switch") {

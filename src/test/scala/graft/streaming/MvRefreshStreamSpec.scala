@@ -152,6 +152,56 @@ class MvRefreshStreamSpec extends SparkSpec {
         Seq(("d", 4.0)).toDF("k", "v"), 3, spec, aspec, ckpt)
   }
 
+  test("refreshAndRearm: an AvailableNow drain re-arms the MV rewrite seam " +
+    "— stale refusal after an in-place base append, snapshot answering " +
+    "again after the drain, no manual re-register") {
+    graft.GraftExtensions.register(spark)
+    // the base versioned table IS the stream source: the file stream reads
+    // its live version dir, in-place appends surface as new source files
+    val baseSpec = freshSpec("rearmbase")
+    val fq = ObjectStoreSink.replaceTable(spark,
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").repartition(2), baseSpec)
+    val liveDir = ObjectStoreSink.snapshots(baseSpec).last.path
+    def src = spark.readStream
+      .schema(spark.read.parquet(liveDir).schema).parquet(liveDir)
+    val mvSpec = freshSpec("rearmmv")
+    val ckpt = graft.Scratch.fresh("graft-mvrs8") + "/ckpt"
+    // first drain builds the snapshot; registration then pins the bases
+    val q0 = MvRefreshStream.start(spark, src, mvSpec, aspec, ckpt)
+    q0.awaitTermination()
+    val defSql = s"SELECT k, CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) " +
+      s"AS sv, count(*) AS cnt FROM $fq GROUP BY k"
+    graft.plans.MvRewriteRule.register("mv_stream_rearm",
+      () => spark.sql(defSql),
+      () => ObjectStoreSink.readVersion(spark, mvSpec, None)
+        .select(col("k"), col("s_v").cast("double").as("sv"), col("cnt")),
+      Seq(baseSpec))
+    def roots = spark.sql(defSql).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq("<non-fs>")
+        }
+    }.flatten
+    try {
+      roots.head should include(mvSpec.table)
+      // in-place append: same version NUMBER, new files — the file-set
+      // signature pin refuses until the stream drains the delta
+      Seq(("a", 10.0)).toDF("k", "v").repartition(1)
+        .write.mode("append").insertInto(fq)
+      ObjectStoreSink.refreshManifest(spark, fq, baseSpec)
+      roots.head should include(baseSpec.table)
+      // the drain re-arms by itself
+      MvRefreshStream.refreshAndRearm(spark, src, mvSpec, aspec, ckpt,
+        "mv_stream_rearm")
+      roots.head should include(mvSpec.table)
+      // exactness: the snapshot-answered query equals the recomputed
+      // aggregate over the appended base (cols sorted: cnt|k|sv)
+      canon(spark.sql(defSql)) shouldBe Seq("1|b|2.0", "2|a|11.0")
+    } finally graft.plans.MvRewriteRule.deregister("mv_stream_rearm")
+  }
+
   test("CMS snapshot column refreshes through the stream: streamed ≡ one-shot sketch") {
     import graft.functions.CmsSketch
     val (w, dep) = (16, 2)
