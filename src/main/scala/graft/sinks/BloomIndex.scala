@@ -35,10 +35,11 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * (`spark.read … groupBy(input_file_name)`) aggregates one filter per
   * (file, column) with Spark's own distributed BloomFilterAggregate over
   * `xxhash64(col)` — the hashing convention of the engine's runtime
-  * filters. The filters land in a `_blooms.json` sidecar next to the
-  * manifest, published through the same atomic [[CommitPublisher]] seam.
-  * The sidecar is auxiliary: absence (crash between manifest and sidecar,
-  * pre-bloom versions, unsupported column type) only disables the
+  * filters. The filters land in per-column `_blooms_<col>.json` shards
+  * next to the manifest, each published through the same atomic
+  * [[CommitPublisher]] seam. The sidecar is auxiliary: absence (crash
+  * between manifest and sidecar, pre-bloom versions, unsupported column
+  * type, a budget too tight to fund useful filters) only disables the
   * optimization.
   *
   * Probe: the driver recomputes `xxhash64` of each external key — the
@@ -53,18 +54,37 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * indexed only under the default binary collation (non-binary equality
   * is not byte equality).
   *
-  * Scale stance: sidecar bytes are bounded by `maxIndexBytes` — the bit
-  * budget degrades (higher false-positive rate, weaker-but-sound pruning)
-  * rather than the sidecar growing unbounded; probing is O(files · keys)
-  * bloom tests capped by `maxProbes`, refusing (not subsetting — an
-  * absence proof must test every key) beyond it. File immutability inside
-  * a committed version dir is the versioned-table contract that makes a
-  * sidecar entry permanently valid; files the sidecar does not cover are
-  * always kept.
+  * Scale stance: the sidecar is SHARDED one file per column
+  * (`_blooms_<col>.json`) and probed lazily per column, so a 100k-file
+  * table's driver never parses filters for columns a query doesn't
+  * touch; decoded index bytes (filters + serialization headers) are HARD-
+  * capped by `maxIndexBytes` — the bit budget degrades (higher false-
+  * positive rate, weaker-but-sound pruning) down to a 1024-bit floor,
+  * below which the build REFUSES to publish at all rather than overrun
+  * the budget with useless filters (on-disk JSON carries the usual ~4/3
+  * base64 framing on top). Probing is O(files · keys) bloom tests capped
+  * by `maxProbes`, refusing (not subsetting — an absence proof must test
+  * every key) beyond it. File immutability inside a committed version dir
+  * is the versioned-table contract that makes a sidecar entry permanently
+  * valid; files the sidecar does not cover are always kept. Pre-shard
+  * monolithic `_blooms.json` sidecars keep probing unchanged.
   */
 object BloomIndex {
 
+  /** Legacy (pre-shard) monolithic sidecar — still read, never written. */
   val SidecarName = "_blooms.json"
+
+  /** Per-column shard file. Identifier-safe column names embed verbatim;
+    * anything else hashes (the shard records the true name inside).
+    */
+  def shardName(column: String): String = {
+    val safe =
+      if (column.matches("[A-Za-z0-9_]{1,64}")) column
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(column.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+    s"_blooms_$safe.json"
+  }
 
   /** `typ` is the build-side column type (Spark catalogString) — the hash
     * domain every probe key must convert to losslessly. `files` maps
@@ -73,15 +93,27 @@ object BloomIndex {
     */
   final case class ColBlooms(typ: String, files: Map[String, String])
 
+  /** One shard: `col` is the true column name ([[shardName]] may hash). */
+  final case class Shard(col: String, typ: String,
+      files: Map[String, String])
+
   final case class Sidecar(cols: Map[String, ColBlooms])
+
+  /** Decoded per-entry serialization overhead allowance (BloomFilterImpl
+    * header) budgeted alongside the bits so the cap holds inclusive of
+    * headers.
+    */
+  private val EntryOverheadBytes = 32L
 
   private implicit val formats: Formats = DefaultFormats
 
   /** Build per-file blooms for `columns` over a freshly committed version
-    * dir and publish the sidecar. Columns that don't exist, aren't
-    * soundly hashable (float/double/decimal/non-binary collation), or
-    * can't be sized (no row counts) are silently skipped — absence never
-    * breaks reads. No-op when nothing qualifies.
+    * dir and publish ONE SHARD PER COLUMN. Columns that don't exist,
+    * aren't soundly hashable (float/double/decimal/non-binary collation),
+    * or can't be sized (no row counts) are silently skipped — absence
+    * never breaks reads. No-op when nothing qualifies, INCLUDING when the
+    * byte budget cannot fund a useful (≥1024-bit) filter per (file,
+    * column) pair: the budget is a hard cap, never overrun.
     */
   def build(spark: SparkSession, versionDir: Path, fileFormat: String,
       columns: Seq[String], m: TableManifest.Manifest,
@@ -103,12 +135,14 @@ object BloomIndex {
     // BloomFilterAggregate's own item cap (runtime-filter conf default);
     // beyond it the filter saturates gracefully (higher fpp, still sound)
     val expected = math.min(expected0, 4000000L)
-    // ~16 bits/item ≈ 0.05% fpp; degrade bits (never refuse) to stay
-    // inside the sidecar budget — a coarser filter is still sound
+    // ~16 bits/item ≈ 0.05% fpp; degrade bits to stay inside the sidecar
+    // budget (a coarser filter is still sound) — down to a floor below
+    // which filters are noise: then REFUSE to build, honoring the cap
     val ideal = math.min(expected * 16L, 1L << 23)
-    val budgetBits =
-      (maxIndexBytes * 8L) / math.max(1L, m.files.size.toLong * typed.size)
-    val numBits = math.max(1024L, math.min(ideal, budgetBits))
+    val entries = math.max(1L, m.files.size.toLong * typed.size)
+    val budgetBits = (maxIndexBytes / entries - EntryOverheadBytes) * 8L
+    if (budgetBits < 1024L) return // budget can't fund useful filters
+    val numBits = math.min(ideal, budgetBits)
 
     val aggs = typed.map { case (c, _) =>
       GraftSqlBridge.column(new BloomFilterAggregate(
@@ -121,25 +155,67 @@ object BloomIndex {
     val rows = df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val enc = Base64.getEncoder
-    val cols = typed.zipWithIndex.map { case ((c, t), i) =>
+    typed.zipWithIndex.foreach { case ((c, t), i) =>
       val files = rows.flatMap { r =>
         for {
           rel <- relPath(versionDir, r.getString(0))
           bits <- Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]])
         } yield rel -> enc.encodeToString(bits)
       }.toMap
-      c -> ColBlooms(t, files)
-    }.toMap
-    TableManifest.publisher.publish(versionDir, SidecarName,
-      Serialization.writePretty(Sidecar(cols)))
+      // one atomic publish per column: a crash mid-build leaves whole-
+      // column shards, and an uncovered column simply never prunes
+      TableManifest.publisher.publish(versionDir, shardName(c),
+        Serialization.writePretty(Shard(c, t, files)))
+    }
   }
 
-  def read(versionDir: Path): Option[Sidecar] = {
+  /** One column's filters: its shard first, then the legacy monolithic
+    * sidecar — the lazy per-column read path every probe goes through.
+    */
+  def readCol(versionDir: Path, column: String): Option[ColBlooms] = {
+    val sf = versionDir.resolve(shardName(column))
+    val fromShard =
+      if (!Files.exists(sf)) None
+      else
+        try {
+          val s = JsonMethods.parse(Files.readString(sf)).extract[Shard]
+          // hashed shard names can collide across columns only by MD5
+          // collision; the recorded true name is still checked
+          if (s.col == column) Some(ColBlooms(s.typ, s.files)) else None
+        } catch { case _: Exception => None }
+    fromShard.orElse(readLegacy(versionDir).flatMap(_.cols.get(column)))
+  }
+
+  private def readLegacy(versionDir: Path): Option[Sidecar] = {
     val f = versionDir.resolve(SidecarName)
     if (!Files.exists(f)) None
     else
       try Some(JsonMethods.parse(Files.readString(f)).extract[Sidecar])
       catch { case _: Exception => None }
+  }
+
+  /** Assembled whole-index view (shards overlaid on any legacy sidecar) —
+    * introspection/testing; probes use the lazy [[readCol]].
+    */
+  def read(versionDir: Path): Option[Sidecar] = {
+    val shards =
+      try {
+        val s = Files.list(versionDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("_blooms_") &&
+              p.getFileName.toString.endsWith(".json"))
+            .flatMap(p =>
+              try Some(JsonMethods.parse(Files.readString(p)).extract[Shard])
+              catch { case _: Exception => None })
+            .map(sh => sh.col -> ColBlooms(sh.typ, sh.files))
+            .toMap
+        } finally s.close()
+      } catch { case _: Exception => Map.empty[String, ColBlooms] }
+    val legacy = readLegacy(versionDir).map(_.cols).getOrElse(Map.empty)
+    val all = legacy ++ shards
+    if (all.isEmpty) None else Some(Sidecar(all))
   }
 
   /** The subset of `files` that may hold a row with `column` equal to some
@@ -154,8 +230,7 @@ object BloomIndex {
       keys: Seq[Any], filesTotal: Int, totalBytes: Long,
       maxProbes: Long = 4000000L): Option[(Seq[FileEntry], PruneReport)] =
     for {
-      sc <- read(versionDir)
-      cb <- sc.cols.get(column)
+      cb <- readCol(versionDir, column) // lazy: only this column's shard
       nonNull = keys.filterNot(_ == null)
       if nonNull.size.toLong * files.size <= maxProbes
       hashes <- {

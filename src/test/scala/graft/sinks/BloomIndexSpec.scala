@@ -128,15 +128,79 @@ class BloomIndexSpec extends SparkSpec {
       m.files.size).where(col("k") === 77).count() shouldBe 1L
     // Long.MaxValue cannot be an int value — lossy, refuse wholesale
     BloomIndex.prune(vdir, m, "k", Seq(Long.MaxValue)) shouldBe None
-    // budget squeeze: rebuild with ~64 bytes/file — fpp degrades, the
-    // no-false-negative contract does not
+    // budget squeeze: rebuild with ~256 bytes/file (just above the
+    // 1024-bit usefulness floor) — fpp degrades, the no-false-negative
+    // contract does not
     BloomIndex.build(spark, vdir, "parquet", Seq("k"), m,
-      maxIndexBytes = 8L * 64)
+      maxIndexBytes = 8L * 256)
     for (k <- 0 until 400 by 41) {
       val (kb, _) = BloomIndex.prune(vdir, m, "k", Seq(k.toLong)).get
       ObjectStoreSink.readSubset(spark, vdir.toString, "parquet", kb,
         m.files.size).where(col("k") === k).count() shouldBe 1L
     }
+  }
+
+  test("the byte budget is a HARD cap: decoded index bytes stay within it, " +
+    "and a budget that can't fund 1024-bit filters publishes NOTHING") {
+    val spec = ObjectStoreSpec(path = scratchDir("cap").getAbsolutePath,
+      database = "graft_bloom", table = "t_cap") // no bloomColumns at commit
+    val df = (0L until 800L).map(i => (i, s"s$i")).toDF("id", "name")
+      .repartition(16, col("id"))
+    ObjectStoreSink.replaceTable(spark, df, spec)
+    val (vdir, m) = live(spec)
+    // adversarial: 16 files × 2 columns at 1 KB total → < 1024 bits each
+    // → the build REFUSES wholesale (the old floor would have published
+    // 16×2×128 B ≈ 4 KB, 4× over budget)
+    BloomIndex.build(spark, vdir, "parquet", Seq("id", "name"), m,
+      maxIndexBytes = 1024L)
+    BloomIndex.readCol(vdir, "id") shouldBe None
+    BloomIndex.readCol(vdir, "name") shouldBe None
+    java.nio.file.Files.list(vdir).filter(
+      _.getFileName.toString.startsWith("_blooms")).count() shouldBe 0L
+    // a modest budget builds, and DECODED bytes (filters + headers) stay
+    // within it even though ideal sizing would want far more
+    val budget = 16L * 2L * 200L // 6.4 KB for 32 entries
+    BloomIndex.build(spark, vdir, "parquet", Seq("id", "name"), m, budget)
+    val dec = java.util.Base64.getDecoder
+    val total = Seq("id", "name").map { c =>
+      val cb = BloomIndex.readCol(vdir, c).get
+      cb.files should have size 16
+      cb.files.values.map(b64 => dec.decode(b64).length.toLong).sum
+    }.sum
+    total should be <= budget
+    // degraded but sound: a present key still finds its row
+    val (kept, _) = BloomIndex.prune(vdir, m, "id", Seq(400L)).get
+    ObjectStoreSink.readSubset(spark, vdir.toString, "parquet", kept,
+      m.files.size).where(col("id") === 400L).count() shouldBe 1L
+  }
+
+  test("shards are per column and probed lazily; a legacy monolithic " +
+    "_blooms.json still probes unchanged") {
+    val spec = unclustered("shards", blooms = Seq("id", "name"))
+    val (vdir, m) = live(spec)
+    // one shard per column on disk
+    java.nio.file.Files.exists(
+      vdir.resolve(BloomIndex.shardName("id"))) shouldBe true
+    java.nio.file.Files.exists(
+      vdir.resolve(BloomIndex.shardName("name"))) shouldBe true
+    java.nio.file.Files.exists(
+      vdir.resolve(BloomIndex.SidecarName)) shouldBe false
+    // exotic column names get a hashed shard file, recorded true name wins
+    BloomIndex.shardName("weird col!") should fullyMatch regex
+      "_blooms_[0-9a-f]{16}\\.json".r
+    // legacy compat: rewrite the assembled view as a monolithic sidecar,
+    // drop the shards — probes must work identically through the old shape
+    val sc = BloomIndex.read(vdir).get
+    org.json4s.jackson.Serialization.writePretty(sc)(
+      org.json4s.DefaultFormats) // formats check only
+    graft.sinks.TableManifest.publisher.publish(vdir, BloomIndex.SidecarName,
+      org.json4s.jackson.Serialization.writePretty(sc)(org.json4s.DefaultFormats))
+    java.nio.file.Files.delete(vdir.resolve(BloomIndex.shardName("id")))
+    java.nio.file.Files.delete(vdir.resolve(BloomIndex.shardName("name")))
+    val (kept, rep) = BloomIndex.prune(vdir, m, "id", Seq(400L)).get
+    rep.filesSkipped should be >= 6
+    ObjectStoreSink.readSubset(spark, vdir.toString, "parquet", kept,
+      m.files.size).where(col("id") === 400L).count() shouldBe 1L
   }
 
   test("float/double/decimal columns are never indexed (bit-pattern " +
