@@ -37,16 +37,40 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(ident, _, zcols, _, target) =>
       val (db, t) = split(ident)
-      OptimizeTableCommand(db, t,
+      orDelegate(db, t, sqlText)(OptimizeTableCommand(db, t,
         Option(zcols).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
-        Option(target).map(_.toLong).getOrElse(128L << 20))
+        Option(target).map(_.toLong).getOrElse(128L << 20)))
     case VacuumRe(ident, _, keep) =>
       val (db, t) = split(ident)
-      VacuumTableCommand(db, t, Option(keep).map(_.toInt).getOrElse(2))
+      orDelegate(db, t, sqlText)(
+        VacuumTableCommand(db, t, Option(keep).map(_.toInt).getOrElse(2)))
     case SnapshotsRe(ident) =>
       val (db, t) = split(ident)
-      ShowSnapshotsCommand(db, t)
+      orDelegate(db, t, sqlText)(ShowSnapshotsCommand(db, t))
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** The maintenance command when the named table is (or could be) ours;
+    * the DELEGATE parser's plan when the table exists but provably does
+    * not follow the versioned layout — a co-installed extension owning
+    * the same verbs for its own tables must not be shadowed (r11 ADVICE).
+    * A missing table or an unprobeable state keeps OUR command, which
+    * fails loudly and informatively at run time instead of surfacing a
+    * confusing parse error.
+    */
+  private def orDelegate(db: Option[String], table: String,
+      sqlText: String)(cmd: => LogicalPlan): LogicalPlan = {
+    val foreign = SparkSession.getActiveSession.exists { s =>
+      try {
+        ObjectStoreSink.specFor(s,
+          db.getOrElse(s.catalog.currentDatabase), table)
+        false
+      } catch {
+        case _: graft.model.PipelineSpecException => true // not our layout
+        case _: Exception => false // missing table/catalog: ours, loud later
+      }
+    }
+    if (foreign) delegate.parsePlan(sqlText) else cmd
   }
 
   private def split(ident: String): (Option[String], String) =

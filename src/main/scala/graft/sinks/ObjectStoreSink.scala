@@ -260,16 +260,28 @@ object ObjectStoreSink {
     * or metadata-answer a timestamp column. Scoped, not session-global —
     * query OUTPUT files keep the session's own convention so external
     * consumers of non-table parquet see no change.
+    *
+    * The conf flip is SESSION-wide state, so the save/restore serializes
+    * through one GLOBAL lock, not the per-table commit lock: two
+    * concurrent different-table writes could otherwise interleave
+    * set/restore and leak TIMESTAMP_MICROS into the session permanently
+    * (r11 ADVICE). The cost is JVM-wide serialization of versioned-table
+    * DATA writes — acceptable because commits already serialize per
+    * table and cross-table write concurrency is bounded by the watcher
+    * pool; the commit/manifest work stays outside this lock.
     */
-  private def withTsMicros[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private val tsConvLock = new Object
+
+  private def withTsMicros[T](spark: SparkSession)(body: => T): T =
+    tsConvLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   private def schemaHash(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -483,10 +495,21 @@ object ObjectStoreSink {
       throw new graft.model.PipelineSpecException(
         s"$fq at $loc does not follow the versioned-table layout " +
           "path/database/table/v-NNNNNN — refusing maintenance")
-    val fmt = TableManifest.read(loc).toSeq
-      .flatMap(_.files.map(_.path)).headOption match {
-      case Some(p) if p.endsWith(".orc") => "orc"
-      case _ => "parquet"
+    // the manifest records the committing writer's declared format; only
+    // LEGACY manifests (pre-field) fall back to extension matching over
+    // the known formats — an unknown extension throws, never guesses
+    val manifest = TableManifest.read(loc)
+    val fmt = manifest.map(_.fileFormat).filter(_.nonEmpty).getOrElse {
+      manifest.toSeq.flatMap(_.files.map(_.path)).headOption match {
+        case Some(p) if p.endsWith(".parquet") => "parquet"
+        case Some(p) if p.endsWith(".orc") => "orc"
+        case Some(p) if p.endsWith(".csv") => "csv"
+        case Some(p) if p.endsWith(".json") => "json"
+        case Some(p) => throw new graft.model.PipelineSpecException(
+          s"$fq: cannot determine the file format of legacy-manifest data " +
+            s"file '$p' — refusing maintenance rather than guessing")
+        case None => "parquet" // empty committed table: format is moot
+      }
     }
     import spark.implicits._
     val parts = spark.catalog.listColumns(fq)

@@ -95,7 +95,11 @@ object TableManifest {
       rowCount: Long, // -1 when not derivable from metadata (non-parquet)
       schemaHash: String,
       committedAtMs: Long,
-      txn: Option[TxnStamp] = None)
+      txn: Option[TxnStamp] = None,
+      // the format the committing writer declared — what lets maintenance
+      // (specFor) recover a spec without guessing from file extensions;
+      // "" on manifests written before the field existed (json4s default)
+      fileFormat: String = "")
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -123,7 +127,7 @@ object TableManifest {
         perFile.getOrElse(rel, -1L))
     }
     val m = Manifest(entries, entries.map(_.bytes).sum, rows, schemaHash,
-      System.currentTimeMillis(), txn)
+      System.currentTimeMillis(), txn, fileFormat.toLowerCase)
     publish(versionDir, m)
     m
   }
@@ -156,7 +160,8 @@ object TableManifest {
           perFile.getOrElse(rel, -1L))
       }
       val m = old.copy(files = entries, totalBytes = entries.map(_.bytes).sum,
-        rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash))
+        rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash),
+        fileFormat = fileFormat.toLowerCase)
       publish(versionDir, m)
       m
     }

@@ -106,4 +106,52 @@ class GraftSqlParserSpec extends SparkSpec {
     an[Exception] should be thrownBy
       spark.sql("SHOW SNAPSHOTS no_such_db.no_such_table").collect()
   }
+
+  test("a registered table that does NOT follow the versioned layout falls " +
+    "through to the delegate parser — a co-installed extension owning the " +
+    "verbs is never shadowed") {
+    val dir = scratchDir("foreign").getAbsolutePath + "/plainloc"
+    ss.range(0, 10).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_foreign")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_foreign.plain")
+    spark.sql(s"CREATE TABLE graft_sqlm_foreign.plain (id BIGINT) " +
+      s"USING parquet LOCATION '$dir'")
+    // our parser declines; Spark's own parser (the delegate) rejects the
+    // unknown verb — a PARSE error, never the layout-refusal exception
+    val e = the[Exception] thrownBy
+      spark.sql("OPTIMIZE graft_sqlm_foreign.plain TARGET 1024 BYTES").collect()
+    e should not be a[graft.model.PipelineSpecException]
+    e.getClass.getName should include("ParseException")
+    // the plain table itself is untouched and still serves
+    spark.table("graft_sqlm_foreign.plain").count() shouldBe 10L
+  }
+
+  test("maintenance runs under the manifest-RECORDED file format (an orc " +
+    "table compacts as orc); legacy manifests without the field fall back " +
+    "to extension matching") {
+    val spec = ObjectStoreSpec(path = scratchDir("orcfmt").getAbsolutePath,
+      database = "graft_sqlm_orc", table = "t", fileFormat = "orc")
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, 500).toDF("id").repartition(8), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    val live = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    TableManifest.read(live).get.fileFormat shouldBe "orc"
+    val before = spark.table(fq).orderBy("id").collect()
+    val r = spark.sql(s"OPTIMIZE $fq TARGET ${64L << 20} BYTES").collect()
+    r.head.getString(0) shouldBe "compact"
+    r.head.getInt(2) should be < 8
+    spark.table(fq).orderBy("id").collect() shouldBe before
+    // legacy manifest (field absent): rewrite the live manifest JSON
+    // without fileFormat — specFor still resolves via the extension
+    val live2 = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    val mf = live2.resolve(TableManifest.ManifestName)
+    val stripped = java.nio.file.Files.readString(mf)
+      .replaceAll(",?\\s*\"fileFormat\"\\s*:\\s*\"orc\"", "")
+    java.nio.file.Files.writeString(mf, stripped)
+    TableManifest.read(live2).get.fileFormat shouldBe ""
+    ObjectStoreSink.specFor(spark, spec.database, spec.table)
+      .fileFormat shouldBe "orc"
+  }
 }
