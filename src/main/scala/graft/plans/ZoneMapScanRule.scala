@@ -131,6 +131,22 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
         inListBound(a, hset.toSeq.map(v => Literal(v, a.dataType)))
       case IsNotNull(a: AttributeReference) =>
         Some(ZoneMap.Bound(a.name, nonNull = true))
+      // IS NULL: files with a PROVEN zero null count drop — the audit
+      // sweep (`WHERE col IS NULL`) lists only files that can carry nulls
+      case IsNull(a: AttributeReference) =>
+        Some(ZoneMap.Bound(a.name, isNull = true))
+      // LIKE 'p%' arrives as StartsWith: every matching row satisfies
+      // p <= s (prefix order) and s < nextPrefix (last char bumped), so
+      // the closed [p, nextPrefix] relaxation is a sound superset. ASCII
+      // prefixes only — the manifest's string stats domain; when the last
+      // char can't bump inside ASCII, the lower bound alone still prunes.
+      case StartsWith(a: AttributeReference, Literal(v, StringType))
+          if v != null && v.toString.nonEmpty &&
+            v.toString.forall(c => c >= ' ' && c < 127) =>
+        val p = v.toString
+        val upper =
+          if (p.last < 126) Some(p.init + (p.last + 1).toChar) else None
+        Some(ZoneMap.Bound(a.name, Some(p), upper))
       case _ => None
     }
 

@@ -399,7 +399,8 @@ object ObjectStoreSink {
       val c = col(p.column)
       val d1 = p.lower.map(v => d.where(c >= lit(v))).getOrElse(d)
       val d2 = p.upper.map(v => d1.where(c <= lit(v))).getOrElse(d1)
-      if (p.nonNull) d2.where(c.isNotNull) else d2
+      val d3 = if (p.nonNull) d2.where(c.isNotNull) else d2
+      if (p.isNull) d3.where(c.isNull) else d3
     }
     (exact, report)
   }

@@ -42,10 +42,15 @@ object ZoneMap {
     * java.sql.Timestamp/Instant for "tsus"/"tsms". `nonNull` adds an
     * `IS NOT NULL` requirement, which prunes provably-all-null file
     * columns even with no range (any bounded side already implies it).
+    * `isNull` is the complementary `IS NULL` requirement: a file whose
+    * recorded null count is exactly 0 provably holds no matching row
+    * (an UNKNOWN count, -1, never prunes) — the audit-scan proof
+    * (`WHERE col IS NULL`) that turns a whole-table quality sweep into
+    * a listing of only the files that can carry nulls.
     */
   final case class Bound(column: String,
       lower: Option[Any] = None, upper: Option[Any] = None,
-      nonNull: Boolean = false)
+      nonNull: Boolean = false, isNull: Boolean = false)
 
   final case class PruneReport(filesTotal: Int, filesKept: Int,
       bytesTotal: Long, bytesKept: Long) {
@@ -70,8 +75,13 @@ object ZoneMap {
       case Some(cs) if cs.typ == "null" =>
         // a range compare against NULL is never true: any bounded
         // predicate (or an explicit IS NOT NULL requirement) is disjoint
-        // from an all-null file column
+        // from an all-null file column; an IS NULL requirement trivially
+        // matches it
         p.lower.isEmpty && p.upper.isEmpty && !p.nonNull
+      case Some(cs) if p.isNull =>
+        // IS NULL: a file with a PROVEN zero null count has no matching
+        // row; an unknown count (-1) keeps
+        cs.nulls != 0L
       case Some(cs) => !disjoint(cs, p)
     }
 

@@ -227,6 +227,39 @@ class ZoneMapScanRuleSpec extends SparkSpec {
       spark.sql(s"SELECT id FROM $fq2 WHERE id = 400")) shouldBe empty
   }
 
+  test("IS NULL prunes provably null-free files (zero recorded nulls); " +
+    "LIKE 'prefix%' relaxes to the sound [prefix, bumped) range; non-ASCII " +
+    "prefixes refuse") {
+    val spec = ObjectStoreSpec(path = scratchDir("isnull").getAbsolutePath,
+      database = "graft_zsr_isnull", table = "t")
+    // nulls concentrate in the LOW id band; clustering on id makes most
+    // files provably null-free (nulls == 0 in their footers)
+    val df = ss.range(0, 400).toDF("id")
+      .withColumn("nv", when(col("id") < 50, lit(null).cast("string"))
+        .otherwise(concat(lit("k"), col("id"))))
+      .withColumn("name", concat(lit("row-"), format_string("%04d", col("id"))))
+      .repartitionByRange(8, col("id"))
+    val fq = ObjectStoreSink.replaceTable(spark, df, spec)
+    val qn = spark.sql(s"SELECT id FROM $fq WHERE nv IS NULL")
+    val rep = pruneReports(qn).head
+    rep.filesKept should be < rep.filesTotal
+    qn.as[Long].collect().sorted shouldBe (0L until 50L).toArray
+    // prefix scan over the co-clustered name column
+    val qp = spark.sql(s"SELECT id FROM $fq WHERE name LIKE 'row-01%'")
+    pruneReports(qp).head.filesKept should be <
+      pruneReports(qp).head.filesTotal
+    qp.as[Long].collect().sorted shouldBe (100L until 200L).toArray
+    // a prefix ABOVE every recorded max: the lower bound alone proves
+    // every file disjoint (the '~' last char takes the no-upper path)
+    val qh = spark.sql(s"SELECT id FROM $fq WHERE name LIKE 'row~%'")
+    pruneReports(qh).head.filesKept shouldBe 0
+    qh.collect() shouldBe empty
+    // non-ASCII prefix: no sound compare against ASCII-only stats — the
+    // conjunct carries no bound and the scan stays unpruned
+    pruneReports(spark.sql(
+      s"SELECT id FROM $fq WHERE name LIKE 'ré%'")) shouldBe empty
+  }
+
   test("spark.graft.zoneMapScan.enabled=false disables the seam (answers " +
     "stay correct through the full listing) and re-enabling restores it") {
     val (fq, df) = ranged("kill")
