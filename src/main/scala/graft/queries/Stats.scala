@@ -357,6 +357,20 @@ object Stats {
           .getAs[java.time.LocalDateTime](0)
         val cut = java.time.format.DateTimeFormatter
           .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS").format(mn.plusDays(30))
+        // the dim is COMMITTED as its own (tiny) versioned table — the
+        // realistic star shape, and the scan's plan stats then reflect its
+        // ACTUAL bytes at every scale factor (a dim derived inline from
+        // the fact inherits the fact's un-reduced size estimate under
+        // non-CBO stats, tripping the smallness gate as the fact grows)
+        val dimSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-joinprune-mk-dim"),
+          database = "graft_ops", table = "jp3_dim",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s, s.sql(
+          s"""SELECT DISTINCT l_partkey AS pk, l_shipdate AS sd
+             |FROM jp3_src
+             |WHERE l_shipdate <= TIMESTAMP '$cut'
+             |  AND l_suppkey = 0""".stripMargin), dimSpec)
         graft.GraftExtensions.register(s)
         s.conf.set("spark.graft.joinPrune.minFactBytes", "0")
         try {
@@ -365,10 +379,7 @@ object Stats {
                |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
                |    AS sum_qty
                |FROM graft_ops.jp3_li f
-               |JOIN (SELECT DISTINCT l_partkey AS pk, l_shipdate AS sd
-               |      FROM jp3_src
-               |      WHERE l_shipdate <= TIMESTAMP '$cut'
-               |        AND l_suppkey = 0) d
+               |JOIN graft_ops.jp3_dim d
                |  ON f.l_partkey = d.pk AND f.l_shipdate = d.sd
                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
           val reports = df.queryExecution.optimizedPlan.collect {

@@ -40,7 +40,8 @@ for fam in $fams; do
         SPARK_GRAFT_ONLY="${FAM[$fam]}" SPARK_GRAFT_BENCH_OUT="$out" \
       java $OPENS -Xmx8g -Dspark.ui.enabled=false \
         -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
-        2>/dev/null | tail -1
+        2>/dev/null | tail -1 || true # a failed query still writes the
+        # artifact; scale_report's provenance gate judges it below
     args="$args $f:$out"
   done
   python3 tools/scale_report.py "BENCH_SCALE_${fam}.json" $args \
