@@ -24,10 +24,14 @@ import org.apache.spark.sql.types._
   * bound, nothing provably skippable) degrades to the unmodified plan.
   * Bound extraction is conservative: only direct `attr (cmp) literal`
   * conjuncts (=, <=>, <, <=, >, >=, literal IN-lists relaxed to their
-  * [min, max], IS NOT NULL) in losslessly-convertible domains become
-  * bounds; strict comparisons weaken to closed bounds (a superset —
-  * sound); anything else (casts, functions, disjunctions) is ignored
-  * rather than approximated.
+  * [min, max], IS [NOT] NULL, LIKE-prefix) in losslessly-convertible
+  * domains become bounds; strict comparisons weaken to closed bounds (a
+  * superset — sound). DISJUNCTIONS prune through per-file may-match
+  * trees: a file drops only when EVERY Or-branch is provably disjoint
+  * from it (`lo1..hi1 OR lo2..hi2` skips the files between the bands —
+  * the row-group-filter semantics Parquet applies inside a file, lifted
+  * to the listing). Anything else (casts, functions) is ignored rather
+  * than approximated.
   *
   * At 100 TB the win is the same as Delta/Iceberg data skipping: the
   * driver drops files in O(files) metadata work instead of scheduling a
@@ -58,7 +62,12 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
         conjuncts = splitConjunctivePredicates(cond)
         preds = extractBounds(conjuncts)
         keySets = extractKeySets(conjuncts)
-        if preds.nonEmpty || keySets.nonEmpty
+        // disjunctive conjuncts (`a BETWEEN .. OR a BETWEEN ..`, cross-
+        // column ORs) become per-file may-match TREES: a file drops only
+        // when EVERY Or-branch is provably disjoint from it
+        orTrees = conjuncts.collect { case o: Or => mayTree(o) }
+          .filter(canProve)
+        if preds.nonEmpty || keySets.nonEmpty || orTrees.nonEmpty
         idx <- {
           val (kept0, rep0) = ZoneMap.prune(m, preds)
           // equality/IN conjuncts additionally probe the per-file bloom
@@ -67,12 +76,16 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
           // predicate. Each key set refines independently (conjunct
           // semantics: a surviving file must pass every probe).
           val totalBytes = m.files.map(_.bytes).sum
-          val (kept, rep) = keySets.foldLeft((kept0, rep0)) {
+          val (kept1, _) = keySets.foldLeft((kept0, rep0)) {
             case ((k, r), (c, ks)) =>
               graft.sinks.BloomIndex
                 .pruneAmong(root, k, c, ks, m.files.size, totalBytes)
                 .getOrElse((k, r))
           }
+          val kept = kept1.filter(fe =>
+            orTrees.forall(t => mayMatchTree(t, fe)))
+          val rep = ZoneMap.PruneReport(m.files.size, kept.size,
+            totalBytes, kept.map(_.bytes).sum)
           if (rep.filesSkipped == 0) None // nothing provable — don't touch
           else {
             val keep = kept
@@ -83,6 +96,44 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
       } yield Filter(cond,
         l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
     case _ => None
+  }
+
+  /** Per-file may-match tree for arbitrary And/Or predicate shapes — the
+    * row-group-filter generalization of the conjunct-only path. Leaves
+    * reuse [[extractBounds]]' single-expression shapes; anything
+    * unconvertible becomes [[MayUnknown]] (always matches — sound).
+    */
+  private sealed trait MayTree
+  private case object MayUnknown extends MayTree
+  private final case class MayLeaf(b: ZoneMap.Bound) extends MayTree
+  private final case class MayAll(cs: Seq[MayTree]) extends MayTree
+  private final case class MayAny(cs: Seq[MayTree]) extends MayTree
+
+  private def mayTree(e: Expression): MayTree = e match {
+    case And(a, b) => MayAll(Seq(mayTree(a), mayTree(b)))
+    case Or(a, b) => MayAny(Seq(mayTree(a), mayTree(b)))
+    case other => extractBounds(Seq(other)) match {
+      case Seq(b) => MayLeaf(b)
+      case _ => MayUnknown
+    }
+  }
+
+  /** A tree that can never prove a skip (an Or with ANY unknown branch,
+    * an And of unknowns) isn't worth evaluating per file.
+    */
+  private def canProve(t: MayTree): Boolean = t match {
+    case MayUnknown => false
+    case _: MayLeaf => true
+    case MayAll(cs) => cs.exists(canProve)
+    case MayAny(cs) => cs.forall(canProve)
+  }
+
+  private def mayMatchTree(t: MayTree,
+      fe: graft.sinks.TableManifest.FileEntry): Boolean = t match {
+    case MayUnknown => true
+    case MayLeaf(b) => ZoneMap.mayMatch(fe, b)
+    case MayAll(cs) => cs.forall(mayMatchTree(_, fe))
+    case MayAny(cs) => cs.exists(mayMatchTree(_, fe))
   }
 
   /** Conjuncts of the shape `attr (cmp) literal` become [[ZoneMap.Bound]]s.

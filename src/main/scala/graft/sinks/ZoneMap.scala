@@ -68,8 +68,12 @@ object ZoneMap {
       m.files.map(_.bytes).sum, kept.map(_.bytes).sum))
   }
 
-  /** False only when the file's stats PROVE no row satisfies `p`. */
-  private def mayMatch(fe: FileEntry, p: Bound): Boolean =
+  /** False only when the file's stats PROVE no row satisfies `p` — the
+    * per-file primitive [[prune]] folds over, public so predicate-TREE
+    * pruning (disjunctions in [[graft.plans.ZoneMapScanRule]]) can
+    * evaluate arbitrary And/Or shapes file-by-file on the same proof.
+    */
+  def mayMatch(fe: FileEntry, p: Bound): Boolean =
     fe.stats.flatMap(_.get(p.column)) match {
       case None => true // no stats → unknowable → keep
       case Some(cs) if cs.typ == "null" =>

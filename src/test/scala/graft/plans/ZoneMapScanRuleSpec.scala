@@ -78,12 +78,9 @@ class ZoneMapScanRuleSpec extends SparkSpec {
       df.where(col("id") >= 380 && col("id") % 7 === 3).select("id"))
   }
 
-  test("refusals: disjunctions extract no bounds, foreign files break " +
-    "evidence, non-manifest dirs never rewrite — results stay correct") {
+  test("refusals: foreign files break evidence, non-manifest dirs never " +
+    "rewrite — results stay correct") {
     val (fq, df) = ranged("refuse")
-    val or = spark.sql(s"SELECT id FROM $fq WHERE id < 10 OR id > 390")
-    pruneReports(or) shouldBe empty
-    or.count() shouldBe 19
     // foreign file: evidence identity breaks, no prune, rows visible
     val vdir = java.nio.file.Paths.get(new java.net.URI(
       spark.table(fq).inputFiles.head)).getParent
@@ -225,6 +222,35 @@ class ZoneMapScanRuleSpec extends SparkSpec {
     val (fq2, _) = mk("nobloomsql", Nil)
     pruneReports(
       spark.sql(s"SELECT id FROM $fq2 WHERE id = 400")) shouldBe empty
+  }
+
+  test("disjunctions prune through per-file may-match trees: a two-band " +
+    "OR drops the middle files; an unprovable branch keeps everything; " +
+    "nested AND-inside-OR composes") {
+    val (fq, df) = ranged("ortree")
+    // two narrow bands at opposite ends: neither conjunct path nor an
+    // IN-list rewrite covers this shape — only the Or tree can skip the
+    // middle six files
+    val or = spark.sql(
+      s"SELECT id FROM $fq WHERE id < 10 OR id > 390")
+    val rep = pruneReports(or).head
+    rep.filesTotal shouldBe 8
+    rep.filesKept should be <= 2
+    or.as[Long].collect().sorted shouldBe
+      ((0L until 10L) ++ (391L until 400L)).toArray
+    // cross-column OR with a provable second branch
+    val cross = spark.sql(
+      s"SELECT id FROM $fq WHERE (id < 10 AND v >= 0.0) OR id > 390")
+    pruneReports(cross).head.filesKept should be <= 2
+    canon(cross) shouldBe canon(
+      df.where((col("id") < 10 && col("v") >= 0.0) || col("id") > 390)
+        .select("id"))
+    // an Or with an unprovable branch can never prove a skip: no rewrite
+    val unprovable = spark.sql(
+      s"SELECT id FROM $fq WHERE id < 10 OR (id % 7) = 3")
+    pruneReports(unprovable) shouldBe empty
+    canon(unprovable) shouldBe canon(
+      df.where(col("id") < 10 || col("id") % 7 === 3).select("id"))
   }
 
   test("IS NULL prunes provably null-free files (zero recorded nulls); " +

@@ -23,6 +23,7 @@ declare -A FAM
 FAM[R12A]="q_meta_agg_filtered q_join_prune_multikey q_mv_rewrite_refresh"
 FAM[R12J]="q_sql_maintenance"
 FAM[R12C]="q_asof_join q_asof_forward q_asof_tolerance q_attribution q_events_funnel q_events_hourly q_events_pivot q_events_sessionize q_chunk_windows q_cast_schema"
+FAM[R12F]="q_zonemap_or"
 FAM[R12H]="q_bloom_prune q_bloom_sql"
 FAM[R12E]="q_zonemap_isnull q_zonemap_prefix q_domain_mix q_domain_quota q_corpus_report q_dq_report q_dq_regex q_events_json q_fuzz_12 q_fuzz_18 q_fuzz_25 q_fuzz_27"
 FAM[R12D]="q_cms_sketch q_cms_by_source q_cms_heavy q_embed_stats q_embed_quantize q_embed_neardup q_dedup_exact q_dup_spans q_fingerprint_winnow q_distinct q1_agg q_agg_global"
@@ -32,7 +33,7 @@ DIRS[x1]="/root/testdata/sf0.1"
 DIRS[x3]="target/scale/x3"
 DIRS[x10]="target/scale/x10"
 
-fams=${*:-"R12A R12J R12C R12D R12E R12H"}
+fams=${*:-"R12A R12J R12C R12D R12E R12F R12H"}
 for fam in $fams; do
   args=""
   for f in x1 x3 x10; do
