@@ -110,7 +110,16 @@ final case class PipelineSpec(
   }
 }
 
-final class PipelineSpecException(msg: String) extends RuntimeException(msg)
+class PipelineSpecException(msg: String) extends RuntimeException(msg)
+
+/** The specific spec failure "this catalog table provably does not follow
+  * the versioned-table layout" — the ONLY condition under which the SQL
+  * dialect's verbs delegate to the next parser (a co-installed extension
+  * may own the table). Every other [[PipelineSpecException]] (legacy
+  * manifest with an unrecognizable file format, …) stays OURS and fails
+  * loudly at run time instead of surfacing a foreign parse error.
+  */
+final class TableLayoutException(msg: String) extends PipelineSpecException(msg)
 
 final case class FieldSpec(name: String, `type`: String) {
   def normalized: FieldSpec =

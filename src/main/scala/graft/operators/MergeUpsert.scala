@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join-based MERGE upsert: matched rows take the source's values, unmatched
@@ -50,5 +50,83 @@ object MergeUpsert {
   def viaAnti(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val sKeys = broadcast(source.select(keys.map(col).toIndexedSeq: _*).distinct())
     target.join(sKeys, keys, "left_anti").unionByName(source)
+  }
+
+  /** SQL `MERGE INTO` semantics (ANSI / the reference's generated shape,
+    * IcebergUtil.scala:124-157): matched target rows take the UPDATE SET
+    * assignments (a NULL source attribute OVERWRITES — unlike [[apply]]'s
+    * coalesce resolve), unmatched source rows insert per the INSERT
+    * clause, unmatched target rows carry over. Equality on the ON keys is
+    * SQL equality: a NULL key never matches (both sides' NULL-key rows
+    * survive/insert independently).
+    *
+    * `keys` are the ON equi-conjuncts as (targetCol, sourceCol); `setExprs`
+    * maps a target column to its matched-row value (columns absent keep
+    * the target's value; pass every column ↦ `s.col` for `UPDATE SET *`);
+    * `insertExprs` maps a target column to its not-matched value (absent
+    * columns insert NULL; every column ↦ `s.col` is `INSERT *`). Values
+    * are cast to the target column's type — the MERGE contract that the
+    * table schema never drifts.
+    *
+    * Standard-SQL cardinality: a target row matched by MORE THAN ONE
+    * source row is an error, enforced by [[requireSingleMatch]] (one
+    * source-sized aggregation in the happy path — the precise
+    * target-probing check runs only when the source actually has
+    * duplicate key tuples).
+    *
+    * Scale: one equi-join hashed on the ON keys (AQE broadcasts a small
+    * source), plus the source-sized cardinality aggregation. The 100 TB
+    * target shuffles at most once; with a broadcast source it never does.
+    */
+  def sqlMerge(target: DataFrame, source: DataFrame,
+      tAlias: String, sAlias: String, keys: Seq[(String, String)],
+      setExprs: Map[String, Column], insertExprs: Map[String, Column]): DataFrame = {
+    require(keys.nonEmpty, "MERGE requires at least one ON equi-key")
+    requireSingleMatch(target, source, keys)
+    val tm = "_graft_merge_t"
+    val sm = "_graft_merge_s"
+    val t = target.withColumn(tm, lit(true)).alias(tAlias)
+    val s = source.withColumn(sm, lit(true)).alias(sAlias)
+    val cond = keys.map { case (tk, sk) =>
+      col(s"$tAlias.$tk") === col(s"$sAlias.$sk") }.reduce(_ && _)
+    val matched = col(s"$tAlias.$tm").isNotNull && col(s"$sAlias.$sm").isNotNull
+    val srcOnly = col(s"$tAlias.$tm").isNull
+    val out = target.schema.fields.map { f =>
+      val keep = col(s"$tAlias.${f.name}")
+      when(matched, setExprs.getOrElse(f.name, keep))
+        .when(srcOnly, insertExprs.getOrElse(f.name, lit(null)))
+        .otherwise(keep)
+        .cast(f.dataType).as(f.name)
+    }
+    t.join(s, cond, "full_outer").select(out.toIndexedSeq: _*)
+  }
+
+  /** ANSI MERGE cardinality guard: error when any target row would be
+    * matched by more than one source row. Cheap-first: duplicate key
+    * tuples in the SOURCE are a necessary condition (with equi-ON), so the
+    * happy path costs one source-sized aggregation; only a source that
+    * actually carries duplicates pays the precise probe against the
+    * target (duplicate source keys that match NO target row are legal —
+    * they simply insert multiple rows, as SQL specifies). NULL source
+    * keys never match, so they are exempt.
+    */
+  private def requireSingleMatch(target: DataFrame, source: DataFrame,
+      keys: Seq[(String, String)]): Unit = {
+    val sCols = keys.map(_._2)
+    val dups = source
+      .na.drop(sCols) // NULL keys never match — exempt from the guard
+      .groupBy(sCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("_graft_merge_n"))
+      .filter(col("_graft_merge_n") > 1).drop("_graft_merge_n")
+    if (dups.limit(1).count() == 0) return
+    val joinCond = keys.map { case (tk, sk) =>
+      col(s"_mt.$tk") === col(s"_md.$sk") }.reduce(_ && _)
+    val clash = target.alias("_mt")
+      .join(broadcast(dups.alias("_md")), joinCond, "left_semi")
+      .limit(1).count()
+    if (clash > 0) throw new IllegalStateException(
+      "MERGE cardinality violation: a target row is matched by more than " +
+        s"one source row on keys ${keys.map(_._2).mkString(", ")} — ANSI " +
+        "MERGE requires at most one match per target row")
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.nio.file.Paths
 
-import graft.operators.{Compaction, Vacuum, ZOrder}
+import graft.operators.{Compaction, MergeUpsert, Vacuum, ZOrder}
 import graft.sinks.{ObjectStoreSink, TableManifest}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
@@ -21,6 +21,18 @@ import org.apache.spark.sql.types._
   *   OPTIMIZE <db.table> [ZORDER BY (c1, c2, …)] [TARGET <n> BYTES]
   *   VACUUM <db.table> [KEEP <n>]
   *   SHOW SNAPSHOTS <db.table>
+  *   MERGE INTO <db.table> [AS] t USING <src> [AS] s ON (t.k = s.k [AND …])
+  *     WHEN MATCHED THEN UPDATE SET * | c1 = expr1, …
+  *     WHEN NOT MATCHED THEN INSERT * | (c1, …) VALUES (expr1, …)
+  *   DELETE FROM <db.table> [WHERE <pred>]
+  *
+  * The DML verbs are the reference's user-facing upsert surface verbatim
+  * (it GENERATED this MERGE/DELETE dialect and shipped it to Athena
+  * Iceberg — IcebergUtil.scala:124-157 buildMergeIntoSql, :90-103
+  * deleteData); here they compile onto [[graft.operators.MergeUpsert
+  * .sqlMerge]] + the versioned-dir commit protocol, CAS-pinned on the
+  * snapshot they read so a concurrent writer aborts the merge instead of
+  * being silently overwritten.
   *
   * Everything else — including any parse ambiguity — falls through to the
   * delegate parser verbatim, so the dialect is purely additive. Commands
@@ -47,14 +59,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case SnapshotsRe(ident) =>
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(ShowSnapshotsCommand(db, t))
+    case MergeRe(ident, tAlias, src, sAlias, on, set, insert) =>
+      val (db, t) = split(ident)
+      orDelegate(db, t, sqlText)(MergeIntoCommand(db, t,
+        Option(tAlias).getOrElse(t), src,
+        Option(sAlias).getOrElse(src.split('.').last), on, set, insert))
+    case DeleteRe(ident, _, where) =>
+      val (db, t) = split(ident)
+      orDelegate(db, t, sqlText)(DeleteFromCommand(db, t, Option(where)))
     case _ => delegate.parsePlan(sqlText)
   }
 
-  /** The maintenance command when the named table is (or could be) ours;
-    * the DELEGATE parser's plan when the table exists but provably does
-    * not follow the versioned layout — a co-installed extension owning
-    * the same verbs for its own tables must not be shadowed (r11 ADVICE).
-    * A missing table or an unprobeable state keeps OUR command, which
+  /** The maintenance/DML command when the named table is (or could be)
+    * ours; the DELEGATE parser's plan when the table exists but provably
+    * does not follow the versioned layout — a co-installed extension
+    * owning the same verbs for its own tables must not be shadowed (r11
+    * ADVICE). ONLY the layout refusal ([[graft.model.TableLayoutException]])
+    * delegates: any other spec failure (e.g. a legacy manifest whose file
+    * format can't be recovered) is a GRAFT table in a bad state, and the
+    * user deserves that error — not a foreign parser's (r12 ADVICE). A
+    * missing table or an unprobeable state also keeps OUR command, which
     * fails loudly and informatively at run time instead of surfacing a
     * confusing parse error.
     */
@@ -66,8 +90,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           db.getOrElse(s.catalog.currentDatabase), table)
         false
       } catch {
-        case _: graft.model.PipelineSpecException => true // not our layout
-        case _: Exception => false // missing table/catalog: ours, loud later
+        case _: graft.model.TableLayoutException => true // not our layout
+        case _: Exception => false // missing table / graft-table-in-bad-
+          // state / catalog trouble: ours, loud later
       }
     }
     if (foreign) delegate.parsePlan(sqlText) else cmd
@@ -118,6 +143,18 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+""" + Ident + """(\s+KEEP\s+(\d+))?\s*;?\s*""").r
   private val SnapshotsRe =
     ("""(?is)\s*SHOW\s+SNAPSHOTS\s+""" + Ident + """\s*;?\s*""").r
+  // optional [AS] alias — never a clause keyword (the lookahead keeps
+  // `MERGE INTO t USING …` from eating USING as t's alias)
+  private val AliasOpt =
+    """(?:\s+(?:AS\s+)?(?!USING\b|ON\b|WHEN\b|WHERE\b)([A-Za-z_][A-Za-z0-9_]*))?"""
+  private val MergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+""" + Ident + AliasOpt +
+      """\s+USING\s+""" + Ident + AliasOpt +
+      """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(.+?)\s*;?\s*""").r
+  private val DeleteRe =
+    ("""(?is)\s*DELETE\s+FROM\s+""" + Ident +
+      """(\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {
@@ -182,6 +219,201 @@ object GraftSqlParser {
       val r = Vacuum.vacuumTable(tableDir, keep)
       Seq(Row(r.versionsRetired, r.bytesFreed))
     }
+  }
+
+  /** `MERGE INTO` on a versioned table — the reference's user-facing
+    * upsert verb (it generated exactly this dialect for Athena Iceberg,
+    * IcebergUtil.scala:124-157), compiled onto
+    * [[graft.operators.MergeUpsert.sqlMerge]] (ANSI semantics: SET
+    * overwrites, NULL keys never match, multi-match errors) and committed
+    * through [[ObjectStoreSink.replaceTable]] CAS-pinned on the snapshot
+    * the merge read — a concurrent commit aborts this merge rather than
+    * being silently clobbered. The source is any resolvable table/view;
+    * clause shapes are STRICT (equi-key ON; comma-separated `col = expr`
+    * assignments or `*`; INSERT column/VALUES lists or `*`) and anything
+    * else fails with the supported grammar, loudly, at execution.
+    */
+  final case class MergeIntoCommand(db: Option[String], table: String,
+      tAlias: String, srcIdent: String, sAlias: String,
+      onText: String, setText: String, insertText: String)
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("action", StringType), attr("rows_before", LongType),
+      attr("rows_after", LongType), attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, expr}
+      val (_, spec) = resolveSpec(spark, db, table)
+      val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
+        throw new graft.model.PipelineSpecException(
+          s"${spec.database}.${spec.table} has no committed version"))
+      val target = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
+      val source = spark.table(srcIdent)
+      val keys = parseOn(onText, tAlias, sAlias)
+      val tCols = target.columns.toSeq
+      val sCols = source.columns.map(_.toLowerCase).toSet
+      // `*` expands to every target column taken from the source — the
+      // reference's generated all-fields lists, spelled as the shorthand
+      def star(clause: String): Map[String, org.apache.spark.sql.Column] = {
+        val missing = tCols.filterNot(c => sCols.contains(c.toLowerCase))
+        if (missing.nonEmpty) throw new graft.model.PipelineSpecException(
+          s"MERGE $clause *: source '$srcIdent' lacks target column(s) " +
+            missing.mkString(", "))
+        tCols.map(c => c -> col(s"$sAlias.$c")).toMap
+      }
+      val setExprs = parseAssignments(setText).fold(star("UPDATE SET")) {
+        as =>
+          val bad = as.map(_._1).filterNot(c =>
+            tCols.exists(_.equalsIgnoreCase(c)))
+          if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
+            s"MERGE UPDATE SET targets unknown column(s): ${bad.mkString(", ")}")
+          as.map { case (c, e) => c -> expr(e) }.toMap
+      }
+      val insertExprs = parseInsert(insertText).fold(star("INSERT")) {
+        case (cols, vals) =>
+          if (cols.size != vals.size)
+            throw new graft.model.PipelineSpecException(
+              s"MERGE INSERT has ${cols.size} columns but ${vals.size} values")
+          val bad = cols.filterNot(c => tCols.exists(_.equalsIgnoreCase(c)))
+          if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
+            s"MERGE INSERT targets unknown column(s): ${bad.mkString(", ")}")
+          cols.zip(vals.map(expr)).toMap
+      }
+      val merged = MergeUpsert.sqlMerge(target, source, tAlias, sAlias,
+        keys, caseAligned(setExprs, tCols), caseAligned(insertExprs, tCols))
+      ObjectStoreSink.replaceTable(spark, merged, spec,
+        expectVersion = Some(snap.version))
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row("merge", snap.rowCount, after.rowCount, after.version))
+    }
+  }
+
+  /** `DELETE FROM` on a versioned table (reference deleteData,
+    * IcebergUtil.scala:90-103 — whole-table; the WHERE form is the
+    * natural predicate generalization). SQL semantics: a row is deleted
+    * iff the predicate is TRUE — FALSE and NULL rows survive. The
+    * surviving image commits through the same CAS-pinned versioned
+    * protocol, so time travel still reads the pre-delete snapshot.
+    */
+  final case class DeleteFromCommand(db: Option[String], table: String,
+      whereText: Option[String]) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_before", LongType), attr("rows_deleted", LongType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val (_, spec) = resolveSpec(spark, db, table)
+      val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
+        throw new graft.model.PipelineSpecException(
+          s"${spec.database}.${spec.table} has no committed version"))
+      val df = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
+      val kept = whereText match {
+        case None => df.limit(0) // DELETE FROM t — the reference's shape
+        case Some(w) => df.where(not(coalesce(expr(w), lit(false))))
+      }
+      ObjectStoreSink.replaceTable(spark, kept, spec,
+        expectVersion = Some(snap.version))
+      val after = ObjectStoreSink.snapshots(spec).last
+      val deleted =
+        if (snap.rowCount >= 0 && after.rowCount >= 0)
+          snap.rowCount - after.rowCount
+        else -1L
+      Seq(Row(snap.rowCount, deleted, after.version))
+    }
+  }
+
+  /** Resolve clause-written column names onto the target schema's exact
+    * spelling (Spark resolves case-insensitively; the merge plan keys the
+    * maps by schema field name).
+    */
+  private def caseAligned(m: Map[String, org.apache.spark.sql.Column],
+      tCols: Seq[String]): Map[String, org.apache.spark.sql.Column] =
+    m.map { case (c, e) =>
+      tCols.find(_.equalsIgnoreCase(c)).getOrElse(c) -> e }
+
+  private val OnConjunct =
+    """(?s)\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*""".r
+
+  /** ON clause → (targetCol, sourceCol) equi-keys. Strict: alias-qualified
+    * equality conjuncts only (the shape the reference generates); anything
+    * else names the supported grammar and fails.
+    */
+  private[plans] def parseOn(on: String, tAlias: String,
+      sAlias: String): Seq[(String, String)] =
+    stripParens(on).split("(?i)\\s+AND\\s+").toSeq.map {
+      case OnConjunct(a1, c1, a2, c2) if a1.equalsIgnoreCase(tAlias) &&
+          a2.equalsIgnoreCase(sAlias) => (c1, c2)
+      case OnConjunct(a1, c1, a2, c2) if a1.equalsIgnoreCase(sAlias) &&
+          a2.equalsIgnoreCase(tAlias) => (c2, c1)
+      case other => throw new graft.model.PipelineSpecException(
+        s"MERGE ON supports only '$tAlias.col = $sAlias.col' equi-" +
+          s"conjuncts joined by AND, got: $other")
+    }
+
+  /** SET clause → assignments, or None for `SET *`. Commas nested in
+    * parentheses belong to the expression (depth-aware split).
+    */
+  private[plans] def parseAssignments(
+      set: String): Option[Seq[(String, String)]] = {
+    if (set.trim == "*") return None
+    Some(splitTop(set).map { a =>
+      val i = a.indexOf('=')
+      if (i <= 0) throw new graft.model.PipelineSpecException(
+        s"MERGE UPDATE SET expects 'col = expr' assignments, got: $a")
+      val c = a.substring(0, i).trim
+      if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new graft.model.PipelineSpecException(
+          s"MERGE UPDATE SET assigns plain target columns, got: $c")
+      (c, a.substring(i + 1).trim)
+    })
+  }
+
+  private val InsertRe = """(?s)\s*\(([^)]*)\)\s*(?i:VALUES)\s*\((.+)\)\s*""".r
+
+  /** INSERT clause → (columns, value exprs), or None for `INSERT *`. */
+  private[plans] def parseInsert(
+      ins: String): Option[(Seq[String], Seq[String])] = ins.trim match {
+    case "*" => None
+    case InsertRe(cols, vals) =>
+      Some((cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        splitTop(vals)))
+    case other => throw new graft.model.PipelineSpecException(
+      s"MERGE INSERT expects '*' or '(cols) VALUES (exprs)', got: $other")
+  }
+
+  /** Split on top-level commas (parenthesis-depth aware). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Strip balanced outer parentheses: `(d.k = s.k)` → `d.k = s.k`. */
+  private def stripParens(s0: String): String = {
+    var s = s0.trim
+    while (s.length >= 2 && s.head == '(' && s.last == ')' && {
+      var depth = 0
+      var minInner = Int.MaxValue
+      s.substring(1, s.length - 1).foreach { c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        if (depth < minInner) minInner = depth
+      }
+      minInner >= 0 && depth == 0
+    }) s = s.substring(1, s.length - 1).trim
+    s
   }
 
   /** `SHOW SNAPSHOTS`: the committed-version inventory, oldest → newest —

@@ -701,5 +701,115 @@ object Stats {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin)))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- SQL MERGE INTO on a versioned table ------------------------------
+    // The reference's user-facing upsert IS this statement — it GENERATED
+    // `MERGE INTO … WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN
+    // INSERT …` and shipped it to Athena Iceberg (IcebergUtil.scala:124-157).
+    // Here GraftSqlParser compiles the same dialect onto MergeUpsert.sqlMerge
+    // + the CAS-pinned versioned commit. Two merges run: the reference's
+    // explicit-list shape (with a NULL source attribute that must OVERWRITE
+    // the matched row — ANSI SET semantics, NOT coalesce), then the
+    // `SET * / INSERT *` shorthand on a second source. The oracle replays
+    // both relationally (presence-based FULL JOINs); SHOW SNAPSHOTS must
+    // inventory all three versions — MERGE is a commit, not a mutation.
+    QueryDef(
+      "q_sql_merge",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlmerge"),
+          database = "graft_ops", table = "sqlm_cust",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val cust = t(s, d, "customer")
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          cust.filter(col("c_nationkey") < 12)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal")), spec)
+        cust.filter(col("c_nationkey") >= 8)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 10 === 0, lit(null))
+              .otherwise(col("c_name")).as("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"))
+          .createOrReplaceTempView("sqlm_src1")
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") * 2.0).as("c_acctbal"))
+          .createOrReplaceTempView("sqlm_src2")
+        val r1 = s.sql(
+          """MERGE INTO graft_ops.sqlm_cust d USING sqlm_src1 s
+            |ON (d.c_custkey = s.c_custkey)
+            |WHEN MATCHED THEN UPDATE SET c_name = s.c_name,
+            |  c_acctbal = s.c_acctbal
+            |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+            |  VALUES (s.c_custkey, s.c_name, s.c_acctbal)""".stripMargin)
+          .collect()(0)
+        require(r1.getString(0) == "merge" && r1.getLong(2) > r1.getLong(1),
+          s"MERGE #1 did not upsert: $r1")
+        val r2 = s.sql(
+          """MERGE INTO graft_ops.sqlm_cust AS t USING sqlm_src2 AS s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+        require(r2.getLong(2) >= r2.getLong(1), s"MERGE #2 lost rows: $r2")
+        val snaps = s.sql("SHOW SNAPSHOTS graft_ops.sqlm_cust").collect()
+        require(snaps.length == 3 && snaps.last.getBoolean(5),
+          s"MERGE commits must be versioned snapshots: ${snaps.toSeq}")
+        s.table("graft_ops.sqlm_cust").orderBy("c_custkey")
+      },
+      Some("""WITH t0 AS (SELECT c_custkey, c_name, c_acctbal
+             |            FROM customer WHERE c_nationkey < 12),
+             |s1 AS (SELECT c_custkey,
+             |         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_name END AS c_name,
+             |         c_acctbal + 100.0 AS c_acctbal
+             |       FROM customer WHERE c_nationkey >= 8),
+             |t1 AS (SELECT
+             |         CASE WHEN s1.c_custkey IS NOT NULL THEN s1.c_custkey ELSE t0.c_custkey END AS c_custkey,
+             |         CASE WHEN s1.c_custkey IS NOT NULL THEN s1.c_name ELSE t0.c_name END AS c_name,
+             |         CASE WHEN s1.c_custkey IS NOT NULL THEN s1.c_acctbal ELSE t0.c_acctbal END AS c_acctbal
+             |       FROM t0 FULL JOIN s1 ON t0.c_custkey = s1.c_custkey),
+             |s2 AS (SELECT c_custkey, c_name, c_acctbal * 2.0 AS c_acctbal
+             |       FROM customer WHERE c_custkey % 3 = 0)
+             |SELECT
+             |  CASE WHEN s2.c_custkey IS NOT NULL THEN s2.c_custkey ELSE t1.c_custkey END AS c_custkey,
+             |  CASE WHEN s2.c_custkey IS NOT NULL THEN s2.c_name ELSE t1.c_name END AS c_name,
+             |  CASE WHEN s2.c_custkey IS NOT NULL THEN s2.c_acctbal ELSE t1.c_acctbal END AS c_acctbal
+             |FROM t1 FULL JOIN s2 ON t1.c_custkey = s2.c_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- SQL DELETE FROM on a versioned table -----------------------------
+    // Reference deleteData (IcebergUtil.scala:90-103) generalized with the
+    // WHERE form. ANSI semantics under test: a row deletes iff the predicate
+    // is TRUE — the NULLed-out totals (every 7th key) must SURVIVE a
+    // `tp > cut` delete, which a naive `filter(NOT pred)` without NULL
+    // handling would destroy. The delete is a CAS-pinned versioned commit:
+    // the pre-delete snapshot stays time-travel-readable.
+    QueryDef(
+      "q_sql_delete",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqldel"),
+          database = "graft_ops", table = "sdel_ord",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("o_orderkey") % 7 === 0, lit(null))
+              .otherwise(col("o_totalprice")).as("tp")), spec)
+        val r = s.sql(
+          "DELETE FROM graft_ops.sdel_ord WHERE tp > 150000.0").collect()(0)
+        require(r.getLong(1) > 0 && r.getLong(1) < r.getLong(0),
+          s"DELETE removed nothing or everything: $r")
+        // the pre-delete snapshot must still read in full (time travel)
+        val before = graft.sinks.ObjectStoreSink.readVersion(
+          s, graft.sinks.ObjectStoreSink.specFor(s, "graft_ops", "sdel_ord"),
+          Some(1)).count()
+        require(before == r.getLong(0),
+          s"pre-delete snapshot lost rows: $before != ${r.getLong(0)}")
+        s.table("graft_ops.sdel_ord").orderBy("o_orderkey")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+             |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS tp
+             |  FROM orders)
+             |SELECT o_orderkey, o_orderstatus, tp FROM t
+             |WHERE tp IS NULL OR tp <= 150000.0
+             |ORDER BY o_orderkey""".stripMargin)))
 }

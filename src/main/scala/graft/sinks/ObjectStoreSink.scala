@@ -493,7 +493,7 @@ object ObjectStoreSink {
       tableDir.getParent == null ||
       tableDir.getParent.getFileName.toString != database ||
       tableDir.getParent.getParent == null)
-      throw new graft.model.PipelineSpecException(
+      throw new graft.model.TableLayoutException(
         s"$fq at $loc does not follow the versioned-table layout " +
           "path/database/table/v-NNNNNN — refusing maintenance")
     // the manifest records the committing writer's declared format; only
@@ -515,9 +515,26 @@ object ObjectStoreSink {
     import spark.implicits._
     val parts = spark.catalog.listColumns(fq)
       .filter(_.isPartition).map(_.name).collect().toSeq
+    // recover the bloom-indexed columns from the live version's shard
+    // FILENAMES (identifier-safe names embed verbatim), so maintenance
+    // and SQL DML commits — which derive their spec here — rebuild the
+    // index instead of silently dropping it. Hash-named shards (non-
+    // identifier columns) recover as their hash, which the rebuild's
+    // schema lookup then skips: that column's index lapses, never breaks.
+    val blooms =
+      try {
+        val s = Files.list(loc)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .collect { case n if n.startsWith("_blooms_") && n.endsWith(".json") =>
+              n.stripPrefix("_blooms_").stripSuffix(".json") }
+            .toSeq.sorted
+        } finally s.close()
+      } catch { case _: Exception => Nil }
     ObjectStoreSpec(path = tableDir.getParent.getParent.toString,
       database = database, table = table, partitionBy = parts,
-      fileFormat = fmt)
+      fileFormat = fmt, bloomColumns = blooms)
   }
 
   private def currentLocation(spark: SparkSession, fq: String): Path = {

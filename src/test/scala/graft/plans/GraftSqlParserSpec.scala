@@ -126,6 +126,174 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.table("graft_sqlm_foreign.plain").count() shouldBe 10L
   }
 
+  private def commitKv(tag: String, rows: Seq[(java.lang.Long, String)]): String = {
+    val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
+      database = s"graft_sqlm_$tag", table = "t")
+    ObjectStoreSink.replaceTable(spark, rows.toDF("id", "v"), spec)
+  }
+
+  test("MERGE INTO upserts with ANSI semantics: SET overwrites (NULL " +
+    "included), unmatched targets carry, unmatched sources insert, and the " +
+    "report counts the commit") {
+    val fq = commitKv("mrg",
+      (0L to 9L).map(i => (java.lang.Long.valueOf(i), "t")))
+    (5L to 14L).map(i => (java.lang.Long.valueOf(i),
+      if (i == 5L) null else "s")).toDF("id", "v")
+      .createOrReplaceTempView("mrg_src")
+    val r = spark.sql(
+      s"""MERGE INTO $fq d USING mrg_src s ON (d.id = s.id)
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+        .stripMargin).collect().head
+    r.getString(0) shouldBe "merge"
+    r.getLong(1) shouldBe 10L
+    r.getLong(2) shouldBe 15L
+    val got = spark.table(fq).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    got shouldBe ((0L to 4L).map(_ -> "t") ++ Seq(5L -> null) ++
+      (6L to 14L).map(_ -> "s")).toArray
+  }
+
+  test("MERGE NULL join keys never match: a NULL-key target row survives " +
+    "and a NULL-key source row inserts — SQL equality, not null-safe") {
+    val fq = commitKv("mrgnull",
+      Seq((java.lang.Long.valueOf(1L), "a"), (null, "tnull")))
+    Seq((null.asInstanceOf[java.lang.Long], "snull"),
+      (java.lang.Long.valueOf(1L), "a2")).toDF("id", "v")
+      .createOrReplaceTempView("mrgnull_src")
+    spark.sql(
+      s"""MERGE INTO $fq t USING mrgnull_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+        .stripMargin).collect()
+    val got = spark.table(fq).collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0), x.getString(1)))
+      .sortBy(x => (x._1, x._2))
+    got shouldBe Array((-1L, "snull"), (-1L, "tnull"), (1L, "a2"))
+  }
+
+  test("MERGE cardinality: a target row matched by two source rows errors " +
+    "(ANSI), while duplicate source keys matching NO target row legally " +
+    "insert twice") {
+    val fq = commitKv("mrgcard", Seq((java.lang.Long.valueOf(1L), "a")))
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("mrgcard_src")
+    val e = the[Exception] thrownBy spark.sql(
+      s"""MERGE INTO $fq t USING mrgcard_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+        .stripMargin).collect()
+    e.getMessage should include("cardinality")
+    // same duplicate keys against a disjoint target: legal, inserts both
+    val fq2 = commitKv("mrgcard2", Seq((java.lang.Long.valueOf(9L), "a")))
+    spark.sql(
+      s"""MERGE INTO $fq2 t USING mrgcard_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+        .stripMargin).collect()
+    spark.table(fq2).count() shouldBe 3L
+  }
+
+  test("DELETE FROM deletes only predicate-TRUE rows (NULL survives), the " +
+    "whole-table form empties, and every delete is a versioned commit") {
+    val fq = commitKv("del", (0L to 8L).map(i =>
+      (java.lang.Long.valueOf(i), if (i % 3 == 0) null else s"v$i")))
+    val r = spark.sql(s"DELETE FROM $fq WHERE v > 'v4'").collect().head
+    r.getLong(0) shouldBe 9L
+    r.getLong(1) shouldBe 3L // v5, v7, v8 — NULL v rows survive
+    spark.table(fq).count() shouldBe 6L
+    val r2 = spark.sql(s"DELETE FROM $fq").collect().head
+    r2.getLong(1) shouldBe 6L
+    spark.table(fq).count() shouldBe 0L
+    val snaps = spark.sql(s"SHOW SNAPSHOTS $fq").collect()
+    snaps.map(_.getLong(2)).toSeq shouldBe Seq(9L, 6L, 0L)
+  }
+
+  test("MERGE / DELETE on a non-versioned-layout table delegate to Spark " +
+    "(foreign v1 table → Spark's own unsupported-DML error, never ours)") {
+    val dir = scratchDir("dmlforeign").getAbsolutePath + "/plainloc"
+    ss.range(0, 5).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_dmlforeign")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_dmlforeign.plain")
+    spark.sql("CREATE TABLE graft_sqlm_dmlforeign.plain (id BIGINT) " +
+      s"USING parquet LOCATION '$dir'")
+    ss.range(0, 2).toDF("id").createOrReplaceTempView("dmlforeign_src")
+    val e1 = the[Exception] thrownBy spark.sql(
+      """MERGE INTO graft_sqlm_dmlforeign.plain t USING dmlforeign_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+        .stripMargin).collect()
+    e1 should not be a[graft.model.PipelineSpecException]
+    val e2 = the[Exception] thrownBy spark.sql(
+      "DELETE FROM graft_sqlm_dmlforeign.plain WHERE id = 1").collect()
+    e2 should not be a[graft.model.PipelineSpecException]
+    spark.table("graft_sqlm_dmlforeign.plain").count() shouldBe 5L
+  }
+
+  test("malformed MERGE clauses on OUR tables fail loudly with the " +
+    "supported grammar — never a confusing delegate error") {
+    val fq = commitKv("mrgbad", Seq((java.lang.Long.valueOf(1L), "a")))
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("mrgbad_src")
+    def merge(on: String, set: String, ins: String) = spark.sql(
+      s"""MERGE INTO $fq t USING mrgbad_src s ON $on
+         |WHEN MATCHED THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT $ins""".stripMargin).collect()
+    (the[graft.model.PipelineSpecException] thrownBy
+      merge("t.id > s.id", "*", "*")).getMessage should include("equi")
+    (the[graft.model.PipelineSpecException] thrownBy
+      merge("t.id = s.id", "nope = s.v", "*")).getMessage should
+      include("unknown column")
+    (the[graft.model.PipelineSpecException] thrownBy
+      merge("t.id = s.id", "*", "(id, v) VALUES (s.id)")).getMessage should
+      include("values")
+  }
+
+  test("a graft table in a bad legacy state (manifest without fileFormat, " +
+    "unrecognizable extension) keeps maintenance OURS: the informative " +
+    "refusal, not a foreign parse error — r12 advice") {
+    val spec = ObjectStoreSpec(path = scratchDir("badfmt").getAbsolutePath,
+      database = "graft_sqlm_badfmt", table = "t")
+    ObjectStoreSink.replaceTable(spark, ss.range(0, 10).toDF("id"), spec)
+    val live = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    val mf = live.resolve(TableManifest.ManifestName)
+    val doctored = java.nio.file.Files.readString(mf)
+      .replaceAll(",?\\s*\"fileFormat\"\\s*:\\s*\"parquet\"", "")
+      .replace(".parquet", ".mystery")
+    java.nio.file.Files.writeString(mf, doctored)
+    val e = the[Exception] thrownBy spark.sql(
+      s"OPTIMIZE ${spec.database}.${spec.table} TARGET 1024 BYTES").collect()
+    e shouldBe a[graft.model.PipelineSpecException]
+    e should not be a[graft.model.TableLayoutException]
+    e.getMessage should include("cannot determine the file format")
+  }
+
+  test("specFor recovers bloom columns from the live shard filenames, so " +
+    "OPTIMIZE and SQL MERGE commits rebuild the index instead of dropping it") {
+    val spec = ObjectStoreSpec(path = scratchDir("bloomkeep").getAbsolutePath,
+      database = "graft_sqlm_bloomkeep", table = "t",
+      bloomColumns = Seq("id"))
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, 2000).toDF("id").withColumn("v", col("id") % 5)
+        .repartition(4), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    ObjectStoreSink.specFor(spark, spec.database, spec.table)
+      .bloomColumns shouldBe Seq("id")
+    spark.sql(s"OPTIMIZE $fq TARGET ${64L << 20} BYTES").collect()
+    val live = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    java.nio.file.Files.exists(
+      live.resolve(graft.sinks.BloomIndex.shardName("id"))) shouldBe true
+    spark.range(0, 1).selectExpr("id + 5000 AS id", "CAST(1 AS BIGINT) AS v")
+      .createOrReplaceTempView("bloomkeep_src")
+    spark.sql(
+      s"""MERGE INTO $fq t USING bloomkeep_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+        .stripMargin).collect()
+    val live2 = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    live2 should not be live
+    java.nio.file.Files.exists(
+      live2.resolve(graft.sinks.BloomIndex.shardName("id"))) shouldBe true
+  }
+
   test("maintenance runs under the manifest-RECORDED file format (an orc " +
     "table compacts as orc); legacy manifests without the field fall back " +
     "to extension matching") {
