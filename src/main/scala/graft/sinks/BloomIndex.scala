@@ -74,17 +74,29 @@ object BloomIndex {
   /** Legacy (pre-shard) monolithic sidecar — still read, never written. */
   val SidecarName = "_blooms.json"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-column shard file. Identifier-safe column names embed verbatim;
-    * anything else hashes (the shard records the true name inside).
+    * anything else hashes to an 8-byte MD5 prefix (the shard records the
+    * true name inside). Should two hashed names COLLIDE within one build,
+    * the colliding columns fall back to [[fullShardName]] (r12 ADVICE —
+    * a prefix collision must not make two columns write the same file,
+    * silently losing one index); probes check both names.
     */
   def shardName(column: String): String = {
     val safe =
       if (column.matches("[A-Za-z0-9_]{1,64}")) column
-      else java.security.MessageDigest.getInstance("MD5")
-        .digest(column.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString
+      else fullDigest(column).take(16)
     s"_blooms_$safe.json"
   }
+
+  /** Collision-proof long form: the full 32-hex MD5 digest. */
+  def fullShardName(column: String): String =
+    s"_blooms_${fullDigest(column)}.json"
+
+  private def fullDigest(column: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(column.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** `typ` is the build-side column type (Spark catalogString) — the hash
     * domain every probe key must convert to losslessly. `files` maps
@@ -141,7 +153,15 @@ object BloomIndex {
     val ideal = math.min(expected * 16L, 1L << 23)
     val entries = math.max(1L, m.files.size.toLong * typed.size)
     val budgetBits = (maxIndexBytes / entries - EntryOverheadBytes) * 8L
-    if (budgetBits < 1024L) return // budget can't fund useful filters
+    if (budgetBits < 1024L) {
+      // refusal must be VISIBLE: file-count growth silently disabling the
+      // index reads as "queries got slow" to an operator (r12 ADVICE)
+      log.warn(s"bloom index NOT built for $versionDir: ${m.files.size} " +
+        s"files x ${typed.size} columns leaves ${budgetBits} bits/filter " +
+        s"under the ${maxIndexBytes}B budget (< 1024-bit floor) — compact " +
+        "the table or raise the budget to restore point-lookup skipping")
+      return
+    }
     val numBits = math.min(ideal, budgetBits)
 
     val aggs = typed.map { case (c, _) =>
@@ -155,6 +175,12 @@ object BloomIndex {
     val rows = df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val enc = Base64.getEncoder
+    // hashed shard names that collide within THIS column set take the
+    // collision-proof long form; a full-digest collision (an actual MD5
+    // collision) drops the later column with a log, never overwrites
+    val collided = typed.map(_._1).groupBy(shardName)
+      .filter(_._2.size > 1).values.flatten.toSet
+    val written = scala.collection.mutable.Set[String]()
     typed.zipWithIndex.foreach { case ((c, t), i) =>
       val files = rows.flatMap { r =>
         for {
@@ -162,28 +188,37 @@ object BloomIndex {
           bits <- Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]])
         } yield rel -> enc.encodeToString(bits)
       }.toMap
-      // one atomic publish per column: a crash mid-build leaves whole-
-      // column shards, and an uncovered column simply never prunes
-      TableManifest.publisher.publish(versionDir, shardName(c),
-        Serialization.writePretty(Shard(c, t, files)))
+      val name = if (collided(c)) fullShardName(c) else shardName(c)
+      if (!written.add(name))
+        log.warn(s"bloom shard name collision on '$name' — column '$c' " +
+          "not indexed")
+      else
+        // one atomic publish per column: a crash mid-build leaves whole-
+        // column shards, and an uncovered column simply never prunes
+        TableManifest.publisher.publish(versionDir, name,
+          Serialization.writePretty(Shard(c, t, files)))
     }
   }
 
-  /** One column's filters: its shard first, then the legacy monolithic
-    * sidecar — the lazy per-column read path every probe goes through.
+  /** One column's filters: its shard first (short name, then the
+    * collision-fallback long name), then the legacy monolithic sidecar —
+    * the lazy per-column read path every probe goes through.
     */
   def readCol(versionDir: Path, column: String): Option[ColBlooms] = {
-    val sf = versionDir.resolve(shardName(column))
-    val fromShard =
+    def fromFile(name: String): Option[ColBlooms] = {
+      val sf = versionDir.resolve(name)
       if (!Files.exists(sf)) None
       else
         try {
           val s = JsonMethods.parse(Files.readString(sf)).extract[Shard]
-          // hashed shard names can collide across columns only by MD5
-          // collision; the recorded true name is still checked
+          // the recorded true name is ALWAYS checked — a same-named shard
+          // holding a different column's filters never answers
           if (s.col == column) Some(ColBlooms(s.typ, s.files)) else None
         } catch { case _: Exception => None }
-    fromShard.orElse(readLegacy(versionDir).flatMap(_.cols.get(column)))
+    }
+    fromFile(shardName(column))
+      .orElse(fromFile(fullShardName(column)))
+      .orElse(readLegacy(versionDir).flatMap(_.cols.get(column)))
   }
 
   private def readLegacy(versionDir: Path): Option[Sidecar] = {

@@ -128,9 +128,12 @@ object ObjectStoreSink {
       // the catalog schema (partition columns last, like the reference's
       // reordered INSERT...SELECT, ObjectStoreLoader.scala:183-201)
       val cat = spark.table(fq).columns
-      withTsMicros(spark)(
-        df.select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-          .write.mode(mode).insertInto(fq))
+      tsMicros(df)
+        .select(cat.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        .write.mode(mode).insertInto(fq)
+      // the insert ran under the write-scoped CLONE session; the caller's
+      // session still caches the pre-append file listing — invalidate it
+      spark.catalog.refreshTable(fq)
       refreshManifest(spark, fq, spec)
     }
   }
@@ -227,10 +230,11 @@ object ObjectStoreSink {
             "first; aborting instead of resurrecting stale content")
       }
       val next = nextVersionDir(tableDir)
-      val sw0 = df.write.mode(SaveMode.Overwrite).format(spec.fileFormat)
+      val sw0 = tsMicros(df).write
+        .mode(SaveMode.Overwrite).format(spec.fileFormat)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       // materialize BEFORE touching the live table
-      withTsMicros(spark)(sw.save(next.toString))
+      sw.save(next.toString)
       val reread = spark.read.format(spec.fileFormat).load(next.toString)
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
@@ -261,27 +265,17 @@ object ObjectStoreSink {
     * query OUTPUT files keep the session's own convention so external
     * consumers of non-table parquet see no change.
     *
-    * The conf flip is SESSION-wide state, so the save/restore serializes
-    * through one GLOBAL lock, not the per-table commit lock: two
-    * concurrent different-table writes could otherwise interleave
-    * set/restore and leak TIMESTAMP_MICROS into the session permanently
-    * (r11 ADVICE). The cost is JVM-wide serialization of versioned-table
-    * DATA writes — acceptable because commits already serialize per
-    * table and cross-table write concurrency is bounded by the watcher
-    * pool; the commit/manifest work stays outside this lock.
+    * The scope is a CLONED session (isolated SQLConf, shared catalog) the
+    * write plan is re-bound to — no session-wide conf mutation at all, so
+    * concurrent multi-table commits no longer serialize behind the r11
+    * global set/restore lock (r12 ADVICE): the parquet writer reads the
+    * clone's conf, the user's session never changes, and nothing needs
+    * restoring. Clone cost is a session-state copy, noise next to a
+    * versioned commit.
     */
-  private val tsConvLock = new Object
-
-  private def withTsMicros[T](spark: SparkSession)(body: => T): T =
-    tsConvLock.synchronized {
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "TIMESTAMP_MICROS")
-      try body finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
+  private def tsMicros(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.withConfCloned(df,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
 
   private def schemaHash(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

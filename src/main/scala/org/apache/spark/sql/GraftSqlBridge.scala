@@ -20,6 +20,20 @@ object GraftSqlBridge {
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-bind `df` to a CLONED session (shared catalog/shared state,
+    * ISOLATED SQLConf) with `kv` applied on the clone — the seam that lets
+    * a writer scope a write-affecting conf (e.g. parquet output timestamp
+    * type) to ONE write without mutating the user's session or serializing
+    * concurrent writes behind a global lock. `cloneSession` is sql-private,
+    * hence the bridge.
+    */
+  def withConfCloned(df: DataFrame, kv: (String, String)*): DataFrame = {
+    val c = df.sparkSession.asInstanceOf[classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => c.conf.set(k, v) }
+    classic.Dataset.ofRows(c,
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
+  }
+
   /** Register a SQL function on an EXISTING session (sessionState is
     * sql-private; `withExtensions` only reaches sessions built after the
     * fact). Used by GraftExtensions.register.
