@@ -531,6 +531,76 @@ object Stats {
              |GROUP BY l_orderkey
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- bloom skipping for DISJUNCTIONS ---------------------------------
+    // `id = a OR id = b` on an UNCLUSTERED layout: each branch's [k, k]
+    // zone-map window spans every file (hash-distributed writes), and the
+    // Or is one conjunct, so the top-level key-set path never sees it —
+    // the r12 verdict's one pruning blind spot. The may-match TREES now
+    // carry exact key sets on equality/IN leaves and resolve them against
+    // the per-file Bloom sidecar, so a file drops when EVERY branch's
+    // probe says "none of these keys can be here". The query REQUIREs
+    // that the zone-map range proof is structurally impossible (pruneInSet
+    // over the union of keys skips nothing) yet the SQL scan listing was
+    // pruned; the oracle replays the disjunction over the original table.
+    QueryDef(
+      "q_bloom_or",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-bloomor"),
+          database = "graft_ops", table = "bp3_li",
+          writeMode = "overwrite", deleteBeforeWrite = true,
+          bloomColumns = Seq("l_orderkey"))
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem").repartition(32, col("l_orderkey")), spec)
+        val r = t(s, d, "lineitem")
+          .agg(min("l_orderkey"), max("l_orderkey")).head // 1-row planning agg
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        // INTERIOR keys: the extremes are exactly what range windows CAN
+        // prune even on a hashed layout (only one file's min is the global
+        // min); thirds sit inside every file's window
+        val (k1, k2) = ((2 * mn + mx) / 3, (mn + 2 * mx) / 3)
+        val vdir = java.nio.file.Paths.get(
+          graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+        val m = graft.sinks.TableManifest.read(vdir).get
+        // range evidence is provably useless on this layout: even the
+        // exact two-key set prunes nothing through [min, max] windows
+        require(graft.sinks.ZoneMap.pruneInSet(m, "l_orderkey",
+          Seq(k1, k2)).get._2.filesSkipped == 0,
+          "layout unexpectedly clustered — the OR demo proves nothing")
+        graft.GraftExtensions.register(s)
+        val df = s.sql(
+          s"""SELECT l_orderkey, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM graft_ops.bp3_li
+             |WHERE l_orderkey = $k1 OR l_orderkey = $k2
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+        val reports = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+        }.flatten
+        require(reports.nonEmpty &&
+          reports.head.filesKept < reports.head.filesTotal,
+          s"disjunction bloom probes did not prune the listing: $reports")
+        df
+      },
+      Some("""WITH b AS (SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn,
+             |  CAST(MAX(l_orderkey) AS BIGINT) AS mx FROM lineitem)
+             |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, b
+             |WHERE l_orderkey = CAST(FLOOR((2 * b.mn + b.mx) / 3.0) AS BIGINT)
+             |   OR l_orderkey = CAST(FLOOR((b.mn + 2 * b.mx) / 3.0) AS BIGINT)
+             |GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+
     // ---- materialized-view query rewrite ---------------------------------
     // The repeated-dashboard read path at 100 TB: the defining aggregate
     // is maintained as a snapshot table; a user re-issuing the SAME query

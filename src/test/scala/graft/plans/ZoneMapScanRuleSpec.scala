@@ -253,6 +253,47 @@ class ZoneMapScanRuleSpec extends SparkSpec {
       df.where(col("id") < 10 || col("id") % 7 === 3).select("id"))
   }
 
+  test("key-set leaves INSIDE disjunctions resolve against the bloom " +
+    "sidecar: OR-of-points prunes an unclustered layout, cross-column and " +
+    "IN-inside-OR compose, an unindexed branch refuses") {
+    val spec = ObjectStoreSpec(path = scratchDir("orbloom").getAbsolutePath,
+      database = "graft_zsr_orbloom", table = "t",
+      bloomColumns = Seq("id", "name"))
+    val df = ss.range(0, 800).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+      .withColumn("v", col("id").cast("double"))
+      .repartition(8, col("id"))
+    val fq = ObjectStoreSink.replaceTable(spark, df, spec)
+    // pure OR-of-points on one column: each branch's [k, k] window spans
+    // every file, so any skip is bloom evidence through the tree
+    val or2 = spark.sql(s"SELECT id FROM $fq WHERE id = 3 OR id = 400")
+    val rep = pruneReports(or2).head
+    rep.filesKept should be < rep.filesTotal
+    or2.as[Long].collect().sorted shouldBe Array(3L, 400L)
+    // cross-column OR: a file survives iff EITHER probe may-match
+    val cross = spark.sql(
+      s"SELECT id FROM $fq WHERE id = 400 OR name = 'n3'")
+    pruneReports(cross).head.filesKept should be <
+      pruneReports(cross).head.filesTotal
+    cross.as[Long].collect().sorted shouldBe Array(3L, 400L)
+    // IN-list inside a branch keeps its exact key set
+    val inOr = spark.sql(
+      s"SELECT id FROM $fq WHERE id IN (3, 4) OR name = 'n400'")
+    pruneReports(inOr).head.filesKept should be <
+      pruneReports(inOr).head.filesTotal
+    inOr.as[Long].collect().sorted shouldBe Array(3L, 4L, 400L)
+    // a branch with NO skipping evidence (modulo arithmetic: neither a
+    // bound nor a key set) poisons the Or — nothing provable, no rewrite
+    val unprovable = spark.sql(
+      s"SELECT id FROM $fq WHERE id = 400 OR (id % 7) = 3")
+    pruneReports(unprovable) shouldBe empty
+    // a DOUBLE-typed point branch still range-proves through the window
+    // (bloom refuses doubles at build; bounds don't) — composition keeps
+    // the result exact either way
+    val dbl = spark.sql(s"SELECT id FROM $fq WHERE id = 400 OR v = 3.0")
+    dbl.as[Long].collect().sorted shouldBe Array(3L, 400L)
+  }
+
   test("IS NULL prunes provably null-free files (zero recorded nulls); " +
     "LIKE 'prefix%' relaxes to the sound [prefix, bumped) range; non-ASCII " +
     "prefixes refuse") {
