@@ -3,7 +3,7 @@ package graft.plans
 import graft.sinks.TableManifest.FileEntry
 import graft.sinks.{TableManifest, ZoneMap}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BoundReference, Expression, Literal, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,13 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Soundness gates (the rewrite fires only when ALL hold):
   *   - the aggregate's child is the relation under only column-pruning
-  *     projections and [[Filter]]s whose every referenced column is
-  *     SINGLE-VALUED per file (partition columns; any file where min ==
-  *     max with provably zero nulls): a deterministic predicate over
-  *     per-file constants is exactly decidable file-by-file, so the
-  *     qualifying files form a provable sub-table. Any file where a
-  *     referenced column is multi-valued, stats-less, or unconvertible
-  *     refuses the whole rewrite — never a partial guess;
+  *     projections and [[Filter]]s exactly decidable FILE-BY-FILE: a
+  *     conjunct over columns SINGLE-VALUED in a file (partition columns;
+  *     min == max with provably zero nulls) evaluates on the constants,
+  *     and a plain comparison over a stats-covered column decides
+  *     three-valued against the file's [min, max] window + null count
+  *     (all-true / all-false / straddling — [[ZoneMap.triMatch]]), so
+  *     `WHERE ts < cut` on a range-clustered table forms a provable
+  *     sub-table. Any file where any conjunct is undecidable refuses the
+  *     whole rewrite — never a partial guess;
   *   - the relation is a single-root parquet scan under a committed
   *     [[TableManifest]]; unfiltered aggregates demand the scan's file set
   *     be EXACTLY the manifest's ([[ManifestEvidence.exact]] — totality of
@@ -126,6 +128,21 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
           Some(keyVals(keyIndex.indexOf(a.exprId)))
         case Alias(a: AttributeReference, _) if keyIndex.contains(a.exprId) =>
           Some(keyVals(keyIndex.indexOf(a.exprId)))
+        // a deterministic scalar over GROUP KEYS ONLY (e.g. the
+        // CAST(band AS BIGINT) the optimizer collapses into the
+        // aggregate) is per-group constant: evaluate it on the group's
+        // key values — exact, because the keys are exact
+        case Alias(e, _) if e.deterministic && e.references.nonEmpty &&
+            !e.exists(x => x.isInstanceOf[AggregateExpression] ||
+              x.isInstanceOf[PlanExpression[_]]) &&
+            e.references.forall(r => keyIndex.contains(r.exprId)) =>
+          try {
+            val bound = e.transform {
+              case a: AttributeReference => BoundReference(
+                keyIndex.indexOf(a.exprId), a.dataType, nullable = true)
+            }
+            Some(bound.eval(InternalRow.fromSeq(keyVals)))
+          } catch { case _: Exception => None } // eval error: refuse
         case e => answer(e, subM)
       }).map(InternalRow.fromSeq)
     }
@@ -178,41 +195,119 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** Keep the files whose per-file constant values satisfy ALL conjuncts —
-    * exact SQL Filter semantics, because every referenced column is
-    * provably single-valued per file, so the predicate's value for one
-    * file IS its value for every row in it (NULL/false both drop). Any
-    * file where a referenced column isn't provably single-valued, a
-    * nondeterministic/subquery conjunct, or an eval error refuses — the
-    * scan runs.
+  /** Keep the files whose rows PROVABLY all satisfy every conjunct, drop
+    * the files where provably none do — exact SQL Filter semantics
+    * decided file-by-file on two kinds of evidence, per conjunct:
+    *
+    *   - EXACT: every referenced column single-valued in the file
+    *     (min == max, zero nulls) → evaluate the conjunct on the
+    *     constants (NULL/false both mean "no row passes");
+    *   - INTERVAL (r12 verdict #2): a plain `attr (cmp) literal`
+    *     comparison over a stats-covered column three-valued against the
+    *     file's [min, max] window + null count ([[ZoneMap.triMatch]]:
+    *     all-true needs range containment AND proven zero nulls;
+    *     all-false needs only disjointness), plus IS [NOT] NULL decided
+    *     from the null accounting. This is what answers
+    *     `count(*) WHERE ts < cut` from the manifest on a range-
+    *     clustered table whose files are multi-valued.
+    *
+    * A file where ANY conjunct is undecidable — it straddles the cut, the
+    * evidence is missing, the shape is foreign — refuses the WHOLE
+    * rewrite: a partial answer is never served. Nondeterministic or
+    * subquery conjuncts refuse up front.
     */
   private def applyConds(conds: Seq[Expression],
       m: TableManifest.Manifest): Option[TableManifest.Manifest] =
     try {
-      val cond = conds.reduce(And)
-      if (!cond.deterministic ||
-        cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
-      val refs = cond.references.toSeq.map {
-        case a: AttributeReference => a
-        case _ => return None
-      }
-      val idx = refs.map(_.exprId).zipWithIndex.toMap
-      val bound = cond.transform {
-        case a: AttributeReference =>
-          BoundReference(idx(a.exprId), a.dataType, nullable = true)
-      }
+      if (conds.exists(c => !c.deterministic ||
+        c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+      val evals = conds.map(conjunctTri)
       val kept = Seq.newBuilder[FileEntry]
       m.files.foreach { fe =>
-        val vals = refs.map(a => singleValue(fe, a))
-        if (vals.exists(_.isEmpty)) return None // not provably single-valued
-        if (bound.eval(InternalRow.fromSeq(vals.map(_.get))) == true)
-          kept += fe
+        val tris = evals.map(_(fe))
+        if (tris.contains(Some(false))) () // provably no row passes: drop
+        else if (tris.forall(_.contains(true))) kept += fe // all rows pass
+        else return None // straddles / no evidence: refuse, the scan runs
       }
       val files = kept.result()
       Some(m.copy(files = files,
         rowCount =
           if (files.forall(_.rows >= 0)) files.map(_.rows).sum else -1L))
     } catch { case _: Exception => None } // refusal, never a guess
+
+  /** Per-file three-valued evaluator for one conjunct: exact single-value
+    * evaluation when every referenced column is constant in the file,
+    * else interval evidence for the recognized comparison shapes.
+    */
+  private def conjunctTri(c: Expression): FileEntry => Option[Boolean] = {
+    val refs = c.references.toSeq.collect { case a: AttributeReference => a }
+    val idx = refs.map(_.exprId).zipWithIndex.toMap
+    val bound =
+      if (refs.size == c.references.size)
+        Some(c.transform {
+          case a: AttributeReference =>
+            BoundReference(idx(a.exprId), a.dataType, nullable = true)
+        })
+      else None
+    fe => {
+      val exact = bound.flatMap { b =>
+        val vals = refs.map(a => singleValue(fe, a))
+        if (vals.exists(_.isEmpty)) None
+        else Some(b.eval(InternalRow.fromSeq(vals.map(_.get))) == true)
+      }
+      exact.orElse(intervalTri(c, fe))
+    }
+  }
+
+  /** Interval evidence for one recognized comparison shape over one file —
+    * Some(allRowsPass), or None when the shape/evidence can't decide.
+    * Strictness is preserved exactly (unlike the zone-map listing path's
+    * closed relaxation, all-TRUE proofs must not widen `>` to `>=`).
+    */
+  private def intervalTri(c: Expression, fe: FileEntry): Option[Boolean] = {
+    def ext(v: Any, dt: DataType): Option[Any] =
+      ZoneMapScanRule.external(v, dt)
+    def tri(a: AttributeReference, op: String, v: Any,
+        dt: DataType): Option[Boolean] =
+      ext(v, dt).flatMap(ZoneMap.triMatch(fe, a.name, op, _))
+    c match {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        tri(a, ">=", v, dt)
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        tri(a, ">", v, dt)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        tri(a, "<=", v, dt)
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        tri(a, "<", v, dt)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        tri(a, "=", v, dt)
+      // flipped literal-first forms mirror with the inverted operator
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        tri(a, "<=", v, dt)
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        tri(a, "<", v, dt)
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        tri(a, ">=", v, dt)
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        tri(a, ">", v, dt)
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        tri(a, "=", v, dt)
+      case IsNotNull(a: AttributeReference) => nullTri(a, fe, wantNull = false)
+      case IsNull(a: AttributeReference) => nullTri(a, fe, wantNull = true)
+      case _ => None
+    }
+  }
+
+  /** IS [NOT] NULL decided from the file's null accounting. */
+  private def nullTri(a: AttributeReference, fe: FileEntry,
+      wantNull: Boolean): Option[Boolean] =
+    fe.stats.flatMap(_.get(a.name)).flatMap { cs =>
+      if (cs.typ == "null") Some(wantNull) // every row is NULL
+      else if (cs.nulls == 0L) Some(!wantNull)
+      else if (cs.nulls > 0L && fe.rows >= 0 && cs.nulls == fe.rows)
+        Some(wantNull)
+      else None // mixed or unknown count
+    }
 
   /** The internal-format answer for one output expression, or None when
     * the manifest cannot prove it.

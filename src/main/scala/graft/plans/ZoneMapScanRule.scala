@@ -320,8 +320,9 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Catalyst internal literal → the external value [[ZoneMap]] compares
     * in. Only domains with an exact mapping; a null literal never becomes
     * a bound (the comparison is unsatisfiable — Spark folds it anyway).
+    * Shared with [[MetaAggRule]]'s interval evidence.
     */
-  private def external(v: Any, dt: DataType): Option[Any] =
+  private[plans] def external(v: Any, dt: DataType): Option[Any] =
     if (v == null) None
     else dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |

@@ -118,6 +118,78 @@ object ZoneMap {
     case _ => false
   }
 
+  // --- three-valued per-file comparison evidence ---------------------------
+
+  /** Per-file THREE-VALUED evaluation of `column (op) v`, `op` one of
+    * ">=", ">", "<=", "<", "=": Some(true) when the stats PROVE every row
+    * of the file satisfies the comparison (range containment AND a proven
+    * zero null count — a null row fails any comparison, so all-true needs
+    * no nulls), Some(false) when they prove NO row does (range
+    * disjointness; nulls only help — a null row also fails), None when the
+    * file straddles or the evidence is missing/mixed-domain. This is what
+    * lets a metadata-only aggregate answer `WHERE ts < cut` exactly on a
+    * range-clustered table: all-true files contribute wholly, all-false
+    * files drop, one straddling file refuses the rewrite
+    * ([[graft.plans.MetaAggRule]]).
+    */
+  def triMatch(fe: FileEntry, column: String, op: String,
+      v: Any): Option[Boolean] =
+    fe.stats.flatMap(_.get(column)) match {
+      case None => None // no evidence
+      case Some(cs) if cs.typ == "null" =>
+        Some(false) // NULL cmp anything is never true — no row matches
+      case Some(cs) =>
+        for {
+          mnC <- cmp(cs.typ, cs.min, v)
+          mxC <- cmp(cs.typ, cs.max, v)
+          r <- {
+            val noNulls = cs.nulls == 0L // -1 (unknown) can't prove all-true
+            op match {
+              case ">=" =>
+                if (mxC < 0) Some(false)
+                else if (mnC >= 0 && noNulls) Some(true) else None
+              case ">" =>
+                if (mxC <= 0) Some(false)
+                else if (mnC > 0 && noNulls) Some(true) else None
+              case "<=" =>
+                if (mnC > 0) Some(false)
+                else if (mxC <= 0 && noNulls) Some(true) else None
+              case "<" =>
+                if (mnC >= 0) Some(false)
+                else if (mxC < 0 && noNulls) Some(true) else None
+              case "=" =>
+                if (mnC > 0 || mxC < 0) Some(false)
+                else if (mnC == 0 && mxC == 0 && noNulls) Some(true) else None
+              case _ => None
+            }
+          }
+        } yield r
+    }
+
+  /** Sign of (recorded stat value − external predicate value) in the
+    * stats domain; None when no lossless compare exists (mixed domains,
+    * NaN, overflow) — evidence, never a guess.
+    */
+  private def cmp(typ: String, stat: String, v: Any): Option[Int] =
+    try typ match {
+      case "long" => asLong(v).map(l => java.lang.Long.compare(stat.toLong, l))
+      case "double" => asDouble(v).filterNot(_.isNaN)
+        .map(d => java.lang.Double.compare(z(stat.toDouble), z(d)))
+      case "string" => v match {
+        case s: String => Some(Integer.signum(stat.compareTo(s)))
+        case _ => None
+      }
+      case "date" => asDays(v).map(d => java.lang.Long.compare(stat.toLong, d))
+      case "tsus" | "tsms" =>
+        val scale = if (typ == "tsms") 1000L else 1L
+        asMicros(v).flatMap { us =>
+          try Some(java.lang.Long.compare(
+            Math.multiplyExact(stat.toLong, scale), us))
+          catch { case _: ArithmeticException => None }
+        }
+      case _ => None // opaque/foreign: no order
+    } catch { case _: Exception => None }
+
   // --- equi-join key-set pruning ------------------------------------------
   // The build side of a selective equi-join, turned into a file-skipping
   // proof: a fact file whose [min, max] window contains NO dim key cannot

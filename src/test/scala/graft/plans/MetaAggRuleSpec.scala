@@ -239,9 +239,9 @@ class MetaAggRuleSpec extends SparkSpec {
     zero.head.getLong(0) shouldBe 0L
   }
 
-  test("a Filter referencing ANY non-single-valued column refuses — even " +
-    "when a partition-column conjunct alone would qualify (partial proof " +
-    "is no proof)") {
+  test("interval evidence decides range conjuncts on MULTI-valued columns " +
+    "(all-true / all-false per file); a cut that straddles any file " +
+    "refuses wholesale (partial proof is no proof)") {
     val spec = graft.model.ObjectStoreSpec(
       path = scratchDir("filref").getAbsolutePath,
       database = "graft_mar_filref", table = "t", partitionBy = Seq("grp"))
@@ -249,12 +249,43 @@ class MetaAggRuleSpec extends SparkSpec {
       .withColumn("grp", concat(lit("g"), (col("id") % 3).cast("string")))
       .repartitionByRange(2, col("id"))
     val fq = ObjectStoreSink.replaceTable(spark, df, spec)
-    // id is multi-valued per file: the id conjunct is undecidable from
-    // per-file constants, so the WHOLE filter refuses (no partial answer)
+    // id is multi-valued per file, but every file's window sits under the
+    // cut → each file is provably ALL-TRUE: the manifest answers (r13 —
+    // the r12 rule refused exactly this shape)
     val q = spark.sql(
       s"SELECT count(*) AS n FROM $fq WHERE grp = 'g1' AND id < 999")
-    assertScans(q)
+    assertMetaOnly(q)
     q.head.getLong(0) shouldBe 40L
+    // a cut STRICTLY INSIDE some file's window straddles it: no partial
+    // answer — the whole rewrite refuses and the scan runs (cut derived
+    // from the manifest so it can never coincide with a file boundary)
+    val live = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    val m = graft.sinks.TableManifest.read(live).get
+    val w = m.files.flatMap(_.stats.flatMap(_.get("id")))
+      .map(cs => (cs.min.toLong, cs.max.toLong)).minBy(_._1)
+    val mid = (w._1 + w._2) / 2 // inside the lowest file's window
+    val qs = spark.sql(
+      s"SELECT count(*) AS n FROM $fq WHERE grp = 'g1' AND id < $mid")
+    assertScans(qs)
+    qs.head.getLong(0) shouldBe
+      spark.table(fq).where(s"grp = 'g1' AND id < $mid").count()
+    // every file provably ALL-FALSE: the answer is the empty sub-manifest
+    val qf = spark.sql(s"SELECT count(*) AS n FROM $fq WHERE id < 0")
+    assertMetaOnly(qf)
+    qf.head.getLong(0) shouldBe 0L
+    // closed-range containment on exactly ONE group-file's window: the
+    // other g0 file is all-false, the g1/g2 files drop on the grp
+    // conjunct — every file decidable, zero scans
+    val wg = m.files
+      .filter(_.stats.exists(_.get("grp").exists(_.min == "g0")))
+      .flatMap(_.stats.flatMap(_.get("id")))
+      .map(cs => (cs.min.toLong, cs.max.toLong)).minBy(_._1)
+    val qStrict = spark.sql(s"SELECT count(*) AS n FROM $fq " +
+      s"WHERE grp = 'g0' AND id >= ${wg._1} AND id <= ${wg._2}")
+    assertMetaOnly(qStrict)
+    qStrict.head.getLong(0) shouldBe spark.table(fq)
+      .where(s"grp = 'g0' AND id >= ${wg._1} AND id <= ${wg._2}").count()
     // a file that is CONSTANT but carries nulls is not single-valued
     // either: {v, null} can't prove the predicate's value for every row
     val fq2 = commitTable("filnul", ss.range(0, 50).toDF("id")
