@@ -43,9 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - every aggregate is answerable from [[ZoneMap]]'s Option-typed API
   *     in a stats domain that maps LOSSLESSLY onto the column's Catalyst
   *     type (long↔integrals, double↔float/double, ASCII string, date,
-  *     UTC-adjusted micro/milli timestamps). Unknown null counts, mixed
-  *     domains, decimals, distinct/filtered aggregates → no rewrite, the
-  *     scan runs. There is no "probably right" path.
+  *     UTC-adjusted micro/milli timestamps, same-scale decimals via the
+  *     manifest's unscaled-long "dec" domain). Unknown null counts, mixed
+  *     domains, distinct/filtered aggregates → no rewrite, the scan runs.
+  *     There is no "probably right" path.
   *
   * `spark.graft.metaAgg.enabled=false` disables the rule.
   */
@@ -105,7 +106,7 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
     fe.stats.flatMap(_.get(a.name)).flatMap[Any] {
       case cs if cs.typ == "null" => Some(null)
       case cs if cs.min == cs.max && cs.nulls == 0L =>
-        internalValue(cs.typ, cs.min, a.dataType).map(normalizeKey)
+        internalValue(cs, cs.min, a.dataType).map(normalizeKey)
       case _ => None // multi-valued (or not provably null-free)
     }
 
@@ -331,9 +332,9 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
         if (a.nullable) ZoneMap.metaNonNullCount(m, a.name)
         else ZoneMap.metaCount(m)
       case Min(a: AttributeReference) =>
-        ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs.typ, cs.min, a.dataType))
+        ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs, cs.min, a.dataType))
       case Max(a: AttributeReference) =>
-        ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs.typ, cs.max, a.dataType))
+        ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs, cs.max, a.dataType))
       case _ => None
     }
   }
@@ -343,8 +344,9 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
     * non-ASCII strings (TableManifest drops them at commit), so every value
     * here is exact.
     */
-  private def internalValue(typ: String, v: String, dt: DataType): Option[Any] =
-    (typ, dt) match {
+  private def internalValue(cs: graft.sinks.TableManifest.ColStats, v: String,
+      dt: DataType): Option[Any] =
+    (cs.typ, dt) match {
       case ("long", LongType) => Some(v.toLong)
       case ("long", IntegerType) =>
         val l = v.toLong
@@ -369,6 +371,14 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
       case ("tsms", TimestampType) =>
         try Some(Math.multiplyExact(v.toLong, 1000L))
         catch { case _: ArithmeticException => None }
+      case ("dec", d: DecimalType) =>
+        // (unscaled, scale) reconstructs the exact value; it must rescale
+        // EXACTLY to the column's scale (setScale throws on any rounding)
+        // and fit its precision — else refuse, never round
+        try {
+          val exact = BigDecimal(BigInt(v.toLong), cs.scale).setScale(d.scale)
+          Some(org.apache.spark.sql.types.Decimal(exact, d.precision, d.scale))
+        } catch { case _: Exception => None }
       case _ => None
     }
 }

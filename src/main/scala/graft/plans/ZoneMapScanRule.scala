@@ -334,7 +334,10 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
         val us = v.asInstanceOf[Long]
         Some(java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-      case _ => None // decimal/binary/…: no lossless external compare
+      case _: DecimalType =>
+        // exact: ZoneMap's "dec" domain compares true BigDecimal values
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+      case _ => None // binary/…: no lossless external compare
     }
 }
 

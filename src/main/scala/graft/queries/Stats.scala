@@ -601,6 +601,82 @@ object Stats {
              |GROUP BY l_orderkey
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- decimal stats domain: zone maps + metadata aggregates ------------
+    // Money columns are exactly what 100 TB fact tables filter on, and r12
+    // left decimals stats-dark (the unscaled-footer aliasing hazard). The
+    // manifest now records int32/int64/FLBA DECIMAL stats as
+    // (unscaled long, scale); exact-decimal predicates prune through the
+    // planner seam and MIN/MAX/filtered counts answer from metadata. The
+    // fixture derives the decimal from an integer key so the Spark and
+    // DuckDB casts are bit-identical; the REQUIREs gate both the pruned
+    // listing (BETWEEN) and the zero-scan metadata answers.
+    QueryDef(
+      "q_zonemap_decimal",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-zmdec"),
+          database = "graft_ops", table = "zdec_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem")
+            .withColumn("price", (col("l_orderkey") % 10000).cast("decimal(12,2)"))
+            .repartitionByRange(16, col("price")), spec)
+        graft.GraftExtensions.register(s)
+        // metadata-only decimal MIN/MAX + non-null count: zero scans
+        val meta = s.sql(
+          """SELECT min(price) AS mn, max(price) AS mx, count(price) AS np
+            |FROM graft_ops.zdec_li""".stripMargin)
+        require(meta.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty, "decimal MIN/MAX was not answered from the manifest:\n" +
+          meta.queryExecution.optimizedPlan)
+        val exp = t(s, d, "lineitem")
+          .select((col("l_orderkey") % 10000).cast("decimal(12,2)").as("p"))
+          .agg(min("p"), max("p"), count(col("p"))).head // 1-row planning agg
+        val got = meta.head
+        require(got.getDecimal(0) == exp.getDecimal(0) &&
+          got.getDecimal(1) == exp.getDecimal(1) &&
+          got.getLong(2) == exp.getLong(2),
+          s"decimal metadata answers wrong: $got vs $exp")
+        // exact-decimal BETWEEN over the interior quarter of the price
+        // domain (data-derived, so the band is interior at every SF)
+        // prunes the range-clustered listing
+        val pmx = exp.getDecimal(1).longValueExact()
+        val (lo, hi) = (pmx / 4, pmx / 2)
+        val df = s.sql(
+          s"""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM graft_ops.zdec_li
+             |WHERE price BETWEEN $lo.00 AND $hi.00
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val reports = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+        }.flatten
+        require(reports.nonEmpty &&
+          reports.head.filesKept < reports.head.filesTotal,
+          s"decimal zone maps did not prune the listing: $reports")
+        df
+      },
+      Some("""WITH b AS (SELECT CAST(MAX(l_orderkey % 10000) AS BIGINT) AS pmx
+             |           FROM lineitem)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, b
+             |WHERE CAST(l_orderkey % 10000 AS DECIMAL(12,2))
+             |      BETWEEN CAST(FLOOR(b.pmx / 4.0) AS DECIMAL(12,2))
+             |          AND CAST(FLOOR(b.pmx / 2.0) AS DECIMAL(12,2))
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- materialized-view query rewrite ---------------------------------
     // The repeated-dashboard read path at 100 TB: the defining aggregate
     // is maintained as a snapshot table; a user re-issuing the SAME query

@@ -297,8 +297,12 @@ object BloomIndex {
 
   /** Column types the hash proof is sound for. Floating point is refused
     * (±0.0 / NaN bit-pattern aliases are SQL-equal but hash apart);
-    * decimals are refused (scale aliasing); strings only under the
-    * default binary collation.
+    * strings only under the default binary collation. Decimals ARE sound:
+    * a column's scale is FIXED, so each value has exactly one
+    * (unscaled, scale) representation and hashing is deterministic — the
+    * shard records the full `decimal(p,s)` and every probe key must
+    * rescale EXACTLY to s or the probe refuses (scale aliasing guarded at
+    * probe time, not by refusing the build — r12 verdict #4).
     */
   private def buildType(dt: DataType): Option[String] = dt match {
     case LongType => Some("bigint")
@@ -308,8 +312,11 @@ object BloomIndex {
     case StringType => Some("string")
     case DateType => Some("date")
     case TimestampType => Some("timestamp")
+    case d: DecimalType => Some(s"decimal(${d.precision},${d.scale})")
     case _ => None
   }
+
+  private val DecimalTyp = raw"decimal\((\d+),(\d+)\)".r
 
   /** xxhash64 of an external key value AS the build-side type — a local
     * Catalyst eval of the same expression the build aggregated, so build
@@ -333,6 +340,15 @@ object BloomIndex {
       case "date" => ZoneMap.asDays(v).collect {
         case d if d.isValidInt => Literal(d.toInt, DateType) }
       case "timestamp" => ZoneMap.asMicros(v).map(Literal(_, TimestampType))
+      case DecimalTyp(p, s) =>
+        // the key must rescale EXACTLY to the column's scale (setScale
+        // throws on rounding) and fit its precision — scale aliasing
+        // (1.0 vs 1.00) hashes apart, so an inexact key refuses
+        try ZoneMap.asBigDec(v).map { bd =>
+          val exact = bd.setScale(s.toInt)
+          Literal(org.apache.spark.sql.types.Decimal(exact, p.toInt, s.toInt),
+            DecimalType(p.toInt, s.toInt))
+        } catch { case _: Exception => None }
       case _ => None
     }
     lit.map(l => new XxHash64(Seq(l), 42L)

@@ -59,17 +59,20 @@ object TableManifest {
     * column — provably disjoint from any range predicate), or "opaque"
     * (no sound comparison order exists for the domain: the entry carries
     * ONLY the null count — it never prunes, but keeps metadata-only
-    * COUNT(col) answerable). Int32/int64
-    * columns with a DECIMAL annotation carry NO entry: their stats are
-    * UNSCALED values, and comparing an integral predicate against
-    * unscaled stats would prune unsoundly (e.g. decimal(10,2) -50.00 is
-    * stored as -5000, which an integral bound of -100 would "prove"
-    * disjoint while the row matches). Unsigned-int annotations are also
+    * COUNT(col) answerable), or "dec" (int32/int64 DECIMAL annotation:
+    * min/max are the raw UNSCALED values with the column's `scale`
+    * recorded alongside — unscaled longs at ONE scale order exactly like
+    * the decimal values they encode, and every comparison reconstructs
+    * the true BigDecimal, so the r12 restriction that made money columns
+    * stats-dark is lifted WITHOUT the unsoundness it guarded against:
+    * an integral/double predicate never compares against "dec" stats,
+    * only an exact decimal one does). Unsigned-int annotations are
     * dropped (parquet orders them unsigned, the JVM signed). Columns
     * without complete stats simply have no entry: absence always means
     * "cannot prune", never "empty".
     */
-  final case class ColStats(typ: String, min: String, max: String, nulls: Long)
+  final case class ColStats(typ: String, min: String, max: String, nulls: Long,
+      scale: Int = 0)
 
   /** `rows` is the file's exact footer row count, or -1 when unknown
     * (non-parquet commits, manifests written before the field existed —
@@ -297,10 +300,18 @@ object TableManifest {
             // the logical annotation decides the comparison DOMAIN — raw
             // int32/int64 stats mean different things under different
             // annotations, and a domain mix-up is an unsound prune
-            integralDomain(cs.head.getPrimitiveType.getLogicalTypeAnnotation)
-              .map(dom => name -> ColStats(dom,
-                vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
-              .orElse(opaque)
+            cs.head.getPrimitiveType.getLogicalTypeAnnotation match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                // unscaled values at the column's fixed scale: record both
+                Some(name -> ColStats("dec",
+                  vals.map(_._1).min.toString, vals.map(_._2).max.toString,
+                  nulls, d.getScale))
+              case ann => integralDomain(ann)
+                .map(dom => name -> ColStats(dom,
+                  vals.map(_._1).min.toString, vals.map(_._2).max.toString,
+                  nulls))
+                .orElse(opaque)
+            }
           case _: FloatStatistics | _: DoubleStatistics =>
             val vals = nonNull.map {
               case s: FloatStatistics => (s.getMin.toDouble, s.getMax.toDouble)
@@ -311,6 +322,24 @@ object TableManifest {
             if (vals.exists(v => v._1.isNaN || v._2.isNaN)) opaque
             else Some(name -> ColStats("double",
               vals.map(_._1).min.toString, vals.map(_._2).max.toString, nulls))
+          // binary/FLBA decimals (precision > 18): unscaled big-endian
+          // two's-complement bytes — usable whenever the actual values
+          // fit an unscaled long (they often do; precision is a bound,
+          // not a size), else opaque
+          case _: BinaryStatistics
+              if cs.head.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+            val scale = cs.head.getPrimitiveType.getLogicalTypeAnnotation
+              .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+              .getScale
+            try {
+              val vals = nonNull.map { case s: BinaryStatistics =>
+                (new java.math.BigInteger(s.genericGetMin.getBytes).longValueExact(),
+                  new java.math.BigInteger(s.genericGetMax.getBytes).longValueExact())
+              }
+              Some(name -> ColStats("dec", vals.map(_._1).min.toString,
+                vals.map(_._2).max.toString, nulls, scale))
+            } catch { case _: ArithmeticException => opaque }
           case _: BinaryStatistics
               if cs.head.getPrimitiveType.getLogicalTypeAnnotation ==
                 LogicalTypeAnnotation.stringType() =>

@@ -115,6 +115,16 @@ object ZoneMap {
         p.lower.flatMap(asMicros).exists(_ > mx) ||
           p.upper.flatMap(asMicros).exists(_ < mn)
       } catch { case _: ArithmeticException => false }
+    case "dec" =>
+      // reconstruct the true decimal from (unscaled, scale) — BigDecimal
+      // comparison is value-exact across scales, so only the PREDICATE
+      // type gates: integral/double bounds never compare against "dec"
+      try {
+        val mn = BigDecimal(BigInt(cs.min.toLong), cs.scale)
+        val mx = BigDecimal(BigInt(cs.max.toLong), cs.scale)
+        p.lower.flatMap(asBigDec).exists(_ > mx) ||
+          p.upper.flatMap(asBigDec).exists(_ < mn)
+      } catch { case _: Exception => false }
     case _ => false
   }
 
@@ -140,8 +150,8 @@ object ZoneMap {
         Some(false) // NULL cmp anything is never true — no row matches
       case Some(cs) =>
         for {
-          mnC <- cmp(cs.typ, cs.min, v)
-          mxC <- cmp(cs.typ, cs.max, v)
+          mnC <- cmpCs(cs, cs.min, v)
+          mxC <- cmpCs(cs, cs.max, v)
           r <- {
             val noNulls = cs.nulls == 0L // -1 (unknown) can't prove all-true
             op match {
@@ -189,6 +199,16 @@ object ZoneMap {
         }
       case _ => None // opaque/foreign: no order
     } catch { case _: Exception => None }
+
+  /** [[cmp]] with the stats entry in hand — routes "dec" through the
+    * (unscaled, scale) reconstruction; every other domain ignores scale.
+    */
+  private def cmpCs(cs: TableManifest.ColStats, stat: String,
+      v: Any): Option[Int] =
+    if (cs.typ == "dec")
+      try asBigDec(v).map(BigDecimal(BigInt(stat.toLong), cs.scale).compare)
+      catch { case _: Exception => None }
+    else cmp(cs.typ, stat, v)
 
   // --- equi-join key-set pruning ------------------------------------------
   // The build side of a selective equi-join, turned into a file-skipping
@@ -254,6 +274,9 @@ object ZoneMap {
     val micros = keys.map(asMicros)
     if (micros.forall(_.isDefined))
       return Some(("tsus", micros.flatten.sorted.toIndexedSeq))
+    val decs = keys.map(asBigDec)
+    if (decs.forall(_.isDefined))
+      return Some(("dec", decs.flatten.sorted.toIndexedSeq))
     None
   }
 
@@ -283,6 +306,11 @@ object ZoneMap {
         Math.multiplyExact(cs.min.toLong, scale),
         Math.multiplyExact(cs.max.toLong, scale))
       catch { case _: ArithmeticException => true }
+    case ("dec", "dec") =>
+      try anyIn(sorted.asInstanceOf[IndexedSeq[BigDecimal]],
+        BigDecimal(BigInt(cs.min.toLong), cs.scale),
+        BigDecimal(BigInt(cs.max.toLong), cs.scale))
+      catch { case _: Exception => true }
     case _ => true // mixed domains: lossy compare carries no proof
   }
 
@@ -356,6 +384,11 @@ object ZoneMap {
         valued.map(_.max.toDouble).max.toString, nulls))
       case Seq("string") => Some(ColStats("string",
         valued.map(_.min).min, valued.map(_.max).max, nulls))
+      case Seq("dec") if valued.map(_.scale).distinct.size == 1 =>
+        // one scale → unscaled order IS value order; mixed scales (can't
+        // arise from one column, but a doctored manifest could) refuse
+        Some(ColStats("dec", valued.map(_.min.toLong).min.toString,
+          valued.map(_.max.toLong).max.toString, nulls, valued.head.scale))
       case Seq("tsus") | Seq("tsms") | Seq("tsms", "tsus") =>
         // normalize to micros (millis ×1000 is exact); overflow refuses
         try {
@@ -397,6 +430,16 @@ object ZoneMap {
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
     case _ => None // a fractional bound vs integral stats: no lossless compare
+  }
+
+  /** Exact decimal of a decimal-typed bound/key value. Only true decimal
+    * carriers qualify — a double is binary, not decimal, and a lossy
+    * conversion carries no proof.
+    */
+  private[sinks] def asBigDec(v: Any): Option[BigDecimal] = v match {
+    case b: java.math.BigDecimal => Some(BigDecimal(b))
+    case b: BigDecimal => Some(b)
+    case _ => None
   }
 
   private[sinks] def asDouble(v: Any): Option[Double] = v match {

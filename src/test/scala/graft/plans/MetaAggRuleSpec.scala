@@ -115,16 +115,24 @@ class MetaAggRuleSpec extends SparkSpec {
       Seq((31L, 999L))
   }
 
-  test("decimal columns refuse metadata MIN/MAX (unscaled stats carry no " +
-    "sound order proof) while sibling columns still answer") {
+  test("decimal MIN/MAX answer from the manifest's (unscaled, scale) " +
+    "domain exactly — negatives and division included (r13: money columns " +
+    "were stats-dark in r12)") {
     val df = ss.range(0, 40).toDF("id")
       .withColumn("amt", (col("id") - 20).cast("decimal(10,2)") / 4)
       .repartitionByRange(3, col("id"))
     val fq = commitTable("dec", df)
-    assertScans(spark.sql(s"SELECT min(amt) FROM $fq"))
-    assertMetaOnly(spark.sql(s"SELECT min(id) AS mn, count(*) AS n FROM $fq"))
-    // and COUNT(amt) is still answerable: null accounting is domain-free
-    assertMetaOnly(spark.sql(s"SELECT count(amt) AS n FROM $fq"))
+    val q = spark.sql(s"SELECT min(amt) AS mn, max(amt) AS mx, " +
+      s"count(amt) AS n FROM $fq")
+    assertMetaOnly(q)
+    q.collect().toSeq shouldBe
+      df.agg(min("amt"), max("amt"), count(col("amt"))).collect().toSeq
+    // a filter CUT on the decimal column decides per file through the
+    // same domain (range-clustered on id ⇒ amt is too: amt = (id-20)/4)
+    val qf = spark.sql(
+      s"SELECT count(*) AS n FROM $fq WHERE amt > 99.0")
+    assertMetaOnly(qf)
+    qf.head.getLong(0) shouldBe 0L
   }
 
   test("GROUP BY a partition column answers per-group COUNT(*)/COUNT(col)/" +

@@ -203,22 +203,38 @@ class BloomIndexSpec extends SparkSpec {
       m.files.size).where(col("id") === 400L).count() shouldBe 1L
   }
 
-  test("float/double/decimal columns are never indexed (bit-pattern " +
-    "aliasing); partition columns are excluded at the sink seam") {
+  test("float/double columns are never indexed (bit-pattern aliasing); " +
+    "partition columns are excluded at the sink seam; DECIMALS index " +
+    "under their exact (precision, scale) with scale-aliasing probes " +
+    "refused (r13)") {
     val spec = ObjectStoreSpec(path = scratchDir("nofloat").getAbsolutePath,
       database = "graft_bloom", table = "t_nofloat",
       partitionBy = Seq("par"),
       bloomColumns = Seq("id", "v", "dec", "par"))
     val df = (0L until 200L)
-      .map(i => (i, i / 8.0, BigDecimal(i).setScale(2),
-        if (i % 2 == 0) "even" else "odd"))
-      .toDF("id", "v", "dec", "par")
+      .map(i => (i, i / 8.0, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "v", "par")
+      .withColumn("dec", col("id").cast("decimal(10,2)"))
       .repartition(4, col("id"))
     ObjectStoreSink.replaceTable(spark, df, spec)
     val (vdir, _) = live(spec)
     val sc = BloomIndex.read(vdir).get
-    sc.cols.keySet shouldBe Set("id")
+    sc.cols.keySet shouldBe Set("id", "dec")
     sc.cols("id").typ shouldBe "bigint"
+    sc.cols("dec").typ shouldBe "decimal(10,2)"
+    // a fixed column scale makes hashing deterministic: an exact-scale
+    // key probes and prunes; a key that can't rescale exactly refuses
+    val m = TableManifest.read(vdir).get
+    val key = new java.math.BigDecimal("7.00") // row 7's value, any scale
+    val (kept, rep) = BloomIndex.prune(vdir, m, "dec", Seq(key)).get
+    rep.filesSkipped should be > 0
+    // the surviving set must contain row 7's file (no false negatives)
+    spark.read.parquet(kept.map(fe =>
+        vdir.resolve(fe.path).toString): _*)
+      .where(col("dec") === lit(key)).count() shouldBe 1L
+    // 7.005 cannot rescale to scale 2 exactly → the probe refuses wholesale
+    BloomIndex.prune(vdir, m, "dec",
+      Seq(new java.math.BigDecimal("7.005"))) shouldBe None
   }
 
   test("JoinPrune third proof strength: a sparse dim over an unclustered " +

@@ -370,8 +370,9 @@ class ZoneMapSpec extends SparkSpec {
     tr.min.toLong shouldBe -86400000000L
   }
 
-  test("decimal-backed integer stats are refused a range (unscaled values " +
-    "order differently) but keep the opaque null accounting") {
+  test("decimal stats record the (unscaled, scale) 'dec' domain: exact-" +
+    "decimal bounds prune, integral/double bounds never compare (the " +
+    "unscaled-aliasing hazard the r12 opaque fallback guarded against)") {
     val spec = ObjectStoreSpec(path = scratchDir("zmdec").getAbsolutePath,
       database = "graft_zm_dec", table = "t")
     val df = ss.range(0, 40).toDF("id")
@@ -380,13 +381,28 @@ class ZoneMapSpec extends SparkSpec {
       .repartitionByRange(2, col("id"))
     ObjectStoreSink.replaceTable(spark, df, spec)
     val m = TableManifest.read(liveDir(spec)).get
-    m.files.foreach(_.stats.get("amt").typ shouldBe "opaque")
-    // a bound on the decimal column must keep every file: the unscaled
-    // footer values (-5000 for -50.00) would otherwise prove false
-    // disjointness against integral bounds
+    m.files.foreach { fe =>
+      fe.stats.get("amt").typ shouldBe "dec"
+      fe.stats.get("amt").scale should be > 0
+    }
+    // an INTEGRAL bound still never compares against "dec" stats — the
+    // unscaled footer value of -50.00 is -5000, which a naive compare
+    // against -100 would "prove" disjoint while the row matches
     ZoneMap.prune(m, Seq(ZoneMap.Bound("amt", Some(-100L))))._1.size shouldBe
       m.files.size
-    ZoneMap.metaRange(m, "amt") shouldBe None
+    // an exact decimal bound prunes: amt = (id-20)/4 is range-clustered,
+    // so amt >= 3.00 (ids 32+) is provably disjoint from the low file
+    val hi = new java.math.BigDecimal("3.00")
+    ZoneMap.prune(m, Seq(ZoneMap.Bound("amt", Some(hi))))
+      ._2.filesSkipped should be > 0
+    // and a double bound (binary, not decimal) never compares
+    ZoneMap.prune(m, Seq(ZoneMap.Bound("amt", Some(3.0d))))._1.size shouldBe
+      m.files.size
+    // metadata MIN/MAX flow through the domain exactly; null accounting
+    val r = ZoneMap.metaRange(m, "amt").get
+    r.typ shouldBe "dec"
+    BigDecimal(BigInt(r.min.toLong), r.scale) shouldBe
+      BigDecimal(df.agg(min("amt")).head.getDecimal(0))
     ZoneMap.metaNonNullCount(m, "amt") shouldBe Some(32L)
   }
 
