@@ -30,7 +30,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     defining plan — Spark's canonicalized-plan equivalence, the exact
   *     proof CacheManager trusts for cached-data substitution. Both sides
   *     are OPTIMIZED plans, so cosmetic differences (aliases, projection
-  *     order, exprIds) normalize away while semantic ones don't.
+  *     order, exprIds) normalize away while semantic ones don't. One
+  *     scoped CONTAINMENT extension: a deterministic Filter over bare
+  *     GROUPING-KEY attributes that the optimizer pushed below the
+  *     defining aggregate is peeled off, the residue matched by the same
+  *     sameResult proof, and the predicate re-applied on the snapshot —
+  *     key filters commute with grouping, so dashboards that slice their
+  *     MV still answer snapshot-only.
   *   - FRESHNESS: registration pins every base table's committed version;
   *     the rule re-reads the lakes' current committed versions at plan
   *     time and refuses if ANY base moved — a stale snapshot is never
@@ -191,27 +197,120 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def substitute(p: LogicalPlan,
       r: Registration): Option[LogicalPlan] =
     try {
-      if (!p.sameResult(r.view) || !fresh(r)) None
-      else {
-        val mv = withGuard(r.read().queryExecution.optimizedPlan)
-        if (mv.output.size != p.output.size ||
-          mv.output.zip(p.output).exists { case (s, t) =>
-            s.dataType != t.dataType })
-          None
-        else Some(Project(p.output.zip(mv.output).map { case (tgt, src) =>
-          // a snapshot round-trip widens nullability (parquet columns
-          // read back nullable even for count(*) results); the values
-          // cannot actually be null — AssertNotNull restores the
-          // output contract with a RUNTIME check instead of a metadata
-          // lie, so a corrupted snapshot fails loudly, never silently
-          val e =
-            if (src.nullable && !tgt.nullable)
-              org.apache.spark.sql.catalyst.expressions.objects
-                .AssertNotNull(src)
-            else src
-          Alias(e, tgt.name)(exprId = tgt.exprId) }, mv))
-      }
+      direct(p, r).orElse(contained(p, r))
     } catch { case _: Exception => None } // refusal, never a guess
+
+  /** Whole-subtree identity: the query node IS the defining shape. */
+  private def direct(p: LogicalPlan,
+      r: Registration): Option[LogicalPlan] =
+    if (!unpruned(p).sameResult(r.view) || !fresh(r)) None
+    else snapshotProject(p.output, r)
+
+  /** CONTAINMENT rewrite (r12 verdict #3): a group-key Filter that Spark
+    * pushed BELOW the defining aggregate — `SELECT … GROUP BY k` queried
+    * with `WHERE pred(k)` optimizes to `Aggregate(k, aggs, Filter(pred,
+    * base))`, which can never `sameResult` the registered shape — is
+    * peeled off, the residual aggregate is matched whole, and the
+    * predicate is re-applied ON TOP of the snapshot read (rewritten onto
+    * the aggregate's output attributes). Sound because a deterministic
+    * predicate over grouping keys commutes with grouping: a group exists
+    * and keeps exactly its member rows iff its key passes, on either
+    * side of the aggregate (NULL and false both drop, both sides).
+    * Gates: the filter references ONLY bare grouping-key attributes that
+    * the aggregate outputs; anything else — a member-column filter (it
+    * changes group contents), a subquery, nondeterminism — refuses.
+    */
+  private def contained(p: LogicalPlan,
+      r: Registration): Option[LogicalPlan] = p match {
+    case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      for {
+        (cond, stripped) <- stripFilter(agg.child)
+        if cond.deterministic &&
+          !cond.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+        // every predicate reference must be a grouping key the aggregate
+        // OUTPUTS (bare or aliased) — map it onto the output attribute
+        outFor <- {
+          val maps = cond.references.toSeq.map { ref =>
+            val i = agg.aggregateExpressions.indexWhere {
+              case a: org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference => a.exprId == ref.exprId
+              case Alias(a: org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference, _) => a.exprId == ref.exprId
+              case _ => false
+            }
+            val isKey = agg.groupingExpressions.exists(_.semanticEquals(ref))
+            if (i >= 0 && isKey) Some(ref.exprId -> agg.output(i)) else None
+          }
+          if (maps.exists(_.isEmpty)) None else Some(maps.flatten.toMap)
+        }
+        noFilter = agg.copy(child = stripped)
+        if unpruned(noFilter).sameResult(r.view) && fresh(r)
+        proj <- snapshotProject(agg.output, r)
+      } yield org.apache.spark.sql.catalyst.plans.logical.Filter(
+        cond.transform {
+          case a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference if outFor.contains(a.exprId) =>
+            outFor(a.exprId)
+        }, proj)
+    case _ => None
+  }
+
+  /** The first Filter along the aggregate's projection chain, removed —
+    * `(condition, child-without-that-Filter)`.
+    */
+  private def stripFilter(plan: LogicalPlan): Option[(
+      org.apache.spark.sql.catalyst.expressions.Expression, LogicalPlan)] =
+    plan match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        Some((f.condition, f.child))
+      case pr: Project =>
+        stripFilter(pr.child).map { case (c, ch) =>
+          (c, pr.copy(child = ch)) }
+      case _ => None
+    }
+
+  /** The query side may already carry a [[ZoneMapPrunedIndex]] (the
+    * zone-map seam runs in the same optimizer batch); a pruned listing is
+    * a VIEW of the same relation, so normalize it away for the identity
+    * proof — the matched subtree is discarded on substitution anyway.
+    */
+  private def unpruned(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      l.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if h.location.isInstanceOf[ZoneMapPrunedIndex] =>
+          l.copy(relation = h.copy(location =
+            h.location.asInstanceOf[ZoneMapPrunedIndex].base)(h.sparkSession))
+        case _ => l
+      }
+  }
+
+  /** The snapshot read projected onto `outputs` (arity + exact types
+    * positionally), aliased onto the matched subtree's exprIds so parents
+    * re-resolve exactly.
+    */
+  private def snapshotProject(
+      outputs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      r: Registration): Option[LogicalPlan] = {
+    val mv = withGuard(r.read().queryExecution.optimizedPlan)
+    if (mv.output.size != outputs.size ||
+      mv.output.zip(outputs).exists { case (s, t) =>
+        s.dataType != t.dataType })
+      None
+    else Some(Project(outputs.zip(mv.output).map { case (tgt, src) =>
+      // a snapshot round-trip widens nullability (parquet columns
+      // read back nullable even for count(*) results); the values
+      // cannot actually be null — AssertNotNull restores the
+      // output contract with a RUNTIME check instead of a metadata
+      // lie, so a corrupted snapshot fails loudly, never silently
+      val e =
+        if (src.nullable && !tgt.nullable)
+          org.apache.spark.sql.catalyst.expressions.objects
+            .AssertNotNull(src)
+        else src
+      Alias(e, tgt.name)(exprId = tgt.exprId) }, mv))
+  }
 
   /** Every pinned base lake is still at the version AND exact file set
     * the snapshot was refreshed against — the signature catches in-place

@@ -347,7 +347,7 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
   * pruning and this compose — a file survives iff BOTH its partition
   * matches and its stats may match.
   */
-final class ZoneMapPrunedIndex(base: FileIndex, keep: Set[String],
+final class ZoneMapPrunedIndex(val base: FileIndex, keep: Set[String],
     val report: ZoneMap.PruneReport) extends FileIndex {
 
   // an unparseable path can never be proven skippable — keep, never drop

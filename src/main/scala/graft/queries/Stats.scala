@@ -731,6 +731,68 @@ object Stats {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- MV CONTAINMENT rewrite: dashboards slice their MV ---------------
+    // Real dashboards rarely re-issue the bare defining query — they
+    // filter it ("only returns", "exclude pending"). Spark pushes a
+    // group-key WHERE below the aggregate, so the subtree can never
+    // sameResult the registered shape; the scoped containment extension
+    // peels the pushed-down key filter, matches the residue with the same
+    // canonical proof, and re-applies the predicate on the snapshot read.
+    // The query REQUIREs the sliced SQL to scan ONLY the snapshot AND a
+    // member-column filter (changes group contents) to REFUSE back to the
+    // base scan; the oracle recomputes the slice from the raw rows.
+    QueryDef(
+      "q_mv_rewrite_filtered",
+      (s, d) => {
+        val baseSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvrf"),
+          database = "graft_ops", table = "mvrf_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val fq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem"), baseSpec)
+        def defSql(where: String) =
+          s"""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM $fq $where GROUP BY l_returnflag""".stripMargin
+        val mvSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvrf-mv"),
+          database = "graft_ops", table = "mvrf_mv",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val mvFq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          s.sql(defSql("")), mvSpec)
+        graft.GraftExtensions.register(s)
+        def roots(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.map(_.toString)
+                case _ => Seq("<non-fs>")
+              }
+          }.flatten
+        graft.plans.MvRewriteRule.register("q_mvrf_mv", s.sql(defSql("")),
+          () => s.table(mvFq), Seq(baseSpec))
+        try {
+          val df = s.sql(
+            defSql("WHERE l_returnflag <> 'N'") + " ORDER BY l_returnflag")
+          val r1 = roots(df)
+          require(r1.nonEmpty && r1.forall(_.contains("/mvrf_mv/")),
+            s"key-sliced query was not answered from the MV snapshot: $r1")
+          // a member-column filter changes group contents: must refuse
+          val r2 = roots(s.sql(defSql("WHERE l_quantity > 30.0")))
+          require(r2.nonEmpty && r2.forall(_.contains("/mvrf_li/")),
+            s"member-filtered query wrongly took the snapshot: $r2")
+          df
+        } finally graft.plans.MvRewriteRule.deregister("q_mvrf_mv")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_returnflag <> 'N'
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- MV rewrite across a refresh cycle: stale refusal + auto re-arm --
     // The full lifecycle the repeated-dashboard path lives through at
     // 100 TB: (1) the rewrite fires from the registered snapshot; (2) an

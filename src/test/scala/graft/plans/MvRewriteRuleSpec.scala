@@ -185,6 +185,36 @@ class MvRewriteRuleSpec extends SparkSpec {
     } finally MvRewriteRule.deregister("mv_race")
   }
 
+  test("containment breadth: key IN-lists, inequalities, and NULL-key " +
+    "semantics all slice the snapshot exactly; staleness refuses the " +
+    "contained shape too") {
+    val (baseSpec, fq) = commitBase("contain",
+      Seq(("a", 1L), ("a", 2L), ("b", 5L), ("c", 9L), (null, 7L)))
+    val mvSpec = ObjectStoreSpec(
+      path = scratchDir("containmv").getAbsolutePath,
+      database = "graft_mvr_contain", table = "mv")
+    refreshAndRegister("mv_contain", baseSpec, fq, mvSpec)
+    try {
+      def filtered(where: String) = spark.sql(
+        s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $fq " +
+          s"WHERE $where GROUP BY k ORDER BY k")
+      for (w <- Seq("k IN ('a', 'c')", "k <> 'b'", "k IS NULL",
+        "k IS NOT NULL", "k >= 'b'")) {
+        val q = filtered(w)
+        withClue(s"WHERE $w:\n${q.queryExecution.optimizedPlan}\n") {
+          scans(q).foreach(_ should include("/mv/"))
+          canon(q) shouldBe disabled(canon(filtered(w)))
+        }
+      }
+      // base moves on → the CONTAINED shape refuses exactly like the
+      // direct one (same freshness pin)
+      ObjectStoreSink.replaceTable(spark,
+        Seq(("a", 1L), ("d", 4L)).toDF("k", "v"), baseSpec)
+      scans(filtered("k = 'a'")).head should include("/base/")
+      canon(filtered("k = 'a'")) shouldBe Seq("1|a|1")
+    } finally MvRewriteRule.deregister("mv_contain")
+  }
+
   test("refusals: a semantically different query (extra WHERE), a " +
     "shape-mismatched snapshot reader, a deregistered name, the kill " +
     "switch") {
@@ -194,10 +224,20 @@ class MvRewriteRuleSpec extends SparkSpec {
       database = "graft_mvr_refuse", table = "mv")
     val mvFq = refreshAndRegister("mv_refuse", baseSpec, fq, mvSpec)
     try {
-      // different semantics never match
+      // a GROUP-KEY filter is the scoped containment rewrite (r13): the
+      // predicate commutes with grouping, so it answers snapshot-only
+      // with the filter re-applied on the MV read
+      val keyFiltered = spark.sql(
+        s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $fq " +
+          "WHERE k = 'a' GROUP BY k")
+      scans(keyFiltered).foreach(_ should include("/mv/"))
+      keyFiltered.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+        Seq(("a", 1L, 1L))
+      // a MEMBER-column filter changes group contents: never rewritten
       scans(spark.sql(
         s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $fq " +
-          "WHERE k = 'a' GROUP BY k")).head should include("/base/")
+          "WHERE v > 1 GROUP BY k")).head should include("/base/")
       // kill switch
       disabled(scans(spark.sql(defSql(fq))).head) should include("/base/")
       // shape mismatch: a reader with renamed-but-retyped columns refuses
