@@ -557,8 +557,17 @@ object Stats {
         val (mn, mx) = (r.getLong(0), r.getLong(1))
         // INTERIOR keys: the extremes are exactly what range windows CAN
         // prune even on a hashed layout (only one file's min is the global
-        // min); thirds sit inside every file's window
-        val (k1, k2) = ((2 * mn + mx) / 3, (mn + 2 * mx) / 3)
+        // min); thirds sit inside every file's window. Snap each third to
+        // the nearest EXISTING key at or above it — scale-grown data has
+        // key-band gaps, and an absent key makes the whole listing prune
+        // to the (also correct, but differently-shaped) constant-empty
+        // collapse this REQUIRE is not about
+        val (t1, t2) = ((2 * mn + mx) / 3, (mn + 2 * mx) / 3)
+        val rk = t(s, d, "lineitem").agg(
+          min(when(col("l_orderkey") >= t1, col("l_orderkey"))).as("k1"),
+          min(when(col("l_orderkey") >= t2, col("l_orderkey"))).as("k2"))
+          .head // 1-row planning agg
+        val (k1, k2) = (rk.getLong(0), rk.getLong(1))
         val vdir = java.nio.file.Paths.get(
           graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
         val m = graft.sinks.TableManifest.read(vdir).get
@@ -592,12 +601,16 @@ object Stats {
         df
       },
       Some("""WITH b AS (SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn,
-             |  CAST(MAX(l_orderkey) AS BIGINT) AS mx FROM lineitem)
+             |  CAST(MAX(l_orderkey) AS BIGINT) AS mx FROM lineitem),
+             |k AS (SELECT
+             |  (SELECT MIN(l_orderkey) FROM lineitem, b
+             |   WHERE l_orderkey >= CAST(FLOOR((2 * b.mn + b.mx) / 3.0) AS BIGINT)) AS k1,
+             |  (SELECT MIN(l_orderkey) FROM lineitem, b
+             |   WHERE l_orderkey >= CAST(FLOOR((b.mn + 2 * b.mx) / 3.0) AS BIGINT)) AS k2)
              |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
-             |FROM lineitem, b
-             |WHERE l_orderkey = CAST(FLOOR((2 * b.mn + b.mx) / 3.0) AS BIGINT)
-             |   OR l_orderkey = CAST(FLOOR((b.mn + 2 * b.mx) / 3.0) AS BIGINT)
+             |FROM lineitem, k
+             |WHERE l_orderkey = k.k1 OR l_orderkey = k.k2
              |GROUP BY l_orderkey
              |ORDER BY l_orderkey""".stripMargin)),
 

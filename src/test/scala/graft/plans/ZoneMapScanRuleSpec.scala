@@ -282,6 +282,18 @@ class ZoneMapScanRuleSpec extends SparkSpec {
     pruneReports(inOr).head.filesKept should be <
       pruneReports(inOr).head.filesTotal
     inOr.as[Long].collect().sorted shouldBe Array(3L, 4L, 400L)
+    // ABSENT keys on every branch: the probes prune EVERY file (zero
+    // scan tasks — the strongest possible skip) and the answer stays
+    // exact; under an aggregate Spark collapses the empty listing to a
+    // constant-empty plan outright
+    val none = spark.sql(s"SELECT id FROM $fq WHERE id = 5000 OR id = 9000")
+    pruneReports(none).head.filesKept shouldBe 0
+    none.count() shouldBe 0L
+    val noneAgg = spark.sql(
+      s"SELECT id, count(*) AS c FROM $fq WHERE id = 5000 OR id = 9000 GROUP BY id")
+    noneAgg.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l } shouldBe empty
+    noneAgg.count() shouldBe 0L
     // a branch with NO skipping evidence (modulo arithmetic: neither a
     // bound nor a key set) poisons the Or — nothing provable, no rewrite
     val unprovable = spark.sql(
