@@ -25,6 +25,7 @@ import org.apache.spark.sql.types._
   *     WHEN MATCHED THEN UPDATE SET * | c1 = expr1, …
   *     WHEN NOT MATCHED THEN INSERT * | (c1, …) VALUES (expr1, …)
   *   DELETE FROM <db.table> [WHERE <pred>]
+  *   UPDATE <db.table> SET c1 = expr1[, …] [WHERE <pred>]
   *
   * The DML verbs are the reference's user-facing upsert surface verbatim
   * (it GENERATED this MERGE/DELETE dialect and shipped it to Athena
@@ -67,6 +68,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DeleteRe(ident, _, where) =>
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(DeleteFromCommand(db, t, Option(where)))
+    case UpdateRe(ident, set, _, where) =>
+      val (db, t) = split(ident)
+      orDelegate(db, t, sqlText)(
+        UpdateTableCommand(db, t, set, Option(where)))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -155,6 +160,9 @@ object GraftSqlParser {
   private val DeleteRe =
     ("""(?is)\s*DELETE\s+FROM\s+""" + Ident +
       """(\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val UpdateRe =
+    ("""(?is)\s*UPDATE\s+""" + Ident +
+      """\s+SET\s+(.+?)(\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {
@@ -322,6 +330,56 @@ object GraftSqlParser {
           snap.rowCount - after.rowCount
         else -1L
       Seq(Row(snap.rowCount, deleted, after.version))
+    }
+  }
+
+  /** `UPDATE … SET … [WHERE …]` — the ANSI sibling of the MERGE/DELETE
+    * verbs, same protocol: rows where the predicate is TRUE take the SET
+    * assignments (every assignment evaluates against the PRE-update row,
+    * ANSI semantics — `SET a = b, b = a` swaps), FALSE/NULL rows carry
+    * unchanged, and the new image commits CAS-pinned on the snapshot it
+    * read. One narrow map over the table plus one count of the matched
+    * rows for the report — no shuffle, no join.
+    */
+  final case class UpdateTableCommand(db: Option[String], table: String,
+      setText: String, whereText: Option[String])
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_before", LongType), attr("rows_updated", LongType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+      val (_, spec) = resolveSpec(spark, db, table)
+      val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
+        throw new graft.model.PipelineSpecException(
+          s"${spec.database}.${spec.table} has no committed version"))
+      val df = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
+      val assigns = parseAssignments(setText).getOrElse(
+        throw new graft.model.PipelineSpecException(
+          "UPDATE SET expects 'col = expr' assignments ('*' has no meaning)"))
+      val tCols = df.columns.toSeq
+      val bad = assigns.map(_._1).filterNot(c =>
+        tCols.exists(_.equalsIgnoreCase(c)))
+      if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
+        s"UPDATE SET targets unknown column(s): ${bad.mkString(", ")}")
+      val byCol = assigns.map { case (c, e) =>
+        tCols.find(_.equalsIgnoreCase(c)).getOrElse(c) -> expr(e) }.toMap
+      val cond = whereText
+        .map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
+      val updated = df.select(df.schema.fields.map { f =>
+        byCol.get(f.name) match {
+          case Some(e) =>
+            when(cond, e).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      val nUpdated = df.where(cond).count()
+      ObjectStoreSink.replaceTable(spark, updated, spec,
+        expectVersion = Some(snap.version))
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(snap.rowCount, nUpdated, after.version))
     }
   }
 

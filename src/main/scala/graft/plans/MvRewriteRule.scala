@@ -197,7 +197,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def substitute(p: LogicalPlan,
       r: Registration): Option[LogicalPlan] =
     try {
-      direct(p, r).orElse(contained(p, r))
+      direct(p, r).orElse(contained(p, r)).orElse(rollup(p, r))
     } catch { case _: Exception => None } // refusal, never a guess
 
   /** Whole-subtree identity: the query node IS the defining shape. */
@@ -254,6 +254,136 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             outFor(a.exprId)
         }, proj)
     case _ => None
+  }
+
+  /** ROLLUP rewrite (scoped): a query that groups by a SUBSET of the MV's
+    * grouping keys over the SAME base subtree re-aggregates the snapshot
+    * instead of the lake — `GROUP BY flag` answers from a
+    * `GROUP BY flag, status` MV by summing its partial counts/sums and
+    * min/max-ing its extrema. Matching: the query aggregate's child must
+    * `sameResult` the DEFINING aggregate's child (their outputs then
+    * correspond positionally — canonical equality is order-preserving),
+    * every query grouping key must be one of the MV's output group keys,
+    * and every query aggregate must be derivable from an MV output:
+    * COUNT(*)/COUNT(x) roll up as SUM of the stored count, SUM as SUM,
+    * MIN as MIN, MAX as MAX (distinct/filtered aggregates never —
+    * partials can't be combined). The re-aggregated output must match the
+    * query's types EXACTLY (a decimal SUM-of-SUM widens precision and
+    * refuses — sound, never a silent type drift). GROUPED rollups only:
+    * a GLOBAL rollup over an empty snapshot would turn COUNT(*)'s 0 into
+    * SUM's NULL, so it refuses wholesale rather than special-case.
+    */
+  private def rollup(p: LogicalPlan,
+      r: Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    (p, r.view) match {
+      case (agg: Aggregate, view: Aggregate)
+          if agg.groupingExpressions.nonEmpty &&
+            agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) => {
+        // column pruning projects each side differently (the rollup needs
+        // fewer columns than the MV) — attribute-only projections neither
+        // change rows nor exprIds, so strip them before the identity proof
+        def stripProjects(pl: LogicalPlan): LogicalPlan = pl match {
+          case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+            stripProjects(c)
+          case other => other
+        }
+        val baseV = stripProjects(unpruned(view.child))
+        val baseQ = stripProjects(unpruned(agg.child))
+        if (!baseV.sameResult(baseQ) || !fresh(r)) return None
+        val vOut = baseV.output
+        val qOut = baseQ.output
+        if (vOut.size != qOut.size) return None
+        // canonical base equality aligns outputs positionally; projections
+        // above pass the same exprIds through
+        val v2q = vOut.map(_.exprId).zip(qOut).toMap
+        // MV snapshot projected onto the DEFINING aggregate's outputs
+        val proj = snapshotProject(view.output, r).getOrElse(return None)
+        val mvAttr = view.output // proj aliases onto these exprIds
+        // view output j, provided its defining expr derives the asked one
+        def findOut(f: NamedExpression => Boolean): Option[Attribute] =
+          view.aggregateExpressions.zipWithIndex.collectFirst {
+            case (e, j) if f(e) => mvAttr(j)
+          }
+        def isKeyOut(a: AttributeReference)(e: NamedExpression): Boolean =
+          e match {
+            case vk: AttributeReference =>
+              v2q.get(vk.exprId).exists(_.exprId == a.exprId) &&
+                view.groupingExpressions.exists(_.semanticEquals(vk))
+            case Alias(vk: AttributeReference, _) =>
+              v2q.get(vk.exprId).exists(_.exprId == a.exprId) &&
+                view.groupingExpressions.exists(_.semanticEquals(vk))
+            case _ => false
+          }
+        def plainAgg(e: NamedExpression): Option[AggregateFunction] = e match {
+          case Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty => Some(ae.aggregateFunction)
+          case _ => None
+        }
+        def matchesArg(vx: Expression, x: AttributeReference): Boolean =
+          vx match {
+            case va: AttributeReference =>
+              v2q.get(va.exprId).exists(_.exprId == x.exprId)
+            case _ => false
+          }
+        // re-aggregation for one query aggregate function over MV outputs
+        def reAgg(f: AggregateFunction): Option[Expression] = f match {
+          case Count(Seq(l: Literal)) if l.value != null =>
+            findOut(plainAgg(_).exists {
+              case Count(Seq(l2: Literal)) => l2.value != null
+              case _ => false
+            }).map(a => Sum(a).toAggregateExpression())
+          case Count(Seq(x: AttributeReference)) =>
+            findOut(plainAgg(_).exists {
+              case Count(Seq(vx)) => matchesArg(vx, x)
+              case _ => false
+            }).map(a => Sum(a).toAggregateExpression())
+          case Sum(x: AttributeReference, _) =>
+            findOut(plainAgg(_).exists {
+              case Sum(vx, _) => matchesArg(vx, x)
+              case _ => false
+            }).map(a => Sum(a).toAggregateExpression())
+          case Min(x: AttributeReference) =>
+            findOut(plainAgg(_).exists {
+              case Min(vx) => matchesArg(vx, x)
+              case _ => false
+            }).map(a => Min(a).toAggregateExpression())
+          case Max(x: AttributeReference) =>
+            findOut(plainAgg(_).exists {
+              case Max(vx) => matchesArg(vx, x)
+              case _ => false
+            }).map(a => Max(a).toAggregateExpression())
+          case _ => None
+        }
+        val newKeys = agg.groupingExpressions.map {
+          case a: AttributeReference => findOut(isKeyOut(a)).getOrElse(return None)
+        }
+        val newAggs: Seq[NamedExpression] =
+          agg.aggregateExpressions.zip(agg.output).map {
+            case (a: AttributeReference, tgt) =>
+              val k = findOut(isKeyOut(a)).getOrElse(return None)
+              Alias(k, tgt.name)(exprId = tgt.exprId)
+            case (Alias(a: AttributeReference, _), tgt) =>
+              val k = findOut(isKeyOut(a)).getOrElse(return None)
+              Alias(k, tgt.name)(exprId = tgt.exprId)
+            case (e @ Alias(ae: AggregateExpression, _), tgt)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              val re = reAgg(ae.aggregateFunction).getOrElse(return None)
+              if (re.dataType != tgt.dataType) return None // no type drift
+              val body =
+                if (re.nullable && !tgt.nullable)
+                  org.apache.spark.sql.catalyst.expressions.objects
+                    .AssertNotNull(re)
+                else re
+              Alias(body, tgt.name)(exprId = tgt.exprId)
+            case _ => return None
+          }
+        Some(Aggregate(newKeys, newAggs, proj))
+      }
+      case _ => None
+    }
   }
 
   /** The first Filter along the aggregate's projection chain, removed —

@@ -806,6 +806,73 @@ object Stats {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- MV ROLLUP rewrite: coarser grain answers from the finer MV -------
+    // The other thing real dashboards do with an MV: ask at a COARSER
+    // grain ("by flag" over a "by flag x status" snapshot). The rollup
+    // extension re-aggregates the snapshot — COUNT(*) rolls up as SUM of
+    // the stored counts, SUM as SUM, MIN/MAX as MIN/MAX — instead of
+    // re-scanning the lake; group count = MV rows, not base rows. The
+    // query REQUIREs the coarser SQL to scan ONLY the snapshot and an
+    // avg (underivable from the stored partials) to refuse; the oracle
+    // recomputes the rollup from the raw rows.
+    QueryDef(
+      "q_mv_rewrite_rollup",
+      (s, d) => {
+        val baseSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvroll"),
+          database = "graft_ops", table = "mvroll_li",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val fq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "lineitem"), baseSpec)
+        val mvDef =
+          s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  sum(l_orderkey) AS sum_ok, min(l_quantity) AS mn,
+             |  max(l_quantity) AS mx
+             |FROM $fq GROUP BY l_returnflag, l_linestatus""".stripMargin
+        val mvSpec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-mvroll-mv"),
+          database = "graft_ops", table = "mvroll_mv",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val mvFq = graft.sinks.ObjectStoreSink.replaceTable(s,
+          s.sql(mvDef), mvSpec)
+        graft.GraftExtensions.register(s)
+        def roots(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.map(_.toString)
+                case _ => Seq("<non-fs>")
+              }
+          }.flatten
+        graft.plans.MvRewriteRule.register("q_mvroll_mv", () => s.sql(mvDef),
+          () => s.table(mvFq), Seq(baseSpec))
+        try {
+          val df = s.sql(
+            s"""SELECT l_returnflag, count(*) AS cnt,
+               |  sum(l_orderkey) AS sum_ok, min(l_quantity) AS mn,
+               |  max(l_quantity) AS mx
+               |FROM $fq GROUP BY l_returnflag ORDER BY l_returnflag"""
+              .stripMargin)
+          val r1 = roots(df)
+          require(r1.nonEmpty && r1.forall(_.contains("/mvroll_mv/")),
+            s"rollup was not answered from the MV snapshot: $r1")
+          // an aggregate the stored partials cannot derive must refuse
+          val r2 = roots(s.sql(
+            s"SELECT l_returnflag, avg(l_quantity) AS a FROM $fq " +
+              "GROUP BY l_returnflag"))
+          require(r2.nonEmpty && r2.forall(_.contains("/mvroll_li/")),
+            s"underivable rollup wrongly took the snapshot: $r2")
+          df
+        } finally graft.plans.MvRewriteRule.deregister("q_mvroll_mv")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+             |  MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- MV rewrite across a refresh cycle: stale refusal + auto re-arm --
     // The full lifecycle the repeated-dashboard path lives through at
     // 100 TB: (1) the rewrite fires from the registered snapshot; (2) an
@@ -1032,5 +1099,44 @@ object Stats {
              |  FROM orders)
              |SELECT o_orderkey, o_orderstatus, tp FROM t
              |WHERE tp IS NULL OR tp <= 150000.0
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- SQL UPDATE on a versioned table ----------------------------------
+    // The ANSI sibling completing the DML triad (the reference generated
+    // MERGE and DELETE; UPDATE is the natural third verb the same users
+    // type). Semantics under test: assignments evaluate against the
+    // PRE-update row, only predicate-TRUE rows change (NULL bal rows must
+    // carry through untouched), multiple assignments apply atomically, and
+    // the commit is CAS-pinned and versioned like every other write.
+    QueryDef(
+      "q_sql_update",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlupd"),
+          database = "graft_ops", table = "supd_cust",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "customer").select(col("c_custkey"),
+            col("c_mktsegment").as("seg"),
+            when(col("c_custkey") % 9 === 0, lit(null))
+              .otherwise(col("c_acctbal")).as("bal")), spec)
+        val r = s.sql(
+          """UPDATE graft_ops.supd_cust
+            |SET bal = bal * 2.0 + 1.0, seg = concat(seg, '-upd')
+            |WHERE bal > 5000.0""".stripMargin).collect()(0)
+        require(r.getLong(1) > 0 && r.getLong(1) < r.getLong(0),
+          s"UPDATE touched nothing or everything: $r")
+        val snaps = s.sql("SHOW SNAPSHOTS graft_ops.supd_cust").collect()
+        require(snaps.length == 2 &&
+          snaps.map(_.getLong(2)).distinct.length == 1,
+          s"UPDATE must be a row-preserving versioned commit: ${snaps.toSeq}")
+        s.table("graft_ops.supd_cust").orderBy("c_custkey")
+      },
+      Some("""WITH t AS (SELECT c_custkey, c_mktsegment AS seg,
+             |  CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_acctbal END AS bal
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  CASE WHEN bal > 5000.0 THEN seg || '-upd' ELSE seg END AS seg,
+             |  CASE WHEN bal > 5000.0 THEN bal * 2.0 + 1.0 ELSE bal END AS bal
+             |FROM t ORDER BY c_custkey""".stripMargin)))
 }

@@ -206,6 +206,33 @@ class GraftSqlParserSpec extends SparkSpec {
     snaps.map(_.getLong(2)).toSeq shouldBe Seq(9L, 6L, 0L)
   }
 
+  test("UPDATE: assignments read the PRE-update row (SET a=b,b=a swaps), " +
+    "only predicate-TRUE rows change, WHERE-less updates touch every row, " +
+    "and unknown columns are loud") {
+    val spec = ObjectStoreSpec(path = scratchDir("upd").getAbsolutePath,
+      database = "graft_sqlm_upd", table = "t")
+    val fq = ObjectStoreSink.replaceTable(spark,
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+        .toDF("id", "a", "b"), spec)
+    val r = spark.sql(
+      s"UPDATE $fq SET a = b, b = a WHERE id <= 2").collect().head
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2L
+    spark.table(fq).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))) shouldBe
+      Array((1L, 100L, 10L), (2L, 200L, 20L), (3L, 30L, 300L)) // swapped!
+    spark.sql(s"UPDATE $fq SET a = a + 1").collect()
+      .head.getLong(1) shouldBe 3L
+    spark.table(fq).agg(org.apache.spark.sql.functions.sum("a"))
+      .head.getLong(0) shouldBe (100L + 200L + 30L + 3L)
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"UPDATE $fq SET nope = 1").collect()).getMessage should
+      include("unknown column")
+    // three commits → three versions, all row-preserving
+    spark.sql(s"SHOW SNAPSHOTS $fq").collect()
+      .map(_.getLong(2)).toSeq shouldBe Seq(3L, 3L, 3L)
+  }
+
   test("MERGE / DELETE on a non-versioned-layout table delegate to Spark " +
     "(foreign v1 table → Spark's own unsupported-DML error, never ours)") {
     val dir = scratchDir("dmlforeign").getAbsolutePath + "/plainloc"

@@ -215,6 +215,60 @@ class MvRewriteRuleSpec extends SparkSpec {
     } finally MvRewriteRule.deregister("mv_contain")
   }
 
+  test("rollup: a query grouping by a SUBSET of the MV keys re-aggregates " +
+    "the snapshot (COUNT→SUM, SUM→SUM, MIN/MAX→MIN/MAX); distinct, " +
+    "member filters, and global rollups refuse") {
+    val spec = ObjectStoreSpec(path = scratchDir("roll").getAbsolutePath,
+      database = "graft_mvr_roll", table = "base")
+    val fq = ObjectStoreSink.replaceTable(spark,
+      Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 5L), ("b", "y", 7L),
+        ("b", "y", 11L), (null, "x", 13L))
+        .toDF("k", "s", "v").repartition(4), spec)
+    val mvDef = s"SELECT k, s, count(*) AS cnt, sum(v) AS sv, " +
+      s"min(v) AS mn, max(v) AS mx FROM $fq GROUP BY k, s"
+    val mvSpec = ObjectStoreSpec(path = scratchDir("rollmv").getAbsolutePath,
+      database = "graft_mvr_roll", table = "mv")
+    val mvFq = ObjectStoreSink.replaceTable(spark, spark.sql(mvDef), mvSpec)
+    MvRewriteRule.register("mv_roll", () => spark.sql(mvDef),
+      () => spark.table(mvFq), Seq(spec))
+    try {
+      // roll up to k: counts sum, sums sum, extrema min/max
+      val q = spark.sql(s"SELECT k, count(*) AS cnt, sum(v) AS sv, " +
+        s"min(v) AS mn, max(v) AS mx FROM $fq GROUP BY k ORDER BY k")
+      withClue(q.queryExecution.optimizedPlan.toString) {
+        scans(q).foreach(_ should include("/mv/"))
+      }
+      canon(q) shouldBe disabled(canon(spark.sql(
+        s"SELECT k, count(*) AS cnt, sum(v) AS sv, min(v) AS mn, " +
+          s"max(v) AS mx FROM $fq GROUP BY k ORDER BY k")))
+      // roll up to the OTHER key too
+      val q2 = spark.sql(
+        s"SELECT s, count(*) AS cnt FROM $fq GROUP BY s ORDER BY s")
+      scans(q2).foreach(_ should include("/mv/"))
+      canon(q2) shouldBe disabled(canon(spark.sql(
+        s"SELECT s, count(*) AS cnt FROM $fq GROUP BY s ORDER BY s")))
+      // refusals: distinct can't combine partials; an aggregate the MV
+      // never stored; a GLOBAL rollup (empty-snapshot hazard)
+      scans(spark.sql(s"SELECT k, count(DISTINCT v) AS d FROM $fq " +
+        "GROUP BY k")).head should include("/base/")
+      scans(spark.sql(s"SELECT k, avg(v) AS a FROM $fq GROUP BY k"))
+        .head should include("/base/")
+      // a GLOBAL rollup refuses HERE (empty-snapshot hazard) — the zero
+      // scans are MetaAggRule answering count(*) from the manifest, a
+      // different and sound engine path; the point is: never from the MV
+      scans(spark.sql(s"SELECT count(*) AS c FROM $fq"))
+        .foreach(_ should not include "/mv/")
+      // staleness governs rollups identically (the replaced base is tiny
+      // enough for MetaAggRule to answer zero-scan — never from the MV)
+      ObjectStoreSink.replaceTable(spark,
+        Seq(("a", "x", 100L)).toDF("k", "s", "v"), spec)
+      val stale = spark.sql(s"SELECT k, count(*) AS c FROM $fq GROUP BY k")
+      scans(stale).foreach(_ should not include "/mv/")
+      stale.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("a", 1L))
+    } finally MvRewriteRule.deregister("mv_roll")
+  }
+
   test("refusals: a semantically different query (extra WHERE), a " +
     "shape-mismatched snapshot reader, a deregistered name, the kill " +
     "switch") {

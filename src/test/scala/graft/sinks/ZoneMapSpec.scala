@@ -404,6 +404,12 @@ class ZoneMapSpec extends SparkSpec {
     BigDecimal(BigInt(r.min.toLong), r.scale) shouldBe
       BigDecimal(df.agg(min("amt")).head.getDecimal(0))
     ZoneMap.metaNonNullCount(m, "amt") shouldBe Some(32L)
+    // join key-set pruning in the decimal domain: two high keys skip the
+    // low file; a DOUBLE key set is a foreign domain and keeps everything
+    ZoneMap.pruneInSet(m, "amt",
+      Seq(new java.math.BigDecimal("3.75"), new java.math.BigDecimal("4.00")))
+      .get._2.filesSkipped should be > 0
+    ZoneMap.pruneInSet(m, "amt", Seq(3.75d)).get._1.size shouldBe m.files.size
   }
 
   test("tsms stats merge with tsus into an exact micros range; millis " +
