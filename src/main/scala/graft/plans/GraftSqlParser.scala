@@ -72,6 +72,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(
         UpdateTableCommand(db, t, set, Option(where)))
+    case InsertIntoRe(ident, cols, source) =>
+      val (db, t) = split(ident)
+      onlyIfOurs(db, t, sqlText)(
+        InsertIntoCommand(db, t, Option(cols), source))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -101,6 +105,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
     }
     if (foreign) delegate.parsePlan(sqlText) else cmd
+  }
+
+  /** The inverse gate, for verbs Spark FULLY owns on ordinary tables
+    * (INSERT INTO works on temp views, managed tables, v2 sources…):
+    * take our command ONLY when the target provably IS a versioned graft
+    * table — in-place file drops into a live version dir would silently
+    * bypass the manifest commit — and leave everything else (foreign
+    * layouts, missing tables, unprobeable state) to the delegate, whose
+    * errors are the standard ones users of the plain verb expect.
+    */
+  private def onlyIfOurs(db: Option[String], table: String,
+      sqlText: String)(cmd: => LogicalPlan): LogicalPlan = {
+    val ours = SparkSession.getActiveSession.exists { s =>
+      try {
+        ObjectStoreSink.specFor(s,
+          db.getOrElse(s.catalog.currentDatabase), table)
+        true
+      } catch { case _: Exception => false }
+    }
+    if (ours) cmd else delegate.parsePlan(sqlText)
   }
 
   private def split(ident: String): (Option[String], String) =
@@ -163,6 +187,12 @@ object GraftSqlParser {
   private val UpdateRe =
     ("""(?is)\s*UPDATE\s+""" + Ident +
       """\s+SET\s+(.+?)(\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  // `INSERT INTO t [(c1, …)] VALUES …|SELECT …|WITH …|TABLE …` — the plain
+  // ANSI form only; INSERT OVERWRITE / PARTITION clauses stay with Spark
+  private val InsertIntoRe =
+    ("""(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?""" + Ident +
+      """(?:\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?""" +
+      """\s+((?:VALUES|SELECT|WITH|TABLE)\b.+?)\s*;?\s*""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {
@@ -380,6 +410,81 @@ object GraftSqlParser {
         expectVersion = Some(snap.version))
       val after = ObjectStoreSink.snapshots(spec).last
       Seq(Row(snap.rowCount, nUpdated, after.version))
+    }
+  }
+
+  /** `INSERT INTO … [(cols)] VALUES …|SELECT …` on a versioned table,
+    * compiled onto [[ObjectStoreSink.appendVersion]] — a LINK-APPEND
+    * commit that writes only the new rows and hard-links the previous
+    * snapshot's immutable files into the next version dir, so the verb
+    * costs O(batch) regardless of table size. This interception is also
+    * a correctness fix, not just surface parity: Spark's own v1 INSERT
+    * would drop files INTO the live version dir behind the manifest's
+    * back, silently corrupting the committed-file-set contract every
+    * reader (time travel, zone maps, metadata aggregates) builds on.
+    *
+    * ANSI column semantics: an explicit column list maps the source
+    * positionally onto the LISTED columns and NULL-fills the rest; no
+    * list means strict positional arity. Every value casts to the target
+    * column's type; the commit is CAS-pinned on the snapshot it read.
+    */
+  final case class InsertIntoCommand(db: Option[String], table: String,
+      colsText: Option[String], sourceText: String)
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_inserted", LongType), attr("files_linked", IntegerType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val (_, spec) = resolveSpec(spark, db, table)
+      val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
+        throw new graft.model.PipelineSpecException(
+          s"${spec.database}.${spec.table} has no committed version"))
+      val target = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
+      val tFields = target.schema.fields.toSeq
+      // positional source handle immune to duplicate output names
+      val src0 = spark.sql(sourceText)
+      val src = src0.toDF(src0.columns.indices.map(i => s"_c$i"): _*)
+      val aligned = colsText match {
+        case None =>
+          if (src.columns.length != tFields.size)
+            throw new graft.model.PipelineSpecException(
+              s"INSERT INTO ${spec.table}: source has ${src.columns.length} " +
+                s"column(s), table has ${tFields.size} — list the target " +
+                "columns or match the arity")
+          src.select(tFields.zipWithIndex.map { case (f, i) =>
+            col(s"_c$i").cast(f.dataType).as(f.name) }: _*)
+        case Some(ct) =>
+          val listed = ct.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val resolved = listed.map { c =>
+            tFields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new graft.model.PipelineSpecException(
+                s"INSERT INTO ${spec.table}: unknown column '$c'")) }
+          if (resolved.distinct.size != resolved.size)
+            throw new graft.model.PipelineSpecException(
+              s"INSERT INTO ${spec.table}: duplicate column in list ($ct)")
+          if (src.columns.length != resolved.size)
+            throw new graft.model.PipelineSpecException(
+              s"INSERT INTO ${spec.table}: ${resolved.size} column(s) " +
+                s"listed but the source produces ${src.columns.length}")
+          val byTarget = resolved.zipWithIndex.toMap
+          src.select(tFields.map { f =>
+            byTarget.get(f.name) match {
+              case Some(i) => col(s"_c$i").cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+      }
+      ObjectStoreSink.appendVersion(spark, aligned, spec,
+        expectVersion = Some(snap.version))
+      val after = ObjectStoreSink.snapshots(spec).last
+      val inserted =
+        if (snap.rowCount >= 0 && after.rowCount >= 0)
+          after.rowCount - snap.rowCount
+        else -1L
+      Seq(Row(inserted, snap.nFiles, after.version))
     }
   }
 

@@ -1138,5 +1138,80 @@ object Stats {
              |SELECT c_custkey,
              |  CASE WHEN bal > 5000.0 THEN seg || '-upd' ELSE seg END AS seg,
              |  CASE WHEN bal > 5000.0 THEN bal * 2.0 + 1.0 ELSE bal END AS bal
-             |FROM t ORDER BY c_custkey""".stripMargin)))
+             |FROM t ORDER BY c_custkey""".stripMargin)),
+
+    // ---- SQL INSERT INTO on a versioned table (link-append commit) --------
+    // Completes the DML surface. The semantics under test are ANSI (explicit
+    // column list maps positionally and NULL-fills the rest; no list is
+    // strict positional; values cast to target types), but the SCALE
+    // property is the point: the commit writes ONLY the new rows and hard-
+    // links the prior snapshot's immutable files into the next version dir
+    // (same inode, REQUIREd below via Files.isSameFile), so INSERT INTO a
+    // 100 TB table costs O(batch + file count), never a table rewrite. The
+    // manifest carries the linked files' stats verbatim (only new footers
+    // are read) and the Bloom sidecar extends over just the new files.
+    QueryDef(
+      "q_sql_insert",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlins"),
+          database = "graft_ops", table = "sins_part",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "part").filter(col("p_partkey") % 3 =!= 0)
+            .select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+          spec)
+        // #1: explicit column list + VALUES; p_name is NULL-filled (ANSI)
+        val r1 = s.sql(
+          """INSERT INTO graft_ops.sins_part (p_partkey, p_retailprice)
+            |VALUES (9000001, 1.5), (9000002, NULL)""".stripMargin).collect()(0)
+        require(r1.getLong(0) == 2L && r1.getInt(1) > 0,
+          s"INSERT #1 wrong report: $r1")
+        // #2: positional INSERT … SELECT of the held-out rows
+        t(s, d, "part").filter(col("p_partkey") % 3 === 0)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .createOrReplaceTempView("sins_src")
+        val r2 = s.sql(
+          """INSERT INTO graft_ops.sins_part
+            |SELECT p_partkey, p_name, p_retailprice FROM sins_src""".stripMargin)
+          .collect()(0)
+        require(r2.getLong(0) > 0, s"INSERT #2 inserted nothing: $r2")
+        val snaps = s.sql("SHOW SNAPSHOTS graft_ops.sins_part").collect()
+        val counts = snaps.map(_.getLong(2)).toSeq
+        require(snaps.length == 3 && counts == counts.sorted &&
+          counts(1) == counts(0) + 2,
+          s"INSERT commits must be additive versioned snapshots: ${snaps.toSeq}")
+        // the scale property itself: v3 shares inodes with v2's data files
+        // (the append LINKED the prior files rather than rewriting them) —
+        // degrade-to-copy filesystems would fail this REQUIRE, which is
+        // exactly the signal we want on the POSIX test rig
+        val spec2 = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops", "sins_part")
+        val vs = graft.sinks.ObjectStoreSink.snapshots(spec2)
+        val (v2, v3) = (java.nio.file.Paths.get(vs(1).path),
+          java.nio.file.Paths.get(vs(2).path))
+        val shared = graft.sinks.TableManifest.read(v2).get.files.count { e =>
+          val a = v2.resolve(e.path); val b = v3.resolve(e.path)
+          java.nio.file.Files.exists(b) && java.nio.file.Files.isSameFile(a, b)
+        }
+        require(shared > 0, "link-append commit shared no inodes with the " +
+          "prior version — the append degenerated to a rewrite")
+        // time travel: the pre-insert snapshot still reads in full
+        require(graft.sinks.ObjectStoreSink.readVersion(s, spec2, Some(1))
+          .count() == vs(0).rowCount, "pre-insert snapshot lost rows")
+        s.table("graft_ops.sins_part").orderBy("p_partkey")
+      },
+      Some("""WITH seed AS (SELECT p_partkey, p_name, p_retailprice
+             |             FROM part WHERE p_partkey % 3 <> 0),
+             |ins1 AS (SELECT CAST(9000001 AS BIGINT) AS p_partkey,
+             |                CAST(NULL AS VARCHAR) AS p_name,
+             |                CAST(1.5 AS DOUBLE) AS p_retailprice
+             |         UNION ALL
+             |         SELECT CAST(9000002 AS BIGINT),
+             |                CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+             |ins2 AS (SELECT p_partkey, p_name, p_retailprice
+             |         FROM part WHERE p_partkey % 3 = 0)
+             |SELECT * FROM seed
+             |UNION ALL SELECT * FROM ins1
+             |UNION ALL SELECT * FROM ins2
+             |ORDER BY p_partkey""".stripMargin)))
 }

@@ -200,6 +200,91 @@ object BloomIndex {
     }
   }
 
+  /** Carry the previous version's shards into a link-append commit and
+    * extend them over ONLY the new files. Per-file filters are
+    * independent, so a carried entry stays bit-identical (the linked file
+    * is the same inode at the same relative path) and only the freshly
+    * written files get a build pass — an INSERT INTO never re-reads the
+    * table to keep its point-lookup index. Columns whose carried build
+    * type no longer matches the live schema keep their carried entries
+    * (sound for the linked files) but are not extended — uncovered new
+    * files are always kept by the probe contract. When the grown
+    * files × columns total can no longer fund floor-size filters under
+    * `maxIndexBytes`, the carried entries still publish (they exist and
+    * are sound) and the extension is refused with the same visible log as
+    * [[build]].
+    */
+  def carryAndExtend(spark: SparkSession, prevDir: Path, versionDir: Path,
+      fileFormat: String, m: TableManifest.Manifest, carriedRel: Set[String],
+      maxIndexBytes: Long = 64L << 20): Unit = {
+    val prior = read(prevDir).map(_.cols).getOrElse(Map.empty)
+    if (prior.isEmpty) return
+    // carried filters: only files that actually linked at the SAME rel
+    // path (a name-disambiguated link loses its entry — kept-not-pruned)
+    val carriedCols = prior.map { case (c, cb) =>
+      c -> ColBlooms(cb.typ, cb.files.filter { case (rel, _) => carriedRel(rel) })
+    }
+    def publishAll(extra: Map[String, Map[String, String]]): Unit = {
+      val collided = carriedCols.keys.toSeq.groupBy(shardName)
+        .filter(_._2.size > 1).values.flatten.toSet
+      val written = scala.collection.mutable.Set[String]()
+      carriedCols.toSeq.sortBy(_._1).foreach { case (c, cb) =>
+        val name = if (collided(c)) fullShardName(c) else shardName(c)
+        if (!written.add(name))
+          log.warn(s"bloom shard name collision on '$name' — column '$c' " +
+            "not carried")
+        else TableManifest.publisher.publish(versionDir, name,
+          Serialization.writePretty(
+            Shard(c, cb.typ, cb.files ++ extra.getOrElse(c, Map.empty))))
+      }
+    }
+    val newRels = m.files.map(_.path).filterNot(carriedRel)
+    if (newRels.isEmpty) { publishAll(Map.empty); return }
+    val df = spark.read.format(fileFormat)
+      .load(newRels.map(r => versionDir.resolve(r).toString): _*)
+    val typed = carriedCols.toSeq.sortBy(_._1).flatMap { case (c, cb) =>
+      df.schema.find(_.name == c)
+        .flatMap(f => buildType(f.dataType))
+        .filter(_ == cb.typ).map(c -> _)
+    }
+    if (typed.isEmpty) { publishAll(Map.empty); return }
+    val newEntries = m.files.filter(e => !carriedRel(e.path)).map(_.rows)
+    val expected0: Long =
+      if (newEntries.forall(_ >= 0)) math.max(64L, newEntries.max)
+      else { publishAll(Map.empty); return } // unsizable new files
+    val expected = math.min(expected0, 4000000L)
+    val ideal = math.min(expected * 16L, 1L << 23)
+    val entries = math.max(1L, m.files.size.toLong * typed.size)
+    val budgetBits = (maxIndexBytes / entries - EntryOverheadBytes) * 8L
+    if (budgetBits < 1024L) {
+      log.warn(s"bloom index NOT extended for $versionDir: ${m.files.size} " +
+        s"files x ${typed.size} columns leaves ${budgetBits} bits/filter " +
+        s"under the ${maxIndexBytes}B budget (< 1024-bit floor) — carried " +
+        "filters remain; compact or raise the budget to re-cover new files")
+      publishAll(Map.empty)
+      return
+    }
+    val numBits = math.min(ideal, budgetBits)
+    val aggs = typed.map { case (c, _) =>
+      GraftSqlBridge.column(new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(c))),
+        Literal(expected), Literal(numBits)).toAggregateExpression())
+        .as(s"bf_$c")
+    }
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val enc = Base64.getEncoder
+    val extra = typed.zipWithIndex.map { case ((c, _), i) =>
+      c -> rows.flatMap { r =>
+        for {
+          rel <- relPath(versionDir, r.getString(0))
+          bits <- Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]])
+        } yield rel -> enc.encodeToString(bits)
+      }.toMap
+    }.toMap
+    publishAll(extra)
+  }
+
   /** One column's filters: its shard first (short name, then the
     * collision-fallback long name), then the legacy monolithic sidecar —
     * the lazy per-column read path every probe goes through.

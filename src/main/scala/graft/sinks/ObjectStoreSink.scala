@@ -258,6 +258,114 @@ object ObjectStoreSink {
       fq
     }
 
+  /** Link-append commit: a new version whose data is the previous
+    * snapshot PLUS `newRows`, at the cost of writing ONLY the new rows.
+    * The previous version's data files are immutable by the versioned-dir
+    * contract, so they are HARD-LINKED into the next version dir at the
+    * same relative path (same inode, O(files) metadata ops, zero data
+    * copied — the POSIX realization of an ACID table format's "new
+    * snapshot references old data files"; on an object store the
+    * [[CommitPublisher]] backend would record cross-version file
+    * references in the manifest instead). An INSERT INTO a 100 TB table
+    * therefore costs O(new rows + file count), not a 100 TB rewrite —
+    * the property that makes the SQL INSERT verb usable at scale.
+    *
+    * Everything else is the full commit discipline: CAS on the expected
+    * version inside the table lock, manifest published only after every
+    * file exists ([[TableManifest.commitCarried]] — linked files keep
+    * their exact recorded stats/row counts, only new footers are read),
+    * Bloom sidecar shards carried forward and EXTENDED over just the new
+    * files ([[BloomIndex.carryAndExtend]]), commit-log record, catalog
+    * repoint, supersede stamps, retention. Filesystems without hard-link
+    * support (or cross-device table moves) degrade to a per-file copy —
+    * correct, just not O(1) per file. A prior version whose manifest or
+    * files have drifted degrades to a full [[replaceTable]] rewrite of
+    * union(old, new): the append is an optimization, never a correctness
+    * dependency.
+    *
+    * `newRows` must match the live schema exactly (names and types, in
+    * order) — callers align/cast first; this guard refuses rather than
+    * letting parquet schema-on-read paper over a drifted batch.
+    */
+  def appendVersion(spark: SparkSession, newRows: DataFrame,
+      spec: ObjectStoreSpec, expectVersion: Option[Int] = None,
+      txn: Option[TableManifest.TxnStamp] = None): String =
+    lockFor(spec).synchronized {
+      val fq = s"${spec.database}.${spec.table}"
+      val tableDir = Paths.get(spec.path, spec.database, spec.table)
+      val snap = snapshots(spec).lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to append to"))
+      expectVersion.foreach { ev =>
+        if (snap.version != ev) throw new ConcurrentCommitException(
+          s"$fq: expected to append on top of version $ev but latest is " +
+            s"${snap.version} — a concurrent writer committed first")
+      }
+      val prevDir = Paths.get(snap.path)
+      def fullRewrite(): String = replaceTable(spark,
+        readVersion(spark, spec, Some(snap.version)).unionByName(newRows),
+        spec, txn, Some(snap.version))
+      val prevManifest = TableManifest.read(prevDir).getOrElse(
+        return fullRewrite())
+      val prevSchema = readVersion(spark, spec, Some(snap.version))
+        .schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val newSchema = newRows.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (prevSchema != newSchema) throw new PipelineSpecException(
+        s"appendVersion to $fq: batch schema ${newSchema.mkString(", ")} " +
+          s"does not match the table schema ${prevSchema.mkString(", ")} — " +
+          "align and cast before appending")
+
+      val next = nextVersionDir(tableDir)
+      val sw0 = tsMicros(newRows).write
+        .mode(SaveMode.Overwrite).format(spec.fileFormat)
+      val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
+      sw.save(next.toString)
+
+      // link (or copy) every prior data file in at its own relative path;
+      // a name collision with a just-written file keeps the partition dir
+      // and disambiguates only the file NAME (the dir part is semantic)
+      val carried = Seq.newBuilder[TableManifest.FileEntry]
+      var intact = true
+      prevManifest.files.foreach { e =>
+        val src = prevDir.resolve(e.path)
+        if (!intact || !Files.exists(src)) intact = false
+        else {
+          var target = next.resolve(e.path)
+          Files.createDirectories(target.getParent)
+          var rel = e.path
+          if (Files.exists(target)) {
+            val fresh = s"link-${java.util.UUID.randomUUID()}-" +
+              target.getFileName.toString
+            target = target.getParent.resolve(fresh)
+            rel = next.relativize(target).toString
+          }
+          try Files.createLink(target, src)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(src, target,
+                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
+          }
+          carried += e.copy(path = rel)
+        }
+      }
+      if (!intact) { deleteTree(next); return fullRewrite() }
+      val carriedEntries = carried.result()
+
+      val reread = spark.read.format(spec.fileFormat).load(next.toString)
+      val manifest = TableManifest.commitCarried(next, schemaHash(reread),
+        spec.fileFormat, txn, carriedEntries)
+      // sidecar AFTER the manifest, same crash contract as replaceTable;
+      // prior shards extend over ONLY the new files — never a table scan
+      BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
+        manifest, carriedEntries.map(_.path).toSet)
+      CommitLog.record(tableDir, versionNumber(next))
+      repoint(spark, fq, spec, next, reread)
+      versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
+        .foreach(TableManifest.markSuperseded)
+      retireOldVersions(tableDir, keep = 2)
+      fq
+    }
+
   /** Table data is written with int64-micros timestamps for the scope of
     * the write: INT96 (Spark's legacy parquet default) records NO column
     * statistics, so a lake committed as INT96 could never zone-map-prune

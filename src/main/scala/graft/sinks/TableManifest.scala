@@ -135,6 +135,46 @@ object TableManifest {
     m
   }
 
+  /** Commit a version dir where SOME entries carry forward verbatim from
+    * the superseded version (link-append commits: a prior version's data
+    * files are hard-linked into the new dir at the SAME relative path, so
+    * their manifest entries — stats, byte sizes, row counts, all computed
+    * when the file was first written — remain exact for the linked inode).
+    * Only the files NOT in `carried` get footer reads: an INSERT INTO a
+    * 100k-file table re-reads the handful of new footers, not 100k.
+    *
+    * Soundness: a carried entry whose file is absent from the dir (link
+    * failed, caller bug) degrades the commit to a FULL [[commit]] — the
+    * manifest must never describe files that aren't there.
+    */
+  def commitCarried(versionDir: Path, schemaHash: String, fileFormat: String,
+      txn: Option[TxnStamp], carried: Seq[FileEntry]): Manifest = {
+    val present = dataFiles(versionDir)
+    val presentRel = present.map(p => versionDir.relativize(p).toString).toSet
+    if (!carried.forall(e => presentRel(e.path)))
+      return commit(versionDir, schemaHash, fileFormat, txn)
+    val carriedRel = carried.map(_.path).toSet
+    val fresh = present.filterNot(p =>
+      carriedRel(versionDir.relativize(p).toString))
+    val (rows, stats, perFile) = footerMeta(versionDir, fresh, fileFormat)
+    val freshEntries = fresh.map { p =>
+      val rel = versionDir.relativize(p).toString
+      FileEntry(rel, Files.size(p), mergedStats(rel, stats),
+        perFile.getOrElse(rel, -1L))
+    }
+    val entries = carried ++ freshEntries
+    // exact total only when BOTH sides are exact; any -1 poisons to -1
+    // (same contract as commit: -1 = "not derivable from metadata")
+    val rowCount =
+      if (rows >= 0 && carried.forall(_.rows >= 0))
+        rows + carried.map(_.rows).sum
+      else -1L
+    val m = Manifest(entries, entries.map(_.bytes).sum, rowCount, schemaHash,
+      System.currentTimeMillis(), txn, fileFormat.toLowerCase)
+    publish(versionDir, m)
+    m
+  }
+
   /** Footer stats for `rel` unioned with its partition-directory-derived
     * column stats (the footer wins on a name clash — partition columns are
     * never IN the data files, so a clash means a same-named data column).

@@ -349,4 +349,141 @@ class GraftSqlParserSpec extends SparkSpec {
     ObjectStoreSink.specFor(spark, spec.database, spec.table)
       .fileFormat shouldBe "orc"
   }
+
+  test("INSERT INTO is a LINK-APPEND commit: only the batch is written, " +
+    "the prior version's files carry by inode, the manifest carries their " +
+    "entries verbatim, and ANSI column-list semantics NULL-fill the rest") {
+    val fq = commitKv("ins",
+      (0L to 9L).map(i => (java.lang.Long.valueOf(i), s"v$i")))
+    val spec = ObjectStoreSink.specFor(spark, "graft_sqlm_ins", "t")
+    val v1 = java.nio.file.Paths.get(ObjectStoreSink.snapshots(spec).last.path)
+    val m1 = TableManifest.read(v1).get
+
+    val r = spark.sql(
+      "INSERT INTO graft_sqlm_ins.t (id) VALUES (100), (101)").collect()
+    r should have size 1
+    r.head.getLong(0) shouldBe 2L            // rows_inserted
+    r.head.getInt(1) shouldBe m1.files.size  // files_linked
+    val v2 = java.nio.file.Paths.get(ObjectStoreSink.snapshots(spec).last.path)
+    v2 should not be v1
+    val m2 = TableManifest.read(v2).get
+    m2.rowCount shouldBe m1.rowCount + 2
+    // every v1 entry rides verbatim (same rel path, bytes, rows, stats) and
+    // the data file is the SAME inode — no data was copied, let alone read
+    m1.files.foreach { e =>
+      m2.files.find(_.path == e.path) shouldBe Some(e)
+      java.nio.file.Files.isSameFile(
+        v1.resolve(e.path), v2.resolve(e.path)) shouldBe true
+    }
+    // ANSI list semantics: unlisted column NULL-fills, values cast
+    spark.table(fq).where(col("id") >= 100L).collect()
+      .map(r0 => (r0.getLong(0), r0.isNullAt(1))).toSet shouldBe
+      Set((100L, true), (101L, true))
+    spark.table(fq).count() shouldBe 12L
+    // time travel to the pre-insert image
+    ObjectStoreSink.readVersion(spark, spec, Some(1)).count() shouldBe 10L
+  }
+
+  test("INSERT INTO a partitioned versioned table links files inside " +
+    "partition dirs and EXTENDS the bloom sidecar over only the new files " +
+    "(carried filters bit-identical, new files covered, probes stay sound)") {
+    val spec = ObjectStoreSpec(path = scratchDir("insp").getAbsolutePath,
+      database = "graft_sqlm_insp", table = "t",
+      partitionBy = Seq("p"), bloomColumns = Seq("k"))
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, 400).toDF("k")
+        .withColumn("p", (col("k") % 4).cast("long")), spec)
+    val v1 = java.nio.file.Paths.get(ObjectStoreSink.snapshots(spec).last.path)
+    val shard1 = graft.sinks.BloomIndex.readCol(v1, "k").get
+
+    spark.sql("INSERT INTO graft_sqlm_insp.t VALUES " +
+      "(9001, 1), (9002, 2), (9003, 3)").collect()
+    val v2 = java.nio.file.Paths.get(ObjectStoreSink.snapshots(spec).last.path)
+    val m2 = TableManifest.read(v2).get
+    val shard2 = graft.sinks.BloomIndex.readCol(v2, "k").get
+    // carried entries are bit-identical; new files got fresh filters
+    shard1.files.foreach { case (rel, bits) =>
+      shard2.files(rel) shouldBe bits
+      java.nio.file.Files.isSameFile(
+        v1.resolve(rel), v2.resolve(rel)) shouldBe true
+    }
+    shard2.files.size should be > shard1.files.size
+    // probes stay sound across the append: an absent key prunes files,
+    // an inserted key keeps at least the file that holds it
+    val all = m2.files
+    val prAbsent = graft.sinks.BloomIndex.pruneAmong(v2, all, "k",
+      Seq(java.lang.Long.valueOf(555555L)), all.size, m2.totalBytes)
+    prAbsent should not be empty
+    prAbsent.get._1.size should be < all.size
+    val prHit = graft.sinks.BloomIndex.pruneAmong(v2, all, "k",
+      Seq(java.lang.Long.valueOf(9001L)), all.size, m2.totalBytes)
+    prHit should not be empty
+    prHit.get._1 should not be empty
+    spark.table("graft_sqlm_insp.t").where(col("k") === 9001L)
+      .select("p").collect()
+      .map(_.getAs[Number](0).longValue()).toSeq shouldBe Seq(1L)
+    spark.table("graft_sqlm_insp.t").count() shouldBe 403L
+  }
+
+  test("INSERT INTO delegates for everything that is not a versioned graft " +
+    "table: foreign v1 tables keep Spark's insert, missing tables get " +
+    "Spark's standard error; malformed lists on OUR tables fail loudly") {
+    // foreign external table: Spark's own INSERT must still work
+    val dir = scratchDir("insforeign").getAbsolutePath + "/plainloc"
+    ss.range(0, 3).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_insforeign")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_insforeign.plain")
+    spark.sql("CREATE TABLE graft_sqlm_insforeign.plain (id BIGINT) " +
+      s"USING parquet LOCATION '$dir'")
+    spark.sql("INSERT INTO graft_sqlm_insforeign.plain VALUES (77)").collect()
+    spark.table("graft_sqlm_insforeign.plain").count() shouldBe 4L
+    // missing table: the delegate's standard resolution error, not ours
+    val e = the[Exception] thrownBy spark.sql(
+      "INSERT INTO graft_sqlm_insforeign.nope VALUES (1)").collect()
+    e should not be a[graft.model.PipelineSpecException]
+    // our table, bad lists: loud grammar-naming failures
+    val fq = commitKv("insbad", Seq((java.lang.Long.valueOf(1L), "a")))
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO $fq (id, nope) VALUES (1, 'x')").collect())
+      .getMessage should include("unknown column")
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO $fq (id, id) VALUES (1, 2)").collect())
+      .getMessage should include("duplicate")
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO $fq (id) VALUES (1, 'x')").collect())
+      .getMessage should include("source produces")
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO $fq VALUES (1)").collect())
+      .getMessage should include("match the arity")
+    spark.table(fq).count() shouldBe 1L // nothing committed by refusals
+  }
+
+  test("appendVersion guards: batch schema must match exactly, CAS aborts " +
+    "on a stale expected version, and a drifted prior version degrades to " +
+    "a correct full rewrite") {
+    val fq = commitKv("insapi",
+      (0L to 4L).map(i => (java.lang.Long.valueOf(i), s"v$i")))
+    val spec = ObjectStoreSink.specFor(spark, "graft_sqlm_insapi", "t")
+    // schema drift refused
+    (the[graft.model.PipelineSpecException] thrownBy
+      ObjectStoreSink.appendVersion(spark,
+        Seq((9L, 9L)).toDF("id", "v"), spec)).getMessage should
+      include("does not match the table schema")
+    // stale CAS refused
+    a[graft.sinks.ConcurrentCommitException] should be thrownBy
+      ObjectStoreSink.appendVersion(spark,
+        Seq((java.lang.Long.valueOf(9L), "x")).toDF("id", "v"),
+        spec, expectVersion = Some(99))
+    // drifted prior version (manifest names a file that is gone) still
+    // commits the correct union — via the full-rewrite degradation
+    val v1 = java.nio.file.Paths.get(ObjectStoreSink.snapshots(spec).last.path)
+    val m1 = TableManifest.read(v1).get
+    val victim = v1.resolve(m1.files.head.path)
+    java.nio.file.Files.delete(victim)
+    ObjectStoreSink.appendVersion(spark,
+      Seq((java.lang.Long.valueOf(100L), "new")).toDF("id", "v"), spec)
+    val got = spark.table(fq).orderBy("id").collect().map(_.getLong(0)).toSeq
+    got.last shouldBe 100L
+    got.size shouldBe (5 - m1.files.head.rows + 1).toInt
+  }
 }
