@@ -241,7 +241,15 @@ final case class ObjectStoreSpec(
     // opt-in per-file Bloom indexes built at commit for point/IN/join-key
     // file skipping on unclustered layouts (graft.sinks.BloomIndex);
     // partition columns are ignored (directory pruning already covers them)
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    // opt-in exact per-file column sums recorded in the manifest at commit
+    // (TableManifest.enrichSums) so SUM/decimal-AVG answer metadata-only
+    // (MetaAggRule); integral + decimal columns only — float sums are
+    // order-dependent and never recorded. One extra distributed aggregate
+    // pass over the just-written files per commit (link-appends enrich
+    // only the new files); partition columns need no recording (their
+    // single-valued stats already prove the sum)
+    sumColumns: Seq[String] = Nil)
 
 /** Warehouse-shaped JDBC sink (reference Snowflake/Redshift/Postgres loaders
   * collapsed to one Spark JDBC writer): create-table-if-absent from the

@@ -4,7 +4,7 @@ import graft.sinks.TableManifest.FileEntry
 import graft.sinks.{TableManifest, ZoneMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PlanExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -315,11 +315,37 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def answer(e: NamedExpression, m: TableManifest.Manifest): Option[Any] =
     e match {
-      case Alias(child, _) => child match {
-        case lit: Literal => Some(lit.value)
-        case ae: AggregateExpression => answerAgg(ae, m)
-        case _ => None
-      }
+      case Alias(child, _) => answerExpr(child, m)
+      case _ => None
+    }
+
+  /** A bare aggregate, a literal, or a deterministic scalar TREE over
+    * answerable aggregates (`CAST(sum(x) AS DOUBLE)`, `sum(x) / 100` —
+    * the shapes CollapseProject folds into the aggregate list): every
+    * AggregateExpression leaf answers from the manifest, the remaining
+    * row-independent scalar evaluates on those exact literals. Any outer
+    * column reference, subquery, or unanswerable leaf refuses.
+    */
+  private def answerExpr(e: Expression, m: TableManifest.Manifest): Option[Any] =
+    e match {
+      case lit: Literal => Some(lit.value)
+      case ae: AggregateExpression => answerAgg(ae, m)
+      case _ if e.deterministic &&
+          !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+          e.exists(_.isInstanceOf[AggregateExpression]) =>
+        try {
+          var ok = true
+          val replaced = e.transform {
+            case ae: AggregateExpression => answerAgg(ae, m) match {
+              case Some(v) => Literal(v, ae.dataType)
+              case None => ok = false; ae
+            }
+          }
+          // any reference SURVIVING the agg substitution is a row-level
+          // column the scalar would read per-row — refuse
+          if (!ok || replaced.references.nonEmpty) None
+          else Some(replaced.eval(InternalRow.empty))
+        } catch { case _: Exception => None } // eval error: refuse
       case _ => None
     }
 
@@ -335,9 +361,63 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
         ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs, cs.min, a.dataType))
       case Max(a: AttributeReference) =>
         ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs, cs.max, a.dataType))
+      // SUM from recorded per-file sums (TableManifest.enrichSums) or
+      // single-valued evidence; exact domains only. The answer is the
+      // TRUE mathematical sum, so it agrees with execution under every
+      // eval mode — when it can't (long overflow, precision overflow,
+      // where LEGACY would wrap and ANSI would throw), refuse and let
+      // the scan reproduce Spark's own semantics.
+      case s: Sum => s.child match {
+        case a: AttributeReference => sumValue(m, a, s.dataType)
+        case _ => None
+      }
+      // AVG only in the decimal domain: exact sum ÷ exact non-null count
+      // at Average's result scale with SQL HALF_UP — deterministic and
+      // equal to execution. Integral/float AVG divides in DOUBLE inside
+      // Spark (order-dependent low bits) — refuse rather than answer
+      // with a value a re-run scan might not bit-match.
+      case avg: Average => (avg.child, avg.dataType) match {
+        case (a: AttributeReference, rt: DecimalType)
+            if a.dataType.isInstanceOf[DecimalType] =>
+          ZoneMap.metaSum(m, a.name).flatMap { case (sum, nonNull, scale) =>
+            if (a.dataType.asInstanceOf[DecimalType].scale != scale && nonNull > 0) None
+            else if (nonNull == 0L) Some(null)
+            else try {
+              val q = sum.bigDecimal.divide(
+                java.math.BigDecimal.valueOf(nonNull), rt.scale,
+                java.math.RoundingMode.HALF_UP)
+              Some(org.apache.spark.sql.types.Decimal(
+                BigDecimal(q), rt.precision, rt.scale))
+            } catch { case _: Exception => None }
+          }
+        case _ => None
+      }
       case _ => None
     }
   }
+
+  /** SUM(attr) from [[ZoneMap.metaSum]], produced at the Sum expression's
+    * own result type. Zero non-null rows → SQL NULL.
+    */
+  private def sumValue(m: TableManifest.Manifest, a: AttributeReference,
+      resultType: DataType): Option[Any] =
+    ZoneMap.metaSum(m, a.name).flatMap { case (sum, nonNull, scale) =>
+      (a.dataType, resultType) match {
+        case (LongType | IntegerType | ShortType | ByteType, LongType) =>
+          if (nonNull == 0L) Some(null)
+          else if (scale == 0 && sum.isValidLong) Some(sum.toLongExact)
+          else None // out of long range: let the scan decide wrap-vs-throw
+        case (cd: DecimalType, rt: DecimalType) if cd.scale == rt.scale =>
+          if (nonNull == 0L) Some(null)
+          else if (scale != cd.scale) None
+          else try {
+            val exact = sum.setScale(rt.scale)
+            Some(org.apache.spark.sql.types.Decimal(
+              exact, rt.precision, rt.scale))
+          } catch { case _: Exception => None }
+        case _ => None
+      }
+    }
 
   /** Lossless (stats domain → Catalyst type) conversions only; any other
     * pairing refuses. Stats never exist for NaN-carrying float ranges or

@@ -239,8 +239,15 @@ object ObjectStoreSink {
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
-      val manifest =
+      val manifest0 =
         TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn)
+      // exact per-file sums republish the manifest BEFORE the repoint, so
+      // readers never observe a sum-less window on a sum-maintained table
+      val manifest =
+        if (spec.sumColumns.nonEmpty)
+          TableManifest.enrichSums(spark, next, spec.fileFormat,
+            spec.sumColumns.filterNot(spec.partitionBy.contains), manifest0)
+        else manifest0
       // auxiliary bloom sidecar AFTER the manifest: a crash in between
       // leaves a committed version that simply doesn't bloom-prune
       if (spec.bloomColumns.nonEmpty)
@@ -352,12 +359,24 @@ object ObjectStoreSink {
       val carriedEntries = carried.result()
 
       val reread = spark.read.format(spec.fileFormat).load(next.toString)
-      val manifest = TableManifest.commitCarried(next, schemaHash(reread),
+      val manifest0 = TableManifest.commitCarried(next, schemaHash(reread),
         spec.fileFormat, txn, carriedEntries)
+      // carried entries keep their recorded sums verbatim (same immutable
+      // file); only the NEW files get the sum pass — O(batch), never O(table)
+      val sumCols = (spec.sumColumns ++ carriedEntries.flatMap(
+        _.stats.toSeq.flatMap(_.collect {
+          case (c, cs) if cs.sum.nonEmpty => c }))).distinct
+      val carriedRel = carriedEntries.map(_.path).toSet
+      val manifest =
+        if (sumCols.nonEmpty)
+          TableManifest.enrichSums(spark, next, spec.fileFormat,
+            sumCols.filterNot(spec.partitionBy.contains), manifest0,
+            onlyRel = Some(manifest0.files.map(_.path).toSet -- carriedRel))
+        else manifest0
       // sidecar AFTER the manifest, same crash contract as replaceTable;
       // prior shards extend over ONLY the new files — never a table scan
       BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
-        manifest, carriedEntries.map(_.path).toSet)
+        manifest, carriedRel)
       CommitLog.record(tableDir, versionNumber(next))
       repoint(spark, fq, spec, next, reread)
       versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
@@ -634,9 +653,15 @@ object ObjectStoreSink {
             .toSeq.sorted
         } finally s.close()
       } catch { case _: Exception => Nil }
+    // sum-maintained columns recover from the live manifest itself (any
+    // entry carrying a recorded sum), so maintenance and SQL DML commits
+    // keep the sums maintained instead of silently dropping them
+    val sums = manifest.toSeq.flatMap(_.files.flatMap(
+      _.stats.toSeq.flatMap(_.collect {
+        case (c, cs) if cs.sum.nonEmpty => c }))).distinct.sorted
     ObjectStoreSpec(path = tableDir.getParent.getParent.toString,
       database = database, table = table, partitionBy = parts,
-      fileFormat = fmt, bloomColumns = blooms)
+      fileFormat = fmt, bloomColumns = blooms, sumColumns = sums)
   }
 
   private def currentLocation(spark: SparkSession, fq: String): Path = {

@@ -71,8 +71,16 @@ object TableManifest {
     * without complete stats simply have no entry: absence always means
     * "cannot prune", never "empty".
     */
+  /** `sum` is the file's EXACT column sum over its non-null values,
+    * recorded only for sum-maintained columns ([[enrichSums]]) in the two
+    * exact domains — "long" (plain integer string, BigInt so no overflow)
+    * and "dec" (unscaled integer string at `scale`) — and "" otherwise
+    * (json4s fills the default on manifests written before the field
+    * existed). Floating domains are never recorded: their sums are
+    * order-dependent, and the manifest only ever serves exact answers.
+    */
   final case class ColStats(typ: String, min: String, max: String, nulls: Long,
-      scale: Int = 0)
+      scale: Int = 0, sum: String = "")
 
   /** `rows` is the file's exact footer row count, or -1 when unknown
     * (non-parquet commits, manifests written before the field existed —
@@ -208,6 +216,91 @@ object TableManifest {
       publish(versionDir, m)
       m
     }
+
+  /** Record EXACT per-file column sums into an already-committed
+    * manifest and atomically republish it — the metadata that lets
+    * [[graft.plans.MetaAggRule]] answer `SUM(col)` (and decimal `AVG`)
+    * with zero scan tasks, composing with its grouped and interval-
+    * filtered paths ("sum revenue for June" becomes O(files) driver
+    * arithmetic on a date-clustered table). Parquet footers carry no
+    * sums, so this is the one stats domain that needs a DATA pass: one
+    * distributed `groupBy(input_file_name)` aggregate over the version
+    * dir (or, for link-append commits, `onlyRel` — the handful of new
+    * files), run at commit time while the files are hot. Opt-in via
+    * `ObjectStoreSpec.sumColumns`, recovered from the live manifest by
+    * `specFor` so maintenance and DML commits keep sums maintained.
+    *
+    * Exactness discipline: integral columns sum in decimal(38,0), decimal
+    * columns in decimal(38, s) — no long overflow, no floating rounding;
+    * float/double columns are REFUSED (their sums are order-dependent).
+    * A per-file NULL aggregate (zero non-null values — the overflow case
+    * cannot arise under the 38-digit headroom for any file under 10^19
+    * rows) records "": absence, never a guess. Crash before the republish
+    * leaves the original manifest — sums are an enrichment, not a commit
+    * dependency.
+    */
+  def enrichSums(spark: org.apache.spark.sql.SparkSession, versionDir: Path,
+      fileFormat: String, columns: Seq[String], m: Manifest,
+      onlyRel: Option[Set[String]] = None): Manifest = {
+    import org.apache.spark.sql.functions.{col, input_file_name, sum}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    if (columns.isEmpty || m.files.isEmpty) return m
+    val targetRels = onlyRel.getOrElse(m.files.map(_.path).toSet)
+    if (targetRels.isEmpty) return m
+    val paths = m.files.map(_.path).filter(targetRels)
+      .map(r => versionDir.resolve(r).toString)
+    if (paths.isEmpty) return m
+    val df = spark.read.format(fileFormat).load(paths: _*)
+    // (column, decimal scale to sum at) — exact domains only
+    val typed: Seq[(String, Int)] = columns.distinct.flatMap { c =>
+      df.schema.find(_.name == c).flatMap(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => Some(c -> 0)
+        case d: DecimalType if d.precision <= 28 => Some(c -> d.scale)
+        case _ => None // float/double/other: order-dependent or unsound
+      })
+    }
+    if (typed.isEmpty) return m
+    val aggs = typed.map { case (c, s) =>
+      sum(col(c).cast(DecimalType(38, s))).as(s"s_$c") }
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val base = versionDir.normalize
+    val byRel: Map[String, org.apache.spark.sql.Row] = rows.flatMap { r =>
+      val f = r.getString(0)
+      try {
+        val p = java.nio.file.Paths.get(java.net.URI.create(f).getPath).normalize
+        if (p.startsWith(base)) Some(base.relativize(p).toString -> r) else None
+      } catch { case _: Exception => None }
+    }.toMap
+    val colIdx = typed.map(_._1).zipWithIndex.toMap
+    val entries = m.files.map { fe =>
+      if (!targetRels(fe.path)) fe
+      else byRel.get(fe.path) match {
+        case None => fe
+        case Some(r) =>
+          val stats0 = fe.stats.getOrElse(Map.empty)
+          val updated = typed.foldLeft(stats0) { case (acc, (c, s)) =>
+            (acc.get(c), Option(r.get(colIdx(c) + 1))) match {
+              // only enrich a stats entry whose domain agrees: "long" for
+              // integral sums, "dec" at the SAME scale for decimal sums —
+              // a domain mismatch means drifted metadata; refuse to record
+              case (Some(cs), Some(v: java.math.BigDecimal))
+                  if cs.typ == "long" && s == 0 =>
+                acc.updated(c, cs.copy(sum = v.toBigInteger.toString))
+              case (Some(cs), Some(v: java.math.BigDecimal))
+                  if cs.typ == "dec" && cs.scale == s =>
+                acc.updated(c, cs.copy(
+                  sum = v.setScale(s).unscaledValue.toString))
+              case _ => acc
+            }
+          }
+          fe.copy(stats = if (updated.isEmpty) fe.stats else Some(updated))
+      }
+    }
+    val out = m.copy(files = entries)
+    publish(versionDir, out)
+    out
+  }
 
   private def publish(versionDir: Path, m: Manifest): Unit =
     publisher.publish(versionDir, ManifestName, Serialization.writePretty(m))

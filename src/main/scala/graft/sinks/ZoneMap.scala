@@ -361,6 +361,65 @@ object ZoneMap {
       }
     }
 
+  /** Exact SUM evidence for a column: Some((sum, nonNullCount, scale)) —
+    * the table-wide exact sum as a BigDecimal at the domain's scale plus
+    * the exact count of non-null values (what decides SQL's NULL-on-empty
+    * and the AVG divisor) — or None when ANY file cannot prove its
+    * contribution. Per-file evidence, strongest first:
+    *
+    *   - a recorded [[TableManifest.ColStats.sum]] ("long" domain: plain
+    *     integer; "dec": unscaled at the recorded scale) with a KNOWN
+    *     null count and file row count;
+    *   - an all-null file column ("null" typ, or nulls == rows):
+    *     contributes 0 to the sum and 0 non-null rows — SQL SUM/AVG
+    *     ignore nulls;
+    *   - a SINGLE-VALUED file column (min == max, zero nulls, known row
+    *     count): sum = value × rows with no recording needed — this is
+    *     what makes partition columns and range-clustered constants
+    *     sum-answerable for free.
+    *
+    * Domains must agree across files ("long" everywhere, or "dec" at ONE
+    * scale); mixed or floating domains refuse — a float sum is order-
+    * dependent and the manifest never serves one.
+    */
+  def metaSum(m: Manifest, column: String)
+      : Option[(BigDecimal, Long, Int)] = {
+    var total = BigDecimal(0)
+    var nonNull = 0L
+    var domain: Option[(String, Int)] = None // (typ, scale) of valued files
+    m.files.foreach { fe =>
+      val cs = fe.stats.flatMap(_.get(column)).getOrElse(return None)
+      val allNull = cs.typ == "null" ||
+        (cs.nulls >= 0 && fe.rows >= 0 && cs.nulls == fe.rows)
+      if (!allNull) {
+        if (cs.typ != "long" && cs.typ != "dec") return None
+        domain match {
+          case Some((t, s)) =>
+            if (t != cs.typ || (cs.typ == "dec" && s != cs.scale)) return None
+          case None => domain = Some((cs.typ, cs.scale))
+        }
+        if (cs.nulls < 0 || fe.rows < 0) return None
+        val contrib: BigDecimal =
+          if (cs.sum.nonEmpty)
+            try {
+              if (cs.typ == "dec") BigDecimal(BigInt(cs.sum), cs.scale)
+              else BigDecimal(BigInt(cs.sum))
+            } catch { case _: NumberFormatException => return None }
+          else if (cs.min == cs.max && cs.nulls == 0L)
+            try {
+              val v =
+                if (cs.typ == "dec") BigDecimal(BigInt(cs.min), cs.scale)
+                else BigDecimal(cs.min.toLong)
+              v * BigDecimal(fe.rows)
+            } catch { case _: NumberFormatException => return None }
+          else return None
+        total += contrib
+        nonNull += fe.rows - cs.nulls
+      }
+    }
+    Some((total, nonNull, domain.map(_._2).getOrElse(0)))
+  }
+
   /** Exact MIN/MAX of a column as a merged [[TableManifest.ColStats]]
     * range — provable only when every file carries stats for the column in
     * ONE domain. All-null files contribute nothing (SQL MIN/MAX ignore

@@ -328,4 +328,122 @@ class MetaAggRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.metaAgg.enabled")
     assertMetaOnly(spark.sql(s"SELECT count(*) AS n FROM $fq"))
   }
+
+  private def commitSums(tag: String, df: DataFrame,
+      sums: Seq[String], parts: Seq[String] = Nil): (String, ObjectStoreSpec) = {
+    val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
+      database = s"graft_mar_$tag", table = "t",
+      partitionBy = parts, sumColumns = sums)
+    (ObjectStoreSink.replaceTable(spark, df, spec), spec)
+  }
+
+  test("SUM over long and decimal columns answers from recorded per-file " +
+    "sums (zero scans, exact values incl. NULL handling); scalar trees " +
+    "over the aggregates evaluate on the answered literals") {
+    val df = ss.range(0, 90).toDF("id")
+      .withColumn("amt", when(col("id") % 4 =!= 0,
+        (col("id") * 7).cast("decimal(12,2)")))
+      .repartitionByRange(4, col("id"))
+    val (fq, _) = commitSums("sum", df, Seq("id", "amt"))
+    val q = spark.sql(s"SELECT sum(id) AS si, sum(amt) AS sa, " +
+      s"CAST(sum(amt) AS DOUBLE) AS sad, sum(id) * 2 + 1 AS twice FROM $fq")
+    assertMetaOnly(q)
+    val r = q.head
+    r.getLong(0) shouldBe (0L until 90L).sum
+    val expAmt = (0L until 90L).filter(_ % 4 != 0).map(_ * 7).sum
+    r.getDecimal(1) shouldBe new java.math.BigDecimal(expAmt).setScale(2)
+    r.getDouble(2) shouldBe expAmt.toDouble
+    r.getLong(3) shouldBe (0L until 90L).sum * 2 + 1
+  }
+
+  test("decimal AVG answers exact-sum/exact-count at the result scale and " +
+    "BIT-MATCHES execution (incl. the rounding mode, pinned by an exact " +
+    ".5 tie); integral and double AVG refuse (their division runs in " +
+    "DOUBLE with order-dependent low bits)") {
+    // 0.01 / 32 = 0.0003125: a tie at the result scale 6, so the answered
+    // value only matches execution if the rounding MODE matches too
+    val df = ss.range(0, 32).toDF("id")
+      .withColumn("amt", when(col("id") === 0, lit("0.01"))
+        .otherwise(lit("0.00")).cast("decimal(12,2)"))
+      .withColumn("dbl", col("id") * 0.5)
+      .repartitionByRange(4, col("id"))
+    val (fq, _) = commitSums("avg", df, Seq("id", "amt"))
+    val q = spark.sql(s"SELECT avg(amt) AS a FROM $fq")
+    assertMetaOnly(q)
+    spark.conf.set("spark.graft.metaAgg.enabled", "false")
+    val off =
+      try spark.sql(s"SELECT avg(amt) AS a FROM $fq").head
+      finally spark.conf.unset("spark.graft.metaAgg.enabled")
+    q.head shouldBe off
+    assertScans(spark.sql(s"SELECT avg(id) AS a FROM $fq"))
+    assertScans(spark.sql(s"SELECT avg(dbl) AS a FROM $fq"))
+    assertScans(spark.sql(s"SELECT sum(dbl) AS s FROM $fq"))
+  }
+
+  test("SUM edge evidence: an all-null column sums to SQL NULL from " +
+    "metadata; a single-valued column (no recorded sum) answers value x " +
+    "rows; a table without recorded sums refuses multi-valued SUM") {
+    val df = ss.range(0, 40).toDF("id")
+      .withColumn("dead", lit(null).cast("long"))
+      .withColumn("grp", lit(5L))
+      .repartitionByRange(2, col("id"))
+    val (fq, _) = commitSums("edge", df, Nil) // NO recorded sums at all
+    val qNull = spark.sql(s"SELECT sum(dead) AS s FROM $fq")
+    assertMetaOnly(qNull)
+    qNull.head.isNullAt(0) shouldBe true
+    val qConst = spark.sql(s"SELECT sum(grp) AS s FROM $fq")
+    assertMetaOnly(qConst)
+    qConst.head.getLong(0) shouldBe 200L
+    assertScans(spark.sql(s"SELECT sum(id) AS s FROM $fq")) // multi-valued
+  }
+
+  test("SUM composes with interval-filtered and grouped paths, link-append " +
+    "commits carry sums and enrich only the new files, and specFor keeps " +
+    "DML commits sum-maintained") {
+    val df = ss.range(0, 80).toDF("id")
+      .withColumn("band", (col("id") / 20).cast("long"))
+      .withColumn("amt", (col("id") * 3).cast("decimal(12,2)"))
+    val (fq, spec0) = commitSums("comp", df.repartitionByRange(4, col("id")),
+      Seq("id", "amt"), parts = Seq("band"))
+    val q = spark.sql(s"SELECT CAST(band AS BIGINT) AS band, sum(amt) AS sa " +
+      s"FROM $fq WHERE id < 40 GROUP BY band ORDER BY band")
+    assertMetaOnly(q)
+    q.collect().map(r => (r.getLong(0), r.getDecimal(1).longValueExact()))
+      .toSeq shouldBe Seq(
+        (0L, (0L until 20L).map(_ * 3).sum), (1L, (20L until 40L).map(_ * 3).sum))
+    // SQL INSERT (link-append): carried files keep sums verbatim, new
+    // files get enriched, the metadata answer reflects the union
+    spark.sql(s"INSERT INTO $fq (id, band, amt) VALUES (1000, 0, 9.50)")
+      .collect()
+    val spec = ObjectStoreSink.specFor(spark, spec0.database, spec0.table)
+    spec.sumColumns should contain allOf ("amt", "id")
+    val q2 = spark.sql(s"SELECT sum(amt) AS sa, sum(id) AS si FROM $fq")
+    assertMetaOnly(q2)
+    q2.head.getDecimal(0).doubleValue() shouldBe
+      ((0L until 80L).map(_ * 3).sum.toDouble + 9.5)
+    q2.head.getLong(1) shouldBe (0L until 80L).sum + 1000L
+  }
+
+  test("doctored sum evidence refuses rather than guesses: a long SUM out " +
+    "of range and a garbage sum string both leave the scan in place") {
+    val df = ss.range(0, 20).toDF("id").repartitionByRange(2, col("id"))
+    val (fq, spec) = commitSums("bad", df, Seq("id"))
+    val vdir = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    val m = graft.sinks.TableManifest.read(vdir).get
+    def doctor(sum: String): Unit = {
+      val d = m.copy(files = m.files.map(fe => fe.copy(stats = fe.stats.map(
+        _.map { case (c, cs) =>
+          c -> (if (c == "id") cs.copy(sum = sum) else cs) }))))
+      graft.sinks.TableManifest.publisher.publish(vdir,
+        graft.sinks.TableManifest.ManifestName,
+        org.json4s.jackson.Serialization.writePretty(d)(
+          org.json4s.DefaultFormats))
+      spark.catalog.refreshTable(fq) // drop any cached listing
+    }
+    doctor("99999999999999999999") // 1e20 > Long.Max: must refuse
+    assertScans(spark.sql(s"SELECT sum(id) AS s FROM $fq"))
+    doctor("not-a-number")
+    assertScans(spark.sql(s"SELECT sum(id) AS s FROM $fq"))
+  }
 }

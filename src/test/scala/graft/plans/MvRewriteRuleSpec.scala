@@ -19,12 +19,17 @@ class MvRewriteRuleSpec extends SparkSpec {
 
   GraftExtensions.register(spark)
 
-  private def commitBase(tag: String, rows: Seq[(String, Long)])
-      : (ObjectStoreSpec, String) = {
+  // parts = 1 packs all rows into ONE multi-valued file, which keeps the
+  // r13 metadata SUM answering (MetaAggRule) from pre-empting the MV
+  // rewrite on these tiny fixtures — single-valued-per-file bases would
+  // collapse the whole aggregate to a LocalRelation (a better plan, but
+  // this suite exercises the MV machinery specifically)
+  private def commitBase(tag: String, rows: Seq[(String, Long)],
+      parts: Int = 4): (ObjectStoreSpec, String) = {
     val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
       database = s"graft_mvr_$tag", table = "base")
     val fq = ObjectStoreSink.replaceTable(spark,
-      rows.toDF("k", "v").repartition(4), spec)
+      rows.toDF("k", "v").repartition(parts), spec)
     (spec, fq)
   }
 
@@ -171,7 +176,7 @@ class MvRewriteRuleSpec extends SparkSpec {
       // it can't prove
       val pin = MvRewriteRule.beginRefresh("mv_race")
       ObjectStoreSink.replaceTable(spark,
-        Seq(("a", 1L), ("z", 9L)).toDF("k", "v"), baseSpec)
+        Seq(("a", 1L), ("z", 9L)).toDF("k", "v").repartition(1), baseSpec)
       ObjectStoreSink.replaceTable(spark, spark.sql(defSql(fq)), mvSpec)
       MvRewriteRule.completeRefresh("mv_race", pin)
       val q = spark.sql(defSql(fq))
@@ -189,7 +194,7 @@ class MvRewriteRuleSpec extends SparkSpec {
     "semantics all slice the snapshot exactly; staleness refuses the " +
     "contained shape too") {
     val (baseSpec, fq) = commitBase("contain",
-      Seq(("a", 1L), ("a", 2L), ("b", 5L), ("c", 9L), (null, 7L)))
+      Seq(("a", 1L), ("a", 2L), ("b", 5L), ("c", 9L), (null, 7L)), parts = 1)
     val mvSpec = ObjectStoreSpec(
       path = scratchDir("containmv").getAbsolutePath,
       database = "graft_mvr_contain", table = "mv")
@@ -209,7 +214,7 @@ class MvRewriteRuleSpec extends SparkSpec {
       // base moves on → the CONTAINED shape refuses exactly like the
       // direct one (same freshness pin)
       ObjectStoreSink.replaceTable(spark,
-        Seq(("a", 1L), ("d", 4L)).toDF("k", "v"), baseSpec)
+        Seq(("a", 1L), ("d", 4L)).toDF("k", "v").repartition(1), baseSpec)
       scans(filtered("k = 'a'")).head should include("/base/")
       canon(filtered("k = 'a'")) shouldBe Seq("1|a|1")
     } finally MvRewriteRule.deregister("mv_contain")
