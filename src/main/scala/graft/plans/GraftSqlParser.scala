@@ -26,6 +26,9 @@ import org.apache.spark.sql.types._
   *     WHEN NOT MATCHED THEN INSERT * | (c1, …) VALUES (expr1, …)
   *   DELETE FROM <db.table> [WHERE <pred>]
   *   UPDATE <db.table> SET c1 = expr1[, …] [WHERE <pred>]
+  *   INSERT INTO <db.table> [(c1, …)] VALUES …|SELECT …   (link-append)
+  *   INSERT OVERWRITE [TABLE] <db.table> [(c1, …)] VALUES …|SELECT …
+  *   TRUNCATE TABLE <db.table>
   *
   * The DML verbs are the reference's user-facing upsert surface verbatim
   * (it GENERATED this MERGE/DELETE dialect and shipped it to Athena
@@ -76,6 +79,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (db, t) = split(ident)
       onlyIfOurs(db, t, sqlText)(
         InsertIntoCommand(db, t, Option(cols), source))
+    case InsertOverwriteRe(ident, cols, source) =>
+      val (db, t) = split(ident)
+      onlyIfOurs(db, t, sqlText)(
+        InsertOverwriteCommand(db, t, Option(cols), source))
+    case TruncateRe(ident) =>
+      val (db, t) = split(ident)
+      onlyIfOurs(db, t, sqlText)(TruncateTableCommand(db, t))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -193,6 +203,12 @@ object GraftSqlParser {
     ("""(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?""" + Ident +
       """(?:\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?""" +
       """\s+((?:VALUES|SELECT|WITH|TABLE)\b.+?)\s*;?\s*""").r
+  private val InsertOverwriteRe =
+    ("""(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?""" + Ident +
+      """(?:\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?""" +
+      """\s+((?:VALUES|SELECT|WITH|TABLE)\b.+?)\s*;?\s*""").r
+  private val TruncateRe =
+    ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {
@@ -437,46 +453,12 @@ object GraftSqlParser {
       attr("version", IntegerType))
 
     override def run(spark: SparkSession): Seq[Row] = {
-      import org.apache.spark.sql.functions.{col, lit}
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
         throw new graft.model.PipelineSpecException(
           s"${spec.database}.${spec.table} has no committed version"))
-      val target = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
-      val tFields = target.schema.fields.toSeq
-      // positional source handle immune to duplicate output names
-      val src0 = spark.sql(sourceText)
-      val src = src0.toDF(src0.columns.indices.map(i => s"_c$i"): _*)
-      val aligned = colsText match {
-        case None =>
-          if (src.columns.length != tFields.size)
-            throw new graft.model.PipelineSpecException(
-              s"INSERT INTO ${spec.table}: source has ${src.columns.length} " +
-                s"column(s), table has ${tFields.size} — list the target " +
-                "columns or match the arity")
-          src.select(tFields.zipWithIndex.map { case (f, i) =>
-            col(s"_c$i").cast(f.dataType).as(f.name) }: _*)
-        case Some(ct) =>
-          val listed = ct.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          val resolved = listed.map { c =>
-            tFields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(
-              throw new graft.model.PipelineSpecException(
-                s"INSERT INTO ${spec.table}: unknown column '$c'")) }
-          if (resolved.distinct.size != resolved.size)
-            throw new graft.model.PipelineSpecException(
-              s"INSERT INTO ${spec.table}: duplicate column in list ($ct)")
-          if (src.columns.length != resolved.size)
-            throw new graft.model.PipelineSpecException(
-              s"INSERT INTO ${spec.table}: ${resolved.size} column(s) " +
-                s"listed but the source produces ${src.columns.length}")
-          val byTarget = resolved.zipWithIndex.toMap
-          src.select(tFields.map { f =>
-            byTarget.get(f.name) match {
-              case Some(i) => col(s"_c$i").cast(f.dataType).as(f.name)
-              case None => lit(null).cast(f.dataType).as(f.name)
-            }
-          }: _*)
-      }
+      val aligned = alignBatch(spark, spec, snap, "INSERT INTO",
+        colsText, sourceText)
       ObjectStoreSink.appendVersion(spark, aligned, spec,
         expectVersion = Some(snap.version))
       val after = ObjectStoreSink.snapshots(spec).last
@@ -485,6 +467,108 @@ object GraftSqlParser {
           after.rowCount - snap.rowCount
         else -1L
       Seq(Row(inserted, snap.nFiles, after.version))
+    }
+  }
+
+  /** `INSERT OVERWRITE [TABLE] … [(cols)] VALUES …|SELECT …`: the batch —
+    * aligned with the same ANSI column semantics as INSERT INTO — becomes
+    * the table's ENTIRE next version through the CAS-pinned commit, so
+    * the old image stays time-travel-readable. Intercepted for the same
+    * correctness reason as INSERT INTO, but sharper: Spark's v1 overwrite
+    * DELETES the files in the table location — the live version dir —
+    * leaving a committed manifest describing data that no longer exists.
+    */
+  final case class InsertOverwriteCommand(db: Option[String], table: String,
+      colsText: Option[String], sourceText: String)
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_written", LongType), attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
+        throw new graft.model.PipelineSpecException(
+          s"${spec.database}.${spec.table} has no committed version"))
+      val aligned = alignBatch(spark, spec, snap, "INSERT OVERWRITE",
+        colsText, sourceText)
+      ObjectStoreSink.replaceTable(spark, aligned, spec,
+        expectVersion = Some(snap.version))
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(after.rowCount, after.version))
+    }
+  }
+
+  /** `TRUNCATE TABLE …` on a versioned table: commit an EMPTY next
+    * version (schema preserved, CAS-pinned) instead of Spark's refusal
+    * ("Operation not allowed … external tables") — the pre-truncate
+    * snapshot stays time-travel-readable and VACUUM governs its life.
+    */
+  final case class TruncateTableCommand(db: Option[String],
+      table: String) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_before", LongType), attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
+        throw new graft.model.PipelineSpecException(
+          s"${spec.database}.${spec.table} has no committed version"))
+      val empty = ObjectStoreSink.readVersion(spark, spec,
+        Some(snap.version)).limit(0)
+      ObjectStoreSink.replaceTable(spark, empty, spec,
+        expectVersion = Some(snap.version))
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(snap.rowCount, after.version))
+    }
+  }
+
+  /** The shared INSERT batch alignment (ANSI): an explicit column list
+    * maps the source positionally onto the LISTED columns and NULL-fills
+    * the rest; no list means strict positional arity. Every value casts
+    * to the target column's type. The source is re-labeled positionally
+    * first, so duplicate source output names can never misresolve.
+    */
+  private def alignBatch(spark: SparkSession,
+      spec: graft.model.ObjectStoreSpec,
+      snap: ObjectStoreSink.Snapshot, verb: String,
+      colsText: Option[String], sourceText: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
+    val tFields = target.schema.fields.toSeq
+    val src0 = spark.sql(sourceText)
+    val src = src0.toDF(src0.columns.indices.map(i => s"_c$i"): _*)
+    colsText match {
+      case None =>
+        if (src.columns.length != tFields.size)
+          throw new graft.model.PipelineSpecException(
+            s"$verb ${spec.table}: source has ${src.columns.length} " +
+              s"column(s), table has ${tFields.size} — list the target " +
+              "columns or match the arity")
+        src.select(tFields.zipWithIndex.map { case (f, i) =>
+          col(s"_c$i").cast(f.dataType).as(f.name) }: _*)
+      case Some(ct) =>
+        val listed = ct.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val resolved = listed.map { c =>
+          tFields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new graft.model.PipelineSpecException(
+              s"$verb ${spec.table}: unknown column '$c'")) }
+        if (resolved.distinct.size != resolved.size)
+          throw new graft.model.PipelineSpecException(
+            s"$verb ${spec.table}: duplicate column in list ($ct)")
+        if (src.columns.length != resolved.size)
+          throw new graft.model.PipelineSpecException(
+            s"$verb ${spec.table}: ${resolved.size} column(s) " +
+              s"listed but the source produces ${src.columns.length}")
+        val byTarget = resolved.zipWithIndex.toMap
+        src.select(tFields.map { f =>
+          byTarget.get(f.name) match {
+            case Some(i) => col(s"_c$i").cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
     }
   }
 

@@ -1213,5 +1213,54 @@ object Stats {
              |SELECT * FROM seed
              |UNION ALL SELECT * FROM ins1
              |UNION ALL SELECT * FROM ins2
-             |ORDER BY p_partkey""".stripMargin)))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- SQL INSERT OVERWRITE + TRUNCATE TABLE ----------------------------
+    // The remaining write verbs, both protocol commits rather than Spark's
+    // v1 behavior (OVERWRITE would DELETE the live version dir's files
+    // behind the manifest; TRUNCATE refuses on external tables outright).
+    // Sequence under test: seed → TRUNCATE (empty version, schema kept) →
+    // INSERT INTO the empty table refills it → INSERT OVERWRITE replaces
+    // the content wholesale. Every step is a CAS-pinned versioned commit:
+    // SHOW SNAPSHOTS must inventory all four with the right row counts and
+    // the ORIGINAL image must still time-travel-read after everything.
+    QueryDef(
+      "q_sql_overwrite",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlow"),
+          database = "graft_ops", table = "sow_sup",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          t(s, d, "supplier").select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey")), spec)
+        val r1 = s.sql("TRUNCATE TABLE graft_ops.sow_sup").collect()(0)
+        require(r1.getLong(0) > 0 && s.table("graft_ops.sow_sup").count() == 0,
+          s"TRUNCATE left rows: $r1")
+        t(s, d, "supplier").filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .createOrReplaceTempView("sow_half")
+        s.sql("""INSERT INTO graft_ops.sow_sup
+                |SELECT s_suppkey, s_name, s_nationkey FROM sow_half"""
+          .stripMargin).collect()
+        val r3 = s.sql(
+          """INSERT OVERWRITE TABLE graft_ops.sow_sup (s_suppkey, s_nationkey)
+            |SELECT s_suppkey, s_nationkey FROM sow_half
+            |WHERE s_nationkey < 13""".stripMargin).collect()(0)
+        require(r3.getLong(0) > 0, s"OVERWRITE wrote nothing: $r3")
+        val counts = s.sql("SHOW SNAPSHOTS graft_ops.sow_sup").collect()
+          .map(_.getLong(2)).toSeq
+        require(counts.length == 4 && counts(1) == 0L &&
+          counts(3) <= counts(2),
+          s"verb sequence produced wrong snapshot inventory: $counts")
+        // the pre-truncate image still reads in full
+        val spec2 = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops", "sow_sup")
+        require(graft.sinks.ObjectStoreSink.readVersion(s, spec2, Some(1))
+          .count() == counts(0), "pre-truncate snapshot lost rows")
+        s.table("graft_ops.sow_sup").orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, CAST(NULL AS VARCHAR) AS s_name, s_nationkey
+             |FROM supplier
+             |WHERE s_suppkey % 2 = 0 AND s_nationkey < 13
+             |ORDER BY s_suppkey""".stripMargin)))
 }

@@ -458,6 +458,38 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.table(fq).count() shouldBe 1L // nothing committed by refusals
   }
 
+  test("INSERT OVERWRITE replaces the content as a NEW version (old image " +
+    "time-travels) and TRUNCATE commits an empty version with the schema " +
+    "kept — Spark's v1 behaviors would corrupt or refuse") {
+    val fq = commitKv("insow",
+      (0L to 9L).map(i => (java.lang.Long.valueOf(i), s"v$i")))
+    val spec = ObjectStoreSink.specFor(spark, "graft_sqlm_insow", "t")
+    val r = spark.sql(
+      s"INSERT OVERWRITE $fq (id) VALUES (100), (101)").collect()
+    r.head.getLong(0) shouldBe 2L
+    spark.table(fq).collect().map(r0 =>
+      (r0.getLong(0), r0.isNullAt(1))).toSet shouldBe
+      Set((100L, true), (101L, true))
+    ObjectStoreSink.readVersion(spark, spec, Some(1)).count() shouldBe 10L
+    val tr = spark.sql(s"TRUNCATE TABLE $fq").collect()
+    tr.head.getLong(0) shouldBe 2L
+    spark.table(fq).count() shouldBe 0L
+    spark.table(fq).schema.fieldNames.toSeq shouldBe Seq("id", "v")
+    // refilling the truncated table goes through the link-append verb
+    spark.sql(s"INSERT INTO $fq VALUES (7, 'x')").collect()
+    spark.table(fq).count() shouldBe 1L
+    // foreign tables: Spark's own TRUNCATE error surface, not ours
+    val dir = scratchDir("owforeign").getAbsolutePath + "/plainloc"
+    ss.range(0, 3).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_owforeign")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_owforeign.plain")
+    spark.sql("CREATE TABLE graft_sqlm_owforeign.plain (id BIGINT) " +
+      s"USING parquet LOCATION '$dir'")
+    val e = the[Exception] thrownBy spark.sql(
+      "TRUNCATE TABLE graft_sqlm_owforeign.plain").collect()
+    e should not be a[graft.model.PipelineSpecException]
+  }
+
   test("appendVersion guards: batch schema must match exactly, CAS aborts " +
     "on a stale expected version, and a drifted prior version degrades to " +
     "a correct full rewrite") {
