@@ -29,7 +29,7 @@ FAM[R13D]="q_cdc_apply q_cdc_chunks q_mssql_cdc q_mssql_pairing q_jdbc_roundtrip
 FAM[R13E]="q_kmv_distinct q_kmv_by_source q_simhash64 q_pii_scrub q_quantiles q_range_boundaries q_split_assign q_train_order q_multimodal_meta q_multimodal_features q_multimodal_frames q_multimodal_video"
 FAM[R13F]="q_fuzz_01 q_fuzz_02 q_fuzz_03 q_fuzz_04 q_fuzz_05 q_fuzz_06 q_fuzz_09 q_fuzz_10 q_fuzz_11 q_fuzz_13 q_fuzz_14 q_fuzz_17"
 FAM[R13H]="q_sql_update q_mv_rewrite_rollup"
-FAM[R13I]="q_sql_insert q_meta_agg_sum"
+FAM[R13I]="q_sql_insert q_sql_overwrite q_meta_agg_sum"
 FAM[R13G]="q_fuzz_20 q_fuzz_22 q_fuzz_23 q_fuzz_24 q_fuzz_26 q_fuzz_28 q_fuzz_29 q_fuzz_33 q_fuzz_34 q_fuzz_35 q_fuzz_37 q_fuzz_38 q_fuzz_42 q_fuzz_43 q_fuzz_45"
 
 declare -A DIRS
