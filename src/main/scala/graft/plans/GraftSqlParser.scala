@@ -29,6 +29,9 @@ import org.apache.spark.sql.types._
   *   INSERT INTO <db.table> [(c1, …)] VALUES …|SELECT …   (link-append)
   *   INSERT OVERWRITE [TABLE] <db.table> [(c1, …)] VALUES …|SELECT …
   *   TRUNCATE TABLE <db.table>
+  *   CREATE [OR REPLACE] TABLE <db.table> USING GRAFT
+  *     [OPTIONS (path '…', format '…', sums 'c1,…', blooms 'c1,…')]
+  *     [PARTITIONED BY (c1, …)] AS <query>
   *
   * The DML verbs are the reference's user-facing upsert surface verbatim
   * (it GENERATED this MERGE/DELETE dialect and shipped it to Athena
@@ -83,6 +86,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (db, t) = split(ident)
       onlyIfOurs(db, t, sqlText)(
         InsertOverwriteCommand(db, t, Option(cols), source))
+    case CreateGraftRe(orReplace, ident, _, opts, _, parts, source) =>
+      // `USING GRAFT` is OUR marker — no delegation question arises (the
+      // delegate has no datasource of that name and would only fail later)
+      val (db, t) = split(ident)
+      CreateGraftTableCommand(db, t, orReplace != null,
+        Option(opts).getOrElse(""),
+        Option(parts).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+        source)
     case TruncateRe(ident) =>
       val (db, t) = split(ident)
       onlyIfOurs(db, t, sqlText)(TruncateTableCommand(db, t))
@@ -209,6 +220,12 @@ object GraftSqlParser {
       """\s+((?:VALUES|SELECT|WITH|TABLE)\b.+?)\s*;?\s*""").r
   private val TruncateRe =
     ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
+  // CREATE [OR REPLACE] TABLE t USING GRAFT [OPTIONS (…)]
+  //   [PARTITIONED BY (c1, …)] AS <query>
+  private val CreateGraftRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
+      """\s+USING\s+GRAFT(\s+OPTIONS\s*\(([^)]*)\))?""" +
+      """(\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {
@@ -522,6 +539,79 @@ object GraftSqlParser {
       val after = ObjectStoreSink.snapshots(spec).last
       Seq(Row(snap.rowCount, after.version))
     }
+  }
+
+  /** `CREATE [OR REPLACE] TABLE … USING GRAFT [OPTIONS (…)] [PARTITIONED
+    * BY (…)] AS <query>` — the missing first verb of the SQL lifecycle:
+    * a user can now create a manifest-committed versioned table, insert,
+    * merge, update, optimize, time-travel, and vacuum it without ever
+    * leaving SQL. OPTIONS: `path` (lake root; defaults to the session
+    * warehouse dir — the table lands at path/db/table/v-NNNNNN),
+    * `format` (parquet default), `sums` / `blooms` (comma-separated
+    * columns to sum-maintain / bloom-index at every commit). CREATE
+    * refuses an existing table; OR REPLACE commits the new content as
+    * the NEXT version of an existing one — the old image stays
+    * time-travel-readable, exactly like every other DML verb.
+    */
+  final case class CreateGraftTableCommand(db: Option[String],
+      table: String, orReplace: Boolean, optsText: String,
+      partitionBy: Seq[String], sourceText: String)
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_written", LongType), attr("version", IntegerType),
+      attr("location", StringType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val database = db.getOrElse(spark.catalog.currentDatabase)
+      val fq = s"$database.$table"
+      if (!orReplace && spark.catalog.tableExists(fq))
+        throw new graft.model.PipelineSpecException(
+          s"CREATE TABLE $fq: table already exists (use CREATE OR " +
+            "REPLACE to commit a new version over it)")
+      val opts = parseOptions(optsText)
+      val known = Set("path", "format", "sums", "blooms")
+      val bad = opts.keySet.diff(known)
+      if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
+        s"CREATE TABLE $fq USING GRAFT: unknown option(s) " +
+          s"${bad.mkString(", ")} — supported: ${known.toSeq.sorted.mkString(", ")}")
+      val root = opts.getOrElse("path", {
+        val w = spark.conf.get("spark.sql.warehouse.dir")
+        try java.net.URI.create(w).getPath match {
+          case null | "" => w
+          case p => p
+        } catch { case _: Exception => w }
+      })
+      def cols(k: String): Seq[String] = opts.get(k).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      val spec = graft.model.ObjectStoreSpec(path = root,
+        database = database, table = table, partitionBy = partitionBy,
+        fileFormat = opts.getOrElse("format", "parquet"),
+        sumColumns = cols("sums"), bloomColumns = cols("blooms"))
+      val df = spark.sql(sourceText)
+      val missing = partitionBy.filterNot(p =>
+        df.columns.exists(_.equalsIgnoreCase(p)))
+      if (missing.nonEmpty) throw new graft.model.PipelineSpecException(
+        s"CREATE TABLE $fq: PARTITIONED BY column(s) " +
+          s"${missing.mkString(", ")} not produced by the query")
+      ObjectStoreSink.replaceTable(spark, df, spec)
+      val snap = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(snap.rowCount, snap.version, snap.path))
+    }
+  }
+
+  /** `OPTIONS (k 'v', k2 'v2', …)` — bare or quoted keys, single-quoted
+    * values, depth-aware comma split.
+    */
+  private[plans] def parseOptions(text: String): Map[String, String] = {
+    val OptRe = """(?s)\s*['"`]?([A-Za-z_][A-Za-z0-9_.]*)['"`]?\s+'([^']*)'\s*""".r
+    if (text.trim.isEmpty) Map.empty
+    else splitTop(text).map {
+      case OptRe(k, v) => k.toLowerCase -> v
+      case other => throw new graft.model.PipelineSpecException(
+        s"CREATE TABLE USING GRAFT options expect `key 'value'` pairs, " +
+          s"got: $other")
+    }.toMap
   }
 
   /** The shared INSERT batch alignment (ANSI): an explicit column list

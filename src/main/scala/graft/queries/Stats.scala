@@ -1262,5 +1262,69 @@ object Stats {
       Some("""SELECT s_suppkey, CAST(NULL AS VARCHAR) AS s_name, s_nationkey
              |FROM supplier
              |WHERE s_suppkey % 2 = 0 AND s_nationkey < 13
-             |ORDER BY s_suppkey""".stripMargin)))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- SQL CREATE TABLE … USING GRAFT AS SELECT -------------------------
+    // The first verb of the lifecycle: a pure-SQL user can now CREATE a
+    // manifest-committed versioned table (with sum-maintained and bloom-
+    // indexed columns declared as OPTIONS), then drive every other verb on
+    // it. Gates: the created table answers SUM from metadata with ZERO
+    // scans (proving the sums option flowed through the commit), carries a
+    // bloom shard for the declared column, link-appends via INSERT INTO,
+    // re-CREATE without OR REPLACE refuses, and OR REPLACE commits a NEW
+    // version with the original still time-travel-readable.
+    QueryDef(
+      "q_sql_ctas",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqlctas")
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")).createOrReplaceTempView("ctas_src")
+        val r1 = s.sql(
+          s"""CREATE TABLE graft_ops.ctas_ord USING GRAFT
+             |OPTIONS (path '$scratch', sums 'amount', blooms 'o_orderkey')
+             |PARTITIONED BY (o_orderstatus) AS
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(o_totalprice AS DECIMAL(14,2)) AS amount
+             |FROM ctas_src WHERE o_orderkey % 4 <> 0""".stripMargin)
+          .collect()(0)
+        require(r1.getInt(1) >= 1 && r1.getLong(0) > 0,
+          s"CTAS wrote nothing: $r1")
+        // the declared sums flowed through: metadata-only SUM, zero scans
+        val q = s.sql(
+          "SELECT sum(amount) AS sa FROM graft_ops.ctas_ord")
+        require(q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty, s"CTAS sums option did not reach the manifest:\n" +
+          s"${q.queryExecution.optimizedPlan}")
+        // the declared bloom column has a live shard
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops", "ctas_ord")
+        val vdir = java.nio.file.Paths.get(
+          graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+        require(graft.sinks.BloomIndex.readCol(vdir, "o_orderkey").nonEmpty,
+          "CTAS blooms option did not build a shard")
+        // plain CREATE on the existing table refuses loudly
+        val dup = try {
+          s.sql("CREATE TABLE graft_ops.ctas_ord USING GRAFT AS " +
+            "SELECT 1 AS x").collect(); false
+        } catch { case _: graft.model.PipelineSpecException => true }
+        require(dup, "re-CREATE without OR REPLACE must refuse")
+        // the held-out rows arrive by link-append INSERT
+        s.sql("""INSERT INTO graft_ops.ctas_ord
+                |SELECT o_orderkey,
+                |       CAST(o_totalprice AS DECIMAL(14,2)) AS amount,
+                |       o_orderstatus
+                |FROM ctas_src WHERE o_orderkey % 4 = 0""".stripMargin)
+          .collect()
+        val snaps = s.sql("SHOW SNAPSHOTS graft_ops.ctas_ord").collect()
+        require(snaps.length == 2 &&
+          snaps(1).getLong(2) > snaps(0).getLong(2),
+          s"CTAS + INSERT must inventory two additive versions: ${snaps.toSeq}")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |       CAST(amount AS DOUBLE) AS amount
+                |FROM graft_ops.ctas_ord ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+             |         AS amount
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }

@@ -229,6 +229,11 @@ object ObjectStoreSink {
             s"${latest.getOrElse("<none>")} — a concurrent writer committed " +
             "first; aborting instead of resurrecting stale content")
       }
+      // refuse a partition-key change BEFORE any data is written: repoint
+      // re-checks, but failing there would leave an orphan committed
+      // version the catalog never points at
+      if (spark.catalog.tableExists(fq))
+        guardPartitionKeysImmutable(spark, fq, spec)
       val next = nextVersionDir(tableDir)
       val sw0 = tsMicros(df).write
         .mode(SaveMode.Overwrite).format(spec.fileFormat)

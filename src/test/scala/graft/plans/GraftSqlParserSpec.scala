@@ -490,6 +490,69 @@ class GraftSqlParserSpec extends SparkSpec {
     e should not be a[graft.model.PipelineSpecException]
   }
 
+  test("CREATE TABLE USING GRAFT: versioned commit with OPTIONS flowing " +
+    "through (sums/blooms/partitioning), OR REPLACE commits a NEW version " +
+    "with time travel, plain re-CREATE and bad options refuse loudly") {
+    val root = scratchDir("ctas").getAbsolutePath
+    ss.range(0, 60).toDF("id")
+      .withColumn("p", (col("id") % 3).cast("long"))
+      .withColumn("amt", (col("id") * 2).cast("decimal(10,2)"))
+      .createOrReplaceTempView("ctas_spec_src")
+    val r = spark.sql(
+      s"""CREATE TABLE graft_ctas.t USING GRAFT
+         |OPTIONS (path '$root', sums 'amt', blooms 'id')
+         |PARTITIONED BY (p) AS
+         |SELECT id, amt, p FROM ctas_spec_src""".stripMargin).collect()
+    r.head.getLong(0) shouldBe 60L
+    spark.table("graft_ctas.t").count() shouldBe 60L
+    val spec = ObjectStoreSink.specFor(spark, "graft_ctas", "t")
+    spec.sumColumns shouldBe Seq("amt")
+    spec.bloomColumns shouldBe Seq("id")
+    spec.partitionBy shouldBe Seq("p")
+    // metadata SUM answers zero-scan on the freshly created table
+    val q = spark.sql("SELECT sum(amt) AS sa FROM graft_ctas.t")
+    q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    } shouldBe empty
+    q.head.getDecimal(0).longValueExact() shouldBe (0L until 60L).map(_ * 2).sum
+    // plain CREATE refuses; OR REPLACE commits version 2, v1 time-travels
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"CREATE TABLE graft_ctas.t USING GRAFT OPTIONS (path '$root') AS " +
+        "SELECT 1 AS x").collect()).getMessage should include("already exists")
+    // partition keys are immutable through OR REPLACE (same guard as
+    // every other commit): dropping PARTITIONED BY refuses…
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"""CREATE OR REPLACE TABLE graft_ctas.t USING GRAFT
+         |OPTIONS (path '$root') AS
+         |SELECT id, amt, p FROM ctas_spec_src WHERE id < 10""".stripMargin)
+      .collect()).getMessage should include("immutable")
+    // …and the like-partitioned replacement commits version 2
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE graft_ctas.t USING GRAFT
+         |OPTIONS (path '$root') PARTITIONED BY (p) AS
+         |SELECT id, amt, p FROM ctas_spec_src WHERE id < 10""".stripMargin)
+      .collect()
+    spark.table("graft_ctas.t").count() shouldBe 10L
+    ObjectStoreSink.readVersion(spark, spec, Some(1)).count() shouldBe 60L
+    // unknown option and malformed pair both name the grammar
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"CREATE TABLE graft_ctas.t2 USING GRAFT OPTIONS (nope 'x') AS " +
+        "SELECT 1 AS a").collect()).getMessage should include("unknown option")
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"CREATE TABLE graft_ctas.t2 USING GRAFT OPTIONS (path = 7) AS " +
+        "SELECT 1 AS a").collect()).getMessage should include("pairs")
+    // a PARTITIONED BY column the query doesn't produce refuses
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"CREATE TABLE graft_ctas.t2 USING GRAFT OPTIONS (path '$root') " +
+        "PARTITIONED BY (ghost) AS SELECT 1 AS a").collect())
+      .getMessage should include("not produced")
+    // plain CREATE TABLE ... USING parquet still goes to Spark untouched
+    spark.sql("DROP TABLE IF EXISTS graft_ctas.plainct")
+    spark.sql("CREATE TABLE graft_ctas.plainct USING parquet LOCATION " +
+      s"'$root/plainct' AS SELECT 1 AS a").collect()
+    spark.table("graft_ctas.plainct").count() shouldBe 1L
+  }
+
   test("appendVersion guards: batch schema must match exactly, CAS aborts " +
     "on a stale expected version, and a drifted prior version degrades to " +
     "a correct full rewrite") {
