@@ -1277,6 +1277,10 @@ object Stats {
       "q_sql_ctas",
       (s, d) => {
         val scratch = graft.Scratch.fresh("graft-sqlctas")
+        // re-runnable in one session (Bench repeats 3x): the catalog entry
+        // from a prior invocation must not trip the CREATE refusal under
+        // test — the refusal case is exercised within the invocation below
+        s.sql("DROP TABLE IF EXISTS graft_ops.ctas_ord")
         t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice")).createOrReplaceTempView("ctas_src")
         val r1 = s.sql(

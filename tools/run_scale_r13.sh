@@ -29,7 +29,15 @@ FAM[R13D]="q_cdc_apply q_cdc_chunks q_mssql_cdc q_mssql_pairing q_jdbc_roundtrip
 FAM[R13E]="q_kmv_distinct q_kmv_by_source q_simhash64 q_pii_scrub q_quantiles q_range_boundaries q_split_assign q_train_order q_multimodal_meta q_multimodal_features q_multimodal_frames q_multimodal_video"
 FAM[R13F]="q_fuzz_01 q_fuzz_02 q_fuzz_03 q_fuzz_04 q_fuzz_05 q_fuzz_06 q_fuzz_09 q_fuzz_10 q_fuzz_11 q_fuzz_13 q_fuzz_14 q_fuzz_17"
 FAM[R13H]="q_sql_update q_mv_rewrite_rollup"
-FAM[R13I]="q_sql_insert q_sql_overwrite q_meta_agg_sum"
+FAM[R13I]="q_sql_insert q_sql_overwrite q_sql_ctas q_meta_agg_sum"
+# R13J-N: re-gate every query whose best scale evidence predated the
+# canary (SCALE_INDEX canonical=false tail, 48 queries across the
+# pre-r9 TPCH/REL/ANN/R7/R8* artifacts)
+FAM[R13J]="q_tpch_q6 q_tpch_q10 q_tpch_q12 q_tpch_q13 q_tpch_q14 q_tpch_q19 q_tpch_q22 q_project_filter"
+FAM[R13K]="q_grouping_sets q_join_anti q_join_semi q_merge_upsert q_pivot_priority q_range_join q_rollup q_salted_agg q_setops q_window_rank q_window_running q_dq_referential"
+FAM[R13L]="q_knn_brute q_knn_ivf q_knn_quantized q_minhash_sig q_mix_temperature q_pack_sequences q_quality_classifier q_semdedup_prune q_span_scrub"
+FAM[R13M]="q_fuzz_47 q_fuzz_48 q_fuzz_50 q_fuzz_51 q_fuzz_52 q_fuzz_53 q_fuzz_54 q_fuzz_55 q_fuzz_58 q_fuzz_59"
+FAM[R13N]="q_fuzz_61 q_fuzz_62 q_fuzz_63 q_fuzz_64 q_fuzz_65 q_fuzz_66 q_fuzz_67 q_fuzz_68 q_fuzz_69"
 FAM[R13G]="q_fuzz_20 q_fuzz_22 q_fuzz_23 q_fuzz_24 q_fuzz_26 q_fuzz_28 q_fuzz_29 q_fuzz_33 q_fuzz_34 q_fuzz_35 q_fuzz_37 q_fuzz_38 q_fuzz_42 q_fuzz_43 q_fuzz_45"
 
 declare -A DIRS
