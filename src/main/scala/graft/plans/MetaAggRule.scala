@@ -45,7 +45,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     type (long↔integrals, double↔float/double, ASCII string, date,
   *     UTC-adjusted micro/milli timestamps, same-scale decimals via the
   *     manifest's unscaled-long "dec" domain). Unknown null counts, mixed
-  *     domains, distinct/filtered aggregates → no rewrite, the scan runs.
+  *     domains, filtered aggregates → no rewrite, the scan runs; DISTINCT
+  *     answers only where provable ([[answerDistinct]]) and refuses
+  *     SUM/AVG DISTINCT outright.
   *     There is no "probably right" path.
   *
   * `spark.graft.metaAgg.enabled=false` disables the rule.
@@ -351,7 +353,8 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def answerAgg(ae: AggregateExpression,
       m: TableManifest.Manifest): Option[Any] = {
-    if (ae.isDistinct || ae.filter.isDefined) return None
+    if (ae.filter.isDefined) return None
+    if (ae.isDistinct) return answerDistinct(ae, m)
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null => ZoneMap.metaCount(m)
       case Count(Seq(a: AttributeReference)) =>
@@ -395,6 +398,35 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
   }
+
+  /** DISTINCT aggregates the manifest can still prove:
+    *
+    *   - `MIN/MAX(DISTINCT col)` equal their non-distinct forms (the
+    *     extremum of a set is the extremum of its distinct values) —
+    *     answered by stripping the modifier;
+    *   - `COUNT(DISTINCT col)` when EVERY file is single-valued in the
+    *     column (partition columns; constant null-free files) or all-null:
+    *     the distinct count is the number of distinct per-file constants,
+    *     nulls excluded — the `count(distinct source)` shape users run
+    *     against partitioned lakes, O(files) with no shuffle at all.
+    *
+    * Everything else (multi-valued files, SUM/AVG DISTINCT — those
+    * change the result) refuses.
+    */
+  private def answerDistinct(ae: AggregateExpression,
+      m: TableManifest.Manifest): Option[Any] =
+    ae.aggregateFunction match {
+      case Min(a: AttributeReference) =>
+        ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs, cs.min, a.dataType))
+      case Max(a: AttributeReference) =>
+        ZoneMap.metaRange(m, a.name).flatMap(cs => internalValue(cs, cs.max, a.dataType))
+      case Count(Seq(a: AttributeReference)) =>
+        val perFile = m.files.map(fe => singleValue(fe, a))
+        if (perFile.exists(_.isEmpty)) None
+        else Some(perFile.flatten.filter(_ != null)
+          .map(normalizeKey).distinct.size.toLong)
+      case _ => None
+    }
 
   /** SUM(attr) from [[ZoneMap.metaSum]], produced at the Sum expression's
     * own result type. Zero non-null rows → SQL NULL.

@@ -424,6 +424,29 @@ class MetaAggRuleSpec extends SparkSpec {
     q2.head.getLong(1) shouldBe (0L until 80L).sum + 1000L
   }
 
+  test("DISTINCT aggregates: COUNT(DISTINCT) answers over single-valued " +
+    "files with NULL excluded and same-constant files deduped; MIN/MAX " +
+    "DISTINCT equal their plain forms; SUM DISTINCT and multi-valued " +
+    "COUNT DISTINCT refuse") {
+    val df = ss.range(0, 40).toDF("id")
+      .withColumn("grp", when(col("id") % 10 === 0, lit(null))
+        .otherwise(concat(lit("g"), (col("id") % 4).cast("string"))))
+    val spec = ObjectStoreSpec(path = scratchDir("dist").getAbsolutePath,
+      database = "graft_mar_dist", table = "t", partitionBy = Seq("grp"))
+    val fq = ObjectStoreSink.replaceTable(spark,
+      df.repartition(8, col("id")), spec)
+    val q = spark.sql(s"SELECT count(distinct grp) AS ng, " +
+      s"min(distinct id) AS mn, max(distinct id) AS mx FROM $fq")
+    assertMetaOnly(q)
+    // 4 non-null groups (g0..g3); the NULL partition dir never counts
+    q.head.getLong(0) shouldBe 4L
+    q.head.getLong(1) shouldBe 0L
+    q.head.getLong(2) shouldBe 39L
+    // id is multi-valued within files; sum distinct changes the result
+    assertScans(spark.sql(s"SELECT count(distinct id) AS n FROM $fq"))
+    assertScans(spark.sql(s"SELECT sum(distinct id) AS s FROM $fq"))
+  }
+
   test("doctored sum evidence refuses rather than guesses: a long SUM out " +
     "of range and a garbage sum string both leave the scan in place") {
     val df = ss.range(0, 20).toDF("id").repartitionByRange(2, col("id"))
