@@ -240,7 +240,20 @@ object ObjectStoreSink {
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       // materialize BEFORE touching the live table
       sw.save(next.toString)
-      val reread = spark.read.format(spec.fileFormat).load(next.toString)
+      // an EMPTY partitioned image writes no data files at all, so the
+      // version dir is schema-less on disk (TRUNCATE, whole-table DELETE,
+      // a delete matching every row). Persist the schema as a sidecar and
+      // pin it on the read — absence of rows must not mean absence of a
+      // table shape. Written BEFORE the manifest: the commit contract
+      // (manifest-last) keeps a crash in between invisible.
+      val emptyImage = TableManifest.dataFiles(next).isEmpty
+      val reread =
+        if (!emptyImage) spark.read.format(spec.fileFormat).load(next.toString)
+        else {
+          val shape = partitionsLast(df, spec).schema
+          TableManifest.publisher.publish(next, SchemaSidecarName, shape.json)
+          spark.read.schema(shape).format(spec.fileFormat).load(next.toString)
+        }
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
@@ -319,8 +332,8 @@ object ObjectStoreSink {
         spec, txn, Some(snap.version))
       val prevManifest = TableManifest.read(prevDir).getOrElse(
         return fullRewrite())
-      val prevSchema = readVersion(spark, spec, Some(snap.version))
-        .schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val prevRead = readVersion(spark, spec, Some(snap.version))
+      val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val newSchema = newRows.schema.fields.map(f => (f.name, f.dataType)).toSeq
       if (prevSchema != newSchema) throw new PipelineSpecException(
         s"appendVersion to $fq: batch schema ${newSchema.mkString(", ")} " +
@@ -363,7 +376,18 @@ object ObjectStoreSink {
       if (!intact) { deleteTree(next); return fullRewrite() }
       val carriedEntries = carried.result()
 
-      val reread = spark.read.format(spec.fileFormat).load(next.toString)
+      // an empty batch appended to an empty image leaves a schema-less
+      // dir — pin the prior image's schema (same sidecar contract as
+      // replaceTable's empty commits)
+      val reread =
+        if (TableManifest.dataFiles(next).nonEmpty)
+          spark.read.format(spec.fileFormat).load(next.toString)
+        else {
+          TableManifest.publisher.publish(next, SchemaSidecarName,
+            prevRead.schema.json)
+          spark.read.schema(prevRead.schema)
+            .format(spec.fileFormat).load(next.toString)
+        }
       val manifest0 = TableManifest.commitCarried(next, schemaHash(reread),
         spec.fileFormat, txn, carriedEntries)
       // carried entries keep their recorded sums verbatim (same immutable
@@ -430,8 +454,26 @@ object ObjectStoreSink {
     }
     if (sameSchema) {
       spark.sql(s"ALTER TABLE $fq SET LOCATION '${newLoc.toUri}'")
-      if (spec.partitionBy.nonEmpty)
+      if (spec.partitionBy.nonEmpty) {
         spark.sql(s"MSCK REPAIR TABLE $fq SYNC PARTITIONS")
+        // SYNC drops partitions whose DIRECTORY vanished — but a swapped-
+        // out version's dirs survive until retirement, so a partition
+        // value ABSENT from the new image (a partition-deleting DELETE, a
+        // TRUNCATE) would stay registered against the old version dir and
+        // resurrect its rows. Drop every partition whose location is not
+        // under the new version dir; retainData — the files belong to the
+        // superseded version and its readers until vacuum.
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+          spec.table, Some(spec.database))
+        val cat = spark.sessionState.catalog
+        val base = newLoc.normalize
+        val stale = cat.listPartitions(ident).filter(p =>
+          p.storage.locationUri.forall(u =>
+            !Paths.get(u.getPath).normalize.startsWith(base)))
+        if (stale.nonEmpty)
+          cat.dropPartitions(ident, stale.map(_.spec),
+            ignoreIfNotExists = true, purge = false, retainData = true)
+      }
       spark.catalog.refreshTable(fq)
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $fq")
@@ -481,9 +523,29 @@ object ObjectStoreSink {
     * is stable regardless of later commits. The manifest gate means a
     * crashed writer's directory can never be read.
     */
+  /** Sidecar carrying the committed schema of an EMPTY version image
+    * (no data files on disk to infer from). Present only when the image
+    * is empty; non-empty versions keep schema-on-read.
+    */
+  private[graft] val SchemaSidecarName = "_schema.json"
+
   def readVersion(spark: SparkSession, spec: ObjectStoreSpec,
-      version: Option[Int] = None): DataFrame =
-    spark.read.format(spec.fileFormat).load(resolveSnapshot(spec, version).path)
+      version: Option[Int] = None): DataFrame = {
+    val snapPath = resolveSnapshot(spec, version).path
+    val sidecar = Paths.get(snapPath).resolve(SchemaSidecarName)
+    val pinned =
+      if (!Files.exists(sidecar)) None
+      else
+        try Some(org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(sidecar))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case _: Exception => None }
+    pinned match {
+      case Some(schema) =>
+        spark.read.schema(schema).format(spec.fileFormat).load(snapPath)
+      case None => spark.read.format(spec.fileFormat).load(snapPath)
+    }
+  }
 
   private def resolveSnapshot(spec: ObjectStoreSpec, version: Option[Int]): Snapshot = {
     val snaps = snapshots(spec)

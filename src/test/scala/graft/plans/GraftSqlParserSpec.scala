@@ -553,6 +553,39 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.table("graft_ctas.plainct").count() shouldBe 1L
   }
 
+  test("TRUNCATE and whole-table DELETE on a PARTITIONED table commit a " +
+    "schema-preserving empty version and the table refills by INSERT") {
+    val spec = ObjectStoreSpec(path = scratchDir("trpart").getAbsolutePath,
+      database = "graft_sqlm_trpart", table = "t", partitionBy = Seq("p"))
+    val fq = ObjectStoreSink.replaceTable(spark,
+      Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "v", "p"), spec)
+    spark.sql(s"TRUNCATE TABLE $fq").collect()
+      .head.getLong(0) shouldBe 2L
+    spark.table(fq).count() shouldBe 0L
+    spark.table(fq).schema.fieldNames.toSeq should contain allOf ("id", "v", "p")
+    spark.sql(s"INSERT INTO $fq (id, v, p) VALUES (9, 'z', 0)").collect()
+    spark.table(fq).count() shouldBe 1L
+    // whole-table DELETE (the reference's DELETE FROM t shape), same path
+    val spec2 = spec.copy(table = "t2")
+    val fq2 = ObjectStoreSink.replaceTable(spark,
+      Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "v", "p"), spec2)
+    spark.sql(s"DELETE FROM $fq2").collect()
+    spark.table(fq2).count() shouldBe 0L
+    ObjectStoreSink.readVersion(spark, spec2, Some(1)).count() shouldBe 2L
+    // a delete that REMOVES a whole partition: its old version dir still
+    // exists on disk, so a stale catalog partition would resurrect the
+    // deleted rows — the repoint must drop partitions pointing outside
+    // the new version dir
+    val spec3 = spec.copy(table = "t3")
+    val fq3 = ObjectStoreSink.replaceTable(spark,
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)).toDF("id", "v", "p"),
+      spec3)
+    spark.sql(s"DELETE FROM $fq3 WHERE p = 0").collect()
+    spark.table(fq3).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    ObjectStoreSink.readVersion(spark, spec3, Some(1)).count() shouldBe 3L
+  }
+
   test("appendVersion guards: batch schema must match exactly, CAS aborts " +
     "on a stale expected version, and a drifted prior version degrades to " +
     "a correct full rewrite") {
