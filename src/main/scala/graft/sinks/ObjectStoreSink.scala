@@ -455,14 +455,17 @@ object ObjectStoreSink {
     if (sameSchema) {
       spark.sql(s"ALTER TABLE $fq SET LOCATION '${newLoc.toUri}'")
       if (spec.partitionBy.nonEmpty) {
-        spark.sql(s"MSCK REPAIR TABLE $fq SYNC PARTITIONS")
-        // SYNC drops partitions whose DIRECTORY vanished — but a swapped-
-        // out version's dirs survive until retirement, so a partition
-        // value ABSENT from the new image (a partition-deleting DELETE, a
-        // TRUNCATE) would stay registered against the old version dir and
-        // resurrect its rows. Drop every partition whose location is not
-        // under the new version dir; retainData — the files belong to the
-        // superseded version and its readers until vacuum.
+        // MSCK only ADDS partition values it doesn't know and SYNC only
+        // drops values whose directory VANISHED — but a swapped-out
+        // version's dirs survive until retirement, so (1) a partition
+        // value present in both versions would keep its OLD per-partition
+        // location (readers break the moment vacuum retires that dir),
+        // and (2) a value ABSENT from the new image (a partition-deleting
+        // DELETE, a TRUNCATE) would stay registered and resurrect its
+        // rows. Drop every partition not already under the new version
+        // dir FIRST (retainData — the files belong to the superseded
+        // version and its readers until vacuum), then re-register from
+        // the new location so every entry points into it.
         val ident = org.apache.spark.sql.catalyst.TableIdentifier(
           spec.table, Some(spec.database))
         val cat = spark.sessionState.catalog
@@ -473,6 +476,7 @@ object ObjectStoreSink {
         if (stale.nonEmpty)
           cat.dropPartitions(ident, stale.map(_.spec),
             ignoreIfNotExists = true, purge = false, retainData = true)
+        spark.sql(s"MSCK REPAIR TABLE $fq SYNC PARTITIONS")
       }
       spark.catalog.refreshTable(fq)
     } else {

@@ -291,4 +291,35 @@ class SinksSpec extends SparkSpec {
     TextSink.writeText(Seq("{\"a\":1}").toDF("_json"), "_json", s"$dir/txt")
     spark.read.text(s"$dir/txt").count() shouldBe 1
   }
+
+  test("after a versioned swap EVERY partition entry points into the live " +
+    "version dir, so vacuuming the superseded version cannot break reads") {
+    val spec = ObjectStoreSpec(path = scratchDir("ppin").getAbsolutePath,
+      database = "graft_ppin", table = "t", partitionBy = Seq("p"))
+    val mk = (k: Long) => (0L until 40L).map(i => (i + k, (i % 4).toString))
+      .toDF("id", "p")
+    val fq = ObjectStoreSink.replaceTable(spark, mk(0), spec)
+    ObjectStoreSink.replaceTable(spark, mk(100), spec) // the swap under test
+    val live = java.nio.file.Paths
+      .get(ObjectStoreSink.snapshots(spec).last.path).normalize
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      spec.table, Some(spec.database))
+    val locs = spark.sessionState.catalog.listPartitions(ident)
+      .flatMap(_.storage.locationUri)
+    locs should have size 4
+    locs.foreach { u =>
+      java.nio.file.Paths.get(u.getPath).normalize
+        .startsWith(live) shouldBe true
+    }
+    // the stale-location failure mode this pins: retire the superseded
+    // version entirely — reads must survive it
+    val grace0 = ObjectStoreSink.retireGraceMs
+    ObjectStoreSink.retireGraceMs = 0L
+    try graft.operators.Vacuum.vacuumTable(
+      java.nio.file.Paths.get(spec.path, spec.database, spec.table), keep = 1)
+    finally ObjectStoreSink.retireGraceMs = grace0
+    spark.catalog.refreshTable(fq)
+    spark.table(fq).count() shouldBe 40L
+    spark.table(fq).agg(min("id")).head.getLong(0) shouldBe 100L
+  }
 }
