@@ -97,7 +97,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case TruncateRe(ident) =>
       val (db, t) = split(ident)
       onlyIfOurs(db, t, sqlText)(TruncateTableCommand(db, t))
-    case _ => delegate.parsePlan(sqlText)
+    case _ =>
+      // refusal pre-matches for verbs whose DELEGATE path is destructive
+      // on a graft table: an INSERT variant the strict shapes above don't
+      // cover (PARTITION clause, backticks, parenthesized source) or a
+      // schema-evolving ALTER must NOT silently fall through to Spark,
+      // which would drop files into / mutate the catalog schema of a live
+      // version dir behind the manifest (r13 ADVICE #1, verdict #6)
+      sqlText match {
+        case InsertAnyRe(ident) => refuseIfOurs(ident, sqlText,
+          "this INSERT form is not supported on a graft versioned table — " +
+            "supported: INSERT INTO|OVERWRITE [TABLE] db.t [(cols)] " +
+            "VALUES …|SELECT …|WITH …|TABLE … (no PARTITION clause, no " +
+            "backticks; partition columns are ordinary columns of the batch)")
+        case AlterColumnsRe(ident) => refuseIfOurs(ident, sqlText,
+          "in-place column DDL would change the catalog schema behind the " +
+            "versioned manifest — evolve a graft table through a versioned " +
+            "commit instead (CREATE OR REPLACE TABLE … USING GRAFT AS " +
+            "SELECT …, or INSERT OVERWRITE with the new shape)")
+        case _ => delegate.parsePlan(sqlText)
+      }
   }
 
   /** The maintenance/DML command when the named table is (or could be)
@@ -132,20 +151,85 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * (INSERT INTO works on temp views, managed tables, v2 sources…):
     * take our command ONLY when the target provably IS a versioned graft
     * table — in-place file drops into a live version dir would silently
-    * bypass the manifest commit — and leave everything else (foreign
-    * layouts, missing tables, unprobeable state) to the delegate, whose
-    * errors are the standard ones users of the plain verb expect.
+    * bypass the manifest commit — and leave PROVABLY-foreign targets
+    * (temp views, absent tables, view entries, foreign layouts) to the
+    * delegate, whose errors are the standard ones users of the plain verb
+    * expect. An UNPROBEABLE target (transient catalog/IO trouble mid-
+    * probe) REFUSES rather than delegating: a flaky probe must never be
+    * what selects Spark's destructive path over a live version dir
+    * (r13 ADVICE #2).
     */
   private def onlyIfOurs(db: Option[String], table: String,
-      sqlText: String)(cmd: => LogicalPlan): LogicalPlan = {
-    val ours = SparkSession.getActiveSession.exists { s =>
-      try {
-        ObjectStoreSink.specFor(s,
-          db.getOrElse(s.catalog.currentDatabase), table)
-        true
-      } catch { case _: Exception => false }
+      sqlText: String)(cmd: => LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession.map(probe(_, db, table)) match {
+      case Some(ProbeOurs) => cmd
+      case Some(ProbeUnknown(e)) => throw new graft.model.PipelineSpecException(
+        s"cannot determine whether ${db.fold("")(_ + ".")}$table is a graft " +
+          s"versioned table (probe failed: ${e.getMessage}) — refusing to " +
+          "delegate to Spark's native path, which would mutate a live " +
+          "version dir if it is; retry once the catalog is reachable")
+      case _ => delegate.parsePlan(sqlText)
     }
-    if (ours) cmd else delegate.parsePlan(sqlText)
+
+  /** Three-valued graft-table probe. Foreign only on PROOF: the name is a
+    * temp view (Spark's plain verbs resolve it first), the table/database
+    * does not exist, the entry is a VIEW, or the layout provably isn't the
+    * versioned protocol. Probe trouble is its own state — never foreign.
+    */
+  private sealed trait ProbeResult
+  private case object ProbeOurs extends ProbeResult
+  private case object ProbeForeign extends ProbeResult
+  private final case class ProbeUnknown(e: Exception) extends ProbeResult
+
+  private def probe(s: SparkSession, db: Option[String],
+      table: String): ProbeResult =
+    try {
+      val cat = s.sessionState.catalog
+      val database = db.getOrElse(s.catalog.currentDatabase)
+      // an unqualified name that resolves to a temp view belongs to the
+      // delegate even when a same-named persistent graft table exists —
+      // temp views shadow tables in Spark's own resolution
+      if (db.isEmpty && cat.isTempView(Seq(table))) return ProbeForeign
+      val meta =
+        try Some(cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(database))))
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+               _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException |
+               _: org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException
+            => None
+        }
+      meta match {
+        case None => ProbeForeign // absent: Spark's error is the right one
+        case Some(m)
+            if m.tableType == org.apache.spark.sql.catalyst.catalog
+              .CatalogTableType.VIEW => ProbeForeign
+        case Some(_) =>
+          try { ObjectStoreSink.specFor(s, database, table); ProbeOurs }
+          catch {
+            case _: graft.model.TableLayoutException => ProbeForeign
+            case e: Exception => ProbeUnknown(e)
+          }
+      }
+    } catch { case e: Exception => ProbeUnknown(e) }
+
+  /** Refusal pre-match: when `ident` probes as a graft table, fail with
+    * `reason` instead of delegating a destructive verb; foreign/absent
+    * targets delegate untouched, unprobeable ones refuse like
+    * [[onlyIfOurs]].
+    */
+  private def refuseIfOurs(ident: String, sqlText: String,
+      reason: String): LogicalPlan = {
+    val (db, t) = split(ident.replace("`", ""))
+    SparkSession.getActiveSession.map(probe(_, db, t)) match {
+      case Some(ProbeOurs) => throw new graft.model.PipelineSpecException(
+        s"${db.fold("")(_ + ".")}$t is a graft versioned table: $reason")
+      case Some(ProbeUnknown(e)) => throw new graft.model.PipelineSpecException(
+        s"cannot determine whether ${db.fold("")(_ + ".")}$t is a graft " +
+          s"versioned table (probe failed: ${e.getMessage}) — refusing to " +
+          "delegate a verb that would mutate a live version dir if it is")
+      case _ => delegate.parsePlan(sqlText)
+    }
   }
 
   private def split(ident: String): (Option[String], String) =
@@ -221,11 +305,23 @@ object GraftSqlParser {
   private val TruncateRe =
     ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
   // CREATE [OR REPLACE] TABLE t USING GRAFT [OPTIONS (…)]
-  //   [PARTITIONED BY (c1, …)] AS <query>
+  //   [PARTITIONED BY (c1, …)] AS <query>. The OPTIONS body is matched
+  // quote-aware: a quoted value may contain ')' (path '/data/t (prod)')
+  // without breaking the match — parseOptions does the real validation.
   private val CreateGraftRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
-      """\s+USING\s+GRAFT(\s+OPTIONS\s*\(([^)]*)\))?""" +
+      """\s+USING\s+GRAFT(\s+OPTIONS\s*\(((?:'[^']*'|[^')])*)\))?""" +
       """(\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""").r
+  // loose pre-matches for the refusal gates (possibly-backticked idents;
+  // the capture is stripped of backticks before probing)
+  private val QIdent =
+    """(`?[A-Za-z_][A-Za-z0-9_]*`?(?:\.`?[A-Za-z_][A-Za-z0-9_]*`?)?)"""
+  private[plans] val InsertAnyRe =
+    ("""(?is)\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + QIdent +
+      """[\s(].*""").r
+  private[plans] val AlterColumnsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
+      """\s+(?:ADD|REPLACE|CHANGE|ALTER|DROP|RENAME)\s+COLUMNS?\b.*""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {

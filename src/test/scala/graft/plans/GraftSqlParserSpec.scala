@@ -614,4 +614,101 @@ class GraftSqlParserSpec extends SparkSpec {
     got.last shouldBe 100L
     got.size shouldBe (5 - m1.files.head.rows + 1).toInt
   }
+
+  test("INSERT variants outside the strict shapes REFUSE on a graft table " +
+    "instead of delegating to Spark's destructive v1 insert (r13 advice); " +
+    "foreign tables still delegate untouched") {
+    val spec = commit("insref", 50, 2)
+    val fq = s"${spec.database}.${spec.table}"
+    val before = spark.table(fq).orderBy("id").collect()
+    // PARTITION clause — the strict shape doesn't cover it
+    val e1 = the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO $fq PARTITION (grp=1) VALUES (1)")
+    e1.getMessage should include("not supported on a graft versioned table")
+    // backtick-quoted identifier — ditto
+    val e2 = the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO `${spec.database}`.`${spec.table}` VALUES (1, 2)")
+    e2.getMessage should include("graft versioned table")
+    // nothing was mutated by either refusal
+    spark.table(fq).orderBy("id").collect() shouldBe before
+    // a FOREIGN v1 table keeps Spark's own PARTITION-insert behavior
+    val dir = scratchDir("insref_plain").getAbsolutePath + "/ploc"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_insref")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_insref.plain")
+    spark.sql("CREATE TABLE graft_sqlm_insref.plain (id BIGINT) " +
+      s"USING parquet PARTITIONED BY (p INT) LOCATION '$dir'")
+    spark.sql(
+      "INSERT INTO graft_sqlm_insref.plain PARTITION (p=1) VALUES (7)")
+    spark.table("graft_sqlm_insref.plain").count() shouldBe 1L
+  }
+
+  test("a graft table whose probe FAILS (bad manifest state) refuses the " +
+    "plain INSERT instead of delegating — a flaky probe must never select " +
+    "the destructive path (r13 advice)") {
+    val spec = commit("insbad", 10, 1)
+    val fq = s"${spec.database}.${spec.table}"
+    val live = java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)
+    val mf = live.resolve(TableManifest.ManifestName)
+    val doctored = java.nio.file.Files.readString(mf)
+      .replaceAll(",?\\s*\"fileFormat\"\\s*:\\s*\"parquet\"", "")
+      .replace(".parquet", ".mystery")
+    java.nio.file.Files.writeString(mf, doctored)
+    val e = the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"INSERT INTO $fq VALUES (1, 2)")
+    e.getMessage should include("refusing to delegate")
+  }
+
+  test("schema-evolving ALTER on a graft table refuses (the catalog schema " +
+    "must never drift behind the manifest); a foreign table's ALTER " +
+    "delegates and applies") {
+    val spec = commit("altref", 10, 1)
+    val fq = s"${spec.database}.${spec.table}"
+    val e = the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"ALTER TABLE $fq ADD COLUMNS (extra INT)")
+    e.getMessage should include("versioned commit")
+    spark.table(fq).columns.toSeq shouldBe Seq("id", "grp")
+    // foreign external parquet table: Spark applies ADD COLUMNS normally
+    val dir = scratchDir("altref_plain").getAbsolutePath + "/aloc"
+    ss.range(0, 3).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_altref")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_altref.plain")
+    spark.sql("CREATE TABLE graft_sqlm_altref.plain (id BIGINT) " +
+      s"USING parquet LOCATION '$dir'")
+    spark.sql("ALTER TABLE graft_sqlm_altref.plain ADD COLUMNS (extra INT)")
+    spark.table("graft_sqlm_altref.plain").columns.toSeq shouldBe
+      Seq("id", "extra")
+  }
+
+  test("a temp view SHADOWING a graft table name keeps the plain verbs " +
+    "with Spark — temp views shadow tables in Spark's own resolution") {
+    val spec = commit("shadow", 5, 1)
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.catalog.setCurrentDatabase(spec.database)
+      ss.range(0, 2).toDF("id").createOrReplaceTempView("t")
+      val e = the[Exception] thrownBy spark.sql(
+        "INSERT INTO t VALUES (9, 9)").collect()
+      e should not be a[graft.model.PipelineSpecException]
+      // the graft table behind the shadow is untouched
+      spark.table(s"${spec.database}.t").count() shouldBe 5L
+    } finally {
+      spark.catalog.dropTempView("t")
+      spark.catalog.setCurrentDatabase(prevDb)
+    }
+  }
+
+  test("CREATE … USING GRAFT OPTIONS survives a quoted value containing " +
+    "')' — the match is quote-aware, parseOptions does the validation") {
+    val root = scratchDir("ctasparen").getAbsolutePath + "/lake(prod)"
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_paren.t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_paren")
+    val r = spark.sql(
+      s"""CREATE TABLE graft_sqlm_paren.t USING GRAFT
+         |OPTIONS (path '$root') AS SELECT 1 AS x""".stripMargin).collect()
+    r.head.getLong(0) shouldBe 1L
+    r.head.getString(2) should include("lake(prod)")
+    spark.table("graft_sqlm_paren.t").collect().map(_.getInt(0)) shouldBe
+      Array(1)
+  }
 }
