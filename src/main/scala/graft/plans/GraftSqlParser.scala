@@ -329,6 +329,65 @@ object GraftSqlParser {
     (database, ObjectStoreSink.specFor(spark, database, table))
   }
 
+  /** COW evidence split for a DML statement's predicate: the snapshot's
+    * files partitioned into (possibly-touched, provably-clean) under the
+    * rows-where-TRUE set of `cond`. The condition is taken from
+    * `df.where(cond)` AFTER analysis + optimization, so literals are
+    * typed and casts folded — the shapes [[ZoneMapScanRule]]'s evidence
+    * extractors match; a predicate the optimizer PROVES unsatisfiable
+    * (plan folds to an empty relation) marks every file clean. None =
+    * no manifest or no usable condition shape — the caller degrades to
+    * the full rewrite.
+    */
+  private def cowSplit(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      snap: ObjectStoreSink.Snapshot, cond: org.apache.spark.sql.Column)
+      : Option[(Seq[TableManifest.FileEntry], Seq[TableManifest.FileEntry])] =
+    try {
+      val vdir = Paths.get(snap.path)
+      TableManifest.read(vdir).map { m =>
+        val plan = df.where(cond).queryExecution.optimizedPlan
+        plan match {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+              if l.data.isEmpty =>
+            (Nil, m.files) // provably nothing matches: link everything
+          case _ =>
+            plan.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            } match {
+              case Some(e) => ZoneMapScanRule.splitByPredicate(vdir, m, e)
+              case None => (m.files, Nil) // no usable shape: all touched
+            }
+        }
+      }
+    } catch { case _: Exception => None } // evidence refusal, never a guess
+
+  /** Captures ONE named observed metric (a CollectMetrics aggregate) from
+    * whichever query execution carries it — including the write-scoped
+    * session clone, which inherits registered listeners. `await` polls
+    * because listener-bus delivery is asynchronous; a timeout returns
+    * None and the caller falls back to a bounded recount.
+    */
+  private final class MetricCapture(obsName: String)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    @volatile private var captured: Option[Long] = None
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.get(obsName).foreach { r =>
+        captured = Some(if (r.isNullAt(0)) 0L else r.getLong(0))
+      }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+    def await(timeoutMs: Long): Option[Long] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (captured.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(10L)
+      captured
+    }
+  }
+
   private def attr(name: String, dt: DataType): AttributeReference =
     AttributeReference(name, dt, nullable = false)()
 
@@ -462,13 +521,24 @@ object GraftSqlParser {
     * iff the predicate is TRUE — FALSE and NULL rows survive. The
     * surviving image commits through the same CAS-pinned versioned
     * protocol, so time travel still reads the pre-delete snapshot.
+    *
+    * COPY-ON-WRITE (r13 verdict #1): the snapshot's per-file zone-map /
+    * Bloom evidence splits the live files into provably-untouched (no
+    * row can satisfy the predicate — HARD-LINKED into the next version
+    * with stats carried verbatim, never read) and possibly-touched
+    * (read, re-filtered, rewritten). A key-selective DELETE on a
+    * clustered 100 TB table therefore costs O(touched files), not an
+    * O(table) rewrite — the Iceberg COW discipline the reference's
+    * warehouse applied to the DELETEs it was shipped. No evidence (no
+    * manifest, unconvertible predicate) degrades to the full rewrite:
+    * the optimization is never a correctness dependency.
     */
   final case class DeleteFromCommand(db: Option[String], table: String,
       whereText: Option[String]) extends LeafRunnableCommand {
 
     override val output: Seq[Attribute] = Seq(
       attr("rows_before", LongType), attr("rows_deleted", LongType),
-      attr("version", IntegerType))
+      attr("version", IntegerType), attr("files_linked", IntegerType))
 
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
@@ -477,18 +547,32 @@ object GraftSqlParser {
         throw new graft.model.PipelineSpecException(
           s"${spec.database}.${spec.table} has no committed version"))
       val df = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
-      val kept = whereText match {
-        case None => df.limit(0) // DELETE FROM t — the reference's shape
-        case Some(w) => df.where(not(coalesce(expr(w), lit(false))))
+      val linked = whereText match {
+        case None => // DELETE FROM t — the reference's shape: empty image
+          ObjectStoreSink.replaceTable(spark, df.limit(0), spec,
+            expectVersion = Some(snap.version))
+          0
+        case Some(w) =>
+          val keep = not(coalesce(expr(w), lit(false)))
+          cowSplit(spark, df, snap, expr(w)) match {
+            case Some((touched, clean)) if clean.nonEmpty =>
+              val touchedDf = ObjectStoreSink.readSubset(spark, snap.path,
+                spec.fileFormat, touched, touched.size + clean.size)
+              ObjectStoreSink.cowVersion(spark, touchedDf.where(keep),
+                spec, clean, fullImage = df.where(keep),
+                expectVersion = Some(snap.version)).filesLinked
+            case _ =>
+              ObjectStoreSink.replaceTable(spark, df.where(keep), spec,
+                expectVersion = Some(snap.version))
+              0
+          }
       }
-      ObjectStoreSink.replaceTable(spark, kept, spec,
-        expectVersion = Some(snap.version))
       val after = ObjectStoreSink.snapshots(spec).last
       val deleted =
         if (snap.rowCount >= 0 && after.rowCount >= 0)
           snap.rowCount - after.rowCount
         else -1L
-      Seq(Row(snap.rowCount, deleted, after.version))
+      Seq(Row(snap.rowCount, deleted, after.version, linked))
     }
   }
 
@@ -497,8 +581,17 @@ object GraftSqlParser {
     * assignments (every assignment evaluates against the PRE-update row,
     * ANSI semantics — `SET a = b, b = a` swaps), FALSE/NULL rows carry
     * unchanged, and the new image commits CAS-pinned on the snapshot it
-    * read. One narrow map over the table plus one count of the matched
-    * rows for the report — no shuffle, no join.
+    * read.
+    *
+    * COPY-ON-WRITE + SINGLE SCAN (r13 verdict #1/#5): provably-
+    * predicate-free files hard-link into the next version (never read);
+    * only possibly-touched files are scanned, projected, and rewritten.
+    * The matched-row count for the report is OBSERVED on that same scan
+    * (a CollectMetrics aggregate in the write plan, captured by a
+    * QueryExecutionListener that the write-scoped session clone
+    * inherits) — zero extra passes over the data; a missed metric
+    * (degraded rewrite, listener-bus hiccup) falls back to counting the
+    * touched subset only.
     */
   final case class UpdateTableCommand(db: Option[String], table: String,
       setText: String, whereText: Option[String])
@@ -506,10 +599,10 @@ object GraftSqlParser {
 
     override val output: Seq[Attribute] = Seq(
       attr("rows_before", LongType), attr("rows_updated", LongType),
-      attr("version", IntegerType))
+      attr("version", IntegerType), attr("files_linked", IntegerType))
 
     override def run(spark: SparkSession): Seq[Row] = {
-      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
         throw new graft.model.PipelineSpecException(
@@ -527,18 +620,46 @@ object GraftSqlParser {
         tCols.find(_.equalsIgnoreCase(c)).getOrElse(c) -> expr(e) }.toMap
       val cond = whereText
         .map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
-      val updated = df.select(df.schema.fields.map { f =>
-        byCol.get(f.name) match {
-          case Some(e) =>
-            when(cond, e).otherwise(col(f.name)).cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }.toIndexedSeq: _*)
-      val nUpdated = df.where(cond).count()
-      ObjectStoreSink.replaceTable(spark, updated, spec,
-        expectVersion = Some(snap.version))
+      def projected(base: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        base.select(df.schema.fields.map { f =>
+          byCol.get(f.name) match {
+            case Some(e) =>
+              when(cond, e).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      val obsName = s"graft_upd_${java.util.UUID.randomUUID().toString.take(8)}"
+      val capture = new MetricCapture(obsName)
+      spark.listenerManager.register(capture)
+      val (nUpdated, linked) =
+        try {
+          val (rep, fallbackCount) =
+            whereText.flatMap(w => cowSplit(spark, df, snap, expr(w))) match {
+              case Some((touched, clean)) if clean.nonEmpty =>
+                val touchedDf = ObjectStoreSink.readSubset(spark, snap.path,
+                  spec.fileFormat, touched, touched.size + clean.size)
+                val observed = touchedDf.observe(obsName,
+                  sum(when(cond, 1L).otherwise(0L)).as("matched"))
+                val r = ObjectStoreSink.cowVersion(spark, projected(observed),
+                  spec, clean, fullImage = projected(df),
+                  expectVersion = Some(snap.version))
+                (r, () => touchedDf.where(cond).count())
+              case _ =>
+                val observed = df.observe(obsName,
+                  sum(when(cond, 1L).otherwise(0L)).as("matched"))
+                ObjectStoreSink.replaceTable(spark, projected(observed), spec,
+                  expectVersion = Some(snap.version))
+                (ObjectStoreSink.LinkCommitReport(
+                  s"${spec.database}.${spec.table}", 0, -1, degraded = false),
+                  () => df.where(cond).count())
+            }
+          val n = if (rep.degraded) fallbackCount()
+            else capture.await(10000L).getOrElse(fallbackCount())
+          (n, rep.filesLinked)
+        } finally spark.listenerManager.unregister(capture)
       val after = ObjectStoreSink.snapshots(spec).last
-      Seq(Row(snap.rowCount, nUpdated, after.version))
+      Seq(Row(snap.rowCount, nUpdated, after.version, linked))
     }
   }
 
@@ -572,14 +693,16 @@ object GraftSqlParser {
           s"${spec.database}.${spec.table} has no committed version"))
       val aligned = alignBatch(spark, spec, snap, "INSERT INTO",
         colsText, sourceText)
-      ObjectStoreSink.appendVersion(spark, aligned, spec,
+      // files_linked is what the commit REPORTS, not an assumption: a
+      // drifted prior version degrades to a full rewrite and links 0
+      val rep = ObjectStoreSink.appendVersion(spark, aligned, spec,
         expectVersion = Some(snap.version))
       val after = ObjectStoreSink.snapshots(spec).last
       val inserted =
         if (snap.rowCount >= 0 && after.rowCount >= 0)
           after.rowCount - snap.rowCount
         else -1L
-      Seq(Row(inserted, snap.nFiles, after.version))
+      Seq(Row(inserted, rep.filesLinked, after.version))
     }
   }
 

@@ -108,6 +108,55 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** COW evidence for SQL DML ([[GraftSqlParser]]'s DELETE / UPDATE):
+    * split a committed snapshot's files into (mayMatch, provablyClean)
+    * under `cond` — an ANALYZED + OPTIMIZED boolean over the table's
+    * columns (typed literals, casts folded — the shapes the extractors
+    * match). A file lands in `clean` only when some conjunct of `cond`
+    * is PROVABLY unsatisfied by every row of the file: zone-map range
+    * disjointness, Bloom key-set absence, or a may-match tree over
+    * And/Or shapes — the same proofs the scan rule prunes with, reused
+    * as "this DELETE/UPDATE cannot touch this file, hard-link it".
+    * Refusal is per-file and conservative: no evidence → mayMatch.
+    */
+  def splitByPredicate(root: java.nio.file.Path,
+      m: graft.sinks.TableManifest.Manifest, cond: Expression)
+      : (Seq[graft.sinks.TableManifest.FileEntry],
+         Seq[graft.sinks.TableManifest.FileEntry]) = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val totalBytes = m.files.map(_.bytes).sum
+    val cache =
+      collection.mutable.Map.empty[(String, Seq[Any]), Option[Set[String]]]
+    val trees = conjuncts
+      .map(c => resolveKeys(mayTree(c), root, m, totalBytes, cache))
+      .filter(canProve)
+    if (trees.isEmpty) (m.files, Nil)
+    else m.files.partition(fe => trees.forall(t => mayMatchTree(t, fe)))
+  }
+
+  /** COW evidence for SQL MERGE: split the files into (mayMatch,
+    * provablyClean) against the source's equi-key sets — one
+    * `(targetColumn, distinct source keys)` per ON conjunct. A match
+    * requires EVERY key column equal, so a file provably holding none of
+    * ANY one column's keys is clean: no source row can match a row in it
+    * (zone-map key-window proof, refined by the Bloom sidecar — the
+    * [[JoinPruneRule]] probe, reused as merge-touchability evidence).
+    */
+  def splitByKeySets(root: java.nio.file.Path,
+      m: graft.sinks.TableManifest.Manifest, keySets: Seq[(String, Seq[Any])])
+      : (Seq[graft.sinks.TableManifest.FileEntry],
+         Seq[graft.sinks.TableManifest.FileEntry]) = {
+    val totalBytes = m.files.map(_.bytes).sum
+    val kept = keySets.foldLeft(m.files) { case (cur, (c, ks)) =>
+      ZoneMap.pruneInSet(m.copy(files = cur), c, ks).map { case (k0, _) =>
+        graft.sinks.BloomIndex.pruneAmong(root, k0, c, ks,
+          m.files.size, totalBytes).map(_._1).getOrElse(k0)
+      }.getOrElse(cur)
+    }
+    val keptSet = kept.map(_.path).toSet
+    (kept, m.files.filterNot(fe => keptSet(fe.path)))
+  }
+
   /** Per-file may-match tree for arbitrary And/Or predicate shapes — the
     * row-group-filter generalization of the conjunct-only path. Leaves
     * reuse [[extractBounds]]' single-expression shapes; equality/IN

@@ -312,12 +312,21 @@ object ObjectStoreSink {
     * order) — callers align/cast first; this guard refuses rather than
     * letting parquet schema-on-read paper over a drifted batch.
     */
+  /** Accounting of a link-based commit ([[appendVersion]] /
+    * [[cowVersion]]): how many prior files were carried by hard link and
+    * whether the commit degraded to a full [[replaceTable]] rewrite (a
+    * drifted prior version — missing manifest or vanished file). The
+    * report is what lets SQL commands tell the user what REALLY happened
+    * instead of assuming the links landed (r13 ADVICE #4).
+    */
+  final case class LinkCommitReport(fq: String, filesLinked: Int,
+      filesRewritten: Int, degraded: Boolean)
+
   def appendVersion(spark: SparkSession, newRows: DataFrame,
       spec: ObjectStoreSpec, expectVersion: Option[Int] = None,
-      txn: Option[TableManifest.TxnStamp] = None): String =
+      txn: Option[TableManifest.TxnStamp] = None): LinkCommitReport =
     lockFor(spec).synchronized {
       val fq = s"${spec.database}.${spec.table}"
-      val tableDir = Paths.get(spec.path, spec.database, spec.table)
       val snap = snapshots(spec).lastOption.getOrElse(
         throw new PipelineSpecException(
           s"$fq has no committed version to append to"))
@@ -326,93 +335,165 @@ object ObjectStoreSink {
           s"$fq: expected to append on top of version $ev but latest is " +
             s"${snap.version} — a concurrent writer committed first")
       }
-      val prevDir = Paths.get(snap.path)
-      def fullRewrite(): String = replaceTable(spark,
-        readVersion(spark, spec, Some(snap.version)).unionByName(newRows),
-        spec, txn, Some(snap.version))
-      val prevManifest = TableManifest.read(prevDir).getOrElse(
-        return fullRewrite())
       val prevRead = readVersion(spark, spec, Some(snap.version))
-      val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      val newSchema = newRows.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      if (prevSchema != newSchema) throw new PipelineSpecException(
-        s"appendVersion to $fq: batch schema ${newSchema.mkString(", ")} " +
-          s"does not match the table schema ${prevSchema.mkString(", ")} — " +
-          "align and cast before appending")
-
-      val next = nextVersionDir(tableDir)
-      val sw0 = tsMicros(newRows).write
-        .mode(SaveMode.Overwrite).format(spec.fileFormat)
-      val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
-      sw.save(next.toString)
-
-      // link (or copy) every prior data file in at its own relative path;
-      // a name collision with a just-written file keeps the partition dir
-      // and disambiguates only the file NAME (the dir part is semantic)
-      val carried = Seq.newBuilder[TableManifest.FileEntry]
-      var intact = true
-      prevManifest.files.foreach { e =>
-        val src = prevDir.resolve(e.path)
-        if (!intact || !Files.exists(src)) intact = false
-        else {
-          var target = next.resolve(e.path)
-          Files.createDirectories(target.getParent)
-          var rel = e.path
-          if (Files.exists(target)) {
-            val fresh = s"link-${java.util.UUID.randomUUID()}-" +
-              target.getFileName.toString
-            target = target.getParent.resolve(fresh)
-            rel = next.relativize(target).toString
-          }
-          try Files.createLink(target, src)
-          catch {
-            case _: UnsupportedOperationException | _: java.io.IOException =>
-              Files.copy(src, target,
-                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
-          }
-          carried += e.copy(path = rel)
-        }
-      }
-      if (!intact) { deleteTree(next); return fullRewrite() }
-      val carriedEntries = carried.result()
-
-      // an empty batch appended to an empty image leaves a schema-less
-      // dir — pin the prior image's schema (same sidecar contract as
-      // replaceTable's empty commits)
-      val reread =
-        if (TableManifest.dataFiles(next).nonEmpty)
-          spark.read.format(spec.fileFormat).load(next.toString)
-        else {
-          TableManifest.publisher.publish(next, SchemaSidecarName,
-            prevRead.schema.json)
-          spark.read.schema(prevRead.schema)
-            .format(spec.fileFormat).load(next.toString)
-        }
-      val manifest0 = TableManifest.commitCarried(next, schemaHash(reread),
-        spec.fileFormat, txn, carriedEntries)
-      // carried entries keep their recorded sums verbatim (same immutable
-      // file); only the NEW files get the sum pass — O(batch), never O(table)
-      val sumCols = (spec.sumColumns ++ carriedEntries.flatMap(
-        _.stats.toSeq.flatMap(_.collect {
-          case (c, cs) if cs.sum.nonEmpty => c }))).distinct
-      val carriedRel = carriedEntries.map(_.path).toSet
-      val manifest =
-        if (sumCols.nonEmpty)
-          TableManifest.enrichSums(spark, next, spec.fileFormat,
-            sumCols.filterNot(spec.partitionBy.contains), manifest0,
-            onlyRel = Some(manifest0.files.map(_.path).toSet -- carriedRel))
-        else manifest0
-      // sidecar AFTER the manifest, same crash contract as replaceTable;
-      // prior shards extend over ONLY the new files — never a table scan
-      BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
-        manifest, carriedRel)
-      CommitLog.record(tableDir, versionNumber(next))
-      repoint(spark, fq, spec, next, reread)
-      versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
-        .foreach(TableManifest.markSuperseded)
-      retireOldVersions(tableDir, keep = 2)
-      fq
+      guardSchemaAligned(fq, prevRead, newRows, "appendVersion")
+      linkCommitLocked(spark, spec, fq, snap, carriedWanted = None,
+        fresh = newRows,
+        fullImage = prevRead.unionByName(newRows), txn)
     }
+
+  /** Copy-on-write commit: the next version is `carried` (files of the
+    * LIVE snapshot proven untouched by the statement — hard-linked in
+    * with their manifest stats carried verbatim) plus the freshly-written
+    * image of `freshRows` (the rewritten content of the possibly-touched
+    * files). This is what makes a SELECTIVE SQL DELETE / UPDATE / MERGE
+    * cost O(touched files + batch) instead of an O(table) rewrite — the
+    * Iceberg/Delta copy-on-write discipline (the reference shipped its
+    * DELETE/MERGE to Athena Iceberg, IcebergUtil.scala:90-157, which
+    * rewrites only affected files) realized on the versioned-dir
+    * protocol. The CALLER owns the evidence: every entry in `carried`
+    * must be provably untouched by the statement (zone-map / Bloom
+    * disjointness — [[graft.plans.ZoneMapScanRule.splitByPredicate]]),
+    * and `freshRows` must be the exact post-statement content of the
+    * remaining files. A drifted prior version degrades to a full rewrite
+    * of `fullImage` — the optimization is never a correctness dependency.
+    */
+  def cowVersion(spark: SparkSession, freshRows: DataFrame,
+      spec: ObjectStoreSpec, carried: Seq[TableManifest.FileEntry],
+      fullImage: => DataFrame, expectVersion: Option[Int] = None,
+      txn: Option[TableManifest.TxnStamp] = None): LinkCommitReport =
+    lockFor(spec).synchronized {
+      val fq = s"${spec.database}.${spec.table}"
+      val snap = snapshots(spec).lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to rewrite"))
+      expectVersion.foreach { ev =>
+        if (snap.version != ev) throw new ConcurrentCommitException(
+          s"$fq: expected to commit on top of version $ev but latest is " +
+            s"${snap.version} — a concurrent writer committed first")
+      }
+      val prevRead = readVersion(spark, spec, Some(snap.version))
+      guardSchemaAligned(fq, prevRead, freshRows, "cowVersion")
+      linkCommitLocked(spark, spec, fq, snap, carriedWanted = Some(carried),
+        fresh = freshRows, fullImage = fullImage, txn)
+    }
+
+  private def guardSchemaAligned(fq: String, prevRead: DataFrame,
+      batch: DataFrame, verb: String): Unit = {
+    val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val newSchema = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (prevSchema != newSchema) throw new PipelineSpecException(
+      s"$verb to $fq: batch schema ${newSchema.mkString(", ")} " +
+        s"does not match the table schema ${prevSchema.mkString(", ")} — " +
+        "align and cast before committing")
+  }
+
+  /** The shared link-commit core (assumes the table lock is HELD and the
+    * CAS against `snap` passed): write `fresh` into the next version dir,
+    * hard-link the wanted prior files in at their own relative paths,
+    * publish a carried manifest (linked entries keep their recorded
+    * stats/rows/sums verbatim — only new footers are read), extend the
+    * Bloom sidecar over just the new files, record, repoint, retire.
+    * `carriedWanted = None` carries EVERY prior file (the append shape);
+    * `Some(entries)` carries exactly those (the COW shape). Any drift —
+    * no prior manifest, a wanted file missing — degrades to a full
+    * [[replaceTable]] of `fullImage` on the SAME expected version.
+    */
+  private def linkCommitLocked(spark: SparkSession, spec: ObjectStoreSpec,
+      fq: String, snap: Snapshot,
+      carriedWanted: Option[Seq[TableManifest.FileEntry]],
+      fresh: DataFrame, fullImage: => DataFrame,
+      txn: Option[TableManifest.TxnStamp]): LinkCommitReport = {
+    val tableDir = Paths.get(spec.path, spec.database, spec.table)
+    val prevDir = Paths.get(snap.path)
+    def fullRewrite(): LinkCommitReport = {
+      replaceTable(spark, fullImage, spec, txn, Some(snap.version))
+      val after = snapshots(spec).last
+      LinkCommitReport(fq, 0, after.nFiles, degraded = true)
+    }
+    val prevManifest = TableManifest.read(prevDir).getOrElse(
+      return fullRewrite())
+    val wanted = carriedWanted.getOrElse(prevManifest.files)
+    // COW callers pass entries of the SAME live manifest; a stale entry
+    // (not in the manifest anymore) is drift — degrade, never guess
+    val prevRel = prevManifest.files.map(_.path).toSet
+    if (!wanted.forall(e => prevRel(e.path))) return fullRewrite()
+
+    val next = nextVersionDir(tableDir)
+    val sw0 = tsMicros(fresh).write
+      .mode(SaveMode.Overwrite).format(spec.fileFormat)
+    val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
+    sw.save(next.toString)
+
+    // link (or copy) every wanted prior data file in at its own relative
+    // path; a name collision with a just-written file keeps the partition
+    // dir and disambiguates only the file NAME (the dir part is semantic)
+    val carried = Seq.newBuilder[TableManifest.FileEntry]
+    var intact = true
+    wanted.foreach { e =>
+      val src = prevDir.resolve(e.path)
+      if (!intact || !Files.exists(src)) intact = false
+      else {
+        var target = next.resolve(e.path)
+        Files.createDirectories(target.getParent)
+        var rel = e.path
+        if (Files.exists(target)) {
+          val freshName = s"link-${java.util.UUID.randomUUID()}-" +
+            target.getFileName.toString
+          target = target.getParent.resolve(freshName)
+          rel = next.relativize(target).toString
+        }
+        try Files.createLink(target, src)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src, target,
+              java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
+        }
+        carried += e.copy(path = rel)
+      }
+    }
+    if (!intact) { deleteTree(next); return fullRewrite() }
+    val carriedEntries = carried.result()
+
+    // an empty fresh image over zero carried files leaves a schema-less
+    // dir — pin the prior image's schema (same sidecar contract as
+    // replaceTable's empty commits)
+    val reread =
+      if (TableManifest.dataFiles(next).nonEmpty)
+        spark.read.format(spec.fileFormat).load(next.toString)
+      else {
+        val prevRead = readVersion(spark, spec, Some(snap.version))
+        TableManifest.publisher.publish(next, SchemaSidecarName,
+          prevRead.schema.json)
+        spark.read.schema(prevRead.schema)
+          .format(spec.fileFormat).load(next.toString)
+      }
+    val manifest0 = TableManifest.commitCarried(next, schemaHash(reread),
+      spec.fileFormat, txn, carriedEntries)
+    // carried entries keep their recorded sums verbatim (same immutable
+    // file); only the NEW files get the sum pass — O(batch), never O(table)
+    val sumCols = (spec.sumColumns ++ prevManifest.files.flatMap(
+      _.stats.toSeq.flatMap(_.collect {
+        case (c, cs) if cs.sum.nonEmpty => c }))).distinct
+    val carriedRel = carriedEntries.map(_.path).toSet
+    val manifest =
+      if (sumCols.nonEmpty)
+        TableManifest.enrichSums(spark, next, spec.fileFormat,
+          sumCols.filterNot(spec.partitionBy.contains), manifest0,
+          onlyRel = Some(manifest0.files.map(_.path).toSet -- carriedRel))
+      else manifest0
+    // sidecar AFTER the manifest, same crash contract as replaceTable;
+    // prior shards extend over ONLY the new files — never a table scan
+    BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
+      manifest, carriedRel)
+    CommitLog.record(tableDir, versionNumber(next))
+    repoint(spark, fq, spec, next, reread)
+    versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
+      .foreach(TableManifest.markSuperseded)
+    retireOldVersions(tableDir, keep = 2)
+    LinkCommitReport(fq, carriedEntries.size,
+      manifest.files.size - carriedEntries.size, degraded = false)
+  }
 
   /** Table data is written with int64-micros timestamps for the scope of
     * the write: INT96 (Spark's legacy parquet default) records NO column

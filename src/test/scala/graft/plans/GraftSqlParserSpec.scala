@@ -615,6 +615,122 @@ class GraftSqlParserSpec extends SparkSpec {
     got.size shouldBe (5 - m1.files.head.rows + 1).toInt
   }
 
+  // --- copy-on-write DML ----------------------------------------------------
+
+  /** Range-clustered multi-file fixture: `files` parquet files, each
+    * covering a disjoint id window — the layout zone-map evidence proves
+    * per-file untouchability on.
+    */
+  private def commitClustered(tag: String, n: Int,
+      files: Int): ObjectStoreSpec = {
+    val spec = ObjectStoreSpec(path = scratchDir(tag).getAbsolutePath,
+      database = s"graft_sqlm_$tag", table = "t")
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, n).toDF("id")
+        .withColumn("v", (col("id") % 13).cast("long"))
+        .repartitionByRange(files, col("id")),
+      spec)
+    spec
+  }
+
+  private def sharedInodes(spec: ObjectStoreSpec): Int = {
+    val vs = ObjectStoreSink.snapshots(spec)
+    val (prev, live) = (java.nio.file.Paths.get(vs(vs.size - 2).path),
+      java.nio.file.Paths.get(vs.last.path))
+    TableManifest.read(prev).get.files.count { e =>
+      val a = prev.resolve(e.path); val b = live.resolve(e.path)
+      java.nio.file.Files.exists(b) && java.nio.file.Files.isSameFile(a, b)
+    }
+  }
+
+  test("DELETE WHERE on a range-clustered table is COPY-ON-WRITE: provably-" +
+    "clean files hard-link (N-1 inodes shared), only the touched file " +
+    "rewrites, content and time travel exact") {
+    val spec = commitClustered("delcow", 4000, 4)
+    val fq = s"${spec.database}.${spec.table}"
+    val expect = spark.table(fq).where("NOT (id BETWEEN 100 AND 200)")
+      .orderBy("id").collect()
+    val r = spark.sql(
+      s"DELETE FROM $fq WHERE id BETWEEN 100 AND 200").collect().head
+    r.getLong(0) shouldBe 4000L
+    r.getLong(1) shouldBe 101L
+    r.getInt(3) shouldBe 3 // files_linked REPORTED
+    sharedInodes(spec) shouldBe 3 // ...and REAL (same inode on disk)
+    spark.table(fq).orderBy("id").collect() shouldBe expect
+    ObjectStoreSink.readVersion(spark, spec, Some(1)).count() shouldBe 4000L
+  }
+
+  test("DELETE whose predicate provably matches NOTHING links every file " +
+    "(commit is pure metadata + links); an evidence-free predicate " +
+    "degrades to the full rewrite and stays correct") {
+    val spec = commitClustered("delnone", 1000, 4)
+    val fq = s"${spec.database}.${spec.table}"
+    val r = spark.sql(s"DELETE FROM $fq WHERE id > 999999").collect().head
+    r.getLong(1) shouldBe 0L
+    r.getInt(3) shouldBe 4
+    sharedInodes(spec) shouldBe 4
+    spark.table(fq).count() shouldBe 1000L
+    // no-evidence shape (a function of a column): full rewrite, 0 links,
+    // ANSI-correct result
+    val r2 = spark.sql(
+      s"DELETE FROM $fq WHERE pmod(id, 10) = 3").collect().head
+    r2.getLong(1) shouldBe 100L
+    r2.getInt(3) shouldBe 0
+    spark.table(fq).where("pmod(id, 10) = 3").count() shouldBe 0L
+  }
+
+  test("UPDATE WHERE on a range-clustered table is COW with a SINGLE scan " +
+    "of the touched subset: clean files link, the matched count is " +
+    "OBSERVED on the write scan (no second pass), result exact") {
+    val spec = commitClustered("updcow", 4000, 4)
+    val fq = s"${spec.database}.${spec.table}"
+    val expect = spark.table(fq)
+      .selectExpr("id", "CASE WHEN id BETWEEN 3500 AND 3600 THEN v + 100 " +
+        "ELSE v END AS v").orderBy("id").collect()
+    // count every query execution that SCANS the table's files while the
+    // UPDATE runs: exactly ONE (the COW write over the touched subset) —
+    // the report's matched count must ride that same scan
+    val scans = new java.util.concurrent.atomic.AtomicInteger
+    val probe = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        val reads = qe.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if (l.relation match {
+                case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation => h.location.rootPaths
+                    .exists(_.toString.contains(s"/${spec.database}/t/"))
+                case _ => false
+              }) => l
+        }
+        if (reads.nonEmpty) scans.incrementAndGet(): Unit
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(probe)
+    val r =
+      try spark.sql(
+        s"UPDATE $fq SET v = v + 100 WHERE id BETWEEN 3500 AND 3600")
+        .collect().head
+      finally {
+        // listener delivery is async — settle before unregistering
+        val deadline = System.nanoTime() + 5000000000L
+        var last = -1
+        while (System.nanoTime() < deadline && scans.get != last) {
+          last = scans.get; Thread.sleep(300L)
+        }
+        spark.listenerManager.unregister(probe)
+      }
+    r.getLong(1) shouldBe 101L // matched count, observed not re-scanned
+    r.getInt(3) shouldBe 3
+    sharedInodes(spec) shouldBe 3
+    scans.get shouldBe 1 // one scan of the target: the COW write itself
+    spark.table(fq).orderBy("id").collect() shouldBe expect
+  }
+
   test("INSERT variants outside the strict shapes REFUSE on a graft table " +
     "instead of delegating to Spark's destructive v1 insert (r13 advice); " +
     "foreign tables still delegate untouched") {
