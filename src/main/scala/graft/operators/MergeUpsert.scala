@@ -80,25 +80,107 @@ object MergeUpsert {
     */
   def sqlMerge(target: DataFrame, source: DataFrame,
       tAlias: String, sAlias: String, keys: Seq[(String, String)],
-      setExprs: Map[String, Column], insertExprs: Map[String, Column]): DataFrame = {
+      setExprs: Map[String, Column], insertExprs: Map[String, Column]): DataFrame =
+    sqlMergeClauses(target, source, tAlias, sAlias, keys, Seq(
+      MergeWhen(Matched, None, UpdateAction(setExprs)),
+      MergeWhen(NotMatchedByTarget, None, InsertAction(insertExprs))))
+
+  /** Which join-result category a `WHEN` clause applies to. */
+  sealed trait MergeKind
+  case object Matched extends MergeKind
+  case object NotMatchedByTarget extends MergeKind // plain `NOT MATCHED`
+  case object NotMatchedBySource extends MergeKind
+
+  /** What an applicable clause does: update the target row's columns
+    * (absent columns keep their value), delete it, or — for not-matched-
+    * by-target rows — insert per the value map (absent columns NULL).
+    */
+  sealed trait MergeAction
+  final case class UpdateAction(set: Map[String, Column]) extends MergeAction
+  case object DeleteAction extends MergeAction
+  final case class InsertAction(values: Map[String, Column]) extends MergeAction
+
+  /** One `WHEN … [AND cond] THEN action` clause. `cond` evaluates on the
+    * joined row (a NULL condition is not-applicable, SQL semantics); for
+    * not-matched-by-target rows the target side is all-NULL and vice
+    * versa, exactly as ANSI scopes the clause conditions.
+    */
+  final case class MergeWhen(kind: MergeKind, cond: Option[Column],
+      action: MergeAction)
+
+  /** Full ANSI `MERGE INTO` clause semantics (generalizing the fixed
+    * matched-update + not-matched-insert pair the reference generated,
+    * IcebergUtil.scala:124-157): within each category, clauses apply IN
+    * ORDER — the first whose condition is TRUE fires; a row no clause
+    * fires for carries over (matched / target-only) or is discarded
+    * (source-only). `WHEN MATCHED … DELETE` drops the row; `WHEN NOT
+    * MATCHED BY SOURCE` reaches target rows with NO join partner.
+    * Cardinality: a target row matched by >1 source row errors whenever
+    * a matched clause exists ([[requireSingleMatch]]).
+    *
+    * Scale: still ONE equi-join hashed on the ON keys plus a single
+    * projection — the clause chain compiles to a branch-index column
+    * (`when` chain, first-true-wins) and per-column conditionals, all
+    * codegen'd; no extra shuffle, no per-clause pass.
+    */
+  def sqlMergeClauses(target: DataFrame, source: DataFrame,
+      tAlias: String, sAlias: String, keys: Seq[(String, String)],
+      clauses: Seq[MergeWhen]): DataFrame = {
     require(keys.nonEmpty, "MERGE requires at least one ON equi-key")
-    requireSingleMatch(target, source, keys)
+    require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+    clauses.foreach {
+      case MergeWhen(NotMatchedByTarget, _, _: InsertAction) => ()
+      case MergeWhen(NotMatchedByTarget, _, a) => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED [BY TARGET] supports only INSERT, got $a")
+      case MergeWhen(_, _, _: InsertAction) => throw new IllegalArgumentException(
+        "INSERT is only valid in WHEN NOT MATCHED [BY TARGET] clauses")
+      case _ => ()
+    }
+    if (clauses.exists(_.kind == Matched))
+      requireSingleMatch(target, source, keys)
     val tm = "_graft_merge_t"
     val sm = "_graft_merge_s"
+    val act = "_graft_merge_a"
     val t = target.withColumn(tm, lit(true)).alias(tAlias)
     val s = source.withColumn(sm, lit(true)).alias(sAlias)
-    val cond = keys.map { case (tk, sk) =>
+    val joinCond = keys.map { case (tk, sk) =>
       col(s"$tAlias.$tk") === col(s"$sAlias.$sk") }.reduce(_ && _)
     val matched = col(s"$tAlias.$tm").isNotNull && col(s"$sAlias.$sm").isNotNull
     val srcOnly = col(s"$tAlias.$tm").isNull
+    val tgtOnly = col(s"$sAlias.$sm").isNull
+    def catOf(k: MergeKind): Column = k match {
+      case Matched => matched
+      case NotMatchedByTarget => srcOnly
+      case NotMatchedBySource => tgtOnly
+    }
+    // first-applicable clause index; -1 = carry the target row, -2 = a
+    // source-only row no insert clause fired for (discard, ANSI)
+    val actionIdx = clauses.zipWithIndex.foldLeft(
+      when(lit(false), lit(-1))) { case (acc, (c, i)) =>
+        val applicable = c.cond.fold(catOf(c.kind))(cc =>
+          catOf(c.kind) && coalesce(cc, lit(false)))
+        acc.when(applicable, lit(i))
+      }
+      .otherwise(when(srcOnly, lit(-2)).otherwise(lit(-1)))
+    val dropIdxs = clauses.zipWithIndex.collect {
+      case (MergeWhen(_, _, DeleteAction), i) => i
+    } :+ -2
     val out = target.schema.fields.map { f =>
       val keep = col(s"$tAlias.${f.name}")
-      when(matched, setExprs.getOrElse(f.name, keep))
-        .when(srcOnly, insertExprs.getOrElse(f.name, lit(null)))
-        .otherwise(keep)
-        .cast(f.dataType).as(f.name)
+      clauses.zipWithIndex.foldLeft(when(lit(false), keep)) {
+        case (acc, (c, i)) =>
+          val v = c.action match {
+            case UpdateAction(set) => set.getOrElse(f.name, keep)
+            case InsertAction(values) => values.getOrElse(f.name, lit(null))
+            case DeleteAction => keep // the row is dropped below
+          }
+          acc.when(col(act) === i, v)
+      }.otherwise(keep).cast(f.dataType).as(f.name)
     }
-    t.join(s, cond, "full_outer").select(out.toIndexedSeq: _*)
+    t.join(s, joinCond, "full_outer")
+      .withColumn(act, actionIdx)
+      .where(!col(act).isin(dropIdxs: _*))
+      .select(out.toIndexedSeq: _*)
   }
 
   /** ANSI MERGE cardinality guard: error when any target row would be

@@ -66,11 +66,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case SnapshotsRe(ident) =>
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(ShowSnapshotsCommand(db, t))
-    case MergeRe(ident, tAlias, src, sAlias, on, set, insert) =>
+    case MergeRe(ident, tAlias, src, sAlias, on, whenChain) =>
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(MergeIntoCommand(db, t,
         Option(tAlias).getOrElse(t), src,
-        Option(sAlias).getOrElse(src.split('.').last), on, set, insert))
+        Option(sAlias).getOrElse(src.split('.').last), on, whenChain))
     case DeleteRe(ident, _, where) =>
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(DeleteFromCommand(db, t, Option(where)))
@@ -281,11 +281,17 @@ object GraftSqlParser {
   // `MERGE INTO t USING …` from eating USING as t's alias)
   private val AliasOpt =
     """(?:\s+(?:AS\s+)?(?!USING\b|ON\b|WHEN\b|WHERE\b)([A-Za-z_][A-Za-z0-9_]*))?"""
+  // the full WHEN chain is captured whole and split by [[parseWhenChain]]
   private val MergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+""" + Ident + AliasOpt +
       """\s+USING\s+""" + Ident + AliasOpt +
-      """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)""" +
-      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(.+?)\s*;?\s*""").r
+      """\s+ON\s+(.+?)\s+(WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*""").r
+  // one WHEN clause; the action text runs to the next WHEN or the end
+  private val WhenClauseRe =
+    ("""(?is)\s*WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?""" +
+      """(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+      """(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)""" +
+      """\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)""").r
   private val DeleteRe =
     ("""(?is)\s*DELETE\s+FROM\s+""" + Ident +
       """(\s+WHERE\s+(.+?))?\s*;?\s*""").r
@@ -359,6 +365,84 @@ object GraftSqlParser {
               case None => (m.files, Nil) // no usable shape: all touched
             }
         }
+      }
+    } catch { case _: Exception => None } // evidence refusal, never a guess
+
+  /** One raw `WHEN` clause of a MERGE: `kind` ∈ matched | not_target
+    * (plain NOT MATCHED / BY TARGET) | not_source, the optional AND
+    * condition text, and the action text.
+    */
+  private[plans] final case class RawWhen(kind: String,
+      cond: Option[String], action: String)
+
+  private[plans] val UpdateActRe = """(?is)UPDATE\s+SET\s+(.+)""".r
+  private[plans] val DeleteActRe = """(?is)DELETE\s*""".r
+  private[plans] val InsertActRe = """(?is)INSERT\s+(.+)""".r
+
+  /** Split a MERGE's WHEN chain into raw clauses. STRICT: the clauses
+    * must tile the text exactly (anything unparseable between or after
+    * them refuses with the supported grammar); clause conditions must
+    * not themselves contain the word `WHEN` (the chain splitter's
+    * boundary — the documented strictness of this dialect).
+    */
+  private[plans] def parseWhenChain(text: String): Seq[RawWhen] = {
+    val ms = WhenClauseRe.findAllMatchIn(text).toSeq
+    def fail(detail: String): Nothing =
+      throw new graft.model.PipelineSpecException(
+        s"MERGE WHEN chain not recognized ($detail) — supported: " +
+          "WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE, " +
+          "WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT …, " +
+          "WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE")
+    if (ms.isEmpty) fail(s"no clause in: $text")
+    var pos = 0
+    ms.foreach { m =>
+      if (text.substring(pos, m.start).trim.nonEmpty)
+        fail(s"unparseable text before a clause: " +
+          text.substring(pos, m.start).trim)
+      pos = m.end
+    }
+    if (text.substring(pos).trim.nonEmpty)
+      fail(s"unparseable trailing text: ${text.substring(pos).trim}")
+    ms.map { m =>
+      val not = m.group(1) != null
+      val by = Option(m.group(2)).map(_.toUpperCase)
+      val kind = (not, by) match {
+        case (false, None) => "matched"
+        case (true, None) | (true, Some("TARGET")) => "not_target"
+        case (true, Some("SOURCE")) => "not_source"
+        case (false, Some(b)) => fail(s"WHEN MATCHED BY $b is not a clause")
+      }
+      RawWhen(kind, Option(m.group(3)).map(_.trim), m.group(4).trim)
+    }
+  }
+
+  /** MERGE COW evidence: the snapshot's files split into (possibly-
+    * touched, provably-clean) by the source's distinct ON-key sets —
+    * zone-map key windows refined by the Bloom sidecar. The collection
+    * is capped at `spark.graft.merge.cowMaxKeys` distinct keys per
+    * column (default 100k — the JoinPruneRule judgment: a source too big
+    * to collect is a source too big to prove with); over-cap,
+    * uncollectible, or manifest-less → None → full-path merge.
+    */
+  private def mergeKeySplit(spark: SparkSession,
+      snap: ObjectStoreSink.Snapshot, source: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)])
+      : Option[(Seq[TableManifest.FileEntry], Seq[TableManifest.FileEntry])] =
+    try {
+      val vdir = Paths.get(snap.path)
+      TableManifest.read(vdir).flatMap { m =>
+        val maxKeys = spark.conf
+          .get("spark.graft.merge.cowMaxKeys", "100000").toInt
+        val sets = keys.foldLeft(Option(Seq.empty[(String, Seq[Any])])) {
+          case (None, _) => None
+          case (Some(acc), (tk, sk)) =>
+            val rows = source
+              .select(org.apache.spark.sql.functions.col(sk))
+              .na.drop().distinct().limit(maxKeys + 1).collect()
+            if (rows.length > maxKeys) None
+            else Some(acc :+ (tk -> rows.toSeq.map(_.get(0))))
+        }
+        sets.map(ks => ZoneMapScanRule.splitByKeySets(vdir, m, ks))
       }
     } catch { case _: Exception => None } // evidence refusal, never a guess
 
@@ -461,12 +545,13 @@ object GraftSqlParser {
     */
   final case class MergeIntoCommand(db: Option[String], table: String,
       tAlias: String, srcIdent: String, sAlias: String,
-      onText: String, setText: String, insertText: String)
+      onText: String, whenText: String)
       extends LeafRunnableCommand {
 
     override val output: Seq[Attribute] = Seq(
       attr("action", StringType), attr("rows_before", LongType),
-      attr("rows_after", LongType), attr("version", IntegerType))
+      attr("rows_after", LongType), attr("version", IntegerType),
+      attr("files_linked", IntegerType))
 
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{col, expr}
@@ -476,8 +561,12 @@ object GraftSqlParser {
           s"${spec.database}.${spec.table} has no committed version"))
       val target = ObjectStoreSink.readVersion(spark, spec, Some(snap.version))
       val source = spark.table(srcIdent)
-      val keys = parseOn(onText, tAlias, sAlias)
+      val keys0 = parseOn(onText, tAlias, sAlias)
       val tCols = target.columns.toSeq
+      // align clause-written key names to the schema's exact spelling —
+      // the COW evidence looks them up in the manifest's stats maps
+      val keys = keys0.map { case (tk, sk) =>
+        (tCols.find(_.equalsIgnoreCase(tk)).getOrElse(tk), sk) }
       val sCols = source.columns.map(_.toLowerCase).toSet
       // `*` expands to every target column taken from the source — the
       // reference's generated all-fields lists, spelled as the shorthand
@@ -488,16 +577,16 @@ object GraftSqlParser {
             missing.mkString(", "))
         tCols.map(c => c -> col(s"$sAlias.$c")).toMap
       }
-      val setExprs = parseAssignments(setText).fold(star("UPDATE SET")) {
-        as =>
+      def setExprs(setText: String): Map[String, org.apache.spark.sql.Column] =
+        parseAssignments(setText).fold(star("UPDATE SET")) { as =>
           val bad = as.map(_._1).filterNot(c =>
             tCols.exists(_.equalsIgnoreCase(c)))
           if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
             s"MERGE UPDATE SET targets unknown column(s): ${bad.mkString(", ")}")
           as.map { case (c, e) => c -> expr(e) }.toMap
-      }
-      val insertExprs = parseInsert(insertText).fold(star("INSERT")) {
-        case (cols, vals) =>
+        }
+      def insertExprs(insText: String): Map[String, org.apache.spark.sql.Column] =
+        parseInsert(insText).fold(star("INSERT")) { case (cols, vals) =>
           if (cols.size != vals.size)
             throw new graft.model.PipelineSpecException(
               s"MERGE INSERT has ${cols.size} columns but ${vals.size} values")
@@ -505,13 +594,62 @@ object GraftSqlParser {
           if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
             s"MERGE INSERT targets unknown column(s): ${bad.mkString(", ")}")
           cols.zip(vals.map(expr)).toMap
+        }
+      val clauses = parseWhenChain(whenText).map { rw =>
+        val kind = rw.kind match {
+          case "matched" => MergeUpsert.Matched
+          case "not_target" => MergeUpsert.NotMatchedByTarget
+          case "not_source" => MergeUpsert.NotMatchedBySource
+        }
+        val action = rw.action match {
+          case UpdateActRe(setText) =>
+            if (kind == MergeUpsert.NotMatchedByTarget)
+              throw new graft.model.PipelineSpecException(
+                "WHEN NOT MATCHED [BY TARGET] supports only INSERT — " +
+                  "got UPDATE SET")
+            MergeUpsert.UpdateAction(caseAligned(setExprs(setText), tCols))
+          case DeleteActRe() =>
+            if (kind == MergeUpsert.NotMatchedByTarget)
+              throw new graft.model.PipelineSpecException(
+                "WHEN NOT MATCHED [BY TARGET] supports only INSERT — " +
+                  "got DELETE")
+            MergeUpsert.DeleteAction
+          case InsertActRe(insText) =>
+            if (kind != MergeUpsert.NotMatchedByTarget)
+              throw new graft.model.PipelineSpecException(
+                "INSERT is only valid in WHEN NOT MATCHED [BY TARGET] " +
+                  "clauses")
+            MergeUpsert.InsertAction(caseAligned(insertExprs(insText), tCols))
+          case other => throw new graft.model.PipelineSpecException(
+            "MERGE clause actions are UPDATE SET …, DELETE, or INSERT …, " +
+              s"got: $other")
+        }
+        MergeUpsert.MergeWhen(kind, rw.cond.map(expr), action)
       }
-      val merged = MergeUpsert.sqlMerge(target, source, tAlias, sAlias,
-        keys, caseAligned(setExprs, tCols), caseAligned(insertExprs, tCols))
-      ObjectStoreSink.replaceTable(spark, merged, spec,
-        expectVersion = Some(snap.version))
+      def mergedOf(tgt: org.apache.spark.sql.DataFrame) =
+        MergeUpsert.sqlMergeClauses(tgt, source, tAlias, sAlias, keys, clauses)
+      // COW (r13 verdict #1): files provably holding NO source key cannot
+      // gain, lose, or change a row under matched/not-matched clauses —
+      // link them, merge only the touched subset with the source. A
+      // NOT MATCHED BY SOURCE clause reaches unmatched target rows in
+      // EVERY file, so its presence disables the evidence path.
+      val cowOk = !clauses.exists(_.kind == MergeUpsert.NotMatchedBySource)
+      val split = if (cowOk) mergeKeySplit(spark, snap, source, keys)
+        else None
+      val linked = split match {
+        case Some((touched, clean)) if clean.nonEmpty =>
+          val touchedDf = ObjectStoreSink.readSubset(spark, snap.path,
+            spec.fileFormat, touched, touched.size + clean.size)
+          ObjectStoreSink.cowVersion(spark, mergedOf(touchedDf), spec,
+            clean, fullImage = mergedOf(target),
+            expectVersion = Some(snap.version)).filesLinked
+        case _ =>
+          ObjectStoreSink.replaceTable(spark, mergedOf(target), spec,
+            expectVersion = Some(snap.version))
+          0
+      }
       val after = ObjectStoreSink.snapshots(spec).last
-      Seq(Row("merge", snap.rowCount, after.rowCount, after.version))
+      Seq(Row("merge", snap.rowCount, after.rowCount, after.version, linked))
     }
   }
 

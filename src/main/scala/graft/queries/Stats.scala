@@ -1330,5 +1330,170 @@ object Stats {
       Some("""SELECT o_orderkey, o_orderstatus,
              |       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
              |         AS amount
-             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- SQL MERGE clause generality --------------------------------------
+    // Full ANSI clause surface beyond the reference's generated
+    // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):
+    // conditional WHEN MATCHED … DELETE (first-true-wins order), the
+    // unconditional UPDATE fallback, a conditional NOT MATCHED INSERT
+    // with a NULL-filled column, and WHEN NOT MATCHED BY SOURCE … DELETE
+    // reaching partner-free target rows. The oracle replays the whole
+    // clause algebra relationally over a presence-marked FULL JOIN.
+    QueryDef(
+      "q_sql_merge_delete",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlmrgdel"),
+          database = "graft_ops", table = "smd_cust",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val cust = t(s, d, "customer")
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          cust.filter(col("c_nationkey") < 12)
+            .select(col("c_custkey"), col("c_name"),
+              col("c_acctbal").as("bal")), spec)
+        cust.filter(col("c_nationkey") >= 8)
+          .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("newbal"))
+          .createOrReplaceTempView("smd_src")
+        val r = s.sql(
+          """MERGE INTO graft_ops.smd_cust t USING smd_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED AND s.newbal > 6000.0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.newbal
+            |WHEN NOT MATCHED AND s.newbal <= 1000.0 THEN
+            |  INSERT (c_custkey, bal) VALUES (s.c_custkey, s.newbal)
+            |WHEN NOT MATCHED BY SOURCE AND t.bal < 0.0 THEN DELETE"""
+            .stripMargin).collect()(0)
+        require(r.getString(0) == "merge" && r.getLong(2) != r.getLong(1),
+          s"clause MERGE was a no-op: $r")
+        s.table("graft_ops.smd_cust").orderBy("c_custkey")
+      },
+      Some("""WITH t0 AS (SELECT c_custkey, c_name, c_acctbal AS bal
+             |            FROM customer WHERE c_nationkey < 12),
+             |s1 AS (SELECT c_custkey, c_acctbal + 100.0 AS newbal
+             |       FROM customer WHERE c_nationkey >= 8),
+             |j AS (SELECT t0.c_custkey AS tk, t0.c_name, t0.bal,
+             |             s1.c_custkey AS sk, s1.newbal
+             |      FROM t0 FULL JOIN s1 ON t0.c_custkey = s1.c_custkey)
+             |SELECT COALESCE(tk, sk) AS c_custkey,
+             |  CASE WHEN tk IS NOT NULL THEN c_name ELSE NULL END AS c_name,
+             |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN newbal
+             |       WHEN tk IS NULL THEN newbal ELSE bal END AS bal
+             |FROM j
+             |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND newbal > 6000.0)
+             |  AND NOT (tk IS NULL AND NOT (newbal <= 1000.0))
+             |  AND NOT (sk IS NULL AND bal < 0.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- SQL DML copy-on-write --------------------------------------------
+    // The 100 TB property of the r14 DML surface (r13 verdict #1): a
+    // SELECTIVE DELETE / UPDATE / MERGE costs O(touched files + batch),
+    // never an O(table) rewrite. The fixture range-clusters orders into 4
+    // files; each verb then touches ONE file's key window and the REQUIREs
+    // pin (a) the commands' files_linked reports at 3, (b) REAL inode
+    // sharing with the prior version on disk, and (c) the UPDATE's
+    // matched-count (observed on the write scan — no second pass). An
+    // evidence-free DELETE (pmod of the key) must degrade to the full
+    // rewrite (0 links) and stay exact. The oracle replays the whole
+    // verb sequence relationally.
+    QueryDef(
+      "q_sql_dml_cow",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlcow"),
+          database = "graft_ops", table = "cow_ord",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val seed = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(14,2)").as("amount"))
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          seed.repartitionByRange(4, col("o_orderkey")), spec)
+        val fq = "graft_ops.cow_ord"
+        def inodesShared(): Int = {
+          val spec2 = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops", "cow_ord")
+          val vs = graft.sinks.ObjectStoreSink.snapshots(spec2)
+          val prev = java.nio.file.Paths.get(vs(vs.size - 2).path)
+          val live = java.nio.file.Paths.get(vs.last.path)
+          graft.sinks.TableManifest.read(prev).get.files.count { e =>
+            val a = prev.resolve(e.path); val b = live.resolve(e.path)
+            java.nio.file.Files.exists(b) &&
+              java.nio.file.Files.isSameFile(a, b)
+          }
+        }
+        // SF-robust thresholds from the key domain (the oracle recomputes
+        // them with the same integer arithmetic)
+        val mx = seed.agg(max("o_orderkey")).head.getLong(0)
+        val k1 = mx / 8          // inside file 0's range window
+        val k2 = mx - mx / 8     // inside file 3's range window
+        // DELETE one file's worth: 3 links reported AND real on disk
+        val r1 = s.sql(s"DELETE FROM $fq WHERE o_orderkey < $k1")
+          .collect()(0)
+        require(r1.getLong(1) > 0 && r1.getInt(3) == 3,
+          s"selective DELETE did not link 3 of 4 files: $r1")
+        require(inodesShared() == 3,
+          "DELETE links not shared on disk — COW degenerated to a rewrite")
+        // UPDATE the top window: 3 links, matched count observed exactly
+        val expectUpd = s.table(fq).where(col("o_orderkey") >= k2).count()
+        val r2 = s.sql(
+          s"""UPDATE $fq SET amount = amount * 2
+             |WHERE o_orderkey >= $k2""".stripMargin).collect()(0)
+        require(r2.getLong(1) == expectUpd && r2.getInt(3) == 3,
+          s"selective UPDATE wrong (expected $expectUpd matched, 3 links): $r2")
+        require(inodesShared() == 3,
+          "UPDATE links not shared on disk — COW degenerated to a rewrite")
+        // MERGE touching only the top file: update the two largest keys,
+        // insert one fresh key — 3 links again
+        val top2 = s.table(fq).orderBy(col("o_orderkey").desc)
+          .limit(2).select("o_orderkey").collect().map(_.getLong(0))
+        import s.implicits._
+        (top2.map(k => (k, BigDecimal("111.11"))) :+
+          ((9000000001L, BigDecimal("222.22")))).toSeq
+          .toDF("o_orderkey", "amount")
+          .select(col("o_orderkey"), col("amount").cast("decimal(14,2)")
+            .as("amount"))
+          .createOrReplaceTempView("cow_msrc")
+        val r3 = s.sql(
+          s"""MERGE INTO $fq t USING cow_msrc s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET amount = s.amount
+             |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, amount)
+             |  VALUES (s.o_orderkey, 'N', s.amount)""".stripMargin)
+          .collect()(0)
+        require(r3.getLong(2) == r3.getLong(1) + 1 && r3.getInt(4) == 3,
+          s"selective MERGE wrong (expected +1 row, 3 links): $r3")
+        // evidence-free predicate: full rewrite (0 links), still exact
+        val r4 = s.sql(s"DELETE FROM $fq WHERE pmod(o_orderkey, 97) = 0")
+          .collect()(0)
+        require(r4.getLong(1) > 0 && r4.getInt(3) == 0,
+          s"no-evidence DELETE must degrade to a full rewrite: $r4")
+        s.sql(s"""SELECT o_orderkey, o_orderstatus,
+                 |       CAST(amount AS DOUBLE) AS amount
+                 |FROM $fq ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH t0 AS (SELECT o_orderkey, o_orderstatus,
+             |              CAST(o_totalprice AS DECIMAL(14,2)) AS amount
+             |            FROM orders),
+             |k AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) AS k1,
+             |             MAX(o_orderkey)
+             |               - CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) AS k2
+             |      FROM t0),
+             |t1 AS (SELECT t0.* FROM t0, k WHERE o_orderkey >= k.k1),
+             |t2 AS (SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey >= k.k2
+             |              THEN CAST(amount * 2 AS DECIMAL(14,2))
+             |              ELSE amount END AS amount
+             |       FROM t1, k),
+             |top2 AS (SELECT o_orderkey FROM t2 ORDER BY o_orderkey DESC
+             |         LIMIT 2),
+             |t3 AS (SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey IN (SELECT o_orderkey FROM top2)
+             |              THEN CAST(111.11 AS DECIMAL(14,2))
+             |              ELSE amount END AS amount
+             |       FROM t2
+             |       UNION ALL
+             |       SELECT CAST(9000000001 AS BIGINT), 'N',
+             |              CAST(222.22 AS DECIMAL(14,2)))
+             |SELECT o_orderkey, o_orderstatus, CAST(amount AS DOUBLE) AS amount
+             |FROM t3
+             |WHERE (o_orderkey % 97) <> 0
+             |ORDER BY o_orderkey""".stripMargin)))
 }

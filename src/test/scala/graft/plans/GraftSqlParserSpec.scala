@@ -731,6 +731,102 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.table(fq).orderBy("id").collect() shouldBe expect
   }
 
+  test("MERGE clause generality: conditional MATCHED DELETE/UPDATE in " +
+    "order (first-true-wins), conditional NOT MATCHED INSERT, and NOT " +
+    "MATCHED BY SOURCE DELETE — ANSI semantics end to end") {
+    val fq = commitKv("mrggen", Seq(
+      (java.lang.Long.valueOf(1L), "keep-carry"), // no source partner, v long
+      (java.lang.Long.valueOf(2L), "del-matched"),
+      (java.lang.Long.valueOf(3L), "upd-matched"),
+      (java.lang.Long.valueOf(4L), "bysource-del")))
+    // source: 2 (cond-delete), 3 (update), 5 (cond-insert in), 6 (cond-
+    // insert filtered out)
+    Seq((2L, "DEL"), (3L, "NEW3"), (5L, "NEW5"), (6L, "skip"))
+      .toDF("id", "v").createOrReplaceTempView("mrggen_src")
+    // target rows 1 and 4 have no partner; the BY SOURCE clause deletes
+    // only id=4 (cond); matched id=2 deletes by the FIRST clause, id=3
+    // falls to the second (update); source 5 inserts, 6 is filtered
+    val r = spark.sql(
+      s"""MERGE INTO $fq t USING mrggen_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED AND s.v != 'skip' THEN INSERT (id, v)
+         |  VALUES (s.id, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.v = 'bysource-del' THEN DELETE"""
+        .stripMargin).collect().head
+    r.getString(0) shouldBe "merge"
+    val got = spark.table(fq).orderBy("id").collect()
+      .map(row => (row.getLong(0), row.getString(1))).toSeq
+    got shouldBe Seq((1L, "keep-carry"), (3L, "NEW3"), (5L, "NEW5"))
+  }
+
+  test("MERGE clause-order matters: an earlier unconditional MATCHED " +
+    "clause shadows a later one; NOT MATCHED BY SOURCE UPDATE rewrites " +
+    "partner-free target rows only") {
+    val fq = commitKv("mrgord", Seq(
+      (java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b")))
+    Seq((1L, "src")).toDF("id", "v").createOrReplaceTempView("mrgord_src")
+    spark.sql(
+      s"""MERGE INTO $fq t USING mrgord_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 'first'
+         |WHEN MATCHED AND s.v = 'src' THEN UPDATE SET v = 'second'
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'orphaned'"""
+        .stripMargin).collect()
+    spark.table(fq).orderBy("id").collect()
+      .map(row => (row.getLong(0), row.getString(1))).toSeq shouldBe
+      Seq((1L, "first"), (2L, "orphaned"))
+  }
+
+  test("unsupported MERGE clause shapes refuse with the supported " +
+    "grammar: NOT MATCHED DELETE, MATCHED INSERT, garbage in the chain") {
+    val fq = commitKv("mrgref", Seq((java.lang.Long.valueOf(1L), "a")))
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("mrgref_src")
+    def merge(chain: String) = spark.sql(
+      s"MERGE INTO $fq t USING mrgref_src s ON t.id = s.id $chain")
+      .collect()
+    (the[graft.model.PipelineSpecException] thrownBy
+      merge("WHEN NOT MATCHED THEN DELETE")).getMessage should
+      include("only INSERT")
+    (the[graft.model.PipelineSpecException] thrownBy
+      merge("WHEN MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"))
+      .getMessage should include("NOT MATCHED")
+    (the[graft.model.PipelineSpecException] thrownBy
+      merge("WHEN MATCHED THEN UPDATE SET v = s.v AND ALSO NONSENSE " +
+        "WHEN NOT MATCHED THEN FROB")).getMessage should
+      include("supported")
+  }
+
+  test("MERGE on a range-clustered table is COPY-ON-WRITE: files provably " +
+    "holding no source key hard-link; only the touched file merges; " +
+    "BY SOURCE clauses disable the evidence path (they touch everything)") {
+    val spec = commitClustered("mrgcow", 4000, 4)
+    val fq = s"${spec.database}.${spec.table}"
+    // source keys land entirely in the LAST file's range + fresh inserts
+    Seq((3900L, 999L), (3950L, 999L), (99999L, 1L))
+      .toDF("id", "v").createOrReplaceTempView("mrgcow_src")
+    val r = spark.sql(
+      s"""MERGE INTO $fq t USING mrgcow_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+        .stripMargin).collect().head
+    r.getLong(2) shouldBe 4001L
+    r.getInt(4) shouldBe 3 // files_linked
+    sharedInodes(spec) shouldBe 3
+    spark.table(fq).where("v = 999").count() shouldBe 2L
+    spark.table(fq).where("id = 99999").count() shouldBe 1L
+    spark.table(fq).count() shouldBe 4001L
+    // a BY SOURCE clause must touch every file: full rewrite, 0 links
+    Seq((1L, 5L)).toDF("id", "v").createOrReplaceTempView("mrgcow_src2")
+    val r2 = spark.sql(
+      s"""MERGE INTO $fq t USING mrgcow_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 99999 THEN DELETE"""
+        .stripMargin).collect().head
+    r2.getInt(4) shouldBe 0
+    spark.table(fq).where("id = 99999").count() shouldBe 0L
+    spark.table(fq).where("id = 1").collect().head.getLong(1) shouldBe 5L
+  }
+
   test("INSERT variants outside the strict shapes REFUSE on a graft table " +
     "instead of delegating to Spark's destructive v1 insert (r13 advice); " +
     "foreign tables still delegate untouched") {
