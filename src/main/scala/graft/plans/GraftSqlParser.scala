@@ -53,7 +53,94 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    // SQL time travel (r13 verdict #2): every `t VERSION|TIMESTAMP AS OF x`
+    // whose table probes as OURS is rewritten to a temp view pinned on the
+    // resolved committed snapshot (ObjectStoreSink.readVersion — the
+    // version dir is immutable until retention), then the WHOLE statement
+    // re-parses, so travel composes with SELECT, joins, INSERT…SELECT and
+    // the graft verbs alike. Foreign tables keep their clause verbatim for
+    // the delegate (Spark v2 sources own their own time travel).
+    rewriteTimeTravel(sqlText) match {
+      case Some(rewritten) => parsePlan(rewritten)
+      case None => parsePlanDispatch(sqlText)
+    }
+  }
+
+  private def rewriteTimeTravel(sqlText: String): Option[String] = {
+    if (!TravelHintRe.pattern.matcher(sqlText).find()) return None
+    val s = SparkSession.getActiveSession.getOrElse(return None)
+    var changed = false
+    val out = TravelRe.replaceAllIn(sqlText, m => {
+      val keep = scala.util.matching.Regex.quoteReplacement(m.matched)
+      (try Some(split(m.group(1))) catch { case _: Exception => None })
+        .fold(keep) { case (db, t) =>
+          probe(s, db, t) match {
+            case ProbeOurs =>
+              val spec = ObjectStoreSink.specFor(s,
+                db.getOrElse(s.catalog.currentDatabase), t)
+              val snaps = ObjectStoreSink.snapshots(spec)
+              val kind = m.group(2).toUpperCase
+              val vtext = m.group(3)
+              val version =
+                if (kind.contains("VERSION")) {
+                  if (!vtext.forall(_.isDigit))
+                    throw new graft.model.PipelineSpecException(
+                      s"VERSION AS OF on ${db.fold("")(_ + ".")}$t takes an " +
+                        s"integer snapshot version, got $vtext (see SHOW " +
+                        "SNAPSHOTS)")
+                  vtext.toInt
+                } else {
+                  if (!vtext.startsWith("'"))
+                    throw new graft.model.PipelineSpecException(
+                      s"TIMESTAMP AS OF on ${db.fold("")(_ + ".")}$t takes a " +
+                        s"quoted timestamp literal, got $vtext")
+                  val ms = parseTsMs(s, vtext)
+                  snaps.filter(_.committedAtMs <= ms).lastOption.getOrElse(
+                    throw new graft.model.PipelineSpecException(
+                      s"no committed snapshot of ${db.fold("")(_ + ".")}$t " +
+                        s"at or before $vtext (earliest: " +
+                        s"${snaps.headOption.map(_.committedAtMs).getOrElse(-1L)} ms)"))
+                    .version
+                }
+              val view = s"graft_asof_${db.getOrElse("")}_${t}_v$version"
+              // registers the PINNED snapshot read — resolveSnapshot
+              // throws its informative error on an unknown version
+              ObjectStoreSink.readVersion(s, spec, Some(version))
+                .createOrReplaceTempView(view)
+              changed = true
+              view
+            case _ => keep // foreign/unprobeable: delegate's business
+          }
+        }
+    })
+    if (changed) Some(out) else None
+  }
+
+  /** Timestamp literal → epoch ms in the SESSION time zone (the zone a
+    * user's `TIMESTAMP AS OF '…'` literal is written in); date-only
+    * literals resolve to local midnight.
+    */
+  private def parseTsMs(s: SparkSession, quoted: String): Long = {
+    val zone = java.time.ZoneId.of(
+      s.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val txt = quoted.stripPrefix("'").stripSuffix("'").trim
+    val ldt =
+      try java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
+      catch {
+        case _: Exception =>
+          try java.time.LocalDate.parse(txt).atStartOfDay()
+          catch {
+            case _: Exception => throw new graft.model.PipelineSpecException(
+              s"cannot parse TIMESTAMP AS OF literal $quoted — use " +
+                "'yyyy-MM-dd[ HH:mm:ss[.SSS]]'")
+          }
+      }
+    ldt.atZone(zone).toInstant.toEpochMilli
+  }
+
+  private def parsePlanDispatch(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(ident, _, zcols, _, target) =>
       val (db, t) = split(ident)
       orDelegate(db, t, sqlText)(OptimizeTableCommand(db, t,
@@ -328,6 +415,13 @@ object GraftSqlParser {
   private[plans] val AlterColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+(?:ADD|REPLACE|CHANGE|ALTER|DROP|RENAME)\s+COLUMNS?\b.*""").r
+  // time travel: `t [FOR] VERSION|TIMESTAMP AS OF <int|'literal'>` —
+  // SYSTEM_VERSION/SYSTEM_TIME accepted as the ANSI-ish synonyms
+  private val TravelHintRe = """(?is)\bAS\s+OF\b""".r
+  private val TravelRe =
+    ("""(?i)""" + Ident +
+      """(?:\s+FOR)?\s+(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)""" +
+      """\s+AS\s+OF\s+(\d+|'[^']*')""").r
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {

@@ -1332,6 +1332,69 @@ object Stats {
              |         AS amount
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- SQL time travel --------------------------------------------------
+    // The read side of versioning as PLAIN SQL (r13 verdict #2): the
+    // reference's lake tables were Athena Iceberg where `FOR TIMESTAMP AS
+    // OF` is part of the delegated surface (IcebergUtil.scala:28-157);
+    // here `t VERSION AS OF n` / `t TIMESTAMP AS OF 'ts'` rewrite to a
+    // temp view pinned on the resolved committed snapshot, composing with
+    // any statement shape. The fixture drives a full DML lifecycle
+    // (CTAS → DELETE → UPDATE), then REQUIREs: the live image reflects
+    // both verbs, VERSION AS OF 2 shows the delete but not the update,
+    // TIMESTAMP AS OF at v1's commit time resolves to v1's row count,
+    // and the final SELECT replays the ORIGINAL image — which the oracle
+    // reproduces from the raw table.
+    QueryDef(
+      "q_sql_time_travel",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqltravel")
+        s.sql("DROP TABLE IF EXISTS graft_ops.ttv_part")
+        t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .createOrReplaceTempView("ttv_src")
+        s.sql(
+          s"""CREATE TABLE graft_ops.ttv_part USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT * FROM ttv_src""".stripMargin).collect()
+        val fq = "graft_ops.ttv_part"
+        val v1rows = s.table(fq).count()
+        s.sql(s"DELETE FROM $fq WHERE p_partkey % 2 = 0").collect()
+        s.sql(
+          s"""UPDATE $fq SET p_retailprice = p_retailprice + 1.0
+             |WHERE p_partkey % 3 = 0""".stripMargin).collect()
+        // v2 reflects the delete but NOT the update
+        require(s.sql(s"SELECT count(*) AS c FROM $fq VERSION AS OF 2 " +
+          "WHERE p_partkey % 2 = 0").head.getLong(0) == 0L,
+          "VERSION AS OF 2 must reflect the delete")
+        val updDiff = s.sql(
+          s"""SELECT count(*) AS c FROM $fq a
+             |JOIN $fq VERSION AS OF 2 b ON a.p_partkey = b.p_partkey
+             |WHERE a.p_retailprice <> b.p_retailprice""".stripMargin)
+          .head.getLong(0)
+        require(updDiff > 0, "live image must differ from v2 by the UPDATE")
+        // TIMESTAMP AS OF at v1's commit instant resolves to the latest
+        // snapshot at-or-before it (self-consistent even under same-ms
+        // commits)
+        val snaps = s.sql(s"SHOW SNAPSHOTS $fq").collect()
+        val v1ms = snaps.head.getLong(1)
+        val expectRows = snaps.filter(_.getLong(1) <= v1ms).last.getLong(2)
+        val lit = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(v1ms),
+          java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone")))
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        require(s.sql(s"SELECT count(*) AS c FROM $fq TIMESTAMP AS OF " +
+          s"'$lit'").head.getLong(0) == expectRows,
+          "TIMESTAMP AS OF must resolve against committed_at_ms")
+        require(v1rows == snaps.head.getLong(2),
+          "snapshot inventory lost v1's row count")
+        s.sql(s"""SELECT p_partkey, p_name, p_retailprice
+                 |FROM $fq VERSION AS OF 1
+                 |ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):

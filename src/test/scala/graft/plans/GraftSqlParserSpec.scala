@@ -827,6 +827,57 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.table(fq).where("id = 1").collect().head.getLong(1) shouldBe 5L
   }
 
+  test("SQL time travel: VERSION AS OF reads a pinned committed snapshot, " +
+    "TIMESTAMP AS OF resolves against committed_at_ms, travel composes " +
+    "with joins, and errors are informative") {
+    val spec = commit("travel", 100, 2)
+    val fq = s"${spec.database}.${spec.table}"
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, 40).toDF("id").withColumn("grp", (col("id") % 7)
+        .cast("long")), spec)
+    spark.sql(s"SELECT * FROM $fq VERSION AS OF 1").count() shouldBe 100L
+    spark.sql(s"SELECT * FROM $fq VERSION AS OF 2").count() shouldBe 40L
+    spark.sql(s"SELECT * FROM $fq").count() shouldBe 40L
+    // synonyms + FOR
+    spark.sql(s"SELECT * FROM $fq FOR SYSTEM_VERSION AS OF 1")
+      .count() shouldBe 100L
+    // TIMESTAMP AS OF at exactly v1's commit time resolves to v1
+    val v1ms = ObjectStoreSink.snapshots(spec).head.committedAtMs
+    val lit = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(v1ms),
+      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    spark.sql(s"SELECT * FROM $fq TIMESTAMP AS OF '$lit'")
+      .count() shouldBe 100L
+    // travel in a self-join: rows deleted between v1 and live
+    spark.sql(
+      s"""SELECT count(*) AS gone FROM $fq VERSION AS OF 1 a
+         |LEFT ANTI JOIN $fq b ON a.id = b.id""".stripMargin)
+      .collect().head.getLong(0) shouldBe 60L
+    // unknown version / too-early timestamp: informative refusals
+    (the[Exception] thrownBy spark.sql(
+      s"SELECT * FROM $fq VERSION AS OF 99").collect())
+      .getMessage should include("99")
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"SELECT * FROM $fq TIMESTAMP AS OF '1990-01-01'").collect())
+      .getMessage should include("no committed snapshot")
+  }
+
+  test("time travel on a FOREIGN table keeps the clause for the delegate " +
+    "(Spark's own v1 error, never ours)") {
+    val dir = scratchDir("travelforeign").getAbsolutePath + "/floc"
+    ss.range(0, 5).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_travelforeign")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_travelforeign.plain")
+    spark.sql("CREATE TABLE graft_sqlm_travelforeign.plain (id BIGINT) " +
+      s"USING parquet LOCATION '$dir'")
+    val e = the[Exception] thrownBy spark.sql(
+      "SELECT * FROM graft_sqlm_travelforeign.plain VERSION AS OF 1")
+      .collect()
+    e should not be a[graft.model.PipelineSpecException]
+  }
+
   test("INSERT variants outside the strict shapes REFUSE on a graft table " +
     "instead of delegating to Spark's destructive v1 insert (r13 advice); " +
     "foreign tables still delegate untouched") {
