@@ -374,23 +374,42 @@ object MetaAggRule extends Rule[LogicalPlan] with PredicateHelper {
         case a: AttributeReference => sumValue(m, a, s.dataType)
         case _ => None
       }
-      // AVG only in the decimal domain: exact sum ÷ exact non-null count
-      // at Average's result scale with SQL HALF_UP — deterministic and
-      // equal to execution. Integral/float AVG divides in DOUBLE inside
-      // Spark (order-dependent low bits) — refuse rather than answer
-      // with a value a re-run scan might not bit-match.
+      // AVG only in the decimal domain: the exact manifest sum and exact
+      // non-null count are substituted into Average's OWN finish
+      // expression (`evaluateExpression` with the sum/count buffer
+      // attributes bound to literals) and evaluated — so the divide runs
+      // at Spark's intermediate precision/scale and the checked cast
+      // applies under the session's real decimal config, bit-equal to
+      // execution by construction (incl. allowPrecisionLoss=false
+      // returning NULL where a hand-rounded quotient would differ — r13
+      // ADVICE). A sum that doesn't fit the buffer type, or an eval
+      // error (ANSI overflow), refuses and lets the scan decide.
+      // Integral/float AVG divides in DOUBLE inside Spark (order-
+      // dependent low bits) — refuse rather than answer with a value a
+      // re-run scan might not bit-match.
       case avg: Average => (avg.child, avg.dataType) match {
-        case (a: AttributeReference, rt: DecimalType)
+        case (a: AttributeReference, _: DecimalType)
             if a.dataType.isInstanceOf[DecimalType] =>
           ZoneMap.metaSum(m, a.name).flatMap { case (sum, nonNull, scale) =>
             if (a.dataType.asInstanceOf[DecimalType].scale != scale && nonNull > 0) None
             else if (nonNull == 0L) Some(null)
             else try {
-              val q = sum.bigDecimal.divide(
-                java.math.BigDecimal.valueOf(nonNull), rt.scale,
-                java.math.RoundingMode.HALF_UP)
-              Some(org.apache.spark.sql.types.Decimal(
-                BigDecimal(q), rt.precision, rt.scale))
+              val sumAttr = avg.aggBufferAttributes.head
+              val cntAttr = avg.aggBufferAttributes(1)
+              val sumDt = sumAttr.dataType.asInstanceOf[DecimalType]
+              val sumDec = Decimal(sum)
+              // a true sum that overflows the buffer type → scan decides
+              if (!sumDec.changePrecision(sumDt.precision, sumDt.scale)) None
+              else {
+                val bound = avg.evaluateExpression.transform {
+                  case ar: AttributeReference if ar.exprId == sumAttr.exprId =>
+                    Literal(sumDec, sumDt)
+                  case ar: AttributeReference if ar.exprId == cntAttr.exprId =>
+                    Literal(nonNull)
+                }
+                if (bound.references.nonEmpty) None // unexpected shape
+                else Some(bound.eval(InternalRow.empty))
+              }
             } catch { case _: Exception => None }
           }
         case _ => None

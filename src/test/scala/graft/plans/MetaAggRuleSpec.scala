@@ -375,6 +375,21 @@ class MetaAggRuleSpec extends SparkSpec {
       try spark.sql(s"SELECT avg(amt) AS a FROM $fq").head
       finally spark.conf.unset("spark.graft.metaAgg.enabled")
     q.head shouldBe off
+    // the answered value comes from Average's OWN finish expression, so
+    // it tracks the session's decimal config too: under
+    // allowPrecisionLoss=false the answer must STILL equal execution
+    // (r13 advice — a hand-rounded quotient could diverge here)
+    spark.conf.set("spark.sql.decimalOperations.allowPrecisionLoss", "false")
+    try {
+      val qStrict = spark.sql(s"SELECT avg(amt) AS a FROM $fq")
+      assertMetaOnly(qStrict)
+      spark.conf.set("spark.graft.metaAgg.enabled", "false")
+      val offStrict =
+        try spark.sql(s"SELECT avg(amt) AS a FROM $fq").head
+        finally spark.conf.unset("spark.graft.metaAgg.enabled")
+      qStrict.head shouldBe offStrict
+    } finally
+      spark.conf.unset("spark.sql.decimalOperations.allowPrecisionLoss")
     assertScans(spark.sql(s"SELECT avg(id) AS a FROM $fq"))
     assertScans(spark.sql(s"SELECT avg(dbl) AS a FROM $fq"))
     assertScans(spark.sql(s"SELECT sum(dbl) AS s FROM $fq"))
