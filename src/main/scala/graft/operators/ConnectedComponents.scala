@@ -76,7 +76,10 @@ object ConnectedComponents {
         val out = stars.repartition(1)
           .mapPartitions(it => unionFind(it, lt))(pairEnc)
           .select(col("src").as("id"), col("dst").as("comp"))
-          .persist()
+        // the RESULT frame stays cached for the caller — ROLLING persist
+        // (graft.StageCache) so repeated invocations in one session free
+        // the prior result's blocks instead of stacking leaked cache
+        graft.StageCache.roll("ConnectedComponents.labels", out)
         out.count()
         out
       } else {
@@ -180,6 +183,10 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +
           "(pathological chain — raise maxIters)")
+    // the final round's cache backs the returned labels — hand it to the
+    // rolling registry so the NEXT invocation frees it (same tag as the
+    // small-quotient path: one live result generation per session)
+    prevCut.foreach(p => graft.StageCache.roll("ConnectedComponents.labels", p))
     labels
   }
 

@@ -794,7 +794,9 @@ object CurationOps {
           .select(col("source"), hash60(col("gram")).as("gh"))
           .groupBy("source").agg(kmv(col("gh"), k).as("sk"))
           .select(col("source"), explode(col("sk")).as("gh"))
-          .persist()
+        // ROLLING persist (graft.StageCache): bench repeats must not stack
+        // leaked cache generations
+        graft.StageCache.roll("q_domain_overlap", sk)
         val names = sk.select("source").distinct()
         // every sketch row lands in every pair its source belongs to; a
         // union value present in both sketches shows up from two sources

@@ -246,12 +246,14 @@ object Dedup {
         // of ~25-byte text (hash collisions are applied identically on
         // both engines, so the oracle still matches bit-for-bit).
         val arrays = docShingleArrays(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val toks = arrays.select(col("doc_id"), explode(col("tokens")).as("token"))
         val hashes = toks
           .select(col("doc_id"), baseHash(col("token")).as("h"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ROLLING persist (graft.StageCache): a new repeat unpersists the
+        // previous generation — without it Bench's repeats stack leaked
+        // cache until the block manager thrashes (r13 verdict #3)
+        graft.StageCache.roll("q_jaccard_pairs", arrays, hashes)
         val counts = hashes.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
         val cand = lshCandidates(s, d, Some(arrays))
         val a = hashes.select(col("doc_id").as("id_a"), col("h"))
@@ -451,12 +453,14 @@ object Dedup {
     (s, d) => {
       // staged compact arrays feed kernel + explode — see q_jaccard_pairs
       val arrays = docShingleArrays(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val toks = arrays.select(col("doc_id"), explode(col("tokens")).as("token"))
       val hashes = toks
         .select(col("doc_id"), baseHash(col("token")).as("h"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ROLLING persist — this query's repeats leaked ~2 corpus-sized
+      // cache generations per bench pass and swung 5× round-over-round
+      // (r13 verdict #3: cache/GC pressure, now bounded to 1 generation)
+      graft.StageCache.roll("q_containment_pairs", arrays, hashes)
       val counts = hashes.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
       val cand = lshCandidates(s, d, Some(arrays))
       val a = hashes.select(col("doc_id").as("id_a"), col("h"))
@@ -524,21 +528,18 @@ object Dedup {
       // the shingle build feeds six consumers (bands/hashes/counts for
       // both sides) — stage it once, like the jaccard query's toks table
       val arrays = docShingleArrays(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = t(s, d, "documents").agg(max("doc_id")).head().getLong(0)
       val cutoff = (maxId + 1) * 4 / 5 // integer arithmetic on both engines
       // In production the index sides are parquet reads (cheap to consume
       // twice); built in-query they are explode+distinct pipelines that the
       // verify stage consumes three times (both join sides + counts) — stage
       // them like the jaccard query stages `hashes`, or the corpus re-derives
-      // per consumer.
-      def staged(idx: IncrementalDedup.DedupIndex) = {
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        IncrementalDedup.DedupIndex(idx.bands.persist(lvl),
-          idx.hashes.persist(lvl), idx.counts.persist(lvl))
-      }
-      val index = staged(IncrementalDedup.buildIndex(arrays.filter(col("doc_id") < cutoff)))
-      val batch = staged(IncrementalDedup.buildIndex(arrays.filter(col("doc_id") >= cutoff)))
+      // per consumer. ROLLING persist (StageCache): one live generation.
+      val index = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") < cutoff))
+      val batch = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") >= cutoff))
+      graft.StageCache.roll("q_incremental_dedup", arrays,
+        index.bands, index.hashes, index.counts,
+        batch.bands, batch.hashes, batch.counts)
       IncrementalDedup.newPairs(index, batch).orderBy("id_a", "id_b")
     },
     Some(s"""WITH cand0 AS ($lshCandidatesSql),

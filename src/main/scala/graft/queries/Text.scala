@@ -36,7 +36,9 @@ object Text {
     val occ = t(s, d, "documents")
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ROLLING persist (graft.StageCache): two queries share this stage
+    // sequentially; one live cache generation, never a leak per repeat
+    graft.StageCache.roll("bigramScores", occ)
     val cbg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val cw1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val vocab = t(s, d, "documents")
