@@ -48,13 +48,36 @@ object Compaction {
       .getOrElse(dataFiles(loc).size)
   }
 
+  /** Bin-pack accounting: the live file count after the pass, how many
+    * right-sized files were CARRIED by hard link vs rewritten, and
+    * whether a commit happened at all.
+    */
+  final case class CompactReport(filesAfter: Int, filesLinked: Int,
+      filesRewritten: Int, changed: Boolean)
+
   /** Rewrite the table into ~targetBytes files; returns the new file
     * count. No-op (returns current count) when already compact —
     * unpartitioned: at most the byte-derived file count; partitioned: at
     * most one file per populated partition directory.
     */
   def compact(spark: SparkSession, spec: ObjectStoreSpec,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20): Int =
+    compactReport(spark, spec, targetBytes).filesAfter
+
+  /** [[compact]] with the copy-on-write accounting. The pass is
+    * INCREMENTAL, the Iceberg RewriteDataFiles discipline: files already
+    * within the size envelope (unpartitioned: ≥ 3/4 × targetBytes;
+    * partitioned: the sole file of a populated partition) hard-link into
+    * the next version with their manifest stats carried verbatim — never
+    * read — and only the small-file tail is scanned and re-packed. A
+    * year of minute-batches onto a 100 TB table compacts at the cost of
+    * the fragments, not of the table. Tables without a committed
+    * manifest (legacy) or with nothing linkable keep the full-rewrite
+    * path; both commit CAS-pinned with the snapshot's txn stamp riding
+    * through unchanged (see the concurrency notes inline).
+    */
+  def compactReport(spark: SparkSession, spec: ObjectStoreSpec,
+      targetBytes: Long = 128L << 20): CompactReport = {
     val fq = s"${spec.database}.${spec.table}"
     val loc = locationOf(spark, fq)
     // (relative path, bytes) per data file — manifest-first, walk fallback
@@ -63,17 +86,17 @@ object Compaction {
       .getOrElse(dataFiles(loc).map(p =>
         (loc.relativize(p).toString, Files.size(p))))
     val bytes = files.map(_._2).sum
+    def parentOf(rel: String): String = {
+      val i = rel.lastIndexOf('/'); if (i < 0) "" else rel.substring(0, i)
+    }
     val alreadyCompact =
       if (spec.partitionBy.isEmpty) {
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         files.size <= nFiles
-      } else {
-        val parents = files.map { case (rel, _) =>
-          val i = rel.lastIndexOf('/'); if (i < 0) "" else rel.substring(0, i)
-        }.distinct.size
-        files.size <= parents
-      }
-    if (alreadyCompact) return files.size
+      } else
+        files.size <= files.map(f => parentOf(f._1)).distinct.size
+    if (alreadyCompact)
+      return CompactReport(files.size, 0, 0, changed = false)
     // Pin ONE committed snapshot: content, version number and txn stamp all
     // come from the same immutable version dir. The commit then CAS-es on
     // that version still being latest (`expectVersion`), so a concurrent
@@ -84,28 +107,76 @@ object Compaction {
     // violation, because the stamp's claim ("batches 0..b are applied") is
     // exactly as true of the rewritten files as of the originals.
     val pinned = ObjectStoreSink.snapshots(spec).lastOption
-    val (current, stamp, expect) = pinned match {
-      case Some(snap) =>
-        (ObjectStoreSink.readVersion(spark, spec, Some(snap.version)),
-          graft.sinks.TableManifest.read(Paths.get(snap.path)).flatMap(_.txn),
-          Some(snap.version))
-      case None => // legacy table outside the manifest protocol: best effort
-        (spark.table(fq), None, None)
-    }
-    val packed =
-      if (spec.partitionBy.nonEmpty)
-        current.repartition(spec.partitionBy.map(col): _*)
-      else
-        current.repartition(
-          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
-    try ObjectStoreSink.replaceTable(spark, packed, spec, txn = stamp,
-      expectVersion = expect)
-    catch {
+    val manifest = pinned.flatMap(s =>
+      graft.sinks.TableManifest.read(Paths.get(s.path)))
+    try {
+      (pinned, manifest) match {
+        case (Some(snap), Some(m)) =>
+          // COW split: the right-sized keep set links; the fragment tail
+          // repacks. An empty or single-file tail has nothing to merge —
+          // the table is as packed as its file-size floor allows.
+          val (keep, frags) =
+            if (spec.partitionBy.isEmpty)
+              m.files.partition(_.bytes >= targetBytes - targetBytes / 4)
+            else {
+              val multi = m.files.groupBy(e => parentOf(e.path))
+                .filter(_._2.size > 1).values.flatten.map(_.path).toSet
+              m.files.partition(e => !multi(e.path))
+            }
+          if (frags.size < 2)
+            return CompactReport(m.files.size, 0, 0, changed = false)
+          val stamp = m.txn
+          if (keep.isEmpty) {
+            // nothing linkable: the classic full rewrite
+            val current = ObjectStoreSink.readVersion(spark, spec,
+              Some(snap.version))
+            val packed =
+              if (spec.partitionBy.nonEmpty)
+                current.repartition(spec.partitionBy.map(col): _*)
+              else current.repartition(
+                math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+            ObjectStoreSink.replaceTable(spark, packed, spec, txn = stamp,
+              expectVersion = Some(snap.version))
+            CompactReport(liveFileCount(spark, spec), 0, frags.size,
+              changed = true)
+          } else {
+            val fragDf = ObjectStoreSink.readSubset(spark, snap.path,
+              spec.fileFormat, frags, m.files.size)
+            val fragBytes = frags.map(_.bytes).sum
+            val packed =
+              if (spec.partitionBy.nonEmpty)
+                fragDf.repartition(spec.partitionBy.map(col): _*)
+              else fragDf.repartition(math.max(1,
+                math.ceil(fragBytes.toDouble / targetBytes).toInt))
+            val rep = ObjectStoreSink.cowVersion(spark, packed, spec,
+              keep, fullImage = {
+                val current = ObjectStoreSink.readVersion(spark, spec,
+                  Some(snap.version))
+                if (spec.partitionBy.nonEmpty)
+                  current.repartition(spec.partitionBy.map(col): _*)
+                else current.repartition(math.max(1,
+                  math.ceil(bytes.toDouble / targetBytes).toInt))
+              }, expectVersion = Some(snap.version), txn = stamp)
+            CompactReport(liveFileCount(spark, spec), rep.filesLinked,
+              frags.size, changed = true)
+          }
+        case _ => // legacy table outside the manifest protocol: best effort
+          val current = spark.table(fq)
+          val packed =
+            if (spec.partitionBy.nonEmpty)
+              current.repartition(spec.partitionBy.map(col): _*)
+            else current.repartition(
+              math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+          ObjectStoreSink.replaceTable(spark, packed, spec)
+          CompactReport(liveFileCount(spark, spec), 0, files.size,
+            changed = true)
+      }
+    } catch {
       // lost the race to a real writer: the table moved on, this rewrite
       // is stale — drop it; the next maintenance sweep re-evaluates
-      case _: graft.sinks.ConcurrentCommitException => return files.size
+      case _: graft.sinks.ConcurrentCommitException =>
+        CompactReport(files.size, 0, 0, changed = false)
     }
-    liveFileCount(spark, spec)
   }
 
   private def locationOf(spark: SparkSession, fq: String): Path = {

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   *   VACUUM <db.table> [KEEP <n>]
   *   SHOW SNAPSHOTS <db.table>
   *   MERGE INTO <db.table> [AS] t USING <src> [AS] s ON (t.k = s.k [AND …])
-  *     WHEN MATCHED THEN UPDATE SET * | c1 = expr1, …
-  *     WHEN NOT MATCHED THEN INSERT * | (c1, …) VALUES (expr1, …)
+  *     { WHEN MATCHED [AND cond] THEN UPDATE SET *|c1 = e1, … | DELETE
+  *     | WHEN NOT MATCHED [BY TARGET] [AND cond] THEN
+  *         INSERT * | (c1, …) VALUES (e1, …)
+  *     | WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  *         UPDATE SET c1 = e1, … | DELETE }+
   *   DELETE FROM <db.table> [WHERE <pred>]
   *   UPDATE <db.table> SET c1 = expr1[, …] [WHERE <pred>]
   *   INSERT INTO <db.table> [(c1, …)] VALUES …|SELECT …   (link-append)
@@ -32,14 +35,24 @@ import org.apache.spark.sql.types._
   *   CREATE [OR REPLACE] TABLE <db.table> USING GRAFT
   *     [OPTIONS (path '…', format '…', sums 'c1,…', blooms 'c1,…')]
   *     [PARTITIONED BY (c1, …)] AS <query>
+  *   … <db.table> [FOR] VERSION|TIMESTAMP AS OF <n|'ts'> …  (time travel,
+  *     any statement shape — rewrites to a snapshot-pinned view)
   *
-  * The DML verbs are the reference's user-facing upsert surface verbatim
-  * (it GENERATED this MERGE/DELETE dialect and shipped it to Athena
+  * The DML verbs are the reference's user-facing upsert surface
+  * (it GENERATED the MERGE/DELETE dialect and shipped it to Athena
   * Iceberg — IcebergUtil.scala:124-157 buildMergeIntoSql, :90-103
-  * deleteData); here they compile onto [[graft.operators.MergeUpsert
-  * .sqlMerge]] + the versioned-dir commit protocol, CAS-pinned on the
-  * snapshot they read so a concurrent writer aborts the merge instead of
-  * being silently overwritten.
+  * deleteData; time travel is part of the same delegated Iceberg
+  * surface); here they compile onto [[graft.operators.MergeUpsert
+  * .sqlMergeClauses]] + the versioned-dir commit protocol, CAS-pinned on
+  * the snapshot they read so a concurrent writer aborts the merge
+  * instead of being silently overwritten. Selective DELETE / UPDATE /
+  * MERGE commit COPY-ON-WRITE: per-file zone-map/Bloom evidence splits
+  * the snapshot into provably-untouched files (hard-linked, stats
+  * carried) and possibly-touched ones (read + rewritten) — O(touched),
+  * never O(table). Schema-evolving ALTERs on graft tables refuse
+  * (evolution goes through a versioned commit), as do INSERT shapes the
+  * strict grammar doesn't cover — never a silent fall-through to Spark's
+  * in-place file mutation.
   *
   * Everything else — including any parse ambiguity — falls through to the
   * delegate parser verbatim, so the dialect is purely additive. Commands
@@ -580,15 +593,18 @@ object GraftSqlParser {
 
     override val output: Seq[Attribute] = Seq(
       attr("action", StringType), attr("files_before", IntegerType),
-      attr("files_after", IntegerType), attr("bytes_total", LongType))
+      attr("files_after", IntegerType), attr("bytes_total", LongType),
+      attr("files_linked", IntegerType))
 
     override def run(spark: SparkSession): Seq[Row] = {
       val (_, spec) = resolveSpec(spark, db, table)
       val before = Compaction.liveFileCount(spark, spec)
       val bytes = Compaction.liveBytes(spark, spec)
       if (zorderBy.isEmpty) {
-        val after = Compaction.compact(spark, spec, targetBytes)
-        Seq(Row("compact", before, after, bytes))
+        // incremental bin-pack (COW): right-sized files link, only the
+        // fragment tail is read and re-packed — O(fragments), not O(table)
+        val r = Compaction.compactReport(spark, spec, targetBytes)
+        Seq(Row("compact", before, r.filesAfter, bytes, r.filesLinked))
       } else {
         // pin ONE committed snapshot; CAS on it still being latest and
         // carry its txn stamp — the Compaction.compact concurrency rules
@@ -603,7 +619,7 @@ object GraftSqlParser {
           ZOrder.layout(df, zorderBy, nFiles), spec,
           txn = stamp, expectVersion = Some(snap.version))
         val after = Compaction.liveFileCount(spark, spec)
-        Seq(Row("zorder", before, after, bytes))
+        Seq(Row("zorder", before, after, bytes, 0)) // re-layout: no links
       }
     }
   }

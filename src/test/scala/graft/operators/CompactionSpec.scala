@@ -65,4 +65,59 @@ class CompactionSpec extends SparkSpec {
     n should (be >= 3 and be <= 6)
     spark.table(s"${spec.database}.${spec.table}").count() shouldBe 20000
   }
+
+  test("bin-pack is COPY-ON-WRITE: right-sized files hard-link (same " +
+    "inode), only the fragment tail is read and re-packed; content exact") {
+    val spec = freshSpec("cmpcow")
+    // one big right-sized file + a fragment tail of 8 tiny files
+    val big = (0L until 20000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+    ObjectStoreSink.replaceTable(spark, big.repartition(1), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    val bigBytes = Compaction.liveBytes(spark, spec)
+    // append 8 fragments via the link-append commit
+    ObjectStoreSink.appendVersion(spark,
+      (20000L until 20800L).map(i => (i, s"payload-$i")).toDF("id", "v")
+        .repartition(8), spec)
+    Compaction.liveFileCount(spark, spec) shouldBe 9
+    val before = spark.table(fq).orderBy("id").collect()
+    // target chosen so the big file is within the keep envelope and the
+    // fragments are provably below it
+    val r = Compaction.compactReport(spark, spec, targetBytes = bigBytes)
+    r.changed shouldBe true
+    r.filesLinked shouldBe 1
+    r.filesRewritten shouldBe 8
+    r.filesAfter shouldBe 2
+    // the kept file is the SAME inode in the new version
+    val vs = ObjectStoreSink.snapshots(spec)
+    val prev = java.nio.file.Paths.get(vs(vs.size - 2).path)
+    val live = java.nio.file.Paths.get(vs.last.path)
+    val shared = graft.sinks.TableManifest.read(prev).get.files.count { e =>
+      val a = prev.resolve(e.path); val b = live.resolve(e.path)
+      java.nio.file.Files.exists(b) && java.nio.file.Files.isSameFile(a, b)
+    }
+    shared shouldBe 1
+    spark.table(fq).orderBy("id").collect() shouldBe before
+    // a single-fragment tail has nothing to merge: no-op, no commit
+    val r2 = Compaction.compactReport(spark, spec, targetBytes = bigBytes)
+    r2.changed shouldBe false
+  }
+
+  test("partitioned COW bin-pack: single-file partitions link, multi-file " +
+    "partitions collapse to one file each; content exact") {
+    val spec = freshSpec("cmpcowp", partitionBy = Seq("p"))
+    val a = (0L until 1000L).map(i => (i, (i % 2).toInt)).toDF("id", "p")
+    ObjectStoreSink.replaceTable(spark, a.repartition(col("p")), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    // fragment ONLY partition p=1 via link-append (p cast to the
+    // partition-inference int type the table reads back)
+    ObjectStoreSink.appendVersion(spark,
+      (1000L until 1200L).filter(_ % 2 == 1).map(i => (i, 1))
+        .toDF("id", "p").repartition(4), spec)
+    val before = spark.table(fq).orderBy("id").collect()
+    val r = Compaction.compactReport(spark, spec)
+    r.changed shouldBe true
+    r.filesLinked shouldBe 1 // p=0's sole file carried
+    r.filesAfter shouldBe 2
+    spark.table(fq).orderBy("id").collect() shouldBe before
+  }
 }
