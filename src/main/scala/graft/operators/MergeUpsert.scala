@@ -108,6 +108,14 @@ object MergeUpsert {
   final case class MergeWhen(kind: MergeKind, cond: Option[Column],
       action: MergeAction)
 
+  // NOTE on cardinality: a target row matched by MORE THAN ONE source row
+  // errors REGARDLESS of which clause kinds are present (strict — ANSI
+  // requires the error only when an update/delete would apply twice, but
+  // the join-shaped plan would otherwise CARRY the multiply-matched
+  // target row once per partner, and silently duplicating a row is worse
+  // than a loud refusal). Duplicate source keys matching NO target row
+  // remain legal and insert per-row, as SQL specifies.
+
   /** Full ANSI `MERGE INTO` clause semantics (generalizing the fixed
     * matched-update + not-matched-insert pair the reference generated,
     * IcebergUtil.scala:124-157): within each category, clauses apply IN
@@ -115,8 +123,8 @@ object MergeUpsert {
     * fires for carries over (matched / target-only) or is discarded
     * (source-only). `WHEN MATCHED … DELETE` drops the row; `WHEN NOT
     * MATCHED BY SOURCE` reaches target rows with NO join partner.
-    * Cardinality: a target row matched by >1 source row errors whenever
-    * a matched clause exists ([[requireSingleMatch]]).
+    * Cardinality: a target row matched by >1 source row always errors
+    * ([[requireSingleMatch]] — see the strictness note on [[MergeWhen]]).
     *
     * Scale: still ONE equi-join hashed on the ON keys plus a single
     * projection — the clause chain compiles to a branch-index column
@@ -136,8 +144,7 @@ object MergeUpsert {
         "INSERT is only valid in WHEN NOT MATCHED [BY TARGET] clauses")
       case _ => ()
     }
-    if (clauses.exists(_.kind == Matched))
-      requireSingleMatch(target, source, keys)
+    requireSingleMatch(target, source, keys)
     val tm = "_graft_merge_t"
     val sm = "_graft_merge_s"
     val act = "_graft_merge_a"
