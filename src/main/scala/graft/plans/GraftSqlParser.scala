@@ -210,11 +210,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "supported: INSERT INTO|OVERWRITE [TABLE] db.t [(cols)] " +
             "VALUES …|SELECT …|WITH …|TABLE … (no PARTITION clause, no " +
             "backticks; partition columns are ordinary columns of the batch)")
+        case AddColumnsRe(ident, cols) =>
+          // widening evolution IS supported — as a versioned METADATA-ONLY
+          // commit (every file hard-linked, a _schema.json sidecar pins
+          // the widened shape), never Spark's in-place catalog mutation
+          val (db, t) = split(ident.replace("`", ""))
+          onlyIfOurs(db, t, sqlText)(AddColumnsCommand(db, t, cols))
         case AlterColumnsRe(ident) => refuseIfOurs(ident, sqlText,
           "in-place column DDL would change the catalog schema behind the " +
-            "versioned manifest — evolve a graft table through a versioned " +
-            "commit instead (CREATE OR REPLACE TABLE … USING GRAFT AS " +
-            "SELECT …, or INSERT OVERWRITE with the new shape)")
+            "versioned manifest — widen with ALTER TABLE … ADD COLUMNS " +
+            "(a metadata-only versioned commit) or reshape through " +
+            "CREATE OR REPLACE TABLE … USING GRAFT AS SELECT …")
         case _ => delegate.parsePlan(sqlText)
       }
   }
@@ -425,6 +431,11 @@ object GraftSqlParser {
   private[plans] val InsertAnyRe =
     ("""(?is)\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + QIdent +
       """[\s(].*""").r
+  // ADD COLUMNS (widening) intercepts FIRST as a metadata-only versioned
+  // commit; every other column DDL refuses on graft tables
+  private[plans] val AddColumnsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
   private[plans] val AlterColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+(?:ADD|REPLACE|CHANGE|ALTER|DROP|RENAME)\s+COLUMNS?\b.*""").r
@@ -1218,6 +1229,31 @@ object GraftSqlParser {
       minInner >= 0 && depth == 0
     }) s = s.substring(1, s.length - 1).trim
     s
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS (c type, …)` on a versioned table: a
+    * METADATA-ONLY widening commit — every prior data file hard-links
+    * into the next version and a `_schema.json` sidecar pins the widened
+    * shape, so the statement costs O(files) whatever the table size and
+    * existing rows surface the new columns as NULL
+    * ([[ObjectStoreSink.evolveSchema]]; the Iceberg/Delta evolution
+    * discipline — the reference's Athena Iceberg tables evolve the same
+    * way). Time travel keeps each version's own shape.
+    */
+  final case class AddColumnsCommand(db: Option[String], table: String,
+      colsText: String) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("cols_added", IntegerType), attr("files_linked", IntegerType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val schema = spark.sessionState.sqlParser.parseTableSchema(colsText)
+      val rep = ObjectStoreSink.evolveSchema(spark, spec, schema)
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(schema.size, rep.filesLinked, after.version))
+    }
   }
 
   /** `SHOW SNAPSHOTS`: the committed-version inventory, oldest → newest —

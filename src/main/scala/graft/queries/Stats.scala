@@ -1395,6 +1395,71 @@ object Stats {
       Some("""SELECT p_partkey, p_name, p_retailprice
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- SQL schema evolution (metadata-only widening) --------------------
+    // `ALTER TABLE … ADD COLUMNS` as a VERSIONED commit that reads and
+    // writes ZERO data: every prior file hard-links (REQUIREd: the
+    // report's files_linked equals the snapshot's file count AND the
+    // inodes are shared on disk) and a _schema.json sidecar pins the
+    // widened shape — the Iceberg/Delta evolution discipline (the
+    // reference's lake tables are Athena Iceberg, which evolves the same
+    // way; Spark's own v1 ALTER would mutate the catalog behind the
+    // manifest). The fixture then exercises the widened table through
+    // the whole DML surface — INSERT with the new arity, an UPDATE
+    // filling the new column over MIXED old/new files — and REQUIREs
+    // time travel to keep the pre-evolution shape. The oracle replays
+    // the final image relationally.
+    QueryDef(
+      "q_sql_evolve",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqlevolve")
+        s.sql("DROP TABLE IF EXISTS graft_ops.evo_part")
+        t(s, d, "part").select(col("p_partkey"), col("p_name"),
+          col("p_retailprice")).createOrReplaceTempView("evo_src")
+        s.sql(
+          s"""CREATE TABLE graft_ops.evo_part USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT p_partkey, p_name FROM evo_src
+             |WHERE p_partkey % 3 <> 0""".stripMargin).collect()
+        val fq = "graft_ops.evo_part"
+        val nFiles = s.sql(s"SHOW SNAPSHOTS $fq").collect().last.getInt(4)
+        val r = s.sql(s"ALTER TABLE $fq ADD COLUMNS (price DOUBLE)")
+          .collect()(0)
+        require(r.getInt(0) == 1 && r.getInt(1) == nFiles,
+          s"evolution must LINK all $nFiles files (report: $r)")
+        // the links are real inodes, not copies
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops", "evo_part")
+        val vs = graft.sinks.ObjectStoreSink.snapshots(spec)
+        val prev = java.nio.file.Paths.get(vs(vs.size - 2).path)
+        val live = java.nio.file.Paths.get(vs.last.path)
+        val shared = graft.sinks.TableManifest.read(prev).get.files.count { e =>
+          val a = prev.resolve(e.path); val b = live.resolve(e.path)
+          java.nio.file.Files.exists(b) &&
+            java.nio.file.Files.isSameFile(a, b)
+        }
+        require(shared == nFiles,
+          s"evolution shared $shared/$nFiles inodes — it rewrote data")
+        require(s.table(fq).where("price IS NOT NULL").count() == 0L,
+          "pre-evolution rows must read the new column as NULL")
+        // the widened arity is live for INSERT of the held-out rows
+        s.sql(s"""INSERT INTO $fq
+                 |SELECT p_partkey, p_name, p_retailprice FROM evo_src
+                 |WHERE p_partkey % 3 = 0""".stripMargin).collect()
+        // an UPDATE over MIXED old/new files fills the new column
+        s.sql(s"UPDATE $fq SET price = 0.0 WHERE pmod(p_partkey, 10) = 0")
+          .collect()
+        // time travel keeps each version's own shape
+        require(s.sql(s"SELECT * FROM $fq VERSION AS OF 1")
+          .columns.length == 2,
+          "the pre-evolution snapshot must keep the 2-column shape")
+        s.sql(s"""SELECT p_partkey, p_name, price
+                 |FROM $fq ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name,
+             |  CASE WHEN p_partkey % 10 = 0 THEN 0.0
+             |       WHEN p_partkey % 3 = 0 THEN p_retailprice
+             |       ELSE NULL END AS price
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):

@@ -2,7 +2,7 @@ package graft.sinks
 
 import graft.model.{ObjectStoreSpec, PipelineSpecException}
 import graft.operators.MergeUpsert
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
@@ -378,6 +378,52 @@ object ObjectStoreSink {
         fresh = freshRows, fullImage = fullImage, txn)
     }
 
+  /** Metadata-only schema evolution: commit the NEXT version as every
+    * prior data file HARD-LINKED verbatim plus a `_schema.json` sidecar
+    * pinning the WIDENED schema — zero data read, zero data written,
+    * O(files) metadata ops whatever the table size (the Iceberg/Delta
+    * "schema evolution is a metadata operation" discipline; Spark's v1
+    * ALTER would instead mutate the catalog schema behind the manifest).
+    * Parquet schema-on-read then surfaces the added columns as NULL for
+    * every linked file, while later writes (COW DML, link-appends)
+    * carry the sidecar forward so mixed old/new files always read under
+    * the pinned shape. Added columns are forced nullable and are
+    * inserted BEFORE the partition columns (datasource tables require
+    * partition columns last). Time travel is unaffected: each version
+    * reads under its own sidecar (or schema-on-read when none). A
+    * drifted prior version degrades to a full rewrite of the widened
+    * image — evolution is never a correctness dependency.
+    */
+  def evolveSchema(spark: SparkSession, spec: ObjectStoreSpec,
+      addCols: org.apache.spark.sql.types.StructType): LinkCommitReport =
+    lockFor(spec).synchronized {
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.types.StructType
+      val fq = s"${spec.database}.${spec.table}"
+      val snap = snapshots(spec).lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to evolve"))
+      val prevRead = readVersion(spark, spec, Some(snap.version))
+      val clash = addCols.fieldNames.filter(n =>
+        prevRead.columns.exists(_.equalsIgnoreCase(n)))
+      if (clash.nonEmpty) throw new PipelineSpecException(
+        s"ADD COLUMNS on $fq: column(s) already exist: ${clash.mkString(", ")}")
+      val (dataF, partF) = prevRead.schema.fields.partition(f =>
+        !spec.partitionBy.exists(_.equalsIgnoreCase(f.name)))
+      val widened = StructType(
+        dataF ++ addCols.fields.map(_.copy(nullable = true)) ++ partF)
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], widened)
+      def fullImage: DataFrame = {
+        val withCols = addCols.fields.foldLeft(prevRead)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        withCols.select(widened.fieldNames.map(col).toIndexedSeq: _*)
+      }
+      linkCommitLocked(spark, spec, fq, snap, carriedWanted = None,
+        fresh = fresh, fullImage = fullImage, txn = None,
+        pinSchema = Some(widened))
+    }
+
   private def guardSchemaAligned(fq: String, prevRead: DataFrame,
       batch: DataFrame, verb: String): Unit = {
     val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -403,7 +449,9 @@ object ObjectStoreSink {
       fq: String, snap: Snapshot,
       carriedWanted: Option[Seq[TableManifest.FileEntry]],
       fresh: DataFrame, fullImage: => DataFrame,
-      txn: Option[TableManifest.TxnStamp]): LinkCommitReport = {
+      txn: Option[TableManifest.TxnStamp],
+      pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : LinkCommitReport = {
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
     val prevDir = Paths.get(snap.path)
     def fullRewrite(): LinkCommitReport = {
@@ -455,19 +503,26 @@ object ObjectStoreSink {
     if (!intact) { deleteTree(next); return fullRewrite() }
     val carriedEntries = carried.result()
 
-    // an empty fresh image over zero carried files leaves a schema-less
-    // dir — pin the prior image's schema (same sidecar contract as
-    // replaceTable's empty commits)
-    val reread =
-      if (TableManifest.dataFiles(next).nonEmpty)
+    // Schema pinning: an explicit pin (schema evolution) or a sidecar
+    // CARRIED from the prior version (evolved tables whose linked old
+    // files lack the added columns — schema-on-read from a sampled old
+    // file would silently NARROW the table) publishes forward; an empty
+    // image with no pin falls back to the prior image's schema (same
+    // sidecar contract as replaceTable's empty commits).
+    val carriedPin = pinSchema.orElse(sidecarSchema(prevDir))
+    val reread = carriedPin match {
+      case Some(sch) =>
+        TableManifest.publisher.publish(next, SchemaSidecarName, sch.json)
+        spark.read.schema(sch).format(spec.fileFormat).load(next.toString)
+      case None if TableManifest.dataFiles(next).nonEmpty =>
         spark.read.format(spec.fileFormat).load(next.toString)
-      else {
+      case None =>
         val prevRead = readVersion(spark, spec, Some(snap.version))
         TableManifest.publisher.publish(next, SchemaSidecarName,
           prevRead.schema.json)
         spark.read.schema(prevRead.schema)
           .format(spec.fileFormat).load(next.toString)
-      }
+    }
     val manifest0 = TableManifest.commitCarried(next, schemaHash(reread),
       spec.fileFormat, txn, carriedEntries)
     // carried entries keep their recorded sums verbatim (same immutable
@@ -614,18 +669,25 @@ object ObjectStoreSink {
     */
   private[graft] val SchemaSidecarName = "_schema.json"
 
+  /** The committed schema pinned by a version dir's `_schema.json`
+    * sidecar, when present (empty images; schema-evolved tables whose
+    * linked old files lack the added columns).
+    */
+  private[graft] def sidecarSchema(
+      versionDir: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val sidecar = versionDir.resolve(SchemaSidecarName)
+    if (!Files.exists(sidecar)) None
+    else
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(Files.readString(sidecar))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None }
+  }
+
   def readVersion(spark: SparkSession, spec: ObjectStoreSpec,
       version: Option[Int] = None): DataFrame = {
     val snapPath = resolveSnapshot(spec, version).path
-    val sidecar = Paths.get(snapPath).resolve(SchemaSidecarName)
-    val pinned =
-      if (!Files.exists(sidecar)) None
-      else
-        try Some(org.apache.spark.sql.types.DataType
-          .fromJson(Files.readString(sidecar))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        catch { case _: Exception => None }
-    pinned match {
+    sidecarSchema(Paths.get(snapPath)) match {
       case Some(schema) =>
         spark.read.schema(schema).format(spec.fileFormat).load(snapPath)
       case None => spark.read.format(spec.fileFormat).load(snapPath)
@@ -689,10 +751,13 @@ object ObjectStoreSink {
       totalFiles: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val vdir = Paths.get(snapPath)
-    if (kept.size == totalFiles) spark.read.format(fileFormat).load(snapPath)
-    else if (kept.isEmpty)
-      spark.read.format(fileFormat).load(snapPath).where(lit(false))
-    else spark.read.format(fileFormat).option("basePath", snapPath)
+    // honor the version's pinned schema (schema-evolved tables: a subset
+    // of OLD files would otherwise schema-on-read NARROWER than the table)
+    val reader0 = spark.read.format(fileFormat)
+    val reader = sidecarSchema(vdir).fold(reader0)(reader0.schema)
+    if (kept.size == totalFiles) reader.load(snapPath)
+    else if (kept.isEmpty) reader.load(snapPath).where(lit(false))
+    else reader.option("basePath", snapPath)
       .load(kept.map(f => vdir.resolve(f.path).toString): _*)
   }
 

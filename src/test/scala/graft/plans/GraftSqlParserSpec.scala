@@ -922,14 +922,17 @@ class GraftSqlParserSpec extends SparkSpec {
     e.getMessage should include("refusing to delegate")
   }
 
-  test("schema-evolving ALTER on a graft table refuses (the catalog schema " +
-    "must never drift behind the manifest); a foreign table's ALTER " +
-    "delegates and applies") {
+  test("non-widening column DDL on a graft table refuses (the catalog " +
+    "schema must never drift behind the manifest); a foreign table's " +
+    "ALTER delegates and applies") {
     val spec = commit("altref", 10, 1)
     val fq = s"${spec.database}.${spec.table}"
     val e = the[graft.model.PipelineSpecException] thrownBy spark.sql(
-      s"ALTER TABLE $fq ADD COLUMNS (extra INT)")
-    e.getMessage should include("versioned commit")
+      s"ALTER TABLE $fq DROP COLUMN grp")
+    e.getMessage should include("ADD COLUMNS")
+    val e2 = the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"ALTER TABLE $fq RENAME COLUMN grp TO g2")
+    e2.getMessage should include("versioned")
     spark.table(fq).columns.toSeq shouldBe Seq("id", "grp")
     // foreign external parquet table: Spark applies ADD COLUMNS normally
     val dir = scratchDir("altref_plain").getAbsolutePath + "/aloc"
@@ -941,6 +944,58 @@ class GraftSqlParserSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft_sqlm_altref.plain ADD COLUMNS (extra INT)")
     spark.table("graft_sqlm_altref.plain").columns.toSeq shouldBe
       Seq("id", "extra")
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a METADATA-ONLY versioned commit: all " +
+    "files hard-link, old rows read NULL, INSERT and COW DML work under " +
+    "the widened shape, time travel keeps each version's own shape") {
+    val spec = commitClustered("evolve", 2000, 4)
+    val fq = s"${spec.database}.${spec.table}"
+    val r = spark.sql(
+      s"ALTER TABLE $fq ADD COLUMNS (score DOUBLE, note STRING)")
+      .collect().head
+    r.getInt(0) shouldBe 2
+    r.getInt(1) shouldBe 4 // every prior file linked, none read
+    sharedInodes(spec) shouldBe 4
+    spark.table(fq).columns.toSeq shouldBe Seq("id", "v", "score", "note")
+    spark.table(fq).where("score IS NOT NULL").count() shouldBe 0L
+    spark.table(fq).count() shouldBe 2000L
+    // the widened arity is live for INSERT (link-append carries the pin)
+    spark.sql(s"INSERT INTO $fq VALUES (99999, 1, 2.5, 'hi')").collect()
+    spark.table(fq).where("note = 'hi'").count() shouldBe 1L
+    // COW DELETE over MIXED old/new files reads under the pinned shape
+    val rDel = spark.sql(
+      s"DELETE FROM $fq WHERE id BETWEEN 0 AND 100").collect().head
+    rDel.getLong(1) shouldBe 101L
+    rDel.getInt(3) shouldBe 4 // 4 of 5 files provably untouched
+    spark.table(fq).count() shouldBe 1900L
+    spark.table(fq).columns.length shouldBe 4
+    // time travel: the pre-evolution image keeps the OLD shape
+    spark.sql(s"SELECT * FROM $fq VERSION AS OF 1").columns.toSeq shouldBe
+      Seq("id", "v")
+    // duplicate names refuse (case-insensitive)
+    (the[graft.model.PipelineSpecException] thrownBy spark.sql(
+      s"ALTER TABLE $fq ADD COLUMNS (V BIGINT)")).getMessage should
+      include("already exist")
+  }
+
+  test("partitioned evolution: added columns land BEFORE the partition " +
+    "columns, partitions keep working, and later commits carry the pin") {
+    val spec = ObjectStoreSpec(path = scratchDir("evolvep").getAbsolutePath,
+      database = "graft_sqlm_evolvep", table = "t", partitionBy = Seq("p"))
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, 300).toDF("id")
+        .withColumn("p", (col("id") % 3).cast("int")), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    spark.sql(s"ALTER TABLE $fq ADD COLUMNS (w BIGINT)").collect()
+    spark.table(fq).columns.toSeq shouldBe Seq("id", "w", "p")
+    spark.table(fq).where("p = 1").count() shouldBe 100L
+    spark.sql(s"INSERT INTO $fq VALUES (9999, 7, 1)").collect()
+    spark.table(fq).where("w = 7").collect().head.getInt(2) shouldBe 1
+    // a later UPDATE (full path) materializes and keeps the shape exact
+    spark.sql(s"UPDATE $fq SET w = id WHERE p = 2").collect()
+    spark.table(fq).where("p = 2 AND w IS NULL").count() shouldBe 0L
+    spark.table(fq).where("p = 0 AND w IS NOT NULL").count() shouldBe 0L
   }
 
   test("a temp view SHADOWING a graft table name keeps the plain verbs " +

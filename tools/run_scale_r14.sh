@@ -22,6 +22,7 @@ OPENS=$(for p in java.base/java.lang java.base/java.lang.invoke \
 
 declare -A FAM
 FAM[R14A]="q_sql_merge_delete q_sql_dml_cow q_sql_time_travel"
+FAM[R14D]="q_sql_evolve"
 FAM[R14B]="q_sql_delete q_sql_update q_sql_merge q_sql_insert q_sql_overwrite q_sql_ctas q_sql_maintenance q_meta_agg_sum"
 FAM[R14C]="q_containment_pairs q_jaccard_pairs q_incremental_dedup q_dedup_clusters q_domain_overlap q_bigram_likelihood q_ccnet_buckets q_embed_clusters"
 
