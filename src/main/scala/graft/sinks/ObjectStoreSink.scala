@@ -783,7 +783,15 @@ object ObjectStoreSink {
     candidate match {
       case Some(latest) =>
         spark.sql(s"CREATE DATABASE IF NOT EXISTS ${spec.database}")
-        val reread = spark.read.format(spec.fileFormat).load(latest.toString)
+        // honor the version's pinned schema: recovering a schema-EVOLVED
+        // table from its (older, narrower) data files alone would
+        // silently drop the added columns from the catalog
+        val reread = sidecarSchema(latest) match {
+          case Some(sch) =>
+            spark.read.schema(sch).format(spec.fileFormat).load(latest.toString)
+          case None =>
+            spark.read.format(spec.fileFormat).load(latest.toString)
+        }
         if (!TableManifest.isCommitted(latest)) // legacy adoption
           TableManifest.commit(latest, schemaHash(reread), spec.fileFormat): Unit
         CommitLog.record(tableDir, versionNumber(latest))

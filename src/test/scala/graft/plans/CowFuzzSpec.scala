@@ -57,7 +57,7 @@ class CowFuzzSpec extends SparkSpec {
 
   private def predicates(rnd: scala.util.Random, n: Int): String = {
     val a = rnd.nextInt(n); val b = a + rnd.nextInt(n / 2 + 1)
-    rnd.nextInt(8) match {
+    rnd.nextInt(10) match {
       case 0 => s"id BETWEEN $a AND $b"
       case 1 => s"id = $a"
       case 2 => s"id IN ($a, ${a + 7}, ${b})"
@@ -65,6 +65,8 @@ class CowFuzzSpec extends SparkSpec {
       case 4 => s"pmod(id, ${2 + rnd.nextInt(9)}) = 0" // opaque: full rewrite
       case 5 => s"s LIKE '${('a' + rnd.nextInt(7)).toChar}%'"
       case 6 => s"id < $a OR id > ${math.max(b, n - 50)}"
+      case 7 => s"p = ${rnd.nextInt(5)}" // partition-dir evidence domain
+      case 8 => s"p IN (${rnd.nextInt(5)}, ${rnd.nextInt(5)}) AND id <= $b"
       case _ => "v IS NULL"
     }
   }

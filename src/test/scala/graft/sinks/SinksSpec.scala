@@ -322,4 +322,25 @@ class SinksSpec extends SparkSpec {
     spark.table(fq).count() shouldBe 40L
     spark.table(fq).agg(min("id")).head.getLong(0) shouldBe 100L
   }
+
+  test("recoverTable honors the pinned schema sidecar: a schema-EVOLVED " +
+    "table recovers with its widened shape, not the data files' narrower " +
+    "one") {
+    val ss2 = spark
+    import ss2.implicits._
+    val spec = graft.model.ObjectStoreSpec(
+      path = scratchDir("recoverevolved").toString,
+      database = "graft_test", table = s"rcv_${System.nanoTime()}")
+    val fq = ObjectStoreSink.replaceTable(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), spec)
+    ObjectStoreSink.evolveSchema(spark, spec,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))))
+    spark.sql(s"DROP TABLE $fq") // catalog entry lost
+    ObjectStoreSink.recoverTable(spark, spec) shouldBe true
+    spark.table(fq).columns.toSeq shouldBe Seq("id", "v", "extra")
+    spark.table(fq).where("extra IS NOT NULL").count() shouldBe 0L
+    spark.table(fq).count() shouldBe 50L
+  }
 }
