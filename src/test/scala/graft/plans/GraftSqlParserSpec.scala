@@ -878,6 +878,31 @@ class GraftSqlParserSpec extends SparkSpec {
     e should not be a[graft.model.PipelineSpecException]
   }
 
+  test("cowVersion CAS: a stale expected version aborts instead of " +
+    "resurrecting pre-commit content over a racing writer; stale carried " +
+    "entries degrade to a correct full rewrite") {
+    val spec = commitClustered("cowcas", 400, 2)
+    val fq = s"${spec.database}.${spec.table}"
+    val m1 = TableManifest.read(java.nio.file.Paths.get(
+      ObjectStoreSink.snapshots(spec).last.path)).get
+    // another writer commits first → the pinned-version COW must abort
+    ObjectStoreSink.replaceTable(spark,
+      spark.table(fq).where("id < 300"), spec)
+    a[graft.sinks.ConcurrentCommitException] should be thrownBy
+      ObjectStoreSink.cowVersion(spark,
+        spark.table(fq).limit(0), spec, m1.files,
+        fullImage = spark.table(fq), expectVersion = Some(1))
+    // carried entries not in the LIVE manifest (v1's names) degrade the
+    // commit to the full image, never a guess
+    val rep = ObjectStoreSink.cowVersion(spark,
+      spark.table(fq).limit(0), spec, m1.files,
+      fullImage = ObjectStoreSink.readVersion(spark, spec)
+        .where("id >= 100"),
+      expectVersion = Some(2))
+    rep.degraded shouldBe true
+    spark.table(fq).count() shouldBe 200L // 100..299
+  }
+
   test("INSERT variants outside the strict shapes REFUSE on a graft table " +
     "instead of delegating to Spark's destructive v1 insert (r13 advice); " +
     "foreign tables still delegate untouched") {
