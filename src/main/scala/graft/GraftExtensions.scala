@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dim-driven join file pruning, and materialized-view rewrite — see
     // graft.plans.MetaAggRule / ZoneMapScanRule / JoinPruneRule /
     // MvRewriteRule
+    // RefResolveRule runs FIRST: reference-mode manifests must resolve to
+    // their physical file set before the per-file evidence seams look
+    ext.injectOptimizerRule(_ => graft.plans.RefResolveRule)
     ext.injectOptimizerRule(_ => graft.plans.MetaAggRule)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanRule)
     ext.injectOptimizerRule(_ => graft.plans.JoinPruneRule)
@@ -54,8 +57,9 @@ object GraftExtensions {
     functions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, ident, info, builder)
     }
-    val rules = Seq(graft.plans.MetaAggRule, graft.plans.ZoneMapScanRule,
-      graft.plans.JoinPruneRule, graft.plans.MvRewriteRule)
+    val rules = Seq(graft.plans.RefResolveRule, graft.plans.MetaAggRule,
+      graft.plans.ZoneMapScanRule, graft.plans.JoinPruneRule,
+      graft.plans.MvRewriteRule)
     val extra = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       extra ++ rules.filterNot(extra.contains)

@@ -61,9 +61,14 @@ object Vacuum {
     graft.sinks.ObjectStoreSink.withTableLock(tableDir) {
       // same retention rule as the commit path: committed versions
       // retire graceMs after their _superseded stamp (never from write
-      // mtime); uncommitted crash leftovers once quiescent for the grace
-      val retiring = versions.dropRight(keep)
-        .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs))
+      // mtime); uncommitted crash leftovers once quiescent for the grace.
+      // Reference-mode reachability rides on top: a dir whose files a
+      // surviving manifest still references is pinned however old it is
+      // (ObjectStoreSink.unreferencedOnly — the expire-snapshots vs
+      // orphan-files distinction).
+      val retiring = graft.sinks.ObjectStoreSink.unreferencedOnly(versions,
+        versions.dropRight(keep)
+          .filter(p => graft.sinks.TableManifest.retirable(p, now, graceMs)))
       retiring.foreach { p =>
         freed += treeBytes(p)
         deleteTree(p)

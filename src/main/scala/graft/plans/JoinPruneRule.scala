@@ -219,7 +219,8 @@ object JoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
           val rep = ZoneMap.PruneReport(m.files.size, kept.size,
             totalBytes, kept.map(_.bytes).sum)
           Some(new ZoneMapPrunedIndex(hfs.location,
-            kept.map(fe => root.resolve(fe.path).normalize.toString).toSet,
+            kept.map(fe => graft.sinks.TableManifest
+              .resolved(root, fe).normalize.toString).toSet,
             rep))
         }
       }

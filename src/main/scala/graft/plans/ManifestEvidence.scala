@@ -19,12 +19,21 @@ import org.apache.spark.sql.execution.datasources.HadoopFsRelation
   */
 private[plans] object ManifestEvidence {
 
-  /** The manifest governing this parquet scan plus the scan's
-    * manifest-relative file list — `scanned ⊆ manifest` NOT yet checked;
-    * use [[exact]] or [[covering]].
+  /** The manifest governing this parquet scan plus the scan's files as
+    * RESOLVED absolute paths — `scanned ⊆ manifest` NOT yet checked; use
+    * [[exact]] or [[covering]]. Resolution is by PHYSICAL identity
+    * ([[TableManifest.resolved]]), so reference-mode manifests — whose
+    * entries point at files physically owned by sibling version dirs —
+    * vouch exactly like link-mode ones. Roots ascending to SEVERAL
+    * manifest dirs qualify when all are versions of one table (same
+    * parent): the NEWEST sibling's manifest governs — per-file stats are
+    * truths about immutable physical files, so any manifest whose
+    * resolved entries cover the scan vouches soundly, and the newest is
+    * the one a reference-resolved scan (files spanning versions) lists.
     */
   private def manifestFor(hfs: HadoopFsRelation)
-      : Option[(Path, TableManifest.Manifest, Seq[String])] = {
+      : Option[(Path, TableManifest.Manifest, Seq[String],
+          Map[String, TableManifest.FileEntry])] = {
     if (!hfs.fileFormat.isInstanceOf[
       org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
       return None
@@ -34,11 +43,19 @@ private[plans] object ManifestEvidence {
       val dirs = roots.map(r => ascendToManifest(Paths.get(r.toUri)))
       if (dirs.exists(_.isEmpty)) return None
       val distinct = dirs.flatten.distinct
-      if (distinct.size != 1) return None // roots under different commits
-      val root = distinct.head
+      val root = distinct match {
+        case Seq(one) => one
+        case several
+            if several.map(_.getParent.normalize).distinct.size == 1 =>
+          several.maxBy(_.getFileName.toString)
+        case _ => return None // roots under different tables
+      }
       cachedRead(root).map { m =>
-        (root, m, hfs.location.inputFiles.toSeq
-          .map(u => root.relativize(Paths.get(new java.net.URI(u))).toString))
+        val resolvedMap = m.files.map(e =>
+          TableManifest.resolved(root, e).normalize.toString -> e).toMap
+        val scanned = hfs.location.inputFiles.toSeq
+          .map(u => Paths.get(new java.net.URI(u)).normalize.toString)
+        (root, m, scanned, resolvedMap)
       }
     } catch { case _: Exception => None } // relative/remote/foreign paths
   }
@@ -54,7 +71,7 @@ private[plans] object ManifestEvidence {
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     (String, java.nio.file.attribute.FileTime, Long), Option[TableManifest.Manifest]]()
 
-  private def cachedRead(root: Path): Option[TableManifest.Manifest] = {
+  private[plans] def cachedRead(root: Path): Option[TableManifest.Manifest] = {
     val mf = root.resolve(TableManifest.ManifestName)
     val key = (mf.toString, Files.getLastModifiedTime(mf), Files.size(mf))
     if (manifestCache.size > 256) manifestCache.clear()
@@ -76,8 +93,9 @@ private[plans] object ManifestEvidence {
     */
   def exact(hfs: HadoopFsRelation): Option[TableManifest.Manifest] =
     manifestFor(hfs).collect {
-      case (_, m, scanned)
-          if scanned.sorted == m.files.map(_.path).sorted => m
+      case (_, m, scanned, resolvedMap)
+          if scanned.size == m.files.size &&
+            scanned.toSet == resolvedMap.keySet => m
     }
 
   /** Per-file gate (zone-map pruning): every scanned file is IN the
@@ -88,9 +106,8 @@ private[plans] object ManifestEvidence {
     */
   def covering(hfs: HadoopFsRelation)
       : Option[(Path, TableManifest.Manifest)] =
-    manifestFor(hfs).flatMap { case (root, m, scanned) =>
-      val byPath = m.files.map(f => f.path -> f).toMap
-      val entries = scanned.map(byPath.get)
+    manifestFor(hfs).flatMap { case (root, m, scanned, resolvedMap) =>
+      val entries = scanned.map(resolvedMap.get)
       if (entries.exists(_.isEmpty)) None // a file the manifest can't vouch for
       else Some((root, m.copy(files = entries.flatten)))
     }

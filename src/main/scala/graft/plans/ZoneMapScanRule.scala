@@ -98,8 +98,8 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
             totalBytes, kept.map(_.bytes).sum)
           if (rep.filesSkipped == 0) None // nothing provable — don't touch
           else {
-            val keep = kept
-              .map(fe => root.resolve(fe.path).normalize.toString).toSet
+            val keep = kept.map(fe => graft.sinks.TableManifest
+              .resolved(root, fe).normalize.toString).toSet
             Some(new ZoneMapPrunedIndex(hfs.location, keep, rep))
           }
         }

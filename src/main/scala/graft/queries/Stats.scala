@@ -1623,5 +1623,133 @@ object Stats {
              |SELECT o_orderkey, o_orderstatus, CAST(amount AS DOUBLE) AS amount
              |FROM t3
              |WHERE (o_orderkey % 97) <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- SQL DML copy-on-write, REFERENCE MODE (object stores) ------------
+    // The same COW lifecycle as q_sql_dml_cow run under the reference-
+    // carrying commit backend (CommitPublisher.carryByReference — the
+    // object-store deployment shape, where hard links don't exist): the
+    // untouched files must carry as MANIFEST REFERENCES into prior version
+    // dirs with ZERO bytes copied — REQUIREd three ways: the commands'
+    // files_linked reports, every carried entry holding a `ref` whose
+    // LOGICAL path is physically ABSENT from the live dir (nothing was
+    // linked or copied), and the referenced files resolving in their
+    // owning dirs. Reads exercise every resolution path: the catalog SQL
+    // read (RefResolveRule), the versioned read, and time travel. The
+    // oracle replays the identical verb sequence relationally — and is
+    // deliberately the SAME algebra as q_sql_dml_cow's: reference mode
+    // must be invisible to results.
+    QueryDef(
+      "q_sql_dml_cow_ref",
+      (s, d) => {
+        val spec = graft.model.ObjectStoreSpec(
+          path = graft.Scratch.fresh("graft-sqlcowref"),
+          database = "graft_ops", table = "cowref_ord",
+          writeMode = "overwrite", deleteBeforeWrite = true)
+        val seed = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(14,2)").as("amount"))
+        graft.sinks.ObjectStoreSink.replaceTable(s,
+          seed.repartitionByRange(4, col("o_orderkey")), spec)
+        val fq = "graft_ops.cowref_ord"
+        def liveRefs(): Seq[graft.sinks.TableManifest.FileEntry] = {
+          val live = java.nio.file.Paths.get(
+            graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+          val m = graft.sinks.TableManifest.read(live).get
+          m.files.filter(_.ref.nonEmpty).map { e =>
+            require(!java.nio.file.Files.exists(live.resolve(e.path)),
+              s"carried entry ${e.path} exists PHYSICALLY in the live " +
+                "dir — reference mode copied or linked bytes")
+            require(java.nio.file.Files.isRegularFile(
+              graft.sinks.TableManifest.resolved(live, e)),
+              s"reference ${e.ref} does not resolve")
+            e
+          }
+        }
+        val mx = seed.agg(max("o_orderkey")).head.getLong(0)
+        val k1 = mx / 8
+        val k2 = mx - mx / 8
+        val prevPub = graft.sinks.TableManifest.publisher
+        graft.sinks.TableManifest.publisher =
+          graft.sinks.ReferenceCommitPublisher
+        try {
+          val r1 = s.sql(s"DELETE FROM $fq WHERE o_orderkey < $k1")
+            .collect()(0)
+          require(r1.getLong(1) > 0 && r1.getInt(3) == 3,
+            s"reference DELETE did not carry 3 of 4 files: $r1")
+          require(liveRefs().size == 3,
+            "DELETE must carry 3 files as manifest references")
+          val expectUpd = s.table(fq).where(col("o_orderkey") >= k2).count()
+          val r2 = s.sql(
+            s"""UPDATE $fq SET amount = amount * 2
+               |WHERE o_orderkey >= $k2""".stripMargin).collect()(0)
+          require(r2.getLong(1) == expectUpd && r2.getInt(3) == 3,
+            s"reference UPDATE wrong (expected $expectUpd matched, 3 " +
+              s"carried): $r2")
+          require(liveRefs().size == 3,
+            "UPDATE must carry 3 files as manifest references")
+          val top2 = s.table(fq).orderBy(col("o_orderkey").desc)
+            .limit(2).select("o_orderkey").collect().map(_.getLong(0))
+          import s.implicits._
+          (top2.map(k => (k, BigDecimal("111.11"))) :+
+            ((9000000001L, BigDecimal("222.22")))).toSeq
+            .toDF("o_orderkey", "amount")
+            .select(col("o_orderkey"), col("amount").cast("decimal(14,2)")
+              .as("amount"))
+            .createOrReplaceTempView("cowref_msrc")
+          val r3 = s.sql(
+            s"""MERGE INTO $fq t USING cowref_msrc s
+               |ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET amount = s.amount
+               |WHEN NOT MATCHED THEN
+               |  INSERT (o_orderkey, o_orderstatus, amount)
+               |  VALUES (s.o_orderkey, 'N', s.amount)""".stripMargin)
+            .collect()(0)
+          require(r3.getLong(2) == r3.getLong(1) + 1 && r3.getInt(4) == 3,
+            s"reference MERGE wrong (expected +1 row, 3 carried): $r3")
+          // evidence-free predicate: still degrades to the full rewrite,
+          // which drops every reference (the new version owns its image)
+          val r4 = s.sql(s"DELETE FROM $fq WHERE pmod(o_orderkey, 97) = 0")
+            .collect()(0)
+          require(r4.getLong(1) > 0 && r4.getInt(3) == 0,
+            s"no-evidence DELETE must degrade to a full rewrite: $r4")
+          require(liveRefs().isEmpty,
+            "a full rewrite must not carry references")
+          // time travel resolves the REFERENCE-MODE snapshots exactly
+          val preRows = s.sql(s"SELECT count(*) AS c FROM $fq VERSION AS OF 2")
+            .head.getLong(0)
+          require(preRows == r2.getLong(0),
+            s"time travel into a reference-mode snapshot lost rows: $preRows")
+          s.sql(s"""SELECT o_orderkey, o_orderstatus,
+                   |       CAST(amount AS DOUBLE) AS amount
+                   |FROM $fq ORDER BY o_orderkey""".stripMargin)
+        } finally graft.sinks.TableManifest.publisher = prevPub
+      },
+      Some("""WITH t0 AS (SELECT o_orderkey, o_orderstatus,
+             |              CAST(o_totalprice AS DECIMAL(14,2)) AS amount
+             |            FROM orders),
+             |k AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) AS k1,
+             |             MAX(o_orderkey)
+             |               - CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) AS k2
+             |      FROM t0),
+             |t1 AS (SELECT t0.* FROM t0, k WHERE o_orderkey >= k.k1),
+             |t2 AS (SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey >= k.k2
+             |              THEN CAST(amount * 2 AS DECIMAL(14,2))
+             |              ELSE amount END AS amount
+             |       FROM t1, k),
+             |top2 AS (SELECT o_orderkey FROM t2 ORDER BY o_orderkey DESC
+             |         LIMIT 2),
+             |t3 AS (SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey IN (SELECT o_orderkey FROM top2)
+             |              THEN CAST(111.11 AS DECIMAL(14,2))
+             |              ELSE amount END AS amount
+             |       FROM t2
+             |       UNION ALL
+             |       SELECT CAST(9000000001 AS BIGINT), 'N',
+             |              CAST(222.22 AS DECIMAL(14,2)))
+             |SELECT o_orderkey, o_orderstatus, CAST(amount AS DOUBLE) AS amount
+             |FROM t3
+             |WHERE (o_orderkey % 97) <> 0
              |ORDER BY o_orderkey""".stripMargin)))
 }

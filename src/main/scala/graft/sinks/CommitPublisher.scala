@@ -38,6 +38,39 @@ trait CommitPublisher {
     * the object.
     */
   def publishIfAbsent(dir: Path, name: String, content: String): Boolean
+
+  /** How the link-commit family (COW DML, link-append INSERT, metadata-
+    * only ALTER, incremental OPTIMIZE) carries a prior version's immutable
+    * data files into the next version:
+    *
+    *   - `false` (POSIX default): hard links — same inode, O(1) metadata
+    *     op per file, each version dir physically self-contained;
+    *   - `true` (object stores — S3/GCS have no links): manifest-level
+    *     file REFERENCES — the new manifest's entries point at the prior
+    *     version's objects by table-relative path
+    *     ([[TableManifest.FileEntry.ref]]), ZERO bytes moved or copied,
+    *     and retention becomes reachability-aware (a version dir retires
+    *     only when no surviving manifest references its files) — the
+    *     Iceberg manifests-reference-files-across-snapshots discipline,
+    *     which is exactly how the reference's Athena Iceberg tables share
+    *     data files between snapshots (IcebergUtil.scala:28-157).
+    */
+  def carryByReference: Boolean = false
+}
+
+/** Reference-mode backend for filesystems/stores WITHOUT hard links: the
+  * atomic-publish primitives stay POSIX (this container has no real
+  * object store; a production S3/GCS backend swaps those for conditional
+  * PUTs as documented on [[CommitPublisher]]) while the carry discipline
+  * flips to manifest-level file references — letting every reference-mode
+  * code path (commit, read resolution, reachability vacuum) run for real.
+  */
+object ReferenceCommitPublisher extends CommitPublisher {
+  def publish(dir: Path, name: String, content: String): Unit =
+    PosixCommitPublisher.publish(dir, name, content)
+  def publishIfAbsent(dir: Path, name: String, content: String): Boolean =
+    PosixCommitPublisher.publishIfAbsent(dir, name, content)
+  override def carryByReference: Boolean = true
 }
 
 /** POSIX filesystems: write-to-temp + single atomic rename for replace;

@@ -143,11 +143,13 @@ object ObjectStoreSink {
     * truth for the committed file set. Serialized per table by the caller's
     * lock (write()) or taken here for external callers (CdcStream).
     */
-  def refreshManifest(spark: SparkSession, fq: String, spec: ObjectStoreSpec): Unit =
+  def refreshManifest(spark: SparkSession, fq: String, spec: ObjectStoreSpec,
+      overwrotePartitions: Set[String] = Set.empty): Unit =
     lockFor(spec).synchronized {
       val loc = currentLocation(spark, fq)
       val hash = schemaHash(spark.table(fq))
-      val m = TableManifest.refresh(loc, spec.fileFormat, Some(hash))
+      val m = TableManifest.refresh(loc, spec.fileFormat, Some(hash),
+          overwrotePartitions)
         .getOrElse(
           // legacy manifest-less live dir (pre-manifest table, appended to
           // after upgrade): adopt it into the protocol on first touch
@@ -473,13 +475,43 @@ object ObjectStoreSink {
     val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
     sw.save(next.toString)
 
-    // link (or copy) every wanted prior data file in at its own relative
-    // path; a name collision with a just-written file keeps the partition
-    // dir and disambiguates only the file NAME (the dir part is semantic)
+    // carry every wanted prior data file at its own LOGICAL relative path.
+    // Hard-link mode materializes the file in the new dir (same inode); a
+    // name collision with a just-written file keeps the partition dir and
+    // disambiguates only the file NAME (the dir part is semantic).
+    // Reference mode ([[CommitPublisher.carryByReference]]) moves ZERO
+    // bytes: the entry's `ref` records where the bytes physically live —
+    // FLATTENED, always the version dir that originally wrote the file,
+    // never a chain through intermediate versions, so resolution stays
+    // O(1) and reachability is a single manifest read per version.
+    val byReference = TableManifest.publisher.carryByReference
     val carried = Seq.newBuilder[TableManifest.FileEntry]
     var intact = true
-    wanted.foreach { e =>
-      val src = prevDir.resolve(e.path)
+    if (byReference) {
+      val freshRel = TableManifest.dataFiles(next)
+        .map(p => next.relativize(p).toString).toSet
+      val prevName = prevDir.getFileName.toString
+      wanted.foreach { e =>
+        val ref = if (e.ref.nonEmpty) e.ref else s"$prevName/${e.path}"
+        if (!intact || !Files.isRegularFile(tableDir.resolve(ref)))
+          intact = false
+        else {
+          // a logical-path clash with a fresh file renames only the
+          // manifest KEY (stats/Bloom keys follow); the bytes never move
+          val rel =
+            if (!freshRel(e.path)) e.path
+            else {
+              val i = e.path.lastIndexOf('/')
+              val (dir, name) =
+                if (i < 0) ("", e.path)
+                else (e.path.substring(0, i + 1), e.path.substring(i + 1))
+              s"${dir}ref-${java.util.UUID.randomUUID()}-$name"
+            }
+          carried += e.copy(path = rel, ref = ref)
+        }
+      }
+    } else wanted.foreach { e =>
+      val src = TableManifest.resolved(prevDir, e)
       if (!intact || !Files.exists(src)) intact = false
       else {
         var target = next.resolve(e.path)
@@ -497,7 +529,10 @@ object ObjectStoreSink {
             Files.copy(src, target,
               java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
         }
-        carried += e.copy(path = rel)
+        // the carried file is now physically in THIS dir: the entry is
+        // plain again even when the prior entry was a reference (link
+        // mode re-materializes — mixed-mode histories stay readable)
+        carried += e.copy(path = rel, ref = "")
       }
     }
     if (!intact) { deleteTree(next); return fullRewrite() }
@@ -613,13 +648,60 @@ object ObjectStoreSink {
           cat.dropPartitions(ident, stale.map(_.spec),
             ignoreIfNotExists = true, purge = false, retainData = true)
         spark.sql(s"MSCK REPAIR TABLE $fq SYNC PARTITIONS")
+        syncRefPartitions(spark, fq, spec, newLoc)
       }
       spark.catalog.refreshTable(fq)
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $fq")
       createExternal(spark, fq, spec, sample, newLoc)
       repairTable(spark, fq, spec)
+      if (spec.partitionBy.nonEmpty) syncRefPartitions(spark, fq, spec, newLoc)
     }
+  }
+
+  /** Reference-mode partition registration: MSCK only discovers partition
+    * directories PHYSICALLY under the version dir, but a reference-mode
+    * manifest's partitions may exist only as carried entries pointing at
+    * prior version dirs. Register those from the manifest's LOGICAL
+    * partition paths (locations under the live version dir — possibly
+    * absent on disk, which the metastore permits), so partition-pruned
+    * catalog scans keep their roots and [[graft.plans.RefResolveRule]]
+    * resolves the files. Link-mode manifests have no references — no-op.
+    */
+  private def syncRefPartitions(spark: SparkSession, fq: String,
+      spec: ObjectStoreSpec, newLoc: Path): Unit = {
+    if (spec.partitionBy.isEmpty) return
+    val m = TableManifest.read(newLoc).getOrElse(return)
+    if (!m.files.exists(_.ref.nonEmpty)) return
+    import org.apache.spark.sql.catalyst.catalog.{CatalogTablePartition, ExternalCatalogUtils}
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      spec.table, Some(spec.database))
+    val cat = spark.sessionState.catalog
+    val table = cat.getTableMetadata(ident)
+    def parentOf(rel: String): String = {
+      val i = rel.lastIndexOf('/'); if (i < 0) "" else rel.substring(0, i)
+    }
+    val wanted = m.files.map(e => parentOf(e.path)).distinct.filter(_.nonEmpty)
+      .flatMap { dir =>
+        val kvs = dir.split('/').flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) None
+          else {
+            val name = ExternalCatalogUtils.unescapePathName(seg.substring(0, i))
+            spec.partitionBy.find(_.equalsIgnoreCase(name)).map(_ ->
+              ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
+          }
+        }.toMap
+        if (kvs.keySet == spec.partitionBy.toSet) Some(dir -> kvs) else None
+      }
+    if (wanted.isEmpty) return
+    val existing = cat.listPartitions(ident).map(_.spec).toSet
+    val missing = wanted.filterNot { case (_, kvs) => existing(kvs) }
+    if (missing.nonEmpty)
+      cat.createPartitions(ident, missing.map { case (dir, kvs) =>
+        CatalogTablePartition(kvs, table.storage.copy(
+          locationUri = Some(newLoc.resolve(dir).toUri)))
+      }, ignoreIfExists = true)
   }
 
   /** Committed-snapshot inventory for a table, oldest → newest — version
@@ -687,10 +769,18 @@ object ObjectStoreSink {
   def readVersion(spark: SparkSession, spec: ObjectStoreSpec,
       version: Option[Int] = None): DataFrame = {
     val snapPath = resolveSnapshot(spec, version).path
-    sidecarSchema(Paths.get(snapPath)) match {
-      case Some(schema) =>
-        spark.read.schema(schema).format(spec.fileFormat).load(snapPath)
-      case None => spark.read.format(spec.fileFormat).load(snapPath)
+    val vdir = Paths.get(snapPath)
+    // a reference-mode manifest's files span PRIOR version dirs — the
+    // directory is not the file set; read the manifest-resolved list
+    TableManifest.read(vdir).filter(_.files.exists(_.ref.nonEmpty)) match {
+      case Some(m) =>
+        readSubset(spark, snapPath, spec.fileFormat, m.files, m.files.size)
+      case None =>
+        sidecarSchema(vdir) match {
+          case Some(schema) =>
+            spark.read.schema(schema).format(spec.fileFormat).load(snapPath)
+          case None => spark.read.format(spec.fileFormat).load(snapPath)
+        }
     }
   }
 
@@ -755,10 +845,29 @@ object ObjectStoreSink {
     // of OLD files would otherwise schema-on-read NARROWER than the table)
     val reader0 = spark.read.format(fileFormat)
     val reader = sidecarSchema(vdir).fold(reader0)(reader0.schema)
-    if (kept.size == totalFiles) reader.load(snapPath)
+    val anyRef = kept.exists(_.ref.nonEmpty)
+    if (kept.size == totalFiles && !anyRef) reader.load(snapPath)
     else if (kept.isEmpty) reader.load(snapPath).where(lit(false))
-    else reader.option("basePath", snapPath)
-      .load(kept.map(f => vdir.resolve(f.path).toString): _*)
+    else if (!anyRef)
+      reader.option("basePath", snapPath)
+        .load(kept.map(f => vdir.resolve(f.path).toString): _*)
+    else {
+      // reference entries resolve into sibling version dirs, and Spark's
+      // partition-value inference requires ONE base per load — so read
+      // one group per OWNING version dir (its own dir as basePath, the
+      // standard single-version shape) and union them. A handful of
+      // versions deep at most; the branches scan in parallel and filters
+      // push into each.
+      kept.groupBy(e =>
+          if (e.ref.isEmpty) vdir
+          else vdir.getParent.resolve(e.ref.takeWhile(_ != '/')))
+        .toSeq.sortBy(_._1.toString)
+        .map { case (owner, es) =>
+          reader.option("basePath", owner.toString)
+            .load(es.map(e => TableManifest.resolved(vdir, e).toString): _*)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** Re-register a table whose catalog entry is gone but whose versioned
@@ -941,11 +1050,40 @@ object ObjectStoreSink {
     */
   private def retireOldVersions(tableDir: Path, keep: Int): Unit = {
     val now = System.currentTimeMillis()
-    val retired = versionDirs(tableDir).dropRight(keep)
+    val all = versionDirs(tableDir)
+    val base = all.dropRight(keep)
       .filter(p => TableManifest.retirable(p, now, retireGraceMs))
+    val retired = unreferencedOnly(all, base)
     retired.foreach(deleteTree)
     if (retired.nonEmpty)
       CommitLog.prune(tableDir, v => tableDir.resolve(f"v-$v%06d"))
+  }
+
+  /** Reachability gate for reference-mode tables: of the grace-expired
+    * `candidates`, only those whose files no SURVIVING committed manifest
+    * references may be deleted — a version dir physically OWNS data files
+    * that newer manifests may point at ([[TableManifest.FileEntry.ref]]),
+    * so retiring it would tear live snapshots (the expire-snapshots /
+    * orphan-file distinction every cross-snapshot table format makes).
+    * Fixpoint over the survivor set: a candidate pinned by a reference
+    * survives, and its own manifest's references then pin transitively
+    * older dirs. O(versions × manifest reads), metadata only; tables
+    * with no references (hard-link mode) pay one pass that pins nothing.
+    */
+  private[graft] def unreferencedOnly(all: Seq[Path],
+      candidates: Seq[Path]): Seq[Path] = {
+    if (candidates.isEmpty) return candidates
+    var retire = candidates.toSet
+    var changed = true
+    while (changed) {
+      changed = false
+      val referenced = all.filterNot(retire).flatMap(p =>
+        TableManifest.read(p).toSeq.flatMap(TableManifest.referencedDirs))
+        .toSet
+      val pinned = retire.filter(p => referenced(p.getFileName.toString))
+      if (pinned.nonEmpty) { retire --= pinned; changed = true }
+    }
+    candidates.filter(retire)
   }
 
   /** CREATE TABLE ... USING fmt LOCATION ... (+ PARTITIONED BY). Datasource

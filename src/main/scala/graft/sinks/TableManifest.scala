@@ -87,9 +87,42 @@ object TableManifest {
     * json4s fills the default on old JSON). Per-file counts are what make
     * GROUPED metadata aggregates provable: a partition-valued group's
     * COUNT(*) is the sum of its files' rows.
+    *
+    * `ref` is the cross-version file REFERENCE form (object-store mode —
+    * [[CommitPublisher.carryByReference]]): when nonempty, the entry's
+    * bytes live at `tableDir/ref` (a data file physically owned by a
+    * PRIOR version dir, e.g. "v-000002/part-x.parquet") and nothing
+    * exists at `versionDir/path`. `path` stays the entry's LOGICAL
+    * version-relative key — what stats maps, Bloom shards, and partition-
+    * value derivation are keyed by — so every metadata consumer is
+    * untouched by where the bytes physically sit. References are always
+    * FLAT (they point at the version that wrote the file, never at
+    * another reference), the exact discipline of an Iceberg manifest
+    * referencing data files across snapshots (the reference's Athena
+    * Iceberg tables, IcebergUtil.scala:28-157). "" = physically present
+    * in the own version dir (hard-link mode and all pre-r15 manifests —
+    * json4s fills the default).
     */
   final case class FileEntry(path: String, bytes: Long,
-      stats: Option[Map[String, ColStats]] = None, rows: Long = -1L)
+      stats: Option[Map[String, ColStats]] = None, rows: Long = -1L,
+      ref: String = "")
+
+  /** Physical location of an entry's bytes: its own version dir for
+    * plain entries, the referenced prior version dir for `ref` entries.
+    * The table dir is always the version dir's parent (the protocol's
+    * `path/database/table/v-NNNNNN` layout).
+    */
+  def resolved(versionDir: Path, e: FileEntry): Path =
+    if (e.ref.isEmpty) versionDir.resolve(e.path)
+    else versionDir.getParent.resolve(e.ref)
+
+  /** The version-dir names (`v-NNNNNN`) this manifest references INTO —
+    * the reachability edges Vacuum/retention must honor: a version dir
+    * retires only when no surviving manifest references its files.
+    */
+  def referencedDirs(m: Manifest): Set[String] =
+    m.files.iterator.filter(_.ref.nonEmpty)
+      .map(e => e.ref.takeWhile(_ != '/')).toSet
 
   /** Writer-transaction stamp (the Delta `txn` mechanism): a streaming
     * writer records (appId, batchId) in the manifest it commits, so its
@@ -159,7 +192,19 @@ object TableManifest {
       txn: Option[TxnStamp], carried: Seq[FileEntry]): Manifest = {
     val present = dataFiles(versionDir)
     val presentRel = present.map(p => versionDir.relativize(p).toString).toSet
-    if (!carried.forall(e => presentRel(e.path)))
+    // plain carried entries must be physically in the dir; `ref` entries
+    // must resolve into their (immutable, still-present) prior version dir
+    if (!carried.forall(e => e.ref.isEmpty || Files.isRegularFile(
+        resolved(versionDir, e))))
+      // a reference that no longer resolves is NOT degradable here: a
+      // plain commit() of the dir would describe only the fresh files —
+      // a silently partial image. Fail the commit (the dir stays
+      // manifest-less, invisible to recovery); the CALLER owns the
+      // degrade-to-full-rewrite decision with the full image in hand.
+      throw new IllegalStateException(
+        s"carried reference entries do not resolve under $versionDir — " +
+          "refusing to commit a partial image")
+    if (!carried.forall(e => e.ref.nonEmpty || presentRel(e.path)))
       return commit(versionDir, schemaHash, fileFormat, txn)
     val carriedRel = carried.map(_.path).toSet
     val fresh = present.filterNot(p =>
@@ -200,18 +245,36 @@ object TableManifest {
     * when the caller passes the current one (schema-change appends
     * re-create the catalog entry over the same location).
     */
+  /** `overwrotePartitions`: logical partition directories an in-place
+    * DYNAMIC PARTITION OVERWRITE replaced wholesale — carried `ref`
+    * entries under them are dropped (their content was superseded), while
+    * a plain APPEND (empty set) keeps every reference. Physical files are
+    * always re-listed; `ref` entries are immutable prior-version files
+    * and carry verbatim.
+    */
   def refresh(versionDir: Path, fileFormat: String,
-      schemaHash: Option[String] = None): Option[Manifest] =
+      schemaHash: Option[String] = None,
+      overwrotePartitions: Set[String] = Set.empty): Option[Manifest] =
     read(versionDir).map { old =>
+      def partOf(rel: String): String = {
+        val i = rel.lastIndexOf('/'); if (i < 0) "" else rel.substring(0, i)
+      }
+      val kept = old.files.filter(e => e.ref.nonEmpty &&
+        !overwrotePartitions(partOf(e.path)))
       val files = dataFiles(versionDir)
       val (rows, stats, perFile) = footerMeta(versionDir, files, fileFormat)
-      val entries = files.map { p =>
+      val physical = files.map { p =>
         val rel = versionDir.relativize(p).toString
         FileEntry(rel, Files.size(p), mergedStats(rel, stats),
           perFile.getOrElse(rel, -1L))
       }
+      val entries = kept ++ physical
+      val rowCount =
+        if (rows >= 0 && kept.forall(_.rows >= 0))
+          rows + kept.map(_.rows).sum
+        else -1L
       val m = old.copy(files = entries, totalBytes = entries.map(_.bytes).sum,
-        rowCount = rows, schemaHash = schemaHash.getOrElse(old.schemaHash),
+        rowCount = rowCount, schemaHash = schemaHash.getOrElse(old.schemaHash),
         fileFormat = fileFormat.toLowerCase)
       publish(versionDir, m)
       m
@@ -247,8 +310,8 @@ object TableManifest {
     if (columns.isEmpty || m.files.isEmpty) return m
     val targetRels = onlyRel.getOrElse(m.files.map(_.path).toSet)
     if (targetRels.isEmpty) return m
-    val paths = m.files.map(_.path).filter(targetRels)
-      .map(r => versionDir.resolve(r).toString)
+    val targets = m.files.filter(e => targetRels(e.path))
+    val paths = targets.map(e => resolved(versionDir, e).toString)
     if (paths.isEmpty) return m
     val df = spark.read.format(fileFormat).load(paths: _*)
     // (column, decimal scale to sum at) — exact domains only
@@ -264,12 +327,15 @@ object TableManifest {
       sum(col(c).cast(DecimalType(38, s))).as(s"s_$c") }
     val rows = df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val base = versionDir.normalize
+    // physical path → LOGICAL entry key (ref entries' bytes live in a
+    // prior version dir; their sums still key by the logical path)
+    val physToRel = targets.map(e =>
+      resolved(versionDir, e).normalize.toString -> e.path).toMap
     val byRel: Map[String, org.apache.spark.sql.Row] = rows.flatMap { r =>
       val f = r.getString(0)
       try {
         val p = java.nio.file.Paths.get(java.net.URI.create(f).getPath).normalize
-        if (p.startsWith(base)) Some(base.relativize(p).toString -> r) else None
+        physToRel.get(p.toString).map(_ -> r)
       } catch { case _: Exception => None }
     }.toMap
     val colIdx = typed.map(_._1).zipWithIndex.toMap

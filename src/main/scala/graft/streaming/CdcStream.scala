@@ -209,8 +209,16 @@ object CdcStream {
       }
     }
     // in-place partition rewrite changed the committed file set — republish
-    // the manifest so it stays the source of truth (TableManifest protocol)
-    graft.sinks.ObjectStoreSink.refreshManifest(spark, fq, sink)
+    // the manifest so it stays the source of truth (TableManifest protocol).
+    // The rewritten + emptied partition dirs are passed through so a
+    // reference-mode manifest drops carried `ref` entries under them (their
+    // content was superseded wholesale by the dynamic overwrite).
+    val overwrote = (remaining.toSeq.map(_.toSeq) ++
+      emptied.toSeq.map(r => pcols.indices.map(r.get).toSeq))
+      .map(vals => pcols.zip(vals)
+        .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
+      .toSet
+    graft.sinks.ObjectStoreSink.refreshManifest(spark, fq, sink, overwrote)
     next.unpersist(): Unit
   }
 
