@@ -593,6 +593,46 @@ object GraftSqlParser {
   private def attr(name: String, dt: DataType): AttributeReference =
     AttributeReference(name, dt, nullable = false)()
 
+  private val retryLog = org.slf4j.LoggerFactory.getLogger(
+    classOf[GraftSqlParser])
+
+  /** Bounded OPTIMISTIC RETRY for the SQL DML verbs: when the CAS-pinned
+    * commit loses to a concurrent writer ([[ConcurrentCommitException]]),
+    * RE-EXECUTE the whole statement against the new latest snapshot —
+    * every command's body re-resolves the snapshot, re-derives its COW
+    * evidence (a metadata-only split), and recomputes its image, so the
+    * retry is the exact serial schedule "winner, then this statement".
+    * This is strictly stronger than the Iceberg-style re-validate-and-
+    * retry-if-disjoint: the disjoint case (two link-appends to one 100 TB
+    * table, DMLs touching different file sets) lands without even needing
+    * the disjointness proof, and the OVERLAPPING case — where a read-set/
+    * write-set check must abort — serializes correctly instead, because a
+    * single autocommit SQL statement carries no stale read the re-
+    * execution wouldn't refresh. Cost of a retry is the statement's own
+    * cost (O(touched files) for evidence-backed DML), and the loop is
+    * bounded: livelock under pathological contention surfaces as the
+    * loud conflict error rather than spinning. Content-preserving
+    * maintenance (OPTIMIZE, MV adoption) deliberately does NOT retry —
+    * its rewrite is stale by definition once the table moved on; it
+    * drops and re-evaluates on the next sweep (Compaction.compactReport).
+    */
+  private def withCommitRetry[T](verb: String, table: String)(body: => T): T = {
+    val maxRetries = 3
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: graft.sinks.ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          retryLog.info(s"$verb on $table lost a commit race " +
+            s"(${e.getMessage}); re-executing against the new snapshot " +
+            s"(attempt $attempt/$maxRetries)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** `OPTIMIZE`: bin-pack rewrite toward `targetBytes` files, or — with
     * ZORDER BY — a Morton-ordered re-layout committed through the same
     * CAS-guarded versioned protocol as [[Compaction]] (the pinned
@@ -674,7 +714,8 @@ object GraftSqlParser {
       attr("rows_after", LongType), attr("version", IntegerType),
       attr("files_linked", IntegerType))
 
-    override def run(spark: SparkSession): Seq[Row] = {
+    override def run(spark: SparkSession): Seq[Row] =
+      withCommitRetry("MERGE", table) {
       import org.apache.spark.sql.functions.{col, expr}
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
@@ -799,7 +840,8 @@ object GraftSqlParser {
       attr("rows_before", LongType), attr("rows_deleted", LongType),
       attr("version", IntegerType), attr("files_linked", IntegerType))
 
-    override def run(spark: SparkSession): Seq[Row] = {
+    override def run(spark: SparkSession): Seq[Row] =
+      withCommitRetry("DELETE", table) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
@@ -860,7 +902,8 @@ object GraftSqlParser {
       attr("rows_before", LongType), attr("rows_updated", LongType),
       attr("version", IntegerType), attr("files_linked", IntegerType))
 
-    override def run(spark: SparkSession): Seq[Row] = {
+    override def run(spark: SparkSession): Seq[Row] =
+      withCommitRetry("UPDATE", table) {
       import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
@@ -945,7 +988,8 @@ object GraftSqlParser {
       attr("rows_inserted", LongType), attr("files_linked", IntegerType),
       attr("version", IntegerType))
 
-    override def run(spark: SparkSession): Seq[Row] = {
+    override def run(spark: SparkSession): Seq[Row] =
+      withCommitRetry("INSERT INTO", table) {
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
         throw new graft.model.PipelineSpecException(
@@ -980,7 +1024,8 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(
       attr("rows_written", LongType), attr("version", IntegerType))
 
-    override def run(spark: SparkSession): Seq[Row] = {
+    override def run(spark: SparkSession): Seq[Row] =
+      withCommitRetry("INSERT OVERWRITE", table) {
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
         throw new graft.model.PipelineSpecException(
@@ -1005,7 +1050,8 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(
       attr("rows_before", LongType), attr("version", IntegerType))
 
-    override def run(spark: SparkSession): Seq[Row] = {
+    override def run(spark: SparkSession): Seq[Row] =
+      withCommitRetry("TRUNCATE", table) {
       val (_, spec) = resolveSpec(spark, db, table)
       val snap = ObjectStoreSink.snapshots(spec).lastOption.getOrElse(
         throw new graft.model.PipelineSpecException(
