@@ -216,10 +216,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           // the widened shape), never Spark's in-place catalog mutation
           val (db, t) = split(ident.replace("`", ""))
           onlyIfOurs(db, t, sqlText)(AddColumnsCommand(db, t, cols))
+        case DropColumnRe(ident, col) =>
+          // metadata-only narrowing: every file carried, sidecar pins the
+          // narrowed shape, the retired physical name is recorded so ADD
+          // can never resurrect it
+          val (db, t) = split(ident.replace("`", ""))
+          onlyIfOurs(db, t, sqlText)(
+            DropColumnCommand(db, t, col.replace("`", "")))
+        case RenameColumnRe(ident, from, to) =>
+          // metadata-only rename: files keep their physical names forever;
+          // the sidecar maps logical → physical, writes physicalize,
+          // reads (incl. catalog scans via RefResolveRule) map back
+          val (db, t) = split(ident.replace("`", ""))
+          onlyIfOurs(db, t, sqlText)(RenameColumnCommand(db, t,
+            from.replace("`", ""), to.replace("`", "")))
         case AlterColumnsRe(ident) => refuseIfOurs(ident, sqlText,
           "in-place column DDL would change the catalog schema behind the " +
-            "versioned manifest — widen with ALTER TABLE … ADD COLUMNS " +
-            "(a metadata-only versioned commit) or reshape through " +
+            "versioned manifest — evolve with ALTER TABLE … ADD COLUMNS / " +
+            "DROP COLUMN / RENAME COLUMN … TO … (metadata-only versioned " +
+            "commits; retype still requires a rewrite) or reshape through " +
             "CREATE OR REPLACE TABLE … USING GRAFT AS SELECT …")
         case _ => delegate.parsePlan(sqlText)
       }
@@ -436,6 +451,15 @@ object GraftSqlParser {
   private[plans] val AddColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+  // metadata-only narrowing/renaming evolution — intercepted BEFORE the
+  // blanket column-DDL refusal; `DROP COLUMN (c)` and bare forms both
+  private[plans] val DropColumnRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
+      """\s+DROP\s+COLUMNS?\s*\(?\s*(`?[A-Za-z_][A-Za-z0-9_]*`?)\s*\)?\s*;?\s*""").r
+  private[plans] val RenameColumnRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
+      """\s+RENAME\s+COLUMN\s+(`?[A-Za-z_][A-Za-z0-9_]*`?)\s+TO\s+""" +
+      """(`?[A-Za-z_][A-Za-z0-9_]*`?)\s*;?\s*""").r
   private[plans] val AlterColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+(?:ADD|REPLACE|CHANGE|ALTER|DROP|RENAME)\s+COLUMNS?\b.*""").r
@@ -1299,6 +1323,47 @@ object GraftSqlParser {
       val rep = ObjectStoreSink.evolveSchema(spark, spec, schema)
       val after = ObjectStoreSink.snapshots(spec).last
       Seq(Row(schema.size, rep.filesLinked, after.version))
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN c`: metadata-only narrowing — every prior
+    * file carried verbatim, the sidecar pins the narrowed shape, and the
+    * retired physical name is recorded so ADD COLUMNS cannot resurrect
+    * the dropped values from still-linked files
+    * ([[ObjectStoreSink.dropColumn]]).
+    */
+  final case class DropColumnCommand(db: Option[String], table: String,
+      colName: String) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("cols_dropped", IntegerType), attr("files_linked", IntegerType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val rep = ObjectStoreSink.dropColumn(spark, spec, colName)
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(1, rep.filesLinked, after.version))
+    }
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b`: metadata-only rename — files
+    * keep their physical column names forever; the sidecar maps logical →
+    * physical, later writes physicalize, and every read maps back
+    * ([[ObjectStoreSink.renameColumn]]).
+    */
+  final case class RenameColumnCommand(db: Option[String], table: String,
+      from: String, to: String) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("cols_renamed", IntegerType), attr("files_linked", IntegerType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val rep = ObjectStoreSink.renameColumn(spark, spec, from, to)
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(1, rep.filesLinked, after.version))
     }
   }
 

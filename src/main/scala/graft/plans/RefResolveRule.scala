@@ -41,9 +41,17 @@ object RefResolveRule extends Rule[LogicalPlan] {
     plan.transformDown {
       case l: LogicalRelation => l.relation match {
         case hfs: HadoopFsRelation
-            if !hfs.location.isInstanceOf[RefResolvedIndex] &&
-              !hfs.location.isInstanceOf[ZoneMapPrunedIndex] =>
-          rewrite(l, hfs).getOrElse(l)
+            if !hfs.location.isInstanceOf[ZoneMapPrunedIndex] =>
+          // reference resolution first (listing substitution), then the
+          // rename projection (physical-name read + logical aliases) —
+          // each is identity when the table never evolved that way
+          val l2 =
+            if (hfs.location.isInstanceOf[RefResolvedIndex]) l
+            else rewrite(l, hfs).getOrElse(l)
+          l2.relation match {
+            case h2: HadoopFsRelation => renameWrap(l2, h2).getOrElse(l2)
+            case _ => l2
+          }
         case _ => l
       }
     }
@@ -153,6 +161,63 @@ object RefResolveRule extends Rule[LogicalPlan] {
     if (depth < 0 || p == null) None
     else if (Files.exists(p.resolve(TableManifest.ManifestName))) Some(p)
     else ascendToManifest(p.getParent, depth - 1)
+
+  /** The rename half of metadata-only schema evolution for CATALOG scans:
+    * a table whose pinned sidecar maps logical → PHYSICAL column names
+    * ([[graft.sinks.ObjectStoreSink.renameColumn]]) stores its data under
+    * the physical names, but the catalog relation requests the logical
+    * ones — parquet's name matching would silently read NULLs. Rewrite:
+    * the relation re-reads under the PHYSICAL data schema (fresh
+    * attributes), and a Project aliases each physical attribute back to
+    * its logical name REUSING the original expression IDs, so every
+    * parent reference stays bound. Scans of renamed tables trade away
+    * scan-level column pruning and the zone-map seam (the Project sits
+    * between Filter and relation) — sound, and only for tables that chose
+    * rename-without-rewrite.
+    */
+  private def renameWrap(l: LogicalRelation,
+      hfs: HadoopFsRelation): Option[LogicalPlan] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
+      val roots = hfs.location.rootPaths
+      if (roots.isEmpty) return None
+      val vdirs = roots.map(r =>
+        ascendToManifest(Paths.get(r.toUri).normalize)).distinct
+      val vdir = vdirs match {
+        case Seq(Some(d)) => d
+        case several if several.flatten.nonEmpty &&
+            several.forall(_.isDefined) &&
+            several.flatten.map(_.getParent.normalize).distinct.size == 1 =>
+          several.flatten.maxBy(_.getFileName.toString)
+        case _ => return None
+      }
+      val pin = graft.sinks.ObjectStoreSink.sidecarSchema(vdir)
+        .getOrElse(return None)
+      val m = graft.sinks.ObjectStoreSink.physMap(pin)
+      if (m.isEmpty) return None
+      // idempotency: the inner (already-rewritten) relation carries the
+      // PHYSICAL names — none of them equals a still-logical mapped name
+      if (!hfs.dataSchema.fieldNames.exists(m.contains)) return None
+      val physData = org.apache.spark.sql.types.StructType(
+        hfs.dataSchema.fields.map(f =>
+          m.get(f.name).fold(f)(pn => f.copy(name = pn))))
+      val newRel = hfs.copy(dataSchema = physData)(hfs.sparkSession)
+      val newOutput = l.output.map {
+        case a: AttributeReference if m.contains(a.name) =>
+          AttributeReference(m(a.name), a.dataType, a.nullable,
+            a.metadata)(qualifier = a.qualifier)
+        case a => a
+      }
+      val rel2 = l.copy(relation = newRel, output = newOutput)
+      val projectList: Seq[NamedExpression] =
+        l.output.zip(newOutput).map { case (orig, fresh) =>
+          if (fresh.exprId == orig.exprId) orig
+          else Alias(fresh, orig.name)(exprId = orig.exprId,
+            qualifier = orig.qualifier)
+        }
+      Some(org.apache.spark.sql.catalyst.plans.logical.Project(
+        projectList, rel2))
+    } catch { case _: Exception => None } // refusal, never a guess
 }
 
 /** Marker subclass so the rule (and the downstream seams) can tell a

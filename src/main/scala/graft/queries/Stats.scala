@@ -1460,6 +1460,100 @@ object Stats {
              |       ELSE NULL END AS price
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- SQL schema evolution: DROP + RENAME (metadata-only) --------------
+    // The narrowing/renaming half of the evolution surface (r14 verdict
+    // #4): `ALTER TABLE … DROP COLUMN` and `… RENAME COLUMN … TO …` as
+    // link-all commits that read and write ZERO data — DROP narrows the
+    // pinned sidecar (the physical column simply stops being requested;
+    // its name is retired against resurrection), RENAME keeps the
+    // physical namespace stable forever (sidecar maps logical→physical,
+    // later writes physicalize, every read maps back). REQUIREs pin the
+    // links as real inodes, the post-rename INSERT writing the ORIGINAL
+    // physical name, time travel keeping each version's own shape, and
+    // the resurrection guard refusing. The oracle replays the final image.
+    QueryDef(
+      "q_sql_evolve2",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqlevolve2")
+        s.sql("DROP TABLE IF EXISTS graft_ops.evo2_part")
+        t(s, d, "part").select(col("p_partkey"), col("p_name"),
+          col("p_retailprice"), col("p_size"))
+          .createOrReplaceTempView("evo2_src")
+        s.sql(
+          s"""CREATE TABLE graft_ops.evo2_part USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT p_partkey, p_name, p_retailprice, p_size FROM evo2_src
+             |WHERE p_partkey % 3 <> 0""".stripMargin).collect()
+        val fq = "graft_ops.evo2_part"
+        val nFiles = s.sql(s"SHOW SNAPSHOTS $fq").collect().last.getInt(4)
+        def sharedWithPrev(): Int = {
+          val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+            "evo2_part")
+          val vs = graft.sinks.ObjectStoreSink.snapshots(spec)
+          val prev = java.nio.file.Paths.get(vs(vs.size - 2).path)
+          val live = java.nio.file.Paths.get(vs.last.path)
+          graft.sinks.TableManifest.read(prev).get.files.count { e =>
+            val b = live.resolve(e.path)
+            java.nio.file.Files.exists(b) &&
+              java.nio.file.Files.isSameFile(prev.resolve(e.path), b)
+          }
+        }
+        // DROP: all files linked, zero data moved
+        val r1 = s.sql(s"ALTER TABLE $fq DROP COLUMN p_size").collect()(0)
+        require(r1.getInt(1) == nFiles && sharedWithPrev() == nFiles,
+          s"DROP COLUMN must link all $nFiles files (report $r1)")
+        // RENAME: all files linked; reads map the physical name back
+        val r2 = s.sql(
+          s"ALTER TABLE $fq RENAME COLUMN p_retailprice TO price")
+          .collect()(0)
+        require(r2.getInt(1) == nFiles && sharedWithPrev() == nFiles,
+          s"RENAME COLUMN must link all $nFiles files (report $r2)")
+        // resurrection of the dropped physical name refuses loudly
+        val guarded =
+          try { s.sql(s"ALTER TABLE $fq ADD COLUMNS (p_size INT)"); false }
+          catch { case e: Exception => e.getMessage.contains("retired") }
+        require(guarded, "re-adding a dropped physical column must refuse")
+        // INSERT under the evolved arity: the fresh file must carry the
+        // ORIGINAL physical name (p_retailprice), never the logical one
+        s.sql(s"""INSERT INTO $fq
+                 |SELECT p_partkey, p_name, p_retailprice FROM evo2_src
+                 |WHERE p_partkey % 3 = 0""".stripMargin).collect()
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+          "evo2_part")
+        val live = java.nio.file.Paths.get(
+          graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+        val freshRel = graft.sinks.TableManifest.read(live).get.files
+          .map(_.path).toSet --
+          graft.sinks.TableManifest.read(java.nio.file.Paths.get(
+            graft.sinks.ObjectStoreSink.snapshots(spec)
+              .dropRight(1).last.path)).get.files.map(_.path).toSet
+        require(freshRel.nonEmpty, "INSERT must write fresh files")
+        val footer = s.read.parquet(
+          live.resolve(freshRel.head).toString).columns.toSet
+        require(footer.contains("p_retailprice") && !footer.contains("price"),
+          s"post-rename INSERT must physicalize the batch (footer: $footer)")
+        // an UPDATE through the LOGICAL name over mixed old/new files
+        s.sql(s"UPDATE $fq SET price = 0.0 WHERE pmod(p_partkey, 10) = 0")
+          .collect()
+        // time travel keeps every version's own shape
+        require(s.sql(s"SELECT * FROM $fq VERSION AS OF 1")
+          .columns.toSeq == Seq("p_partkey", "p_name", "p_retailprice",
+            "p_size"),
+          "v1 must keep the original 4-column shape")
+        require(s.sql(s"SELECT * FROM $fq VERSION AS OF 2")
+          .columns.toSeq == Seq("p_partkey", "p_name", "p_retailprice"),
+          "v2 (post-DROP) must be the narrowed shape under the old name")
+        require(s.sql(s"SELECT * FROM $fq VERSION AS OF 3")
+          .columns.toSeq == Seq("p_partkey", "p_name", "price"),
+          "v3 (post-RENAME) must read under the new logical name")
+        s.sql(s"""SELECT p_partkey, p_name, price
+                 |FROM $fq ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name,
+             |  CASE WHEN p_partkey % 10 = 0 THEN 0.0
+             |       ELSE p_retailprice END AS price
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):

@@ -114,6 +114,16 @@ object ObjectStoreSink {
       replaceTable(spark, df, spec): Unit
     } else {
       guardPartitionKeysImmutable(spark, fq, spec)
+      // in-place appends write the batch's own (logical) column names into
+      // the live dir — unsound once a metadata-only RENAME made the
+      // physical namespace diverge; those tables take the versioned
+      // link-append path (SQL INSERT) instead
+      val live = currentLocation(spark, fq)
+      if (sidecarSchema(live).exists(s => physMap(s).nonEmpty))
+        throw new PipelineSpecException(
+          s"$fq has renamed columns (metadata-only evolution): in-place " +
+            "appends would write the wrong physical column names — use " +
+            "INSERT INTO (the versioned link-append commit)")
       // schema evolution (reference DatasetObjectStoreUtil.scala:71-100):
       // a changed destination schema re-creates the catalog entry — a new
       // "table version" over the same location. Old files stay; parquet
@@ -410,6 +420,21 @@ object ObjectStoreSink {
         prevRead.columns.exists(_.equalsIgnoreCase(n)))
       if (clash.nonEmpty) throw new PipelineSpecException(
         s"ADD COLUMNS on $fq: column(s) already exist: ${clash.mkString(", ")}")
+      // resurrection guard: linked OLD files still physically carry every
+      // column a metadata-only DROP retired (and every pre-rename name) —
+      // re-adding such a name would silently resurface the old values
+      // through schema-on-read. A full rewrite (CREATE OR REPLACE) clears
+      // the physical namespace and lifts the restriction.
+      val retired = droppedPhysNames(Paths.get(snap.path)) ++
+        sidecarSchema(Paths.get(snap.path)).toSeq
+          .flatMap(s => physMap(s).values)
+      val resurrect = addCols.fieldNames.filter(n =>
+        retired.exists(_.equalsIgnoreCase(n)))
+      if (resurrect.nonEmpty) throw new PipelineSpecException(
+        s"ADD COLUMNS on $fq: ${resurrect.mkString(", ")} is a retired " +
+          "PHYSICAL column name still present in linked data files — " +
+          "adding it back would resurrect dropped values; pick another " +
+          "name or rewrite the table (CREATE OR REPLACE … AS SELECT)")
       val (dataF, partF) = prevRead.schema.fields.partition(f =>
         !spec.partitionBy.exists(_.equalsIgnoreCase(f.name)))
       val widened = StructType(
@@ -423,7 +448,112 @@ object ObjectStoreSink {
       }
       linkCommitLocked(spark, spec, fq, snap, carriedWanted = None,
         fresh = fresh, fullImage = fullImage, txn = None,
-        pinSchema = Some(widened))
+        pinSchema = Some(widened), freshIsEmpty = true)
+    }
+
+  /** The logical schema a metadata-only evolution commit starts from:
+    * the live version's pinned sidecar (field metadata intact — physical
+    * name mappings ride on it) or schema-on-read for never-pinned tables,
+    * with partition columns last either way.
+    */
+  private def logicalShape(spark: SparkSession, spec: ObjectStoreSpec,
+      snap: Snapshot): org.apache.spark.sql.types.StructType =
+    sidecarSchema(Paths.get(snap.path)).getOrElse(
+      readVersion(spark, spec, Some(snap.version)).schema)
+
+  /** Metadata-only `DROP COLUMN`: commit the next version as every prior
+    * file carried verbatim plus a `_schema.json` sidecar pinning the
+    * NARROWED shape — the column simply stops being read (parquet
+    * projects the requested subset; files never rewrite), the discipline
+    * of the reference's new-table-version-on-change evolution model
+    * (DatasetObjectStoreUtil.scala:71-100) with Iceberg's drop-is-
+    * metadata economics. The retired PHYSICAL name is recorded in the
+    * `_evolution.json` sidecar so a later ADD COLUMNS cannot silently
+    * resurrect the old values. Time travel keeps each version's shape.
+    */
+  def dropColumn(spark: SparkSession, spec: ObjectStoreSpec,
+      name: String): LinkCommitReport =
+    lockFor(spec).synchronized {
+      import org.apache.spark.sql.types.StructType
+      val fq = s"${spec.database}.${spec.table}"
+      val snap = snapshots(spec).lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to evolve"))
+      val shape = logicalShape(spark, spec, snap)
+      val field = shape.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new PipelineSpecException(
+          s"DROP COLUMN on $fq: no column '$name'"))
+      if (spec.partitionBy.exists(_.equalsIgnoreCase(name)))
+        throw new PipelineSpecException(
+          s"DROP COLUMN on $fq: '$name' is a partition key — partition " +
+            "keys are immutable (reference DatasetValidatorUtil.scala:186-199)")
+      val narrowed = StructType(shape.fields.filterNot(_ eq field))
+      if (!narrowed.fields.exists(f =>
+          !spec.partitionBy.exists(_.equalsIgnoreCase(f.name))))
+        throw new PipelineSpecException(
+          s"DROP COLUMN on $fq: cannot drop the last data column")
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], narrowed)
+      def fullImage: DataFrame =
+        readVersion(spark, spec, Some(snap.version)).drop(field.name)
+      linkCommitLocked(spark, spec, fq, snap, carriedWanted = None,
+        fresh = fresh, fullImage = fullImage, txn = None,
+        pinSchema = Some(narrowed), dropAlso = Set(physName(field)),
+        freshIsEmpty = true)
+    }
+
+  /** Metadata-only `RENAME COLUMN`: the next version carries every prior
+    * file verbatim and pins a sidecar whose field keeps its PHYSICAL
+    * name as metadata ([[PhysNameKey]]) — files are NEVER rewritten for a
+    * rename, so the physical namespace is stable forever: later writes
+    * physicalize the fresh batch ([[toPhysical]]) and every read maps
+    * back ([[toLogical]]; catalog scans via
+    * [[graft.plans.RefResolveRule]]'s rename projection). This is the
+    * no-field-IDs realization of Iceberg's rename-is-metadata evolution —
+    * the reference's model creates a new table version on ANY name change
+    * (DatasetObjectStoreUtil.scala:71-100). Retype still refuses.
+    */
+  def renameColumn(spark: SparkSession, spec: ObjectStoreSpec,
+      from: String, to: String): LinkCommitReport =
+    lockFor(spec).synchronized {
+      import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+      val fq = s"${spec.database}.${spec.table}"
+      val snap = snapshots(spec).lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to evolve"))
+      val shape = logicalShape(spark, spec, snap)
+      val field = shape.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new PipelineSpecException(
+          s"RENAME COLUMN on $fq: no column '$from'"))
+      if (spec.partitionBy.exists(_.equalsIgnoreCase(from)))
+        throw new PipelineSpecException(
+          s"RENAME COLUMN on $fq: '$from' is a partition key — partition " +
+            "keys are immutable")
+      if (shape.fields.exists(_.name.equalsIgnoreCase(to)))
+        throw new PipelineSpecException(
+          s"RENAME COLUMN on $fq: target name '$to' already exists")
+      // the physical namespace must stay collision-free: a retired
+      // (dropped or pre-rename) physical name still lives in linked files
+      val physTaken = shape.fields.map(physName).toSet ++
+        droppedPhysNames(Paths.get(snap.path))
+      if (physTaken.exists(_.equalsIgnoreCase(to)) &&
+          !physName(field).equalsIgnoreCase(to))
+        throw new PipelineSpecException(
+          s"RENAME COLUMN on $fq: '$to' collides with a physical column " +
+            "name still present in linked data files — pick another name " +
+            "or rewrite the table (CREATE OR REPLACE … AS SELECT)")
+      val renamed = field.copy(name = to,
+        metadata = new MetadataBuilder().withMetadata(field.metadata)
+          .putString(PhysNameKey, physName(field)).build())
+      val pinned = StructType(shape.fields.map(f =>
+        if (f eq field) renamed else f))
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], pinned)
+      def fullImage: DataFrame = readVersion(spark, spec, Some(snap.version))
+        .withColumnRenamed(field.name, to)
+      linkCommitLocked(spark, spec, fq, snap, carriedWanted = None,
+        fresh = fresh, fullImage = fullImage, txn = None,
+        pinSchema = Some(pinned), freshIsEmpty = true)
     }
 
   private def guardSchemaAligned(fq: String, prevRead: DataFrame,
@@ -452,7 +582,9 @@ object ObjectStoreSink {
       carriedWanted: Option[Seq[TableManifest.FileEntry]],
       fresh: DataFrame, fullImage: => DataFrame,
       txn: Option[TableManifest.TxnStamp],
-      pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      pinSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      dropAlso: Set[String] = Set.empty,
+      freshIsEmpty: Boolean = false)
       : LinkCommitReport = {
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
     val prevDir = Paths.get(snap.path)
@@ -469,11 +601,24 @@ object ObjectStoreSink {
     val prevRel = prevManifest.files.map(_.path).toSet
     if (!wanted.forall(e => prevRel(e.path))) return fullRewrite()
 
+    // the pinned schema decides the PHYSICAL spelling of the fresh batch:
+    // an explicit pin (schema evolution) or the sidecar CARRIED from the
+    // prior version — computed BEFORE the write so a rename-evolved
+    // table's new files land under the stable physical namespace
+    val carriedPin = pinSchema.orElse(sidecarSchema(prevDir))
     val next = nextVersionDir(tableDir)
-    val sw0 = tsMicros(fresh).write
-      .mode(SaveMode.Overwrite).format(spec.fileFormat)
-    val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
-    sw.save(next.toString)
+    if (freshIsEmpty) {
+      // metadata-only commits (schema evolution) have an empty-by-
+      // construction fresh image: skip the write job entirely — an
+      // unpartitioned empty write would otherwise land one 0-row
+      // parquet file (FileFormatWriter pads a single empty task)
+      Files.createDirectories(next): Unit
+    } else {
+      val sw0 = tsMicros(toPhysical(fresh, carriedPin)).write
+        .mode(SaveMode.Overwrite).format(spec.fileFormat)
+      val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
+      sw.save(next.toString)
+    }
 
     // carry every wanted prior data file at its own LOGICAL relative path.
     // Hard-link mode materializes the file in the new dir (same inode); a
@@ -538,13 +683,15 @@ object ObjectStoreSink {
     if (!intact) { deleteTree(next); return fullRewrite() }
     val carriedEntries = carried.result()
 
-    // Schema pinning: an explicit pin (schema evolution) or a sidecar
-    // CARRIED from the prior version (evolved tables whose linked old
-    // files lack the added columns — schema-on-read from a sampled old
-    // file would silently NARROW the table) publishes forward; an empty
-    // image with no pin falls back to the prior image's schema (same
-    // sidecar contract as replaceTable's empty commits).
-    val carriedPin = pinSchema.orElse(sidecarSchema(prevDir))
+    // Schema pinning: an explicit pin (schema evolution) or the carried
+    // sidecar (evolved tables whose linked old files lack the added
+    // columns — schema-on-read from a sampled old file would silently
+    // NARROW the table) publishes forward; an empty image with no pin
+    // falls back to the prior image's schema (same sidecar contract as
+    // replaceTable's empty commits). The evolution state (dropped
+    // physical names) carries alongside, extended by this commit's own
+    // drops.
+    publishDropped(next, droppedPhysNames(prevDir) ++ dropAlso)
     val reread = carriedPin match {
       case Some(sch) =>
         TableManifest.publisher.publish(next, SchemaSidecarName, sch.json)
@@ -751,6 +898,89 @@ object ObjectStoreSink {
     */
   private[graft] val SchemaSidecarName = "_schema.json"
 
+  /** Metadata key on a pinned-schema field recording the column's
+    * PHYSICAL name in the data files when a metadata-only RENAME made the
+    * logical name diverge ([[renameColumn]]). Files are NEVER rewritten
+    * for a rename — the physical namespace stays stable forever (fresh
+    * writes physicalize through [[toPhysical]], reads map back through
+    * [[toLogical]]) — the no-field-IDs realization of Iceberg's
+    * rename-is-metadata discipline.
+    */
+  private[graft] val PhysNameKey = "graft.phys"
+
+  private[graft] def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** logical → physical for the fields where they differ. */
+  private[graft] def physMap(sch: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    sch.fields.iterator.filter(f => physName(f) != f.name)
+      .map(f => f.name -> physName(f)).toMap
+
+  /** The pinned logical schema re-spelled in PHYSICAL column names — the
+    * shape the data files actually carry.
+    */
+  private[graft] def physicalSchema(
+      sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => f.copy(name = physName(f))))
+
+  /** Write-side physicalization: a LOGICAL-shaped batch renamed onto the
+    * physical namespace before it lands in parquet. Identity when no
+    * field diverges.
+    */
+  private def toPhysical(df: DataFrame,
+      pin: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    pin.filter(p => physMap(p).nonEmpty).fold(df) { p =>
+      import org.apache.spark.sql.functions.col
+      val m = physMap(p)
+      df.select(df.columns.map(c =>
+        col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
+  /** Read-side mapping: a PHYSICAL-shaped read aliased back to the pinned
+    * logical names. Identity when no field diverges.
+    */
+  private def toLogical(df: DataFrame,
+      pin: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (physMap(pin).isEmpty) df
+    else df.select(pin.fields.map(f =>
+      col(physName(f)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Evolution-state sidecar (`_evolution.json`): the PHYSICAL column
+    * names retired by metadata-only DROPs. Old data files still carry
+    * those columns, so a later ADD COLUMNS of a retired name would
+    * silently RESURRECT the dropped values through schema-on-read —
+    * [[evolveSchema]] refuses exactly that (field-ID systems get this for
+    * free; a name-matched format must track it). Carried through every
+    * link commit; a full rewrite resets it (the files are re-written
+    * under the current logical shape).
+    */
+  private[graft] val EvolutionSidecarName = "_evolution.json"
+
+  private[graft] def droppedPhysNames(versionDir: Path): Set[String] = {
+    val f = versionDir.resolve(EvolutionSidecarName)
+    if (!Files.exists(f)) Set.empty
+    else
+      try {
+        import org.json4s._
+        implicit val formats: Formats = DefaultFormats
+        org.json4s.jackson.JsonMethods.parse(Files.readString(f))
+          .extract[Map[String, Seq[String]]]
+          .getOrElse("dropped", Nil).toSet
+      } catch { case _: Exception => Set.empty }
+  }
+
+  private def publishDropped(versionDir: Path, dropped: Set[String]): Unit =
+    if (dropped.nonEmpty)
+      TableManifest.publisher.publish(versionDir, EvolutionSidecarName,
+        org.json4s.jackson.Serialization.write(
+          Map("dropped" -> dropped.toSeq.sorted))(org.json4s.DefaultFormats))
+
   /** The committed schema pinned by a version dir's `_schema.json`
     * sidecar, when present (empty images; schema-evolved tables whose
     * linked old files lack the added columns).
@@ -778,7 +1008,11 @@ object ObjectStoreSink {
       case None =>
         sidecarSchema(vdir) match {
           case Some(schema) =>
-            spark.read.schema(schema).format(spec.fileFormat).load(snapPath)
+            // files carry the PHYSICAL namespace; the pinned schema maps
+            // it back to the logical one (identity for never-renamed
+            // tables)
+            toLogical(spark.read.schema(physicalSchema(schema))
+              .format(spec.fileFormat).load(snapPath), schema)
           case None => spark.read.format(spec.fileFormat).load(snapPath)
         }
     }
@@ -842,15 +1076,19 @@ object ObjectStoreSink {
     import org.apache.spark.sql.functions.lit
     val vdir = Paths.get(snapPath)
     // honor the version's pinned schema (schema-evolved tables: a subset
-    // of OLD files would otherwise schema-on-read NARROWER than the table)
+    // of OLD files would otherwise schema-on-read NARROWER than the
+    // table); the files carry the PHYSICAL namespace, mapped back to the
+    // logical names after the load (identity for never-renamed tables)
+    val pin = sidecarSchema(vdir)
     val reader0 = spark.read.format(fileFormat)
-    val reader = sidecarSchema(vdir).fold(reader0)(reader0.schema)
+    val reader = pin.fold(reader0)(p => reader0.schema(physicalSchema(p)))
+    def logical(df: DataFrame): DataFrame = pin.fold(df)(toLogical(df, _))
     val anyRef = kept.exists(_.ref.nonEmpty)
-    if (kept.size == totalFiles && !anyRef) reader.load(snapPath)
-    else if (kept.isEmpty) reader.load(snapPath).where(lit(false))
+    if (kept.size == totalFiles && !anyRef) logical(reader.load(snapPath))
+    else if (kept.isEmpty) logical(reader.load(snapPath).where(lit(false)))
     else if (!anyRef)
-      reader.option("basePath", snapPath)
-        .load(kept.map(f => vdir.resolve(f.path).toString): _*)
+      logical(reader.option("basePath", snapPath)
+        .load(kept.map(f => vdir.resolve(f.path).toString): _*))
     else {
       // reference entries resolve into sibling version dirs, and Spark's
       // partition-value inference requires ONE base per load — so read
@@ -858,7 +1096,7 @@ object ObjectStoreSink {
       // standard single-version shape) and union them. A handful of
       // versions deep at most; the branches scan in parallel and filters
       // push into each.
-      kept.groupBy(e =>
+      logical(kept.groupBy(e =>
           if (e.ref.isEmpty) vdir
           else vdir.getParent.resolve(e.ref.takeWhile(_ != '/')))
         .toSeq.sortBy(_._1.toString)
@@ -866,7 +1104,7 @@ object ObjectStoreSink {
           reader.option("basePath", owner.toString)
             .load(es.map(e => TableManifest.resolved(vdir, e).toString): _*)
         }
-        .reduce(_.unionByName(_))
+        .reduce(_.unionByName(_)))
     }
   }
 
