@@ -28,8 +28,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object StageCache {
 
-  private val lastForTag =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+  /** Keyed by (session, tag) so two live sessions running the same query
+    * concurrently cannot unpersist each other's in-use generation, and
+    * WEAKLY on the session so a stopped session's entries (and,
+    * transitively, its DataFrames' SparkSession graph) never pin memory
+    * process-wide — the r14 ADVICE on the old tag-only global map. The
+    * per-(session, tag) sequential-caller assumption is unchanged.
+    */
+  private val lastForTag = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]]()
 
   /** Persist `dfs` (MEMORY_AND_DISK) as `tag`'s current cache generation,
     * unpersisting the previous generation. Call AFTER the stage plans are
@@ -38,7 +46,17 @@ object StageCache {
     * persisted stage up regardless of construction order.
     */
   def roll(tag: String, dfs: DataFrame*): Unit = {
-    Option(lastForTag.put(tag, dfs.toSeq)).foreach(_.foreach { prev =>
+    if (dfs.isEmpty) return
+    val session = dfs.head.sparkSession
+    val perSession = lastForTag.synchronized {
+      var m = lastForTag.get(session)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+        lastForTag.put(session, m): Unit
+      }
+      m
+    }
+    Option(perSession.put(tag, dfs.toSeq)).foreach(_.foreach { prev =>
       try prev.unpersist(blocking = false)
       catch { case _: Exception => () } // a dead session's entry: ignore
     })

@@ -58,7 +58,13 @@ object Compaction {
   /** Rewrite the table into ~targetBytes files; returns the new file
     * count. No-op (returns current count) when already compact —
     * unpartitioned: at most the byte-derived file count; partitioned: at
-    * most one file per populated partition directory.
+    * most one file per populated partition directory — OR when the
+    * fragment tail holds fewer than 2 files: a single straggler under the
+    * size envelope has nothing to merge WITH, so the pass stabilizes at
+    * `byte-derived count + 1` rather than rewriting a keep-sized neighbor
+    * just to absorb it (the rewrite would cost more I/O than the extra
+    * file ever does; the incremental-maintenance trade Iceberg's
+    * RewriteDataFiles makes with its min-input-files guard).
     */
   def compact(spark: SparkSession, spec: ObjectStoreSpec,
       targetBytes: Long = 128L << 20): Int =

@@ -80,13 +80,75 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** Character positions inside quoted literals (single/double/backtick,
+    * with doubled-quote escapes) or SQL comments (`--` to EOL, block) —
+    * spans the time-travel rewrite must never match into: an
+    * `x VERSION AS OF n` SEQUENCE inside a string literal is data, not a
+    * table reference (r14 ADVICE #1).
+    */
+  private[plans] def maskedSpans(sql: String): Array[Boolean] = {
+    val mask = new Array[Boolean](sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        mask(i) = true; i += 1
+        var open = true
+        while (open && i < sql.length) {
+          mask(i) = true
+          if (sql.charAt(i) == c) {
+            // doubled quote = escaped quote inside the literal
+            if (i + 1 < sql.length && sql.charAt(i + 1) == c) {
+              mask(i + 1) = true; i += 1
+            } else open = false
+          }
+          i += 1
+        }
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') { mask(i) = true; i += 1 }
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        mask(i) = true; mask(i + 1) = true; i += 2
+        while (i < sql.length &&
+          !(sql.charAt(i) == '*' && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '/')) { mask(i) = true; i += 1 }
+        if (i + 1 < sql.length) { mask(i) = true; mask(i + 1) = true; i += 2 }
+      } else i += 1
+    }
+    mask
+  }
+
+  /** True when the travel match at `start` sits in a TABLE-REFERENCE
+    * position: immediately preceded (over whitespace) by FROM / JOIN /
+    * USING, a comma (FROM-list), or an opening paren. Anything else — an
+    * alias position, a SELECT-list expression — keeps its text verbatim
+    * (r14 ADVICE #1: position-blind replacement could corrupt a statement
+    * whose alias coincides with a graft table name).
+    */
+  private def inTablePosition(sql: String, start: Int): Boolean = {
+    var i = start - 1
+    while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return false
+    sql.charAt(i) match {
+      case ',' | '(' => true
+      case ch if ch.isLetter =>
+        val end = i
+        while (i >= 0 && (sql.charAt(i).isLetterOrDigit ||
+          sql.charAt(i) == '_')) i -= 1
+        val word = sql.substring(i + 1, end + 1).toUpperCase
+        word == "FROM" || word == "JOIN" || word == "USING"
+      case _ => false
+    }
+  }
+
   private def rewriteTimeTravel(sqlText: String): Option[String] = {
     if (!TravelHintRe.pattern.matcher(sqlText).find()) return None
     val s = SparkSession.getActiveSession.getOrElse(return None)
+    val mask = maskedSpans(sqlText)
     var changed = false
     val out = TravelRe.replaceAllIn(sqlText, m => {
       val keep = scala.util.matching.Regex.quoteReplacement(m.matched)
-      (try Some(split(m.group(1))) catch { case _: Exception => None })
+      if (mask(m.start) || !inTablePosition(sqlText, m.start)) keep
+      else (try Some(split(m.group(1))) catch { case _: Exception => None })
         .fold(keep) { case (db, t) =>
           probe(s, db, t) match {
             case ProbeOurs =>
@@ -236,6 +298,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "DROP COLUMN / RENAME COLUMN … TO … (metadata-only versioned " +
             "commits; retype still requires a rewrite) or reshape through " +
             "CREATE OR REPLACE TABLE … USING GRAFT AS SELECT …")
+        // catalog/layout mutation behind the manifest (r14 ADVICE #3):
+        // partition DDL, location repoints, table renames, property edits
+        // and partition re-syncs all tear the committed-file-set contract
+        // when a USER issues them — the engine's own repoints run under
+        // the InternalDdl marker (table lock held, part of a commit)
+        case AlterDestructiveRe(ident) if !graft.model.InternalDdl.isActive =>
+          refuseIfOurs(ident, sqlText,
+            "partition DDL / SET LOCATION / TBLPROPERTIES / RENAME TO " +
+              "would mutate the catalog or layout behind the versioned " +
+              "manifest — partitions and location are owned by the commit " +
+              "protocol (INSERT/DELETE/MERGE/OPTIMIZE/VACUUM); rename by " +
+              "CREATE OR REPLACE TABLE … USING GRAFT AS SELECT")
+        case MsckRe(ident) if !graft.model.InternalDdl.isActive =>
+          refuseIfOurs(ident, sqlText,
+            "MSCK REPAIR re-syncs partitions from the live DIRECTORY, " +
+              "which is not the table's file set under the manifest " +
+              "protocol (reference-mode partitions live in prior version " +
+              "dirs) — the commit protocol maintains partitions itself")
         case _ => delegate.parsePlan(sqlText)
       }
   }
@@ -463,6 +543,16 @@ object GraftSqlParser {
   private[plans] val AlterColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+(?:ADD|REPLACE|CHANGE|ALTER|DROP|RENAME)\s+COLUMNS?\b.*""").r
+  // destructive delegate verbs on the catalog/layout (refused on graft
+  // tables unless the engine itself issues them under InternalDdl)
+  private[plans] val AlterDestructiveRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
+      """\s+(?:ADD(?:\s+IF\s+NOT\s+EXISTS)?\s+PARTITION|""" +
+      """DROP(?:\s+IF\s+EXISTS)?\s+PARTITION|SET\s+LOCATION|""" +
+      """SET\s+TBLPROPERTIES|UNSET\s+TBLPROPERTIES|RENAME\s+TO|""" +
+      """RECOVER\s+PARTITIONS)\b.*""").r
+  private[plans] val MsckRe =
+    ("""(?is)\s*MSCK\s+REPAIR\s+TABLE\s+""" + QIdent + """.*""").r
   // time travel: `t [FOR] VERSION|TIMESTAMP AS OF <int|'literal'>` —
   // SYSTEM_VERSION/SYSTEM_TIME accepted as the ANSI-ish synonyms
   private val TravelHintRe = """(?is)\bAS\s+OF\b""".r
@@ -571,20 +661,43 @@ object GraftSqlParser {
       keys: Seq[(String, String)])
       : Option[(Seq[TableManifest.FileEntry], Seq[TableManifest.FileEntry])] =
     try {
+      import org.apache.spark.sql.functions.{col, max, min}
       val vdir = Paths.get(snap.path)
       TableManifest.read(vdir).flatMap { m =>
         val maxKeys = spark.conf
           .get("spark.graft.merge.cowMaxKeys", "100000").toInt
-        val sets = keys.foldLeft(Option(Seq.empty[(String, Seq[Any])])) {
+        // per key column: the exact distinct key set when it fits the
+        // cap, else the [min, max] RANGE relaxation — the weaker-but-
+        // cheap proof JoinPrune applies on the same overflow
+        // (operators/JoinPrune.scala keySetOrRange): an over-cap MERGE
+        // against a range-clustered table still links every file whose
+        // key window sits provably outside the source's key range
+        // (r14 verdict #5), instead of degrading to a full rewrite.
+        val evidence = keys.foldLeft(Option(Seq.empty[
+            Either[(String, Seq[Any]), graft.sinks.ZoneMap.Bound]])) {
           case (None, _) => None
           case (Some(acc), (tk, sk)) =>
-            val rows = source
-              .select(org.apache.spark.sql.functions.col(sk))
+            val rows = source.select(col(sk))
               .na.drop().distinct().limit(maxKeys + 1).collect()
-            if (rows.length > maxKeys) None
-            else Some(acc :+ (tk -> rows.toSeq.map(_.get(0))))
+            if (rows.length <= maxKeys)
+              Some(acc :+ Left(tk -> rows.toSeq.map(_.get(0))))
+            else {
+              val mm = source.agg(min(col(sk)), max(col(sk))).head()
+              if (mm.isNullAt(0)) Some(acc :+ Left(tk -> Nil))
+              else Some(acc :+ Right(graft.sinks.ZoneMap.Bound(tk,
+                Some(mm.get(0)), Some(mm.get(1)), nonNull = true)))
+            }
         }
-        sets.map(ks => ZoneMapScanRule.splitByKeySets(vdir, m, ks))
+        evidence.map { ev =>
+          val sets = ev.collect { case Left(ks) => ks }
+          val bounds = ev.collect { case Right(b) => b }
+          val (kept0, _) = ZoneMapScanRule.splitByKeySets(vdir, m, sets)
+          val kept =
+            if (bounds.isEmpty) kept0
+            else graft.sinks.ZoneMap.prune(m.copy(files = kept0), bounds)._1
+          val keptSet = kept.map(_.path).toSet
+          (kept, m.files.filterNot(fe => keptSet(fe.path)))
+        }
       }
     } catch { case _: Exception => None } // evidence refusal, never a guess
 
@@ -811,6 +924,58 @@ object GraftSqlParser {
               s"got: $other")
         }
         MergeUpsert.MergeWhen(kind, rw.cond.map(expr), action)
+      }
+      // clause scope validation (ANSI): a NOT MATCHED BY SOURCE clause
+      // sees only TARGET columns (the source side is all-NULL — silently
+      // assigning NULL would mask the reference), and a NOT MATCHED [BY
+      // TARGET] INSERT sees only SOURCE columns. Out-of-scope references
+      // refuse with the clause named instead of evaluating to NULL. The
+      // check parses the clause's RAW expression texts (the Column
+      // wrappers defer parsing until resolution, so their trees carry no
+      // attributes yet).
+      val tColSet = tCols.map(_.toLowerCase).toSet
+      def rawRefs(texts: Seq[String]): Seq[Seq[String]] =
+        texts.flatMap { t =>
+          try spark.sessionState.sqlParser.parseExpression(t).collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts
+          } catch { case _: Exception => Nil } // unparseable: fails later
+        }
+      parseWhenChain(whenText).foreach { rw =>
+        val scope = rw.kind match {
+          case "not_source" =>
+            Some((sAlias, sCols -- tColSet, "WHEN NOT MATCHED BY SOURCE",
+              "target"))
+          case "not_target" =>
+            Some((tAlias, tColSet -- sCols, "WHEN NOT MATCHED", "source"))
+          case _ => None
+        }
+        scope.foreach { case (banAlias, banOnly, clause, visible) =>
+          val actionTexts = rw.action match {
+            case UpdateActRe(setText) =>
+              val as = parseAssignments(setText)
+              // `UPDATE SET *` takes every column FROM THE SOURCE — by
+              // definition out of scope for a BY SOURCE clause
+              if (as.isEmpty && rw.kind == "not_source")
+                throw new graft.model.PipelineSpecException(
+                  s"MERGE $clause cannot UPDATE SET * — the source side " +
+                    "has no row; assign target columns explicitly")
+              as.toSeq.flatten.map(_._2)
+            case InsertActRe(insText) =>
+              parseInsert(insText).toSeq.flatMap(_._2)
+            case _ => Nil
+          }
+          val bad = rawRefs(actionTexts ++ rw.cond.toSeq).collect {
+            case parts if parts.length > 1 &&
+                parts.head.equalsIgnoreCase(banAlias) => parts.mkString(".")
+            case parts if parts.length == 1 &&
+                banOnly(parts.head.toLowerCase) => parts.head
+          }.distinct
+          if (bad.nonEmpty) throw new graft.model.PipelineSpecException(
+            s"MERGE $clause references ${bad.mkString(", ")} — only " +
+              s"$visible columns are visible to this clause (the other " +
+              "side has no row)")
+        }
       }
       def mergedOf(tgt: org.apache.spark.sql.DataFrame) =
         MergeUpsert.sqlMergeClauses(tgt, source, tAlias, sAlias, keys, clauses)
@@ -1376,13 +1541,18 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(
       attr("version", IntegerType), attr("committed_at_ms", LongType),
       attr("row_count", LongType), attr("total_bytes", LongType),
-      attr("n_files", IntegerType), attr("live", BooleanType))
+      attr("n_files", IntegerType), attr("live", BooleanType),
+      // the commit's COW economics (r14 verdict #6): how many files this
+      // version carried (hard links / manifest references) vs physically
+      // wrote — what tells an operator whether DML is actually COWing
+      attr("files_carried", IntegerType), attr("files_written", IntegerType),
+      attr("bytes_written", LongType))
 
     override def run(spark: SparkSession): Seq[Row] = {
       val (_, spec) = resolveSpec(spark, db, table)
       ObjectStoreSink.snapshots(spec).map(s =>
         Row(s.version, s.committedAtMs, s.rowCount, s.totalBytes,
-          s.nFiles, s.live))
+          s.nFiles, s.live, s.filesCarried, s.filesWritten, s.bytesWritten))
     }
   }
 }

@@ -763,7 +763,8 @@ object ObjectStoreSink {
     * immutability guard.
     */
   private def repoint(spark: SparkSession, fq: String, spec: ObjectStoreSpec,
-      newLoc: Path, sample: DataFrame): Unit = {
+      newLoc: Path, sample: DataFrame): Unit =
+    graft.model.InternalDdl.run {
     val exists = spark.catalog.tableExists(fq)
     if (exists) guardPartitionKeysImmutable(spark, fq, spec)
     val sameSchema = exists && {
@@ -856,9 +857,20 @@ object ObjectStoreSink {
     * accounting. Metadata-only (manifest reads, no data access, no Spark
     * jobs): the versioned-dir analogue of an ACID format's snapshot log.
     */
+  /** `filesCarried` / `filesWritten` / `bytesWritten` are the commit's
+    * COW economics, derived from manifest identity against the PREVIOUS
+    * surviving snapshot: an entry carried by reference (`ref` set) or
+    * whose (path, bytes, rows) identity already existed in the prior
+    * manifest was linked/referenced — everything else was physically
+    * written by this commit. What lets an operator SEE whether DML is
+    * actually COWing in production (`SHOW SNAPSHOTS`), not just trust it.
+    * -1 when the prior version's manifest is gone (retired) AND nothing
+    * self-identifies as carried.
+    */
   final case class Snapshot(version: Int, path: String, committedAtMs: Long,
       supersededAtMs: Option[Long], rowCount: Long, totalBytes: Long,
-      nFiles: Int, live: Boolean)
+      nFiles: Int, live: Boolean, filesCarried: Int = 0,
+      filesWritten: Int = 0, bytesWritten: Long = 0L)
 
   def snapshots(spec: ObjectStoreSpec): Seq[Snapshot] = {
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
@@ -873,12 +885,28 @@ object ObjectStoreSink {
     // retire a dir between resolution and the manifest read, so flatMap
     // over read results — a dir that vanished mid-inventory is simply
     // absent from the snapshot log, never a thrown 500
-    val snaps = (logged ++ listed).distinct.sorted
+    val withManifests = (logged ++ listed).distinct.sorted
       .map(v => (v, tableDir.resolve(f"v-$v%06d")))
       .flatMap { case (v, p) =>
-        TableManifest.read(p).map(m =>
-          Snapshot(v, p.toString, m.committedAtMs, TableManifest.supersededAt(p),
-            m.rowCount, m.totalBytes, m.files.size, live = false))
+        TableManifest.read(p).map(m => (v, p, m))
+      }
+    // commit economics by manifest identity against the previous
+    // SURVIVING snapshot (the carried entries of a link/reference commit
+    // keep their (path, bytes, rows) verbatim; reference entries
+    // self-identify); prev retired → refs still count, the rest reads as
+    // written — conservative, never a fabricated carry
+    val snaps = withManifests.zip(None +: withManifests.map(t => Some(t._3)))
+      .map { case ((v, p, m), prev) =>
+        val prevKey = prev.map(_.files.map(e =>
+          (e.path, e.bytes, e.rows)).toSet).getOrElse(Set.empty)
+        val carried = m.files.count(e => e.ref.nonEmpty ||
+          prevKey((e.path, e.bytes, e.rows)))
+        val written = m.files.filterNot(e => e.ref.nonEmpty ||
+          prevKey((e.path, e.bytes, e.rows)))
+        Snapshot(v, p.toString, m.committedAtMs, TableManifest.supersededAt(p),
+          m.rowCount, m.totalBytes, m.files.size, live = false,
+          filesCarried = carried, filesWritten = written.size,
+          bytesWritten = written.map(_.bytes).sum)
       }
     snaps match {
       case init :+ last => init :+ last.copy(live = true)
@@ -1345,7 +1373,9 @@ object ObjectStoreSink {
     * (reference transform ObjectStoreUtil.scala:183-209 repairTable).
     */
   def repairTable(spark: SparkSession, fq: String, spec: ObjectStoreSpec): Unit =
-    if (spec.partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $fq"): Unit
+    if (spec.partitionBy.nonEmpty) graft.model.InternalDdl.run {
+      spark.sql(s"MSCK REPAIR TABLE $fq"): Unit
+    }
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {

@@ -203,7 +203,9 @@ object CdcStream {
         }
         val specSql = kv.map { case (c, v) => s"`$c`='${v.replace("'", "''")}'" }
           .mkString(", ")
-        spark.sql(s"ALTER TABLE $fq DROP IF EXISTS PARTITION ($specSql)")
+        graft.model.InternalDdl.run {
+          spark.sql(s"ALTER TABLE $fq DROP IF EXISTS PARTITION ($specSql)"): Unit
+        }
         val dir = kv.foldLeft(loc) { case (p, (c, v)) => p.resolve(s"$c=$v") }
         deleteTree(dir)
       }

@@ -952,11 +952,13 @@ class GraftSqlParserSpec extends SparkSpec {
     "ALTER delegates and applies") {
     val spec = commit("altref", 10, 1)
     val fq = s"${spec.database}.${spec.table}"
+    // retype and REPLACE remain refused (DROP/RENAME are now metadata-only
+    // versioned commits of their own — ColumnEvolveSpec)
     val e = the[graft.model.PipelineSpecException] thrownBy spark.sql(
-      s"ALTER TABLE $fq DROP COLUMN grp")
-    e.getMessage should include("ADD COLUMNS")
+      s"ALTER TABLE $fq ALTER COLUMN grp TYPE INT")
+    e.getMessage should include("retype")
     val e2 = the[graft.model.PipelineSpecException] thrownBy spark.sql(
-      s"ALTER TABLE $fq RENAME COLUMN grp TO g2")
+      s"ALTER TABLE $fq REPLACE COLUMNS (id BIGINT)")
     e2.getMessage should include("versioned")
     spark.table(fq).columns.toSeq shouldBe Seq("id", "grp")
     // foreign external parquet table: Spark applies ADD COLUMNS normally
@@ -1053,5 +1055,131 @@ class GraftSqlParserSpec extends SparkSpec {
     r.head.getString(2) should include("lake(prod)")
     spark.table("graft_sqlm_paren.t").collect().map(_.getInt(0)) shouldBe
       Array(1)
+  }
+
+  test("over-cap MERGE degrades to the RANGE proof, not a full rewrite: " +
+    "provably-outside-band files still link") {
+    val spec = ObjectStoreSpec(path = scratchDir("ovc").getAbsolutePath,
+      database = "graft_sqlm_ovc", table = "t")
+    ObjectStoreSink.replaceTable(spark,
+      ss.range(0, 4000).toDF("id").withColumn("v", col("id") % 9)
+        .repartitionByRange(4, col("id")), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    // 50 distinct source keys, all inside the TOP range band — over the
+    // (shrunk) cap, so the exact key-set proof refuses and the [min, max]
+    // relaxation must take over
+    ss.range(3800, 3850).toDF("id").withColumn("nv", lit(999L))
+      .createOrReplaceTempView("ovc_src")
+    val prev = spark.conf.getOption("spark.graft.merge.cowMaxKeys")
+    spark.conf.set("spark.graft.merge.cowMaxKeys", "10")
+    try {
+      val r = spark.sql(
+        s"""MERGE INTO $fq t USING ovc_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+        .collect().head
+      withClue(s"report $r: ") { r.getInt(4) shouldBe 3 }
+      spark.table(fq).where("v = 999").count() shouldBe 50L
+      spark.table(fq).count() shouldBe 4000L
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.merge.cowMaxKeys", v)
+      case None => spark.conf.unset("spark.graft.merge.cowMaxKeys")
+    }
+  }
+
+  test("MERGE clause scope validation: out-of-scope column references " +
+    "refuse instead of silently evaluating to NULL") {
+    val spec = commit("scope", 100, 2)
+    val fq = s"${spec.database}.${spec.table}"
+    ss.range(0, 10).toDF("id").withColumn("nv", lit(1L))
+      .createOrReplaceTempView("scope_src")
+    // NOT MATCHED BY SOURCE sees only target columns
+    val e1 = intercept[graft.model.PipelineSpecException](spark.sql(
+      s"""MERGE INTO $fq t USING scope_src s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = s.nv"""
+        .stripMargin).collect())
+    e1.getMessage should include("NOT MATCHED BY SOURCE")
+    // NOT MATCHED [BY TARGET] INSERT sees only source columns
+    val e2 = intercept[graft.model.PipelineSpecException](spark.sql(
+      s"""MERGE INTO $fq t USING scope_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, grp) VALUES (s.id, t.grp)"""
+        .stripMargin).collect())
+    e2.getMessage should include("source columns are visible")
+    // unqualified source-only names in a BY SOURCE condition refuse too
+    val e3 = intercept[graft.model.PipelineSpecException](spark.sql(
+      s"""MERGE INTO $fq t USING scope_src s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND nv > 0 THEN DELETE"""
+        .stripMargin).collect())
+    e3.getMessage should include("nv")
+  }
+
+  test("destructive catalog DDL refuses on graft tables; the engine's " +
+    "own internal repoints keep working") {
+    val spec = commit("ddl", 100, 2)
+    val fq = s"${spec.database}.${spec.table}"
+    def refused(sql: String): Unit = {
+      val e = intercept[graft.model.PipelineSpecException](
+        spark.sql(sql).collect())
+      e.getMessage should include(spec.table)
+    }
+    refused(s"ALTER TABLE $fq ADD PARTITION (grp=99)")
+    refused(s"ALTER TABLE $fq DROP PARTITION (grp=1)")
+    refused(s"ALTER TABLE $fq SET LOCATION '/tmp/elsewhere'")
+    refused(s"ALTER TABLE $fq RENAME TO ${spec.database}.t2")
+    refused(s"ALTER TABLE $fq SET TBLPROPERTIES ('a'='b')")
+    refused(s"MSCK REPAIR TABLE $fq")
+    // a graft commit (which issues SET LOCATION + MSCK internally under
+    // the InternalDdl marker) still goes through
+    spark.sql(s"INSERT INTO $fq VALUES (9999, 0)").collect()
+    spark.table(fq).count() shouldBe 101L
+    // and a FOREIGN table keeps Spark's own semantics (delegated)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sqlm_fr")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_fr.plain")
+    spark.sql(
+      s"""CREATE TABLE graft_sqlm_fr.plain (id INT) USING parquet
+         |LOCATION '${scratchDir("frn").getAbsolutePath}/plain'"""
+        .stripMargin)
+    spark.sql(
+      "ALTER TABLE graft_sqlm_fr.plain SET TBLPROPERTIES ('a'='b')")
+      .collect()
+  }
+
+  test("time travel rewrite is quote- and position-aware: a travel " +
+    "SEQUENCE inside a string literal is data, not a table reference") {
+    val spec = ObjectStoreSpec(path = scratchDir("ttq").getAbsolutePath,
+      database = "graft_sqlm_ttq", table = "t")
+    ObjectStoreSink.replaceTable(spark,
+      Seq((1L, "seed")).toDF("id", "s"), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    // the literal names THIS graft table with a travel clause — the old
+    // position-blind rewrite would replace it with a temp-view name
+    spark.sql(s"INSERT INTO $fq VALUES (2, '$fq VERSION AS OF 1')")
+      .collect()
+    spark.table(fq).where("id = 2").select("s").head.getString(0) shouldBe
+      s"$fq VERSION AS OF 1"
+    // real travel in FROM position still works, same statement shape
+    spark.sql(s"SELECT count(*) AS c FROM $fq VERSION AS OF 1")
+      .head.getLong(0) shouldBe 1L
+    // and inside a comment it is ignored
+    spark.sql(s"SELECT count(*) AS c -- $fq VERSION AS OF 99\nFROM $fq")
+      .head.getLong(0) shouldBe 2L
+  }
+
+  test("SHOW SNAPSHOTS surfaces the COW economics: carried vs written " +
+    "per version") {
+    val spec = commit("econ", 2000, 4)
+    val fq = s"${spec.database}.${spec.table}"
+    spark.sql(s"INSERT INTO $fq VALUES (90001, 0)").collect() // link-append
+    spark.sql(s"ALTER TABLE $fq ADD COLUMNS (w DOUBLE)").collect() // metadata
+    val rows = spark.sql(s"SHOW SNAPSHOTS $fq").collect()
+    rows.map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3)
+    val byV = rows.map(r => r.getInt(0) ->
+      ((r.getInt(6), r.getInt(7), r.getLong(8)))).toMap
+    byV(1)._1 shouldBe 0 // CTAS: nothing carried
+    byV(1)._2 shouldBe 4
+    byV(2)._1 shouldBe 4 // link-append: all 4 carried, 1 written
+    byV(2)._2 shouldBe 1
+    byV(3)._1 shouldBe 5 // metadata-only: all carried, ZERO bytes written
+    byV(3)._2 shouldBe 0
+    byV(3)._3 shouldBe 0L
   }
 }
