@@ -754,7 +754,15 @@ object GraftSqlParser {
     * drops and re-evaluates on the next sweep (Compaction.compactReport).
     */
   private def withCommitRetry[T](verb: String, table: String)(body: => T): T = {
-    val maxRetries = 3
+    // every loss implies GLOBAL progress (another writer committed), so
+    // the per-statement loop is livelock-free by construction; the bound
+    // exists only to surface pathological stores loudly. N concurrent
+    // writers × S statements each can make one statement lose up to
+    // N×S − 1 races — size the default for a busy table, override with
+    // spark.graft.commit.maxRetries.
+    val maxRetries = SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption("spark.graft.commit.maxRetries"))
+      .map(_.toInt).getOrElse(10)
     var attempt = 0
     while (true) {
       try return body
