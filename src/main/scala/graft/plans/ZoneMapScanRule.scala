@@ -50,12 +50,37 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
     if (conf.getConfString(
         "spark.graft.zoneMapScan.enabled", "true") != "true") return plan
     plan.transformDown {
-      case f @ Filter(cond, l: LogicalRelation) => rewrite(f, cond, l).getOrElse(f)
+      case f @ Filter(cond, l: LogicalRelation) =>
+        rewrite(cond, l).map(nl => Filter(cond, nl)).getOrElse(f)
+      // the rename projection (RefResolveRule: alias-only Project mapping
+      // PHYSICAL attributes back to logical names) sits between Filter and
+      // relation on rename-evolved tables — substitute the aliases into
+      // the condition so bounds extract under the PHYSICAL names the
+      // manifest's stats are keyed by; the Filter/Project stay in place,
+      // pruning remains a listing decision
+      case f @ Filter(cond,
+          p @ org.apache.spark.sql.catalyst.plans.logical.Project(
+            projList, l: LogicalRelation))
+          if projList.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.isInstanceOf[AttributeReference]
+            case _ => false
+          } =>
+        val sub: Map[ExprId, AttributeReference] = projList.collect {
+          case a: Alias =>
+            a.exprId -> a.child.asInstanceOf[AttributeReference]
+          case ar: AttributeReference => ar.exprId -> ar
+        }.toMap
+        val physCond = cond.transform {
+          case ar: AttributeReference => sub.getOrElse(ar.exprId, ar)
+        }
+        rewrite(physCond, l)
+          .map(nl => Filter(cond, p.copy(child = nl))).getOrElse(f)
     }
   }
 
-  private def rewrite(f: Filter, cond: Expression,
-      l: LogicalRelation): Option[Filter] = l.relation match {
+  private def rewrite(cond: Expression,
+      l: LogicalRelation): Option[LogicalRelation] = l.relation match {
     case hfs: HadoopFsRelation
         if !hfs.location.isInstanceOf[ZoneMapPrunedIndex] =>
       for {
@@ -103,8 +128,7 @@ object ZoneMapScanRule extends Rule[LogicalPlan] with PredicateHelper {
             Some(new ZoneMapPrunedIndex(hfs.location, keep, rep))
           }
         }
-      } yield Filter(cond,
-        l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
+      } yield l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession))
     case _ => None
   }
 

@@ -84,6 +84,26 @@ class ColumnEvolveSpec extends SparkSpec {
     // time travel keeps the OLD name
     spark.sql(s"SELECT * FROM $fq VERSION AS OF 1").columns.toSeq shouldBe
       Seq("id", "v", "s")
+    // zone-map skipping still proves through the rename projection: the
+    // Filter sits above RefResolveRule's alias Project, and the rule
+    // substitutes the aliases to extract bounds under the PHYSICAL names
+    val pruned = spark.table(fq).where("id < 50")
+    val reports = pruned.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+    }.flatten
+    withClue("a range filter on a renamed table must still zone-map-prune: ") {
+      reports should not be empty
+      reports.head.filesKept should be < reports.head.filesTotal
+    }
+    pruned.count() shouldBe 50L
     // a write after the rename physicalizes: the fresh file carries the
     // ORIGINAL physical name on disk, and reads still see the logical one
     spark.sql(s"INSERT INTO $fq VALUES (9000, 42, 'x')").collect()

@@ -90,7 +90,27 @@ class RefModeSpec extends SparkSpec {
       content(ObjectStoreSink.readVersion(spark, spec)) shouldBe expected
       ObjectStoreSink.readVersion(spark, spec, Some(before.version))
         .count() shouldBe 2000L
-      // zone-map pruning composes: the filtered read is exact
+      // zone-map pruning composes: the filtered read is exact AND the
+      // plan provably SKIPS reference-resolved files (ManifestEvidence
+      // matches by physical identity through the resolved listing)
+      val banded = spark.sql(
+        s"SELECT id, v FROM $fq WHERE id BETWEEN 100 AND 199")
+      val reports = banded.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case z: graft.plans.ZoneMapPrunedIndex => Seq(z.report)
+                case _ => Nil
+              }
+            case _ => Nil
+          }
+      }.flatten
+      withClue("a band filter on a reference-mode table must zone-map-prune: ") {
+        reports should not be empty
+        reports.head.filesKept should be < reports.head.filesTotal
+      }
+      banded.count() shouldBe 100L
       spark.sql(s"SELECT count(*) AS c FROM $fq WHERE id BETWEEN 100 AND 199")
         .head.getLong(0) shouldBe 100L
       // metadata aggregate totality still proves through references
