@@ -292,11 +292,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val (db, t) = split(ident.replace("`", ""))
           onlyIfOurs(db, t, sqlText)(RenameColumnCommand(db, t,
             from.replace("`", ""), to.replace("`", "")))
+        case AlterColumnTypeRe(ident, colName, typeDdl) =>
+          // metadata-only SAFE retype: every file carried, the sidecar
+          // pins the widened type, the parquet reader up-casts each
+          // file's own footer width — unsafe promotions refuse at run
+          val (db, t) = split(ident.replace("`", ""))
+          onlyIfOurs(db, t, sqlText)(AlterColumnTypeCommand(db, t,
+            colName.replace("`", ""), typeDdl.trim))
         case AlterColumnsRe(ident) => refuseIfOurs(ident, sqlText,
           "in-place column DDL would change the catalog schema behind the " +
             "versioned manifest — evolve with ALTER TABLE … ADD COLUMNS / " +
-            "DROP COLUMN / RENAME COLUMN … TO … (metadata-only versioned " +
-            "commits; retype still requires a rewrite) or reshape through " +
+            "DROP COLUMN / RENAME COLUMN … TO … / ALTER COLUMN … TYPE … " +
+            "(metadata-only versioned commits; only a LOSSY retype still " +
+            "requires a rewrite) or reshape through " +
             "CREATE OR REPLACE TABLE … USING GRAFT AS SELECT …")
         // catalog/layout mutation behind the manifest (r14 ADVICE #3):
         // partition DDL, location repoints, table renames, property edits
@@ -540,6 +548,13 @@ object GraftSqlParser {
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+RENAME\s+COLUMN\s+(`?[A-Za-z_][A-Za-z0-9_]*`?)\s+TO\s+""" +
       """(`?[A-Za-z_][A-Za-z0-9_]*`?)\s*;?\s*""").r
+  // metadata-only safe retype (Delta's `ALTER COLUMN c TYPE t` shape;
+  // CHANGE COLUMN accepted as the synonym) — intercepted BEFORE the
+  // blanket column-DDL refusal; unsafe promotions refuse at execution
+  private[plans] val AlterColumnTypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
+      """\s+(?:ALTER|CHANGE)\s+COLUMNS?\s+(`?[A-Za-z_][A-Za-z0-9_]*`?)""" +
+      """\s+TYPE\s+([A-Za-z0-9_(),\s]+?)\s*;?\s*""").r
   private[plans] val AlterColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + QIdent +
       """\s+(?:ADD|REPLACE|CHANGE|ALTER|DROP|RENAME)\s+COLUMNS?\b.*""").r
@@ -1537,6 +1552,33 @@ object GraftSqlParser {
       val rep = ObjectStoreSink.renameColumn(spark, spec, from, to)
       val after = ObjectStoreSink.snapshots(spec).last
       Seq(Row(1, rep.filesLinked, after.version))
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t`: metadata-only SAFE retype —
+    * every prior file carried verbatim, the sidecar pins the widened
+    * type, and the parquet reader up-casts each file's own footer width
+    * to the requested schema ([[ObjectStoreSink.alterColumnType]]; the
+    * Delta type-widening discipline). Lossy promotions refuse loudly.
+    */
+  final case class AlterColumnTypeCommand(db: Option[String], table: String,
+      colName: String, typeDdl: String) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("column", StringType), attr("from_type", StringType),
+      attr("to_type", StringType), attr("files_linked", IntegerType),
+      attr("version", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val to = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(typeDdl)
+      val from = ObjectStoreSink.readVersion(spark, spec).schema.fields
+        .find(_.name.equalsIgnoreCase(colName)).map(_.dataType.sql)
+        .getOrElse("?")
+      val rep = ObjectStoreSink.alterColumnType(spark, spec, colName, to)
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(colName, from, to.sql, rep.filesLinked, after.version))
     }
   }
 

@@ -1554,6 +1554,86 @@ object Stats {
              |       ELSE p_retailprice END AS price
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- SQL schema evolution: safe type widening (metadata-only) ---------
+    // `ALTER TABLE … ALTER COLUMN c TYPE t` as a link-all commit that
+    // reads and writes ZERO data: the sidecar pins the WIDENED type and
+    // the parquet reader up-casts each file's own footer width to the
+    // requested schema (the Delta type-widening discipline, SPARK-40876;
+    // the reference's model rewrites a new table version on ANY type
+    // change — DatasetObjectStoreUtil.scala:71-100). REQUIREs pin the
+    // links as real inodes, a value no INT could hold landing through
+    // the widened column, mixed narrow/wide files aggregating exactly,
+    // time travel keeping each version's own width, and a lossy retype
+    // refusing. The oracle replays the final image relationally.
+    QueryDef(
+      "q_sql_widen",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqlwiden")
+        s.sql("DROP TABLE IF EXISTS graft_ops.wid_part")
+        t(s, d, "part").select(
+            col("p_partkey").cast("int").as("pk"), col("p_name"),
+            col("p_retailprice").cast("decimal(7,2)").as("price"))
+          .createOrReplaceTempView("wid_src")
+        s.sql(
+          s"""CREATE TABLE graft_ops.wid_part USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT * FROM wid_src""".stripMargin).collect()
+        val fq = "graft_ops.wid_part"
+        val nFiles = s.sql(s"SHOW SNAPSHOTS $fq").collect().last.getInt(4)
+        val r = s.sql(s"ALTER TABLE $fq ALTER COLUMN pk TYPE BIGINT")
+          .collect()(0)
+        require(r.getString(1) == "INT" && r.getString(2) == "BIGINT" &&
+          r.getInt(3) == nFiles,
+          s"widening must LINK all $nFiles files metadata-only (report: $r)")
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+          "wid_part")
+        val vs = graft.sinks.ObjectStoreSink.snapshots(spec)
+        val prev = java.nio.file.Paths.get(vs(vs.size - 2).path)
+        val live = java.nio.file.Paths.get(vs.last.path)
+        val shared = graft.sinks.TableManifest.read(prev).get.files.count { e =>
+          val b = live.resolve(e.path)
+          java.nio.file.Files.exists(b) &&
+            java.nio.file.Files.isSameFile(prev.resolve(e.path), b)
+        }
+        require(shared == nFiles,
+          s"widening shared $shared/$nFiles inodes — it rewrote data")
+        require(s.table(fq).schema("pk").dataType.sql == "BIGINT",
+          "the catalog must surface the widened type")
+        // a key no INT could hold lands through the widened column and
+        // reads back alongside the narrow-footer files
+        s.sql(s"INSERT INTO $fq VALUES (3000000000, 'widebeyond', 1.00)")
+          .collect()
+        require(s.table(fq).where("pk > 2147483647").count() == 1L,
+          "the beyond-INT key must be visible")
+        // widen the decimal, then push a value no DECIMAL(7,2) holds
+        s.sql(s"ALTER TABLE $fq ALTER COLUMN price TYPE DECIMAL(12,2)")
+          .collect()
+        s.sql(s"UPDATE $fq SET price = 999999999.99 WHERE pk = 3000000000")
+          .collect()
+        // each version keeps its own width under time travel
+        val v1 = s.sql(s"SELECT * FROM $fq VERSION AS OF 1").schema
+        require(v1("pk").dataType.sql == "INT" &&
+          v1("price").dataType.sql == "DECIMAL(7,2)",
+          "v1 must keep the narrow types")
+        // a lossy retype refuses loudly
+        val refused =
+          try { s.sql(s"ALTER TABLE $fq ALTER COLUMN pk TYPE DOUBLE"); false }
+          catch { case e: Exception => e.getMessage.contains("lossless") }
+        require(refused, "BIGINT -> DOUBLE (lossy above 2^53) must refuse")
+        // the driver's hash compare stringifies — project the decimal as
+        // DOUBLE on both sides (the REQUIREs above exercised the real
+        // decimal semantics)
+        s.sql(s"""SELECT pk, p_name, CAST(price AS DOUBLE) AS price
+                 |FROM $fq ORDER BY pk""".stripMargin)
+      },
+      Some("""SELECT CAST(p_partkey AS BIGINT) AS pk, p_name,
+             |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM part
+             |UNION ALL
+             |SELECT CAST(3000000000 AS BIGINT), 'widebeyond',
+             |  CAST(CAST(999999999.99 AS DECIMAL(12,2)) AS DOUBLE)
+             |ORDER BY pk""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):

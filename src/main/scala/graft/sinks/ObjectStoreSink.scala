@@ -556,6 +556,107 @@ object ObjectStoreSink {
         pinSchema = Some(pinned), freshIsEmpty = true)
     }
 
+  /** The lossless type promotions a metadata-only retype may take —
+    * exactly the set Spark 4's parquet readers decode natively when the
+    * requested schema is wider than a file's footer (the machinery
+    * Delta's type widening rides, SPARK-40876): integral up-casts, float
+    * → double, integral → double (exact: |int| < 2^53), integral →
+    * decimal with enough integer digits, and decimal precision/scale
+    * widening that can never drop digits. Everything else — narrowing,
+    * long → double (lossy above 2^53), string re-types — refuses: files
+    * are never rewritten for a retype, so the promotion must hold for
+    * every value any linked file could carry.
+    */
+  private[graft] def safeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f @ (ByteType | ShortType | IntegerType), d: DecimalType) =>
+        // integer-annotated int32 decodes as unscaled decimal only at
+        // scale 0; the precision must cover the source's full range
+        d.scale == 0 && d.precision >= intDigits(f)
+      case (f: DecimalType, t: DecimalType) =>
+        (t.precision - t.scale) >= (f.precision - f.scale) &&
+          t.scale >= f.scale && (t.precision, t.scale) != (f.precision, f.scale)
+      case _ => false
+    }
+  }
+
+  /** Metadata-only `ALTER COLUMN … TYPE`: commit the next version as
+    * every prior file carried verbatim with a sidecar pinning the WIDENED
+    * type — files are NEVER rewritten for a safe promotion, because the
+    * parquet reader itself up-casts each file's narrower footer type to
+    * the requested schema (probed on this Spark: byte/short/int → the
+    * wider integrals and double, float → double, int → decimal(p≥10,0),
+    * decimal precision/scale widening). Later writes land physically
+    * WIDE; mixed-width files co-exist forever under the one logical type,
+    * each decoded at its own footer width. Per-file zone-map/Bloom
+    * evidence stays sound unchanged: column stats are self-describing
+    * (own type tag + scale) and Bloom shards hash probes at their
+    * recorded BUILD-side type, refusing keys that don't convert
+    * losslessly. Unsafe promotions refuse ([[safeWidening]]) — the
+    * reference's model would instead rewrite a new table version on any
+    * type change (DatasetObjectStoreUtil.scala:71-100). Parquet only:
+    * ORC's reader promotion matrix is not probed, so ORC tables refuse
+    * rather than risk a wrong decode.
+    */
+  def alterColumnType(spark: SparkSession, spec: ObjectStoreSpec,
+      name: String, to: org.apache.spark.sql.types.DataType)
+      : LinkCommitReport =
+    lockFor(spec).synchronized {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.StructType
+      val fq = s"${spec.database}.${spec.table}"
+      if (spec.fileFormat != "parquet")
+        throw new PipelineSpecException(
+          s"ALTER COLUMN TYPE on $fq: metadata-only retype relies on the " +
+            s"parquet reader's type promotion — ${spec.fileFormat} tables " +
+            "rewrite instead (CREATE OR REPLACE … AS SELECT with a cast)")
+      val snap = snapshots(spec).lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to evolve"))
+      val shape = logicalShape(spark, spec, snap)
+      val field = shape.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new PipelineSpecException(
+          s"ALTER COLUMN TYPE on $fq: no column '$name'"))
+      if (spec.partitionBy.exists(_.equalsIgnoreCase(name)))
+        throw new PipelineSpecException(
+          s"ALTER COLUMN TYPE on $fq: '$name' is a partition key — " +
+            "partition keys are immutable")
+      if (field.dataType == to) throw new PipelineSpecException(
+        s"ALTER COLUMN TYPE on $fq: '$name' already has type ${to.sql}")
+      if (!safeWidening(field.dataType, to))
+        throw new PipelineSpecException(
+          s"ALTER COLUMN TYPE on $fq: ${field.dataType.sql} -> ${to.sql} " +
+            "is not a lossless widening (allowed: TINYINT/SMALLINT/INT up " +
+            "the integral chain or to DOUBLE or DECIMAL(p,0), FLOAT to " +
+            "DOUBLE, DECIMAL precision/scale widening) — a lossy retype " +
+            "requires a rewrite (CREATE OR REPLACE … AS SELECT with a cast)")
+      val widenedF = field.copy(dataType = to) // metadata (phys name) rides
+      val pinned = StructType(shape.fields.map(f =>
+        if (f eq field) widenedF else f))
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], pinned)
+      def fullImage: DataFrame = {
+        val prev = readVersion(spark, spec, Some(snap.version))
+        prev.select(prev.columns.map(c =>
+          if (c.equalsIgnoreCase(name)) col(c).cast(to).as(field.name)
+          else col(c)).toIndexedSeq: _*)
+      }
+      linkCommitLocked(spark, spec, fq, snap, carriedWanted = None,
+        fresh = fresh, fullImage = fullImage, txn = None,
+        pinSchema = Some(pinned), freshIsEmpty = true)
+    }
+
   private def guardSchemaAligned(fq: String, prevRead: DataFrame,
       batch: DataFrame, verb: String): Unit = {
     val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq

@@ -154,6 +154,107 @@ class ColumnEvolveSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $fq ALTER COLUMN s TYPE INT"))
   }
 
+  private def buildNarrow(tag: String): ObjectStoreSpec = {
+    val spec = ObjectStoreSpec(path = scratchDir(tag).toString,
+      database = "graft_evolve", table = s"t_$tag")
+    val df = (0L until 300L).map(i => (i, i % 7, s"s$i")).toDF("id", "v", "s")
+      .select(col("id").cast("int").as("id"),
+        col("v").cast("decimal(5,2)").as("v"),
+        col("s"), (col("id") % 10).cast("float").as("f"))
+    ObjectStoreSink.replaceTable(spark,
+      df.repartitionByRange(3, col("id")), spec)
+    spec
+  }
+
+  test("ALTER COLUMN TYPE is a link-all metadata commit: old files decode " +
+      "at their own width, out-of-narrow-range inserts land, time travel " +
+      "keeps each version's type") {
+    val spec = buildNarrow("wid")
+    val fq = s"${spec.database}.${spec.table}"
+    val r = spark.sql(s"ALTER TABLE $fq ALTER COLUMN id TYPE BIGINT")
+      .collect().head
+    r.getString(1) shouldBe "INT"
+    r.getString(2) shouldBe "BIGINT"
+    r.getInt(3) shouldBe 3
+    sharedInodes(spec) shouldBe 3
+    // catalog + versioned reads surface the wide type; values intact
+    spark.table(fq).schema("id").dataType.sql shouldBe "BIGINT"
+    ObjectStoreSink.readVersion(spark, spec)
+      .schema("id").dataType.sql shouldBe "BIGINT"
+    spark.table(fq).agg(sum("id")).head.getLong(0) shouldBe
+      (0L until 300L).sum
+    // a value no INT could hold lands through the widened column
+    spark.sql(s"INSERT INTO $fq VALUES (${3000000000L}, 1.50, 'big', 0.0)")
+      .collect()
+    spark.table(fq).where("id > 2147483647").count() shouldBe 1L
+    // aggregates over MIXED narrow/wide files (old footers int32, the
+    // fresh one int64) — whether answered from metadata or a scan, the
+    // result must be exact
+    spark.sql(s"SELECT sum(id) AS s, min(id) AS mn, max(id) AS mx FROM $fq")
+      .head match { case row =>
+        row.getLong(0) shouldBe (0L until 300L).sum + 3000000000L
+        row.getLong(1) shouldBe 0L
+        row.getLong(2) shouldBe 3000000000L
+      }
+    // zone maps recorded from narrow files still prune wide predicates
+    val pruned = spark.table(fq).where("id < 50")
+    pruned.count() shouldBe 50L
+    // time travel keeps the narrow shape
+    spark.sql(s"SELECT * FROM $fq VERSION AS OF 1")
+      .schema("id").dataType.sql shouldBe "INT"
+    // decimal + float widen too; scale-widened decimals keep exact values
+    spark.sql(s"ALTER TABLE $fq ALTER COLUMN v TYPE DECIMAL(12,4)").collect()
+    spark.sql(s"ALTER TABLE $fq ALTER COLUMN f TYPE DOUBLE").collect()
+    spark.table(fq).schema("v").dataType.sql shouldBe "DECIMAL(12,4)"
+    spark.table(fq).where("id = 3000000000").select("v")
+      .head.getDecimal(0) shouldBe new java.math.BigDecimal("1.5000")
+    spark.table(fq).where("id < 300").agg(sum("f")).head.getDouble(0) shouldBe
+      (0L until 300L).map(i => (i % 10).toDouble).sum
+    // COW UPDATE over the widened table: rewritten files land WIDE while
+    // untouched files stay narrow, under the one logical type
+    spark.sql(s"UPDATE $fq SET v = 9999999.9999 WHERE id = 0").collect()
+    spark.table(fq).where("id = 0").select("v").head.getDecimal(0) shouldBe
+      new java.math.BigDecimal("9999999.9999")
+    spark.table(fq).count() shouldBe 301L
+  }
+
+  test("ALTER COLUMN TYPE guards: narrowing, lossy and partition-key " +
+      "promotions refuse; widening a renamed column keeps its physical name") {
+    val spec = buildNarrow("widg")
+    val fq = s"${spec.database}.${spec.table}"
+    // narrowing / lossy / foreign promotions refuse loudly
+    for (bad <- Seq("ALTER COLUMN id TYPE SMALLINT", // narrowing
+        "ALTER COLUMN s TYPE INT", // string retype
+        "ALTER COLUMN v TYPE DECIMAL(5,1)", // scale shrink drops digits
+        "ALTER COLUMN v TYPE DECIMAL(4,2)", // precision shrink
+        "ALTER COLUMN f TYPE FLOAT")) { // no-op
+      val e = intercept[PipelineSpecException](
+        spark.sql(s"ALTER TABLE $fq $bad"))
+      e.getMessage should (include("lossless") or include("already"))
+    }
+    intercept[PipelineSpecException](
+      spark.sql(s"ALTER TABLE $fq ALTER COLUMN nope TYPE BIGINT"))
+    // long -> double is lossy above 2^53: must refuse
+    spark.sql(s"ALTER TABLE $fq ALTER COLUMN id TYPE BIGINT").collect()
+    intercept[PipelineSpecException](
+      spark.sql(s"ALTER TABLE $fq ALTER COLUMN id TYPE DOUBLE"))
+    // a partitioned table refuses key promotion
+    val pspec = ObjectStoreSpec(path = scratchDir("widp").toString,
+      database = "graft_evolve", table = "t_widp", partitionBy = Seq("p"))
+    ObjectStoreSink.replaceTable(spark,
+      (0L until 60L).map(i => (i, i % 3, s"s$i")).toDF("id", "p", "s")
+        .select(col("id"), col("p").cast("int").as("p"), col("s")), pspec)
+    intercept[PipelineSpecException](spark.sql(
+      s"ALTER TABLE ${pspec.database}.${pspec.table} ALTER COLUMN p TYPE BIGINT"))
+    // widen AFTER a rename: the physical-name mapping must ride along
+    spark.sql(s"ALTER TABLE $fq RENAME COLUMN v TO val").collect()
+    spark.sql(s"ALTER TABLE $fq ALTER COLUMN val TYPE DECIMAL(12,2)")
+      .collect()
+    spark.table(fq).schema("val").dataType.sql shouldBe "DECIMAL(12,2)"
+    spark.table(fq).agg(sum("val")).head.getDecimal(0).longValue shouldBe
+      (0L until 300L).map(_ % 7).sum
+  }
+
   test("DROP + RENAME compose with reference mode and COW DML") {
     val spec = build("refevo")
     val fq = s"${spec.database}.${spec.table}"
