@@ -76,8 +76,50 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // the delegate (Spark v2 sources own their own time travel).
     rewriteTimeTravel(sqlText) match {
       case Some(rewritten) => parsePlan(rewritten)
-      case None => parsePlanDispatch(sqlText)
+      case None => rewriteTableChanges(sqlText) match {
+        case Some(rewritten) => parsePlan(rewritten)
+        case None => parsePlanDispatch(sqlText)
+      }
     }
+  }
+
+  /** `TABLE_CHANGES('db.t', v1, v2)` in a table position → a temp view
+    * over [[graft.operators.ChangeFeed.changesBetween]] (the Delta CDF /
+    * Iceberg changelog read shape): row-level `insert`/`delete` change
+    * rows per commit step in `(v1, v2]`, computed from the manifest file
+    * diff so link-carried files are never read. Same masking/position
+    * discipline as the time-travel rewrite; the function name is OURS, so
+    * a non-graft table refuses loudly rather than delegating.
+    */
+  private def rewriteTableChanges(sqlText: String): Option[String] = {
+    if (!TableChangesHintRe.pattern.matcher(sqlText).find()) return None
+    val s = SparkSession.getActiveSession.getOrElse(return None)
+    val mask = maskedSpans(sqlText)
+    var changed = false
+    val out = TableChangesRe.replaceAllIn(sqlText, m => {
+      val keep = scala.util.matching.Regex.quoteReplacement(m.matched)
+      if (mask(m.start) || !inTablePosition(sqlText, m.start)) keep
+      else {
+        val (db, t) = split(m.group(1))
+        val (v1, v2) = (m.group(2).toInt, m.group(3).toInt)
+        probe(s, db, t) match {
+          case ProbeOurs =>
+            val spec = ObjectStoreSink.specFor(s,
+              db.getOrElse(s.catalog.currentDatabase), t)
+            val view = s"graft_changes_${db.getOrElse("")}_${t}_${v1}_$v2"
+            graft.operators.ChangeFeed.changesBetween(s, spec, v1, v2)
+              .createOrReplaceTempView(view)
+            changed = true
+            view
+          case _ => throw new graft.model.PipelineSpecException(
+            s"TABLE_CHANGES targets ${db.fold("")(_ + ".")}$t, which is " +
+              "not a graft versioned table — the change feed is derived " +
+              "from the versioned manifests and exists only for tables " +
+              "committed through the graft protocol")
+        }
+      }
+    })
+    if (changed) Some(out) else None
   }
 
   /** Character positions inside quoted literals (single/double/backtick,
@@ -568,6 +610,11 @@ object GraftSqlParser {
       """RECOVER\s+PARTITIONS)\b.*""").r
   private[plans] val MsckRe =
     ("""(?is)\s*MSCK\s+REPAIR\s+TABLE\s+""" + QIdent + """.*""").r
+  // change feed: `TABLE_CHANGES('db.t', v1, v2)` in a table position
+  private val TableChangesHintRe = """(?i)\bTABLE_CHANGES\s*\(""".r
+  private val TableChangesRe =
+    ("""(?i)\bTABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,""" +
+      """\s*(\d+)\s*\)""").r
   // time travel: `t [FOR] VERSION|TIMESTAMP AS OF <int|'literal'>` —
   // SYSTEM_VERSION/SYSTEM_TIME accepted as the ANSI-ish synonyms
   private val TravelHintRe = """(?is)\bAS\s+OF\b""".r

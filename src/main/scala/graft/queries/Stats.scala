@@ -1634,6 +1634,70 @@ object Stats {
              |  CAST(CAST(999999999.99 AS DECIMAL(12,2)) AS DOUBLE)
              |ORDER BY pk""".stripMargin)),
 
+    // ---- Change feed: TABLE_CHANGES over the versioned manifests ----------
+    // The Delta CDF / Iceberg changelog-read capability derived entirely
+    // from the commit protocol's own manifests — row-level insert/delete
+    // change rows per commit step, computed from the MANIFEST FILE DIFF
+    // so link-carried files are never read (REQUIREd below: an INSERT
+    // step's feed scans only the fresh files), a COW UPDATE surfaces as
+    // its delete+insert pair, and rewritten-but-identical rows cancel in
+    // the bag difference. The oracle replays the whole lifecycle's
+    // expected change rows relationally.
+    QueryDef(
+      "q_table_changes",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-tblchg")
+        s.sql("DROP TABLE IF EXISTS graft_ops.chg_orders")
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("chg_src")
+        s.sql(
+          s"""CREATE TABLE graft_ops.chg_orders USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT * FROM chg_src WHERE o_orderkey % 5 <> 0""".stripMargin)
+          .collect()
+        val fq = "graft_ops.chg_orders"
+        s.sql(s"""INSERT INTO $fq
+                 |SELECT * FROM chg_src WHERE o_orderkey % 5 = 0"""
+          .stripMargin).collect() // v2: link-append
+        s.sql(s"DELETE FROM $fq WHERE o_orderkey % 7 = 0").collect() // v3
+        s.sql(s"UPDATE $fq SET o_totalprice = 0.0 WHERE o_orderkey % 11 = 0")
+          .collect() // v4: COW delete+insert pairs
+        // O(delta) REQUIRE: the link-append step's feed scans ONLY the
+        // fresh files, never the carried snapshot
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+          "chg_orders")
+        val stepFeed = s.sql(s"SELECT * FROM TABLE_CHANGES('$fq', 1, 2)")
+        val totalFiles = graft.sinks.ObjectStoreSink.snapshots(spec)
+          .find(_.version == 2).get.nFiles
+        require(stepFeed.inputFiles.nonEmpty &&
+          stepFeed.inputFiles.length < totalFiles,
+          s"the INSERT step's feed must scan only the fresh files " +
+            s"(${stepFeed.inputFiles.length} of $totalFiles)")
+        // an empty window is a typed empty feed
+        require(s.sql(s"SELECT * FROM TABLE_CHANGES('$fq', 4, 4)")
+          .count() == 0L, "an empty window must feed zero rows")
+        s.sql(
+          s"""SELECT o_orderkey, o_totalprice, _change_type, _commit_version
+             |FROM TABLE_CHANGES('$fq', 1, 4)
+             |ORDER BY _commit_version, o_orderkey, _change_type,
+             |  o_totalprice""".stripMargin)
+      },
+      Some("""WITH base AS
+             |  (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+             |SELECT k AS o_orderkey, p AS o_totalprice,
+             |  'insert' AS _change_type, 2 AS _commit_version
+             |FROM base WHERE k % 5 = 0
+             |UNION ALL
+             |SELECT k, p, 'delete', 3 FROM base WHERE k % 7 = 0
+             |UNION ALL
+             |SELECT k, p, 'delete', 4 FROM base
+             |WHERE k % 11 = 0 AND k % 7 <> 0
+             |UNION ALL
+             |SELECT k, 0.0, 'insert', 4 FROM base
+             |WHERE k % 11 = 0 AND k % 7 <> 0
+             |ORDER BY _commit_version, o_orderkey, _change_type,
+             |  o_totalprice""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):
