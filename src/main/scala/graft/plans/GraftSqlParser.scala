@@ -298,6 +298,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(opts).getOrElse(""),
         Option(parts).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
         source)
+    case ShallowCloneRe(tIdent, sIdent, version) =>
+      // `SHALLOW CLONE` is OUR verb (Delta's shape; Spark has none) — a
+      // zero-copy metadata commit referencing the source snapshot's files
+      val (tdb, tt) = split(tIdent)
+      val (sdb, st) = split(sIdent)
+      CloneTableCommand(tdb, tt, sdb, st,
+        Option(version).map(_.trim.toInt))
     case TruncateRe(ident) =>
       val (db, t) = split(ident)
       onlyIfOurs(db, t, sqlText)(TruncateTableCommand(db, t))
@@ -569,6 +576,11 @@ object GraftSqlParser {
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
       """\s+USING\s+GRAFT(\s+OPTIONS\s*\(((?:'[^']*'|[^')])*)\))?""" +
       """(\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""").r
+  // CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n] — zero-copy clone
+  private val ShallowCloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
+      """\s+SHALLOW\s+CLONE\s+""" + Ident +
+      """(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   // loose pre-matches for the refusal gates (possibly-backticked idents;
   // the capture is stripped of backticks before probing)
   private val QIdent =
@@ -1626,6 +1638,32 @@ object GraftSqlParser {
       val rep = ObjectStoreSink.alterColumnType(spark, spec, colName, to)
       val after = ObjectStoreSink.snapshots(spec).last
       Seq(Row(colName, from, to.sql, rep.filesLinked, after.version))
+    }
+  }
+
+  /** `CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n]`: a zero-copy
+    * table clone — the new table's v1 manifest REFERENCES every data
+    * file of the source snapshot ([[ObjectStoreSink.cloneTable]]):
+    * O(files) metadata, zero data read or written, stats/Bloom evidence
+    * carried, and the clone registers itself with the source so the
+    * source's vacuum can never tear it.
+    */
+  final case class CloneTableCommand(tdb: Option[String], tt: String,
+      sdb: Option[String], st: String, version: Option[Int])
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("table", StringType), attr("source", StringType),
+      attr("source_version", IntegerType),
+      attr("files_referenced", IntegerType),
+      attr("bytes_referenced", LongType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, srcSpec) = resolveSpec(spark, sdb, st)
+      val r = ObjectStoreSink.cloneTable(spark, srcSpec,
+        tdb.getOrElse(spark.catalog.currentDatabase), tt, version)
+      Seq(Row(r.table, r.source, r.sourceVersion, r.filesReferenced,
+        r.bytesReferenced))
     }
   }
 

@@ -1698,6 +1698,68 @@ object Stats {
              |ORDER BY _commit_version, o_orderkey, _change_type,
              |  o_totalprice""".stripMargin)),
 
+    // ---- SHALLOW CLONE: zero-copy table clone -----------------------------
+    // `CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n]` — a metadata
+    // commit whose v1 manifest REFERENCES every file of the source
+    // snapshot (Delta shallow-clone / Iceberg snapshot-ref economics):
+    // REQUIREd zero data files written, every entry resolving into the
+    // source's own version dir, and full independence both ways (the
+    // clone's COW UPDATE never touches the source; the source's earlier
+    // DELETE is invisible to a clone pinned at v1). The oracle replays
+    // the clone's final image relationally.
+    QueryDef(
+      "q_sql_clone",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqlclone")
+        s.sql("DROP TABLE IF EXISTS graft_ops.cl_src")
+        s.sql("DROP TABLE IF EXISTS graft_ops.cl_tgt")
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView("cl_seed")
+        s.sql(
+          s"""CREATE TABLE graft_ops.cl_src USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT * FROM cl_seed""".stripMargin).collect()
+        val srcFq = "graft_ops.cl_src"
+        // the source moves on: a DELETE the v1-pinned clone must not see
+        s.sql(s"DELETE FROM $srcFq WHERE c_custkey % 2 = 0").collect()
+        val r = s.sql(s"CREATE TABLE graft_ops.cl_tgt SHALLOW CLONE " +
+          s"$srcFq VERSION AS OF 1").collect()(0)
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+          "cl_tgt")
+        val v1 = java.nio.file.Paths.get(
+          graft.sinks.ObjectStoreSink.snapshots(spec).last.path)
+        // zero-copy REQUIREs: no data files written, every entry a
+        // resolvable reference, count matching the report
+        require(graft.sinks.TableManifest.dataFiles(v1).isEmpty,
+          "a shallow clone must write ZERO data files")
+        val m = graft.sinks.TableManifest.read(v1).get
+        require(m.files.nonEmpty && m.files.forall(e => e.ref.nonEmpty &&
+          java.nio.file.Files.isRegularFile(
+            graft.sinks.TableManifest.resolved(v1, e))),
+          "every clone entry must be a resolvable reference")
+        require(r.getInt(3) == m.files.size,
+          s"files_referenced must match the manifest (report $r)")
+        // independence: the clone's COW UPDATE must never touch the source
+        s.sql("UPDATE graft_ops.cl_tgt SET bal = 0.0 " +
+          "WHERE c_custkey % 10 = 0").collect()
+        val srcEven = s.table(srcFq).where("c_custkey % 2 = 0").count()
+        require(srcEven == 0L, "the source must keep its own v2 image")
+        val srcZero = s.table(srcFq).where("bal = 0.0").count()
+        val cloneRows = s.table("graft_ops.cl_tgt").count()
+        require(srcZero == 0L || s.table(srcFq)
+            .where("bal = 0.0 AND c_custkey % 10 <> 0").count() == srcZero,
+          "the clone's UPDATE must not reach the source")
+        require(cloneRows == s.sql(s"SELECT * FROM cl_seed").count(),
+          "the v1-pinned clone must hold the FULL pre-delete image")
+        s.sql("""SELECT c_custkey, c_name, bal FROM graft_ops.cl_tgt
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END
+             |    AS bal
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):

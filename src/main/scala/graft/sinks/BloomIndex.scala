@@ -317,6 +317,21 @@ object BloomIndex {
   /** Assembled whole-index view (shards overlaid on any legacy sidecar) —
     * introspection/testing; probes use the lazy [[readCol]].
     */
+  /** The shard sidecar files of a version dir (for metadata-only carries
+    * like SHALLOW CLONE — shards key file paths the clone keeps verbatim).
+    */
+  def sidecarFiles(versionDir: Path): Seq[Path] =
+    try {
+      val s = Files.list(versionDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("_blooms_") &&
+            p.getFileName.toString.endsWith(".json"))
+          .toList
+      } finally s.close()
+    } catch { case _: Exception => Nil }
+
   def read(versionDir: Path): Option[Sidecar] = {
     val shards =
       try {

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 /** The atomic-publish seam under every metadata commit in the versioned-
   * directory table format (manifest files, supersede stamps, the table-root
@@ -179,4 +179,56 @@ object CommitLog {
         TableManifest.publisher.publish(tableDir, Name,
           live.mkString("[", ",", "]"))
     }
+}
+
+/** `_clones.json` — the incoming-reference registry a SHALLOW CLONE
+  * leaves with every table whose files its manifest references: the
+  * ABSOLUTE table dirs of the clones. Retention/vacuum of the owner then
+  * pins exactly the version dirs those clones' surviving manifests still
+  * reference ([[graft.sinks.ObjectStoreSink.unreferencedOnly]]) — O(
+  * registered clones), never a lake scan, and the Delta shallow-clone
+  * footgun ("vacuum on the source breaks clones") structurally cannot
+  * happen. A registered dir that no longer holds any committed manifest
+  * (the clone was deleted) pins nothing and is pruned on the next write.
+  * Same single-writer-per-table discipline as [[CommitLog]]: mutations
+  * run under the OWNER's table lock.
+  */
+object CloneRegistry {
+
+  val Name = "_clones.json"
+
+  def read(ownerTableDir: Path): Seq[Path] = {
+    val f = ownerTableDir.resolve(Name)
+    if (!Files.exists(f)) Nil
+    else
+      try {
+        import org.json4s._
+        implicit val formats: Formats = DefaultFormats
+        org.json4s.jackson.JsonMethods.parse(Files.readString(f))
+          .extract[Seq[String]].map(Paths.get(_))
+      } catch { case _: Exception => Nil }
+  }
+
+  /** Register a clone's table dir with the owner (idempotent). */
+  def register(ownerTableDir: Path, cloneTableDir: Path): Unit =
+    graft.sinks.ObjectStoreSink.withTableLock(ownerTableDir) {
+      val abs = cloneTableDir.toAbsolutePath.normalize.toString
+      val all = (read(ownerTableDir).map(_.toString).toSet + abs).toSeq.sorted
+      TableManifest.publisher.publish(ownerTableDir, Name,
+        org.json4s.jackson.Serialization.write(all)(
+          org.json4s.DefaultFormats))
+    }
+
+  /** Drop registered clones whose table dir is gone (deleted clone
+    * tables). A dir that survives but holds no committed manifest pins
+    * nothing anyway. Caller holds the owner's table lock.
+    */
+  def pruneDead(ownerTableDir: Path): Unit = {
+    val cur = read(ownerTableDir)
+    val live = cur.filter(Files.isDirectory(_))
+    if (live.size != cur.size)
+      TableManifest.publisher.publish(ownerTableDir, Name,
+        org.json4s.jackson.Serialization.write(
+          live.map(_.toString).sorted)(org.json4s.DefaultFormats))
+  }
 }

@@ -657,6 +657,92 @@ object ObjectStoreSink {
         pinSchema = Some(pinned), freshIsEmpty = true)
     }
 
+  /** SHALLOW CLONE: a brand-new versioned table whose v1 manifest
+    * REFERENCES every data file of the source snapshot — ZERO data read,
+    * copied or moved, O(files) metadata whatever the source size (the
+    * Delta `CREATE TABLE … SHALLOW CLONE` / Iceberg snapshot-ref
+    * economics). Entries carry the source's recorded stats/rows/sums
+    * verbatim, so zone-map pruning and metadata aggregates work on the
+    * clone immediately; the schema/evolution sidecars and Bloom shards
+    * copy alongside (pure metadata). References stay FLAT: cloning a
+    * clone (or a reference-mode source) re-points at each file's
+    * PHYSICAL owner, never through a chain. The clone then lives its own
+    * life — its DML copy-on-writes against the referenced files (link
+    * mode even re-materializes them as hard links on first carry), its
+    * versions vacuum independently — while the clone registers itself in
+    * each owner table's [[CloneRegistry]], so the OWNER's vacuum and
+    * retention pin exactly the version dirs surviving clone manifests
+    * still reference: the Delta footgun ("vacuum on the source breaks
+    * shallow clones") structurally cannot happen.
+    */
+  def cloneTable(spark: SparkSession, srcSpec: ObjectStoreSpec,
+      targetDb: String, targetTable: String,
+      srcVersion: Option[Int] = None): CloneReport = {
+    val spec = srcSpec.copy(database = targetDb, table = targetTable)
+    lockFor(spec).synchronized {
+      val fq = s"$targetDb.$targetTable"
+      val srcFq = s"${srcSpec.database}.${srcSpec.table}"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetDb")
+      val tableDir = Paths.get(spec.path, spec.database, spec.table)
+      if (versionDirs(tableDir).exists(TableManifest.isCommitted) ||
+          spark.catalog.tableExists(fq))
+        throw new PipelineSpecException(
+          s"SHALLOW CLONE target $fq already exists — clone creates a " +
+            "NEW table (drop it first, or pick another name)")
+      val srcSnap = resolveSnapshot(srcSpec, srcVersion)
+      val srcDir = Paths.get(srcSnap.path)
+      val srcM = TableManifest.read(srcDir).getOrElse(
+        throw new PipelineSpecException(
+          s"SHALLOW CLONE of $srcFq: version ${srcSnap.version} has no " +
+            "manifest — only manifest-committed tables clone"))
+      Files.createDirectories(tableDir)
+      val next = nextVersionDir(tableDir)
+      Files.createDirectories(next)
+      // re-point every entry at its PHYSICAL owner, flat: a plain source
+      // entry lives in the source version dir; a reference entry's own
+      // ref is source-table-relative, so the same prefix re-bases it
+      val toSrc = tableDir.toAbsolutePath.normalize
+        .relativize(srcDir.getParent.toAbsolutePath.normalize)
+      val srcName = srcDir.getFileName.toString
+      val entries = srcM.files.map { e =>
+        val r =
+          if (e.ref.isEmpty) toSrc.resolve(srcName).resolve(e.path)
+          else toSrc.resolve(e.ref)
+        e.copy(ref = r.normalize.toString)
+      }
+      // metadata sidecars ride along: pinned schema, evolution state,
+      // Bloom shards (all keyed by the logical relative paths the
+      // entries keep verbatim)
+      for (name <- Seq(SchemaSidecarName, EvolutionSidecarName)) {
+        val f = srcDir.resolve(name)
+        if (Files.exists(f))
+          TableManifest.publisher.publish(next, name, Files.readString(f))
+      }
+      BloomIndex.sidecarFiles(srcDir).foreach { f =>
+        TableManifest.publisher.publish(next,
+          f.getFileName.toString, Files.readString(f))
+      }
+      TableManifest.commitCarried(next, srcM.schemaHash, srcM.fileFormat,
+        txn = None, carried = entries)
+      CommitLog.record(tableDir, versionNumber(next))
+      // register the incoming references with every owner table BEFORE
+      // the catalog repoint makes the clone visible: no window in which
+      // an owner's retention could miss the pin
+      val m = TableManifest.read(next).get
+      TableManifest.externalOwnerDirs(next, m).map(_.getParent).toSeq
+        .distinct.foreach(owner => CloneRegistry.register(owner, tableDir))
+      repoint(spark, fq, spec, next, readVersion(spark, spec))
+      CloneReport(fq, srcFq, srcSnap.version, entries.size,
+        entries.map(_.bytes).sum)
+    }
+  }
+
+  /** What a [[cloneTable]] commit did: every file referenced, zero
+    * written.
+    */
+  final case class CloneReport(table: String, source: String,
+      sourceVersion: Int, filesReferenced: Int, bytesReferenced: Long)
+
   private def guardSchemaAligned(fq: String, prevRead: DataFrame,
       batch: DataFrame, verb: String): Unit = {
     val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -1225,9 +1311,7 @@ object ObjectStoreSink {
       // standard single-version shape) and union them. A handful of
       // versions deep at most; the branches scan in parallel and filters
       // push into each.
-      logical(kept.groupBy(e =>
-          if (e.ref.isEmpty) vdir
-          else vdir.getParent.resolve(e.ref.takeWhile(_ != '/')))
+      logical(kept.groupBy(e => TableManifest.ownerDir(vdir, e))
         .toSeq.sortBy(_._1.toString)
         .map { case (owner, es) =>
           reader.option("basePath", owner.toString)
@@ -1440,7 +1524,20 @@ object ObjectStoreSink {
   private[graft] def unreferencedOnly(all: Seq[Path],
       candidates: Seq[Path]): Seq[Path] = {
     if (candidates.isEmpty) return candidates
-    var retire = candidates.toSet
+    // cross-table incoming references (SHALLOW CLONE): every clone
+    // registered with this table pins exactly the version dirs its
+    // surviving committed manifests still resolve into — O(registered
+    // clones), and a source vacuum/retention can never tear a clone
+    val tableDir = candidates.head.getParent
+    val externalPins: Set[Path] =
+      CloneRegistry.read(tableDir).flatMap { cloneDir =>
+        (try versionDirs(cloneDir) catch { case _: Exception => Nil })
+          .filter(TableManifest.isCommitted).flatMap(vd =>
+            TableManifest.read(vd).toSeq.flatMap(m =>
+              TableManifest.externalOwnerDirs(vd, m)))
+      }.toSet
+    var retire = candidates
+      .filterNot(c => externalPins(c.toAbsolutePath.normalize)).toSet
     var changed = true
     while (changed) {
       changed = false

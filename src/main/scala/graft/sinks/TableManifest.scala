@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
@@ -114,15 +114,40 @@ object TableManifest {
     */
   def resolved(versionDir: Path, e: FileEntry): Path =
     if (e.ref.isEmpty) versionDir.resolve(e.path)
-    else versionDir.getParent.resolve(e.ref)
+    else versionDir.getParent.resolve(e.ref).normalize
 
-  /** The version-dir names (`v-NNNNNN`) this manifest references INTO —
-    * the reachability edges Vacuum/retention must honor: a version dir
-    * retires only when no surviving manifest references its files.
+  /** The VERSION DIR physically owning an entry's bytes. Every `ref`
+    * ends with the entry's own logical `path` (the carry discipline —
+    * link-commit carries and clone references alike preserve the logical
+    * relative path as the tail), so the owner is the resolved location
+    * with the logical segments stripped — correct for same-table refs
+    * (`v-NNNNNN/…`) and cross-table SHALLOW CLONE refs
+    * (`../srcTable/v-NNNNNN/…`) alike, partitioned or not.
+    */
+  def ownerDir(versionDir: Path, e: FileEntry): Path =
+    if (e.ref.isEmpty) versionDir
+    else (1 to Paths.get(e.path).getNameCount)
+      .foldLeft(resolved(versionDir, e))((p, _) => p.getParent)
+
+  /** The SAME-TABLE version-dir names (`v-NNNNNN`) this manifest
+    * references INTO — the intra-table reachability edges Vacuum and
+    * retention honor: a version dir retires only when no surviving
+    * manifest references its files. Cross-table references (a SHALLOW
+    * CLONE's `../table/v-NNNNNN/…` entries) are excluded here — they pin
+    * through the owner table's clone registry instead
+    * ([[graft.sinks.CloneRegistry]]).
     */
   def referencedDirs(m: Manifest): Set[String] =
-    m.files.iterator.filter(_.ref.nonEmpty)
+    m.files.iterator.filter(e => e.ref.nonEmpty && !e.ref.startsWith(".."))
       .map(e => e.ref.takeWhile(_ != '/')).toSet
+
+  /** Distinct FOREIGN version dirs (other tables') this manifest's
+    * reference entries resolve into — the incoming-reference edges a
+    * SHALLOW CLONE creates against its source.
+    */
+  def externalOwnerDirs(versionDir: Path, m: Manifest): Set[Path] =
+    m.files.iterator.filter(e => e.ref.startsWith(".."))
+      .map(e => ownerDir(versionDir, e).toAbsolutePath.normalize).toSet
 
   /** Writer-transaction stamp (the Delta `txn` mechanism): a streaming
     * writer records (appId, batchId) in the manifest it commits, so its
