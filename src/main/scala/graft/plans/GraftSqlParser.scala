@@ -234,28 +234,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (changed) Some(out) else None
   }
 
-  /** Timestamp literal → epoch ms in the SESSION time zone (the zone a
-    * user's `TIMESTAMP AS OF '…'` literal is written in); date-only
-    * literals resolve to local midnight.
-    */
-  private def parseTsMs(s: SparkSession, quoted: String): Long = {
-    val zone = java.time.ZoneId.of(
-      s.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID))
-    val txt = quoted.stripPrefix("'").stripSuffix("'").trim
-    val ldt =
-      try java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
-      catch {
-        case _: Exception =>
-          try java.time.LocalDate.parse(txt).atStartOfDay()
-          catch {
-            case _: Exception => throw new graft.model.PipelineSpecException(
-              s"cannot parse TIMESTAMP AS OF literal $quoted — use " +
-                "'yyyy-MM-dd[ HH:mm:ss[.SSS]]'")
-          }
-      }
-    ldt.atZone(zone).toInstant.toEpochMilli
-  }
 
   private def parsePlanDispatch(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(ident, _, zcols, _, target) =>
@@ -305,6 +283,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val (sdb, st) = split(sIdent)
       CloneTableCommand(tdb, tt, sdb, st,
         Option(version).map(_.trim.toInt))
+    case RestoreRe(ident, kind, vtext) =>
+      // `RESTORE TABLE` rolls back as a NEW carry commit — O(files),
+      // never a rewrite; foreign tables keep Spark's own parse error
+      val (db, t) = split(ident)
+      onlyIfOurs(db, t, sqlText)(
+        RestoreTableCommand(db, t, kind.toUpperCase, vtext))
     case TruncateRe(ident) =>
       val (db, t) = split(ident)
       onlyIfOurs(db, t, sqlText)(TruncateTableCommand(db, t))
@@ -581,6 +565,11 @@ object GraftSqlParser {
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
       """(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  // RESTORE TABLE t [TO] VERSION|TIMESTAMP AS OF x — O(files) rollback
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
+      """\s+(?:TO\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+""" +
+      """(\d+|'[^']*')\s*;?\s*""").r
   // loose pre-matches for the refusal gates (possibly-backticked idents;
   // the capture is stripped of backticks before probing)
   private val QIdent =
@@ -634,6 +623,29 @@ object GraftSqlParser {
     ("""(?i)""" + Ident +
       """(?:\s+FOR)?\s+(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)""" +
       """\s+AS\s+OF\s+(\d+|'[^']*')""").r
+
+  /** Timestamp literal → epoch ms in the SESSION time zone (the zone a
+    * user's `TIMESTAMP AS OF '…'` literal is written in); date-only
+    * literals resolve to local midnight.
+    */
+  private[plans] def parseTsMs(s: SparkSession, quoted: String): Long = {
+    val zone = java.time.ZoneId.of(
+      s.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val txt = quoted.stripPrefix("'").stripSuffix("'").trim
+    val ldt =
+      try java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
+      catch {
+        case _: Exception =>
+          try java.time.LocalDate.parse(txt).atStartOfDay()
+          catch {
+            case _: Exception => throw new graft.model.PipelineSpecException(
+              s"cannot parse TIMESTAMP AS OF literal $quoted — use " +
+                "'yyyy-MM-dd[ HH:mm:ss[.SSS]]'")
+          }
+      }
+    ldt.atZone(zone).toInstant.toEpochMilli
+  }
 
   private def resolveSpec(spark: SparkSession, db: Option[String],
       table: String) = {
@@ -1664,6 +1676,47 @@ object GraftSqlParser {
         tdb.getOrElse(spark.catalog.currentDatabase), tt, version)
       Seq(Row(r.table, r.source, r.sourceVersion, r.filesReferenced,
         r.bytesReferenced))
+    }
+  }
+
+  /** `RESTORE TABLE t [TO] VERSION|TIMESTAMP AS OF x`: roll back to a
+    * prior snapshot as a NEW version carrying that snapshot's files —
+    * O(files) metadata, data + schema + evolution state all restore, the
+    * in-between history stays time-travel-readable
+    * ([[ObjectStoreSink.restoreVersion]]; the Delta RESTORE shape).
+    */
+  final case class RestoreTableCommand(db: Option[String], table: String,
+      kind: String, vtext: String) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      attr("restored_version", IntegerType),
+      attr("new_version", IntegerType),
+      attr("files_linked", IntegerType))
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, spec) = resolveSpec(spark, db, table)
+      val version =
+        if (kind == "VERSION") {
+          if (!vtext.forall(_.isDigit))
+            throw new graft.model.PipelineSpecException(
+              s"RESTORE … VERSION AS OF takes an integer snapshot " +
+                s"version, got $vtext (see SHOW SNAPSHOTS)")
+          vtext.toInt
+        } else {
+          if (!vtext.startsWith("'"))
+            throw new graft.model.PipelineSpecException(
+              s"RESTORE … TIMESTAMP AS OF takes a quoted timestamp " +
+                s"literal, got $vtext")
+          val ms = parseTsMs(spark, vtext)
+          ObjectStoreSink.snapshots(spec).filter(_.committedAtMs <= ms)
+            .lastOption.getOrElse(
+              throw new graft.model.PipelineSpecException(
+                s"no committed snapshot of ${db.fold("")(_ + ".")}$table " +
+                  s"at or before $vtext")).version
+        }
+      val rep = ObjectStoreSink.restoreVersion(spark, spec, version)
+      val after = ObjectStoreSink.snapshots(spec).last
+      Seq(Row(version, after.version, rep.filesLinked))
     }
   }
 

@@ -1760,6 +1760,58 @@ object Stats {
              |    AS bal
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // ---- RESTORE: O(files) rollback to a prior snapshot -------------------
+    // `RESTORE TABLE t [TO] VERSION AS OF n` commits the target
+    // snapshot's files as a NEW version (carry commit — REQUIREd below:
+    // all files linked by report AND on-disk inode identity, zero data
+    // rewritten), data + schema restoring together while the
+    // rolled-back-over history stays time-travel-readable. The oracle is
+    // the original image — a restore after destructive DML must be
+    // byte-equivalent to never having run it.
+    QueryDef(
+      "q_sql_restore",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-sqlrestore")
+        s.sql("DROP TABLE IF EXISTS graft_ops.rst_part")
+        t(s, d, "part").select(col("p_partkey"), col("p_name"),
+            col("p_retailprice")).createOrReplaceTempView("rst_src")
+        s.sql(
+          s"""CREATE TABLE graft_ops.rst_part USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT * FROM rst_src""".stripMargin).collect()
+        val fq = "graft_ops.rst_part"
+        val nFiles = s.sql(s"SHOW SNAPSHOTS $fq").collect().last.getInt(4)
+        s.sql(s"DELETE FROM $fq WHERE p_partkey % 2 = 0").collect() // v2
+        s.sql(s"UPDATE $fq SET p_retailprice = 0.0 " +
+          "WHERE p_partkey % 3 = 0").collect() // v3
+        val r = s.sql(s"RESTORE TABLE $fq TO VERSION AS OF 1")
+          .collect()(0)
+        require(r.getInt(0) == 1 && r.getInt(1) == 4 &&
+          r.getInt(2) == nFiles,
+          s"RESTORE must carry all $nFiles files of v1 (report: $r)")
+        // the carry is real inodes — zero data rewritten
+        val spec = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+          "rst_part")
+        val vs = graft.sinks.ObjectStoreSink.snapshots(spec)
+        val v1 = java.nio.file.Paths.get(vs.find(_.version == 1).get.path)
+        val v4 = java.nio.file.Paths.get(vs.last.path)
+        val shared = graft.sinks.TableManifest.read(v1).get.files.count { e =>
+          java.nio.file.Files.exists(v4.resolve(e.path)) &&
+            java.nio.file.Files.isSameFile(
+              v1.resolve(e.path), v4.resolve(e.path))
+        }
+        require(shared == nFiles,
+          s"RESTORE shared $shared/$nFiles inodes — it rewrote data")
+        // the bad history stays time-travel-readable until retention
+        require(s.sql(s"SELECT count(*) AS c FROM $fq VERSION AS OF 2 " +
+          "WHERE p_partkey % 2 = 0").head.getLong(0) == 0L,
+          "v2 (the DELETE) must stay readable after the restore")
+        s.sql(s"""SELECT p_partkey, p_name, p_retailprice
+                 |FROM $fq ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- SQL MERGE clause generality --------------------------------------
     // Full ANSI clause surface beyond the reference's generated
     // matched-update + not-matched-insert pair (IcebergUtil.scala:124-157):

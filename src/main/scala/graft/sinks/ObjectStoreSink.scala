@@ -743,6 +743,40 @@ object ObjectStoreSink {
   final case class CloneReport(table: String, source: String,
       sourceVersion: Int, filesReferenced: Int, bytesReferenced: Long)
 
+  /** `RESTORE`: roll the table back to a prior committed snapshot as a
+    * NEW version that carries that snapshot's files (hard links or
+    * references per the publisher) — O(files) metadata whatever the
+    * table size, never a data rewrite (the Delta `RESTORE TABLE`
+    * discipline). The full state restores: data, pinned schema sidecar,
+    * evolution state and Bloom shards all carry from the restore target,
+    * so restoring past a schema evolution rolls the shape back too.
+    * History is append-only — the bad versions stay time-travel-readable
+    * until retention, and the restore itself is just another CAS-pinned
+    * commit (a concurrent writer aborts it, never the reverse).
+    */
+  def restoreVersion(spark: SparkSession, spec: ObjectStoreSpec,
+      toVersion: Int): LinkCommitReport =
+    lockFor(spec).synchronized {
+      val fq = s"${spec.database}.${spec.table}"
+      val snaps = snapshots(spec)
+      val latest = snaps.lastOption.getOrElse(
+        throw new PipelineSpecException(
+          s"$fq has no committed version to restore"))
+      val target = snaps.find(_.version == toVersion).getOrElse(
+        throw new PipelineSpecException(
+          s"RESTORE $fq: version $toVersion does not exist or is not " +
+            s"committed (have: ${snaps.map(_.version).mkString(", ")}; " +
+            "retained history only — vacuumed versions cannot restore)"))
+      val shape = logicalShape(spark, spec, target)
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], shape)
+      def fullImage: DataFrame = readVersion(spark, spec, Some(toVersion))
+      linkCommitLocked(spark, spec, fq, target, carriedWanted = None,
+        fresh = fresh, fullImage = fullImage, txn = None,
+        pinSchema = Some(shape), freshIsEmpty = true,
+        casVersion = Some(latest.version))
+    }
+
   private def guardSchemaAligned(fq: String, prevRead: DataFrame,
       batch: DataFrame, verb: String): Unit = {
     val prevSchema = prevRead.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -771,12 +805,18 @@ object ObjectStoreSink {
       txn: Option[TableManifest.TxnStamp],
       pinSchema: Option[org.apache.spark.sql.types.StructType] = None,
       dropAlso: Set[String] = Set.empty,
-      freshIsEmpty: Boolean = false)
+      freshIsEmpty: Boolean = false,
+      casVersion: Option[Int] = None)
       : LinkCommitReport = {
     val tableDir = Paths.get(spec.path, spec.database, spec.table)
     val prevDir = Paths.get(snap.path)
+    // the degrade path re-runs as a CAS-pinned full rewrite; `snap` is
+    // both the carry source and the expected latest except for RESTORE,
+    // where the carry source is a PRIOR version while the CAS must still
+    // pin the actual latest
+    val expectLatest = casVersion.getOrElse(snap.version)
     def fullRewrite(): LinkCommitReport = {
-      replaceTable(spark, fullImage, spec, txn, Some(snap.version))
+      replaceTable(spark, fullImage, spec, txn, Some(expectLatest))
       val after = snapshots(spec).last
       LinkCommitReport(fq, 0, after.nFiles, degraded = true)
     }
