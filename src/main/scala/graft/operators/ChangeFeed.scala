@@ -41,7 +41,11 @@ object ChangeFeed {
 
   /** Change rows for every commit step in `(fromVersion, toVersion]`,
     * in the TO version's logical shape plus `_change_type` and
-    * `_commit_version`. `fromVersion == toVersion` is the empty feed.
+    * `_commit_version`. `fromVersion == toVersion` is the empty feed;
+    * `fromVersion = 0` is the VIRTUAL EMPTY origin (versions start at
+    * 1), so a bootstrap read feeds the first snapshot's full image as
+    * inserts — the shape an incremental consumer needs to start from
+    * nothing ([[graft.streaming.ChangeFeedStream]]).
     */
   def changesBetween(spark: SparkSession, spec: ObjectStoreSpec,
       fromVersion: Int, toVersion: Int): DataFrame = {
@@ -56,11 +60,46 @@ object ChangeFeed {
         s"version $toVersion")
     val toSnap = snapOf(toVersion)
     val toShape = shapeOf(spark, spec, toVersion)
-    snapOf(fromVersion)
+    if (fromVersion > 0) snapOf(fromVersion): Unit
 
-    val perStep = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val prevSnap = snapOf(v - 1)
-      val curSnap = snapOf(v)
+    val perStep = ((math.max(fromVersion, 0) + 1) to toVersion).flatMap { v =>
+      if (v - 1 == 0 && snaps.forall(_.version != 0)) {
+        // bootstrap step: everything in the first snapshot is an insert
+        val curSnap = snapOf(v)
+        val cm = TableManifest.read(Paths.get(curSnap.path))
+        val addedRows = align(cm match {
+          case Some(m) => ObjectStoreSink.readSubset(spark, curSnap.path,
+            spec.fileFormat, m.files, m.files.size)
+          case None => ObjectStoreSink.readVersion(spark, spec, Some(v))
+        }, shapeOf(spark, spec, v), toShape)
+        Some(step(addedRows, addedRows.where(lit(false)), v))
+      } else stepOf(spark, spec, v, toShape)
+    }
+
+    perStep.reduceOption(_.unionByName(_)).getOrElse {
+      // empty feed in the full output shape
+      val shape = StructType(toShape.fields.map(f =>
+        f.copy(name = f.name)) :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    }
+  }
+
+  /** One committed-over-committed step's change rows, or None for a
+    * metadata-only step (no file added or removed — zero reads).
+    */
+  private def stepOf(spark: SparkSession, spec: ObjectStoreSpec, v: Int,
+      toShape: StructType): Option[DataFrame] = {
+    val snaps = ObjectStoreSink.snapshots(spec)
+    def snapOf(n: Int): ObjectStoreSink.Snapshot =
+      snaps.find(_.version == n).get
+    val prevSnap = snapOf(v - 1)
+    val curSnap = snapOf(v)
+    locally {
       val prevDir = Paths.get(prevSnap.path)
       val curDir = Paths.get(curSnap.path)
       val prevM = TableManifest.read(prevDir)
@@ -97,18 +136,6 @@ object ChangeFeed {
             shapeOf(spark, spec, v - 1), toShape)
           Some(step(addedRows, removedRows, v))
       }
-    }
-
-    perStep.reduceOption(_.unionByName(_)).getOrElse {
-      // empty feed in the full output shape
-      val shape = StructType(toShape.fields.map(f =>
-        f.copy(name = f.name)) :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.IntegerType))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
     }
   }
 

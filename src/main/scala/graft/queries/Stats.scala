@@ -1760,6 +1760,69 @@ object Stats {
              |    AS bal
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // ---- Change-feed streaming consumption equivalence --------------------
+    // Following a versioned table commit-by-commit
+    // (streaming/ChangeFeedStream): each poll applies exactly the change
+    // rows of the commits it advances over — the manifest file diff, so
+    // link-carried files never open — with the cursor carried
+    // EXACTLY-ONCE in the replica's own commit stamps (no side
+    // checkpoint to drift). Incremental consumption across interleaved
+    // polls must reconstruct the source image precisely; the oracle
+    // replays the final image relationally (the same discipline as
+    // q_mv_stream_equiv / q_dedup_stream_equiv).
+    QueryDef(
+      "q_changes_stream_equiv",
+      (s, d) => {
+        val scratch = graft.Scratch.fresh("graft-chgstream")
+        s.sql("DROP TABLE IF EXISTS graft_ops.cs_src")
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("cs_seed")
+        s.sql(
+          s"""CREATE TABLE graft_ops.cs_src USING GRAFT
+             |OPTIONS (path '$scratch') AS
+             |SELECT * FROM cs_seed WHERE o_orderkey % 5 <> 0"""
+            .stripMargin).collect()
+        val fq = "graft_ops.cs_src"
+        val src = graft.sinks.ObjectStoreSink.specFor(s, "graft_ops",
+          "cs_src")
+        val rep = src.copy(table = "cs_rep")
+        // bootstrap poll: the v1 image arrives as inserts
+        val r1 = graft.streaming.ChangeFeedStream.poll(s, src, rep, "cs")
+        require(r1.fromVersion == 0 && r1.toVersion == 1 &&
+          r1.deletes == 0L, s"bootstrap poll must feed v1 as inserts ($r1)")
+        // two commits land before the next poll — one window, both steps
+        s.sql(s"""INSERT INTO $fq
+                 |SELECT * FROM cs_seed WHERE o_orderkey % 5 = 0"""
+          .stripMargin).collect() // v2
+        s.sql(s"DELETE FROM $fq WHERE o_orderkey % 7 = 0").collect() // v3
+        val r2 = graft.streaming.ChangeFeedStream.poll(s, src, rep, "cs")
+        require(r2.fromVersion == 1 && r2.toVersion == 3,
+          s"the second poll must advance over BOTH pending commits ($r2)")
+        s.sql(s"UPDATE $fq SET o_totalprice = 0.0 " +
+          "WHERE o_orderkey % 11 = 0").collect() // v4
+        val r3 = graft.streaming.ChangeFeedStream.poll(s, src, rep, "cs")
+        require(r3.fromVersion == 3 && r3.toVersion == 4 &&
+          r3.inserts == r3.deletes,
+          s"a COW UPDATE must feed balanced delete+insert pairs ($r3)")
+        // caught up: the replay poll is a verified no-op
+        val r4 = graft.streaming.ChangeFeedStream.poll(s, src, rep, "cs")
+        require(r4.fromVersion == 4 && r4.toVersion == 4 &&
+          r4.inserts + r4.deletes == 0L,
+          s"a caught-up poll must no-op ($r4)")
+        // the replica must equal the source EXACTLY
+        val srcImg = s.table(fq)
+        val repImg = graft.sinks.ObjectStoreSink.readVersion(s, rep)
+        require(repImg.exceptAll(srcImg).count() == 0L &&
+          srcImg.exceptAll(repImg).count() == 0L,
+          "incremental consumption must reconstruct the source image")
+        repImg.orderBy("o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 11 = 0 THEN 0.0
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |ORDER BY o_orderkey, o_totalprice""".stripMargin)),
+
     // ---- RESTORE: O(files) rollback to a prior snapshot -------------------
     // `RESTORE TABLE t [TO] VERSION AS OF n` commits the target
     // snapshot's files as a NEW version (carry commit — REQUIREd below:
