@@ -144,6 +144,28 @@ class ChangeFeedSpec extends SparkSpec {
     } finally TableManifest.publisher = prev
   }
 
+  test("a partitioned table feeds through the partition-valued subset " +
+      "read: COW DELETE rows carry their partition values, INSERT steps " +
+      "scan only the fresh files") {
+    val spec = ObjectStoreSpec(path = scratchDir("part").toString,
+      database = "graft_cf", table = "t_part", partitionBy = Seq("p"))
+    ObjectStoreSink.replaceTable(spark,
+      (0L until 300L).map(i => (i, i % 7, s"s$i", (i % 3).toInt))
+        .toDF("id", "v", "s", "p"), spec)
+    val fq = s"${spec.database}.${spec.table}"
+    spark.sql(s"DELETE FROM $fq WHERE id = 7").collect() // v2 (p=1)
+    spark.sql(s"INSERT INTO $fq VALUES (9001, 1, 'a', 2)").collect() // v3
+    val f = ChangeFeed.changesBetween(spark, spec, 1, 3)
+      .orderBy("_commit_version")
+    f.collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("p")),
+      r.getString(r.fieldIndex("_change_type")),
+      r.getInt(r.fieldIndex("_commit_version")))).toSeq shouldBe Seq(
+      (7L, 1, "delete", 2), (9001L, 2, "insert", 3))
+    // the INSERT step scans only the fresh partition file(s)
+    val step3 = ChangeFeed.changesBetween(spark, spec, 2, 3)
+    absPaths(step3) shouldBe freshFiles(spec)
+  }
+
   test("SQL surface: TABLE_CHANGES composes with WHERE/ORDER BY, masks " +
       "string literals, refuses foreign tables and bad version ranges") {
     val spec = build("sql")

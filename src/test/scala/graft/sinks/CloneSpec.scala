@@ -158,6 +158,24 @@ class CloneSpec extends SparkSpec {
     spark.table("graft_clone.c_part").count() shouldBe 300L
   }
 
+  test("maintenance works on a clone: OPTIMIZE bin-packs the referenced " +
+      "files into the clone's OWN versions, the source untouched") {
+    val spec = build("opt")
+    val srcFq = s"${spec.database}.${spec.table}"
+    val srcV1 = Paths.get(ObjectStoreSink.snapshots(spec).last.path)
+    val srcFilesBefore = TableManifest.dataFiles(srcV1).size
+    spark.sql(s"CREATE TABLE graft_clone.c_opt SHALLOW CLONE $srcFq")
+      .collect()
+    // 3 small referenced files bin-pack into the clone's own layout
+    spark.sql("OPTIMIZE graft_clone.c_opt TARGET 268435456 BYTES").collect()
+    spark.table("graft_clone.c_opt").count() shouldBe 300L
+    spark.table("graft_clone.c_opt").agg(sum("v")).head.getLong(0) shouldBe
+      (0L until 300L).map(_ % 7).sum
+    // the source's physical layout never changed
+    TableManifest.dataFiles(srcV1).size shouldBe srcFilesBefore
+    spark.table(srcFq).count() shouldBe 300L
+  }
+
   test("guards: existing target and non-graft source refuse loudly") {
     val spec = build("grd")
     val srcFq = s"${spec.database}.${spec.table}"
