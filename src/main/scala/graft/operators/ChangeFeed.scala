@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.StructType
   * table — "what happened to the data between snapshot v(a) and v(b)",
   * as rows tagged `_change_type` (`insert` / `delete`; an update is a
   * delete + insert pair, the granularity a format without persistent row
-  * IDs can prove) and `_commit_version` (the step that produced them).
+  * IDs can prove) `_commit_version` (the step that produced them) and
+  * `_commit_timestamp_ms` (that commit's instant — the cursor a
+  * time-based consumer needs).
   * The Delta CDF / Iceberg changelog-scan capability, derived entirely
   * from the commit protocol's own manifests — nothing extra is written.
   *
@@ -72,7 +74,8 @@ object ChangeFeed {
             spec.fileFormat, m.files, m.files.size)
           case None => ObjectStoreSink.readVersion(spark, spec, Some(v))
         }, shapeOf(spark, spec, v), toShape)
-        Some(step(addedRows, addedRows.where(lit(false)), v))
+        Some(step(addedRows, addedRows.where(lit(false)), v,
+          curSnap.committedAtMs))
       } else stepOf(spark, spec, v, toShape)
     }
 
@@ -83,7 +86,9 @@ object ChangeFeed {
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType) :+
         org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.IntegerType))
+          org.apache.spark.sql.types.IntegerType) :+
+        org.apache.spark.sql.types.StructField("_commit_timestamp_ms",
+          org.apache.spark.sql.types.LongType))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
     }
@@ -123,7 +128,7 @@ object ChangeFeed {
               ObjectStoreSink.readSubset(spark, prevSnap.path,
                 spec.fileFormat, removed, pm.files.size),
               shapeOf(spark, spec, v - 1), toShape)
-            Some(step(addedRows, removedRows, v))
+            Some(step(addedRows, removedRows, v, curSnap.committedAtMs))
           }
         case _ =>
           // a legacy version without a manifest: no file identity to
@@ -134,7 +139,7 @@ object ChangeFeed {
           val removedRows = align(
             ObjectStoreSink.readVersion(spark, spec, Some(v - 1)),
             shapeOf(spark, spec, v - 1), toShape)
-          Some(step(addedRows, removedRows, v))
+          Some(step(addedRows, removedRows, v, curSnap.committedAtMs))
       }
     }
   }
@@ -144,12 +149,13 @@ object ChangeFeed {
     * surfaces as its delete + insert pair.
     */
   private def step(addedRows: DataFrame, removedRows: DataFrame,
-      v: Int): DataFrame = {
+      v: Int, tsMs: Long): DataFrame = {
     val inserts = addedRows.exceptAll(removedRows)
       .withColumn("_change_type", lit("insert"))
     val deletes = removedRows.exceptAll(addedRows)
       .withColumn("_change_type", lit("delete"))
     inserts.unionByName(deletes).withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp_ms", lit(tsMs))
   }
 
   /** The LOGICAL shape a version's rows read under — its pinned sidecar

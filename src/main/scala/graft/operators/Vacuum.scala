@@ -77,6 +77,10 @@ object Vacuum {
       if (retiring.nonEmpty) // keep the commit log truthful post-retire
         graft.sinks.CommitLog.prune(tableDir,
           v => tableDir.resolve(f"v-$v%06d"))
+      // registry hygiene: registered clones whose table dir is GONE
+      // (dropped and deleted) pin nothing — drop their entries so the
+      // pin scan stays O(live clones)
+      graft.sinks.CloneRegistry.pruneDead(tableDir)
     }
     Report(1, retired, freed)
   }

@@ -74,7 +74,8 @@ object ChangeFeedStream {
       .cache()
     try {
       val dataCols = changes.columns
-        .filterNot(c => c == "_change_type" || c == "_commit_version")
+        .filterNot(c => c == "_change_type" || c == "_commit_version" ||
+          c == "_commit_timestamp_ms")
       val inserts = changes.where(col("_change_type") === "insert")
         .select(dataCols.map(col).toIndexedSeq: _*)
       val deletes = changes.where(col("_change_type") === "delete")

@@ -100,7 +100,8 @@ class ChangeFeedSpec extends SparkSpec {
     evo.inputFiles shouldBe empty // the step read nothing at all
     val f = feed(spec, 1, 4).orderBy("_commit_version", "id")
     f.columns.toSeq shouldBe
-      Seq("id", "v", "s", "w", "_change_type", "_commit_version")
+      Seq("id", "v", "s", "w", "_change_type", "_commit_version",
+        "_commit_timestamp_ms")
     f.collect().map(r => (r.getLong(0),
       if (r.isNullAt(3)) -1L else r.getLong(3),
       r.getString(4), r.getInt(5))).toSeq shouldBe Seq(
@@ -124,7 +125,8 @@ class ChangeFeedSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $fq VALUES (3000000000, 8, 'wide')").collect() // v5
     val f = feed(spec, 1, 5)
     f.columns.toSeq shouldBe
-      Seq("id", "val", "s", "_change_type", "_commit_version")
+      Seq("id", "val", "s", "_change_type", "_commit_version",
+        "_commit_timestamp_ms")
     f.schema("id").dataType.sql shouldBe "BIGINT"
     f.orderBy("_commit_version").collect().map(r => (r.getLong(0),
       r.getLong(1), r.getString(2), r.getString(3), r.getInt(4))).toSeq shouldBe
