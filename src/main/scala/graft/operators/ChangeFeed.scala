@@ -52,6 +52,10 @@ object ChangeFeed {
   def changesBetween(spark: SparkSession, spec: ObjectStoreSpec,
       fromVersion: Int, toVersion: Int): DataFrame = {
     val fq = s"${spec.database}.${spec.table}"
+    // ONE snapshot inventory for the whole feed: every step needs the
+    // same version list, and snapshots() re-reads every manifest — the
+    // former per-step (and per-shapeOf) calls made a V-step feed cost
+    // O(V²) manifest parses on the driver
     val snaps = ObjectStoreSink.snapshots(spec)
     def snapOf(v: Int) = snaps.find(_.version == v).getOrElse(
       throw new PipelineSpecException(
@@ -61,22 +65,24 @@ object ChangeFeed {
       s"TABLE_CHANGES on $fq: FROM version $fromVersion is after TO " +
         s"version $toVersion")
     val toSnap = snapOf(toVersion)
-    val toShape = shapeOf(spark, spec, toVersion)
+    val toShape = shapeOf(spark, spec, toSnap)
     if (fromVersion > 0) snapOf(fromVersion): Unit
 
     val perStep = ((math.max(fromVersion, 0) + 1) to toVersion).flatMap { v =>
       if (v - 1 == 0 && snaps.forall(_.version != 0)) {
-        // bootstrap step: everything in the first snapshot is an insert
+        // bootstrap step: everything in the first snapshot is an insert —
+        // there is no removed side to cancel against, so the feed is the
+        // snapshot read TAGGED, no aggregation at all (the former
+        // exceptAll-pair shape still shuffled the full image twice)
         val curSnap = snapOf(v)
         val cm = TableManifest.read(Paths.get(curSnap.path))
         val addedRows = align(cm match {
           case Some(m) => ObjectStoreSink.readSubset(spark, curSnap.path,
             spec.fileFormat, m.files, m.files.size)
           case None => ObjectStoreSink.readVersion(spark, spec, Some(v))
-        }, shapeOf(spark, spec, v), toShape)
-        Some(step(addedRows, addedRows.where(lit(false)), v,
-          curSnap.committedAtMs))
-      } else stepOf(spark, spec, v, toShape)
+        }, curSnap, toShape)
+        Some(tagOnly(addedRows, insert = true, v, curSnap.committedAtMs))
+      } else stepOf(spark, spec, snapOf(v - 1), snapOf(v), toShape)
     }
 
     perStep.reduceOption(_.unionByName(_)).getOrElse {
@@ -97,13 +103,10 @@ object ChangeFeed {
   /** One committed-over-committed step's change rows, or None for a
     * metadata-only step (no file added or removed — zero reads).
     */
-  private def stepOf(spark: SparkSession, spec: ObjectStoreSpec, v: Int,
+  private def stepOf(spark: SparkSession, spec: ObjectStoreSpec,
+      prevSnap: ObjectStoreSink.Snapshot, curSnap: ObjectStoreSink.Snapshot,
       toShape: StructType): Option[DataFrame] = {
-    val snaps = ObjectStoreSink.snapshots(spec)
-    def snapOf(n: Int): ObjectStoreSink.Snapshot =
-      snaps.find(_.version == n).get
-    val prevSnap = snapOf(v - 1)
-    val curSnap = snapOf(v)
+    val v = curSnap.version
     locally {
       val prevDir = Paths.get(prevSnap.path)
       val curDir = Paths.get(curSnap.path)
@@ -120,25 +123,32 @@ object ChangeFeed {
           val removed = pm.files.filter(e => !curPaths(e.path))
           if (added.isEmpty && removed.isEmpty) None // metadata-only step
           else {
-            val addedRows = align(
+            lazy val addedRows = align(
               ObjectStoreSink.readSubset(spark, curSnap.path,
                 spec.fileFormat, added, cm.files.size),
-              shapeOf(spark, spec, v), toShape)
-            val removedRows = align(
+              curSnap, toShape)
+            lazy val removedRows = align(
               ObjectStoreSink.readSubset(spark, prevSnap.path,
                 spec.fileFormat, removed, pm.files.size),
-              shapeOf(spark, spec, v - 1), toShape)
-            Some(step(addedRows, removedRows, v, curSnap.committedAtMs))
+              prevSnap, toShape)
+            // one-sided steps need no cancellation — the tagged read IS
+            // the feed, zero shuffles (a link-append INSERT feeds only
+            // its fresh files; a file-dropping DELETE only the dropped)
+            if (removed.isEmpty)
+              Some(tagOnly(addedRows, insert = true, v, curSnap.committedAtMs))
+            else if (added.isEmpty)
+              Some(tagOnly(removedRows, insert = false, v, curSnap.committedAtMs))
+            else Some(step(addedRows, removedRows, v, curSnap.committedAtMs))
           }
         case _ =>
           // a legacy version without a manifest: no file identity to
           // prove carries — degrade to diffing the full images
           val addedRows = align(
             ObjectStoreSink.readVersion(spark, spec, Some(v)),
-            shapeOf(spark, spec, v), toShape)
+            curSnap, toShape)
           val removedRows = align(
             ObjectStoreSink.readVersion(spark, spec, Some(v - 1)),
-            shapeOf(spark, spec, v - 1), toShape)
+            prevSnap, toShape)
           Some(step(addedRows, removedRows, v, curSnap.committedAtMs))
       }
     }
@@ -147,15 +157,75 @@ object ChangeFeed {
   /** One commit step's change rows: the bag differences of the touched
     * file sets — rewritten-but-identical rows cancel, a COW update
     * surfaces as its delete + insert pair.
+    *
+    * ONE signed-count aggregation for both directions (guide §2.3/§2.4):
+    * the former `added.exceptAll(removed)` / `removed.exceptAll(added)`
+    * pair planned two independent sum-of-±1 aggregates (Spark's own
+    * RewriteExceptAll lowering), each rescanning both inputs and paying
+    * its own Exchange — the touched files were read twice and the union
+    * shuffled twice per step. The fused form tags added +1 / removed −1,
+    * aggregates once over every column, and reads the sign: n > 0 ⇒ |n|
+    * surplus inserts, n < 0 ⇒ |n| surplus deletes, n = 0 ⇒ the row
+    * carried (rewritten-but-identical — cancels, exactly exceptAll's
+    * multiset arithmetic, including null-safe and NaN-normalized
+    * grouping, which is the same Aggregate machinery exceptAll lowers
+    * to). Multiplicity is restored with the same ReplicateRows generator
+    * exceptAll uses, so duplicate-heavy keyless tables stream the
+    * replicas instead of materializing per-row arrays.
     */
   private def step(addedRows: DataFrame, removedRows: DataFrame,
       v: Int, tsMs: Long): DataFrame = {
-    val inserts = addedRows.exceptAll(removedRows)
-      .withColumn("_change_type", lit("insert"))
-    val deletes = removedRows.exceptAll(addedRows)
-      .withColumn("_change_type", lit("delete"))
-    inserts.unionByName(deletes).withColumn("_commit_version", lit(v))
+    val cols = addedRows.columns.toSeq
+    val w = "_graft_w"; val n = "_graft_n"
+    val tagged = addedRows.withColumn(w, lit(1L))
+      .unionByName(removedRows.withColumn(w, lit(-1L)))
+    val counted = tagged.groupBy(cols.map(col): _*)
+      .agg(sum(col(w)).as(n))
+      .where(col(n) =!= 0L)
+      .withColumn("_change_type",
+        when(col(n) > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn(w, abs(col(n))).drop(n)
+    replicateRows(counted, w)
+      .withColumn("_commit_version", lit(v))
       .withColumn("_commit_timestamp_ms", lit(tsMs))
+  }
+
+  /** A one-sided step (bootstrap, link-append INSERT, pure file-drop
+    * DELETE): no opposite side exists to cancel against, so the feed is
+    * the subset read tagged verbatim — no aggregation, no Exchange; the
+    * plan is the file scan itself.
+    */
+  private def tagOnly(rows: DataFrame, insert: Boolean, v: Int,
+      tsMs: Long): DataFrame =
+    rows.withColumn("_change_type", lit(if (insert) "insert" else "delete"))
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp_ms", lit(tsMs))
+
+  /** Replicate each row `timesCol` times (a positive Long column, consumed
+    * and dropped) via Spark's own [[ReplicateRows]] generator — the
+    * streaming replication exceptAll's RewriteExceptAll lowering uses,
+    * rather than an `explode(sequence(...))` that would materialize an
+    * n-element array per row.
+    */
+  private def replicateRows(df: DataFrame, timesCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.ReplicateRows
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val analyzed = df.queryExecution.analyzed
+    val times = analyzed.output.find(_.name == timesCol).getOrElse(
+      throw new IllegalStateException(s"no column '$timesCol' to replicate by"))
+    val dataAttrs = analyzed.output.filterNot(_.name == timesCol)
+    val gen = Generate(
+      ReplicateRows(times +: dataAttrs),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Nil, analyzed)
+    val out = GraftSqlBridge.ofRows(df.sparkSession, gen)
+    // the analyzer appends the generated replicas AFTER the child's own
+    // columns (fresh exprIds, generator-default names) — keep exactly the
+    // generated half, re-aliased positionally to the child's column names
+    val replicas = out.queryExecution.analyzed.output.drop(analyzed.output.size)
+    out.select(replicas.zip(dataAttrs).map { case (a, orig) =>
+      GraftSqlBridge.column(a).as(orig.name) }.toIndexedSeq: _*)
   }
 
   /** The LOGICAL shape a version's rows read under — its pinned sidecar
@@ -163,11 +233,10 @@ object ChangeFeed {
     * versions (where physical == logical by construction).
     */
   private def shapeOf(spark: SparkSession, spec: ObjectStoreSpec,
-      v: Int): StructType = {
-    val dir = Paths.get(ObjectStoreSink.snapshots(spec)
-      .find(_.version == v).get.path)
+      snap: ObjectStoreSink.Snapshot): StructType = {
+    val dir = Paths.get(snap.path)
     ObjectStoreSink.sidecarSchema(dir).getOrElse(
-      ObjectStoreSink.readVersion(spark, spec, Some(v)).schema)
+      ObjectStoreSink.readVersion(spark, spec, Some(snap.version)).schema)
   }
 
   /** Project a version's logical rows onto the TO version's logical
@@ -175,8 +244,15 @@ object ChangeFeed {
     * widened types up-cast, dropped columns vanish, later-added columns
     * read NULL.
     */
-  private def align(df: DataFrame, from: StructType,
+  private def align(df: DataFrame, snap: ObjectStoreSink.Snapshot,
       to: StructType): DataFrame = {
+    // the FROM version's logical shape: its pinned sidecar (physical-name
+    // metadata intact) or, when none exists, the subset read's own schema
+    // — physical == logical by construction on never-evolved versions,
+    // and deriving it from `df` avoids the full-version schema-inference
+    // read the former per-step shapeOf fallback paid
+    val from: StructType = ObjectStoreSink.sidecarSchema(
+      Paths.get(snap.path)).getOrElse(df.schema)
     val byPhys = from.fields.map(f =>
       ObjectStoreSink.physName(f) -> f.name).toMap
     df.select(to.fields.map { nf =>

@@ -53,6 +53,21 @@ object ObjectStoreSink {
     * serialization is the ACID table format's job — the same seam where
     * Iceberg/Delta replace the versioned-dir commit.
     */
+  /** Opt-in commit-phase timing (`-Dgraft.commit.timing=true`): per-phase
+    * stderr lines for perf triage of the commit machinery. Zero cost when
+    * off (a static boolean guard).
+    */
+  private val commitTiming: Boolean =
+    java.lang.Boolean.getBoolean("graft.commit.timing")
+  @inline private[graft] def timed[T](what: => String)(body: => T): T =
+    if (!commitTiming) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[commit] $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockObj(tableDir: Path): Object = {
@@ -251,7 +266,7 @@ object ObjectStoreSink {
         .mode(SaveMode.Overwrite).format(spec.fileFormat)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       // materialize BEFORE touching the live table
-      sw.save(next.toString)
+      timed(s"replaceTable($fq) save")(sw.save(next.toString))
       // an EMPTY partitioned image writes no data files at all, so the
       // version dir is schema-less on disk (TRUNCATE, whole-table DELETE,
       // a delete matching every row). Persist the schema as a sidecar and
@@ -259,39 +274,42 @@ object ObjectStoreSink {
       // table shape. Written BEFORE the manifest: the commit contract
       // (manifest-last) keeps a crash in between invisible.
       val emptyImage = TableManifest.dataFiles(next).isEmpty
-      val reread =
+      val reread = timed(s"replaceTable($fq) reread")(
         if (!emptyImage) spark.read.format(spec.fileFormat).load(next.toString)
         else {
           val shape = partitionsLast(df, spec).schema
           TableManifest.publisher.publish(next, SchemaSidecarName, shape.json)
           spark.read.schema(shape).format(spec.fileFormat).load(next.toString)
-        }
+        })
       // the manifest IS the commit: one atomic publish after every data file
       // is fully written — a version dir without it is an uncommitted crash
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
-      val manifest0 =
-        TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn)
+      val manifest0 = timed(s"replaceTable($fq) manifest")(
+        TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn))
       // exact per-file sums republish the manifest BEFORE the repoint, so
       // readers never observe a sum-less window on a sum-maintained table
       val manifest =
         if (spec.sumColumns.nonEmpty)
-          TableManifest.enrichSums(spark, next, spec.fileFormat,
-            spec.sumColumns.filterNot(spec.partitionBy.contains), manifest0)
+          timed(s"replaceTable($fq) sums")(
+            TableManifest.enrichSums(spark, next, spec.fileFormat,
+              spec.sumColumns.filterNot(spec.partitionBy.contains), manifest0))
         else manifest0
       // auxiliary bloom sidecar AFTER the manifest: a crash in between
       // leaves a committed version that simply doesn't bloom-prune
       if (spec.bloomColumns.nonEmpty)
-        BloomIndex.build(spark, next, spec.fileFormat,
-          spec.bloomColumns.filterNot(spec.partitionBy.contains), manifest)
+        timed(s"replaceTable($fq) blooms")(
+          BloomIndex.build(spark, next, spec.fileFormat,
+            spec.bloomColumns.filterNot(spec.partitionBy.contains), manifest))
       // ...and the table-root commit log records the version, so "latest
       // committed" never depends on directory-listing order/completeness
       CommitLog.record(tableDir, versionNumber(next))
-      repoint(spark, fq, spec, next, reread)
+      timed(s"replaceTable($fq) repoint")(
+        repoint(spark, fq, spec, next, reread))
       // stamp the versions this commit just replaced: retirement grace
       // measures from the supersede TIME, not the dir's write mtime
       versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
         .foreach(TableManifest.markSuperseded)
-      retireOldVersions(tableDir, keep = 2)
+      timed(s"replaceTable($fq) retire")(retireOldVersions(tableDir, keep = 2))
       fq
     }
 
@@ -844,7 +862,7 @@ object ObjectStoreSink {
       val sw0 = tsMicros(toPhysical(fresh, carriedPin)).write
         .mode(SaveMode.Overwrite).format(spec.fileFormat)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
-      sw.save(next.toString)
+      timed(s"linkCommit($fq) save")(sw.save(next.toString))
     }
 
     // carry every wanted prior data file at its own LOGICAL relative path.
@@ -932,8 +950,9 @@ object ObjectStoreSink {
         spark.read.schema(prevRead.schema)
           .format(spec.fileFormat).load(next.toString)
     }
-    val manifest0 = TableManifest.commitCarried(next, schemaHash(reread),
-      spec.fileFormat, txn, carriedEntries)
+    val manifest0 = timed(s"linkCommit($fq) manifest")(
+      TableManifest.commitCarried(next, schemaHash(reread),
+        spec.fileFormat, txn, carriedEntries))
     // carried entries keep their recorded sums verbatim (same immutable
     // file); only the NEW files get the sum pass — O(batch), never O(table)
     val sumCols = (spec.sumColumns ++ prevManifest.files.flatMap(
@@ -942,19 +961,22 @@ object ObjectStoreSink {
     val carriedRel = carriedEntries.map(_.path).toSet
     val manifest =
       if (sumCols.nonEmpty)
-        TableManifest.enrichSums(spark, next, spec.fileFormat,
-          sumCols.filterNot(spec.partitionBy.contains), manifest0,
-          onlyRel = Some(manifest0.files.map(_.path).toSet -- carriedRel))
+        timed(s"linkCommit($fq) sums")(
+          TableManifest.enrichSums(spark, next, spec.fileFormat,
+            sumCols.filterNot(spec.partitionBy.contains), manifest0,
+            onlyRel = Some(manifest0.files.map(_.path).toSet -- carriedRel)))
       else manifest0
     // sidecar AFTER the manifest, same crash contract as replaceTable;
     // prior shards extend over ONLY the new files — never a table scan
-    BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
-      manifest, carriedRel)
+    timed(s"linkCommit($fq) blooms")(
+      BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
+        manifest, carriedRel))
     CommitLog.record(tableDir, versionNumber(next))
-    repoint(spark, fq, spec, next, reread)
+    timed(s"linkCommit($fq) repoint")(
+      repoint(spark, fq, spec, next, reread))
     versionDirs(tableDir).filter(_ != next).filter(TableManifest.isCommitted)
       .foreach(TableManifest.markSuperseded)
-    retireOldVersions(tableDir, keep = 2)
+    timed(s"linkCommit($fq) retire")(retireOldVersions(tableDir, keep = 2))
     LinkCommitReport(fq, carriedEntries.size,
       manifest.files.size - carriedEntries.size, degraded = false)
   }

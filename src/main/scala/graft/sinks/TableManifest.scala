@@ -454,23 +454,41 @@ object TableManifest {
       return (if (fileFormat.equalsIgnoreCase("parquet")) 0L else -1L,
         Map.empty, Map.empty)
     val conf = new org.apache.hadoop.conf.Configuration()
-    var rows = 0L
-    val stats = Map.newBuilder[String, Map[String, ColStats]]
-    val perFile = Map.newBuilder[String, Long]
-    files.foreach { p =>
+    // one footer read per file, fanned over a bounded driver pool: the
+    // reads are independent metadata I/O (open + footer parse), and a
+    // commit over a many-file version dir was paying them strictly
+    // sequentially (guide §5: driver-side single-threaded work reads as
+    // "nothing is running"). Results are keyed by relative path, so
+    // completion order cannot change the manifest; ANY failure degrades
+    // the whole commit exactly like the sequential form did.
+    def readOne(p: Path): Option[(String, Long, Map[String, ColStats])] =
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Some((versionDir.relativize(p).toString, r.getRecordCount,
+          footerColStats(r.getFooter)))
+        finally r.close()
+      } catch { case _: Exception => None } // not parquet
+    val results: Seq[Option[(String, Long, Map[String, ColStats])]] =
+      if (files.size <= 2) files.map(readOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(files.size, 16))
         try {
-          rows += r.getRecordCount
-          perFile += versionDir.relativize(p).toString -> r.getRecordCount
-          val cols = footerColStats(r.getFooter)
-          if (cols.nonEmpty) stats += versionDir.relativize(p).toString -> cols
-        } finally r.close()
-      } catch { case _: Exception => return (-1L, Map.empty, Map.empty) } // not parquet
-    }
-    (rows, stats.result(), perFile.result())
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(files.map(p =>
+            new java.util.concurrent.Callable[
+              Option[(String, Long, Map[String, ColStats])]] {
+              def call() = readOne(p)
+            }).asJava).asScala.toSeq.map(_.get)
+        } finally pool.shutdown()
+      }
+    if (results.exists(_.isEmpty)) return (-1L, Map.empty, Map.empty)
+    val ok = results.flatten
+    (ok.map(_._2).sum,
+      ok.iterator.filter(_._3.nonEmpty).map(t => t._1 -> t._3).toMap,
+      ok.iterator.map(t => t._1 -> t._2).toMap)
   }
 
   /** Merge one file's column-chunk statistics across its row groups into

@@ -80,8 +80,11 @@ object ChangeFeedStream {
         .select(dataCols.map(col).toIndexedSeq: _*)
       val deletes = changes.where(col("_change_type") === "delete")
         .select(dataCols.map(col).toIndexedSeq: _*)
-      val nIns = inserts.count()
-      val nDel = deletes.count()
+      // one job over the (cached) feed instead of a count() per side
+      val byType = changes.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIns = byType.getOrElse("insert", 0L)
+      val nDel = byType.getOrElse("delete", 0L)
       val base =
         if (from == 0)
           // first poll: the feed from version 0 IS the source image

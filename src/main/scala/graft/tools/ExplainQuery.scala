@@ -27,6 +27,10 @@ object ExplainQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension surface as Bench/Verify: without the parser and the
+      // planner seams, maintenance-verb fixtures fail to parse and the
+      // printed plans miss the zone-map/MV/meta-agg rewrites Bench runs with
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
