@@ -132,10 +132,37 @@ object BloomIndex {
       maxIndexBytes: Long = 64L << 20): Unit = {
     if (columns.isEmpty || m.files.isEmpty) return
     val df = spark.read.format(fileFormat).load(versionDir.toString)
+    planBuild(df, versionDir, columns, m, maxIndexBytes).foreach { plan =>
+      // one distributed pass, one row per data file — driver-side result is
+      // files × columns × numBits/8 bytes, bounded by maxIndexBytes
+      val rows = df.groupBy(input_file_name().as("_file"))
+        .agg(plan.aggs.head, plan.aggs.tail: _*).collect()
+      publishShards(versionDir, plan, rows, offset = 0)
+    }
+  }
+
+  /** The planned build pass: qualifying (column, build type) pairs plus
+    * the sized per-file BloomFilterAggregate columns, in lockstep order.
+    */
+  private[sinks] final case class BuildPlan(typed: Seq[(String, String)],
+      aggs: Seq[org.apache.spark.sql.Column])
+
+  /** The decision half of [[build]] (no Spark job): type qualification,
+    * filter sizing from the manifest's footer counts, and the byte-budget
+    * guard — `None` (with the same visible refusal log) when nothing
+    * qualifies. Split out so a commit that also maintains exact sums can
+    * fuse both enrichments into ONE pass over the fresh files
+    * ([[graft.sinks.ObjectStoreSink]]): the aggs here compose with any
+    * other per-file aggregate over the same `df`.
+    */
+  private[sinks] def planBuild(df: DataFrame, versionDir: Path,
+      columns: Seq[String], m: TableManifest.Manifest,
+      maxIndexBytes: Long = 64L << 20): Option[BuildPlan] = {
+    if (columns.isEmpty || m.files.isEmpty) return None
     val typed = columns.distinct.flatMap { c =>
       df.schema.find(_.name == c).flatMap(f => buildType(f.dataType).map(c -> _))
     }
-    if (typed.isEmpty) return
+    if (typed.isEmpty) return None
     // size from the manifest's per-file footer counts (the largest file
     // bounds every filter's expected-item count)
     val perFile = m.files.map(_.rows)
@@ -143,7 +170,7 @@ object BloomIndex {
       if (perFile.forall(_ >= 0)) math.max(64L, perFile.max)
       else if (m.rowCount >= 0)
         math.max(64L, 2L * m.rowCount / math.max(1, m.files.size))
-      else return // unsizable (non-parquet without counts): skip
+      else return None // unsizable (non-parquet without counts): skip
     // BloomFilterAggregate's own item cap (runtime-filter conf default);
     // beyond it the filter saturates gracefully (higher fpp, still sound)
     val expected = math.min(expected0, 4000000L)
@@ -160,32 +187,37 @@ object BloomIndex {
         s"files x ${typed.size} columns leaves ${budgetBits} bits/filter " +
         s"under the ${maxIndexBytes}B budget (< 1024-bit floor) — compact " +
         "the table or raise the budget to restore point-lookup skipping")
-      return
+      return None
     }
     val numBits = math.min(ideal, budgetBits)
-
     val aggs = typed.map { case (c, _) =>
       GraftSqlBridge.column(new BloomFilterAggregate(
         GraftSqlBridge.expression(xxhash64(col(c))),
         Literal(expected), Literal(numBits)).toAggregateExpression())
         .as(s"bf_$c")
     }
-    // one distributed pass, one row per data file — driver-side result is
-    // files × columns × numBits/8 bytes, bounded by maxIndexBytes
-    val rows = df.groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
+    Some(BuildPlan(typed, aggs))
+  }
+
+  /** Publish one shard per planned column from the collected per-file
+    * rows. `offset` = how many non-bloom aggregate columns precede the
+    * plan's own in each row (0 when the pass was bloom-only); column 0 is
+    * always the file name.
+    */
+  private[sinks] def publishShards(versionDir: Path, plan: BuildPlan,
+      rows: Array[org.apache.spark.sql.Row], offset: Int): Unit = {
     val enc = Base64.getEncoder
     // hashed shard names that collide within THIS column set take the
     // collision-proof long form; a full-digest collision (an actual MD5
     // collision) drops the later column with a log, never overwrites
-    val collided = typed.map(_._1).groupBy(shardName)
+    val collided = plan.typed.map(_._1).groupBy(shardName)
       .filter(_._2.size > 1).values.flatten.toSet
     val written = scala.collection.mutable.Set[String]()
-    typed.zipWithIndex.foreach { case ((c, t), i) =>
+    plan.typed.zipWithIndex.foreach { case ((c, t), i) =>
       val files = rows.flatMap { r =>
         for {
           rel <- relPath(versionDir, r.getString(0))
-          bits <- Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]])
+          bits <- Option(r.get(i + 1 + offset)).map(_.asInstanceOf[Array[Byte]])
         } yield rel -> enc.encodeToString(bits)
       }.toMap
       val name = if (collided(c)) fullShardName(c) else shardName(c)
@@ -217,41 +249,71 @@ object BloomIndex {
   def carryAndExtend(spark: SparkSession, prevDir: Path, versionDir: Path,
       fileFormat: String, m: TableManifest.Manifest, carriedRel: Set[String],
       maxIndexBytes: Long = 64L << 20): Unit = {
+    val df = newDf(spark, versionDir, fileFormat, m, carriedRel)
+    planExtend(prevDir, versionDir, m, carriedRel, df, maxIndexBytes)
+      .foreach { plan =>
+        if (plan.aggs.isEmpty)
+          publishExtended(versionDir, plan, Array.empty, offset = 0)
+        else {
+          val rows = df.get.groupBy(input_file_name().as("_file"))
+            .agg(plan.aggs.head, plan.aggs.tail: _*).collect()
+          publishExtended(versionDir, plan, rows, offset = 0)
+        }
+      }
+  }
+
+  /** The fresh (non-carried) files of a link commit as one DataFrame —
+    * the table every extension aggregate (and any fused sum pass) runs
+    * over. None when the commit added no files.
+    */
+  private[sinks] def newDf(spark: SparkSession, versionDir: Path,
+      fileFormat: String, m: TableManifest.Manifest,
+      carriedRel: Set[String]): Option[DataFrame] = {
+    val newRels = m.files.map(_.path).filterNot(carriedRel)
+    if (newRels.isEmpty) None
+    else Some(spark.read.format(fileFormat)
+      .load(newRels.map(r => versionDir.resolve(r).toString): _*))
+  }
+
+  /** The planned extension: carried filters (re-keyed to the files that
+    * actually linked), the qualifying new columns, and the sized
+    * aggregates — `aggs` empty means "publish the carried filters only"
+    * (no new files, nothing qualifying, or the budget refused — with the
+    * same visible log).
+    */
+  private[sinks] final case class ExtendPlan(
+      carriedCols: Map[String, ColBlooms],
+      typed: Seq[(String, String)],
+      aggs: Seq[org.apache.spark.sql.Column])
+
+  /** The decision half of [[carryAndExtend]] (no Spark job): None when
+    * the prior version had no shards at all. Split out so a link commit
+    * that also maintains exact sums fuses both enrichments into ONE pass
+    * over the fresh files ([[graft.sinks.ObjectStoreSink]]).
+    */
+  private[sinks] def planExtend(prevDir: Path, versionDir: Path,
+      m: TableManifest.Manifest, carriedRel: Set[String],
+      df: Option[DataFrame],
+      maxIndexBytes: Long = 64L << 20): Option[ExtendPlan] = {
     val prior = read(prevDir).map(_.cols).getOrElse(Map.empty)
-    if (prior.isEmpty) return
+    if (prior.isEmpty) return None
     // carried filters: only files that actually linked at the SAME rel
     // path (a name-disambiguated link loses its entry — kept-not-pruned)
     val carriedCols = prior.map { case (c, cb) =>
       c -> ColBlooms(cb.typ, cb.files.filter { case (rel, _) => carriedRel(rel) })
     }
-    def publishAll(extra: Map[String, Map[String, String]]): Unit = {
-      val collided = carriedCols.keys.toSeq.groupBy(shardName)
-        .filter(_._2.size > 1).values.flatten.toSet
-      val written = scala.collection.mutable.Set[String]()
-      carriedCols.toSeq.sortBy(_._1).foreach { case (c, cb) =>
-        val name = if (collided(c)) fullShardName(c) else shardName(c)
-        if (!written.add(name))
-          log.warn(s"bloom shard name collision on '$name' — column '$c' " +
-            "not carried")
-        else TableManifest.publisher.publish(versionDir, name,
-          Serialization.writePretty(
-            Shard(c, cb.typ, cb.files ++ extra.getOrElse(c, Map.empty))))
-      }
-    }
-    val newRels = m.files.map(_.path).filterNot(carriedRel)
-    if (newRels.isEmpty) { publishAll(Map.empty); return }
-    val df = spark.read.format(fileFormat)
-      .load(newRels.map(r => versionDir.resolve(r).toString): _*)
+    def carriedOnly = Some(ExtendPlan(carriedCols, Nil, Nil))
+    val dff = df.getOrElse(return carriedOnly)
     val typed = carriedCols.toSeq.sortBy(_._1).flatMap { case (c, cb) =>
-      df.schema.find(_.name == c)
+      dff.schema.find(_.name == c)
         .flatMap(f => buildType(f.dataType))
         .filter(_ == cb.typ).map(c -> _)
     }
-    if (typed.isEmpty) { publishAll(Map.empty); return }
+    if (typed.isEmpty) return carriedOnly
     val newEntries = m.files.filter(e => !carriedRel(e.path)).map(_.rows)
     val expected0: Long =
       if (newEntries.forall(_ >= 0)) math.max(64L, newEntries.max)
-      else { publishAll(Map.empty); return } // unsizable new files
+      else return carriedOnly // unsizable new files
     val expected = math.min(expected0, 4000000L)
     val ideal = math.min(expected * 16L, 1L << 23)
     val entries = math.max(1L, m.files.size.toLong * typed.size)
@@ -261,8 +323,7 @@ object BloomIndex {
         s"files x ${typed.size} columns leaves ${budgetBits} bits/filter " +
         s"under the ${maxIndexBytes}B budget (< 1024-bit floor) — carried " +
         "filters remain; compact or raise the budget to re-cover new files")
-      publishAll(Map.empty)
-      return
+      return carriedOnly
     }
     val numBits = math.min(ideal, budgetBits)
     val aggs = typed.map { case (c, _) =>
@@ -271,18 +332,37 @@ object BloomIndex {
         Literal(expected), Literal(numBits)).toAggregateExpression())
         .as(s"bf_$c")
     }
-    val rows = df.groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
+    Some(ExtendPlan(carriedCols, typed, aggs))
+  }
+
+  /** Publish every carried-plus-extended shard from the collected
+    * per-file rows (empty rows/aggs publish the carried filters alone).
+    * `offset` = non-bloom aggregate columns preceding the plan's own.
+    */
+  private[sinks] def publishExtended(versionDir: Path, plan: ExtendPlan,
+      rows: Array[org.apache.spark.sql.Row], offset: Int): Unit = {
     val enc = Base64.getEncoder
-    val extra = typed.zipWithIndex.map { case ((c, _), i) =>
-      c -> rows.flatMap { r =>
-        for {
-          rel <- relPath(versionDir, r.getString(0))
-          bits <- Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]])
-        } yield rel -> enc.encodeToString(bits)
+    val extra: Map[String, Map[String, String]] =
+      plan.typed.zipWithIndex.map { case ((c, _), i) =>
+        c -> rows.flatMap { r =>
+          for {
+            rel <- relPath(versionDir, r.getString(0))
+            bits <- Option(r.get(i + 1 + offset)).map(_.asInstanceOf[Array[Byte]])
+          } yield rel -> enc.encodeToString(bits)
+        }.toMap
       }.toMap
-    }.toMap
-    publishAll(extra)
+    val collided = plan.carriedCols.keys.toSeq.groupBy(shardName)
+      .filter(_._2.size > 1).values.flatten.toSet
+    val written = scala.collection.mutable.Set[String]()
+    plan.carriedCols.toSeq.sortBy(_._1).foreach { case (c, cb) =>
+      val name = if (collided(c)) fullShardName(c) else shardName(c)
+      if (!written.add(name))
+        log.warn(s"bloom shard name collision on '$name' — column '$c' " +
+          "not carried")
+      else TableManifest.publisher.publish(versionDir, name,
+        Serialization.writePretty(
+          Shard(c, cb.typ, cb.files ++ extra.getOrElse(c, Map.empty))))
+    }
   }
 
   /** One column's filters: its shard first (short name, then the

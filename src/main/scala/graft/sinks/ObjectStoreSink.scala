@@ -286,20 +286,33 @@ object ObjectStoreSink {
       // leftover, invisible to recovery/vacuum (TableManifest protocol)
       val manifest0 = timed(s"replaceTable($fq) manifest")(
         TableManifest.commit(next, schemaHash(reread), spec.fileFormat, txn))
+      val sumCols = spec.sumColumns.filterNot(spec.partitionBy.contains)
+      val bloomCols = spec.bloomColumns.filterNot(spec.partitionBy.contains)
       // exact per-file sums republish the manifest BEFORE the repoint, so
-      // readers never observe a sum-less window on a sum-maintained table
+      // readers never observe a sum-less window on a sum-maintained table;
+      // the auxiliary bloom sidecar publishes AFTER the manifest — a crash
+      // in between leaves a committed version that simply doesn't
+      // bloom-prune. A table maintaining BOTH runs ONE distributed pass
+      // over the fresh files computing the sum and Bloom aggregates
+      // together (guide §1.2: remove whole passes before tuning inside
+      // them) — the publish order above is unchanged, only the scan fuses.
       val manifest =
-        if (spec.sumColumns.nonEmpty)
-          timed(s"replaceTable($fq) sums")(
-            TableManifest.enrichSums(spark, next, spec.fileFormat,
-              spec.sumColumns.filterNot(spec.partitionBy.contains), manifest0))
-        else manifest0
-      // auxiliary bloom sidecar AFTER the manifest: a crash in between
-      // leaves a committed version that simply doesn't bloom-prune
-      if (spec.bloomColumns.nonEmpty)
-        timed(s"replaceTable($fq) blooms")(
-          BloomIndex.build(spark, next, spec.fileFormat,
-            spec.bloomColumns.filterNot(spec.partitionBy.contains), manifest))
+        if (sumCols.nonEmpty && bloomCols.nonEmpty && manifest0.files.nonEmpty)
+          timed(s"replaceTable($fq) sums+blooms")(
+            fusedEnrich(spark, next, spec.fileFormat, sumCols, bloomCols,
+              manifest0))
+        else {
+          val m1 =
+            if (sumCols.nonEmpty)
+              timed(s"replaceTable($fq) sums")(
+                TableManifest.enrichSums(spark, next, spec.fileFormat,
+                  sumCols, manifest0))
+            else manifest0
+          if (bloomCols.nonEmpty)
+            timed(s"replaceTable($fq) blooms")(
+              BloomIndex.build(spark, next, spec.fileFormat, bloomCols, m1))
+          m1
+        }
       // ...and the table-root commit log records the version, so "latest
       // committed" never depends on directory-listing order/completeness
       CommitLog.record(tableDir, versionNumber(next))
@@ -312,6 +325,47 @@ object ObjectStoreSink {
       timed(s"replaceTable($fq) retire")(retireOldVersions(tableDir, keep = 2))
       fq
     }
+
+  /** One distributed pass computing BOTH the exact per-file sums and the
+    * per-file Bloom filters of a freshly committed version dir — the
+    * fusion of [[TableManifest.enrichSums]] and [[BloomIndex.build]] for
+    * tables that maintain both (each alone would scan the same files
+    * again). Decision logic, refusal guards, fold and publish order are
+    * the two modules' own (their plan/apply halves); only the scan is
+    * shared. Either side declining (unsizable, no qualifying columns)
+    * degrades to the other side's single pass.
+    */
+  private def fusedEnrich(spark: SparkSession, versionDir: Path,
+      fileFormat: String, sumCols: Seq[String], bloomCols: Seq[String],
+      m: TableManifest.Manifest): TableManifest.Manifest = {
+    import org.apache.spark.sql.functions.input_file_name
+    val df = spark.read.format(fileFormat).load(versionDir.toString)
+    val sp = TableManifest.planSums(df, sumCols,
+      TableManifest.sumTargets(versionDir, m, onlyRel = None))
+    val bp = BloomIndex.planBuild(df, versionDir, bloomCols, m)
+    (sp, bp) match {
+      case (Some(s), Some(b)) =>
+        val aggs = s.aggs ++ b.aggs
+        val rows = df.groupBy(input_file_name().as("_file"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        // manifest-with-sums republishes FIRST, shards after — the same
+        // crash contract as the separate passes
+        val enriched = TableManifest.applySums(versionDir, m, s, rows,
+          offset = 0)
+        BloomIndex.publishShards(versionDir, b, rows, offset = s.aggs.size)
+        enriched
+      case (Some(s), None) =>
+        val rows = df.groupBy(input_file_name().as("_file"))
+          .agg(s.aggs.head, s.aggs.tail: _*).collect()
+        TableManifest.applySums(versionDir, m, s, rows, offset = 0)
+      case (None, Some(b)) =>
+        val rows = df.groupBy(input_file_name().as("_file"))
+          .agg(b.aggs.head, b.aggs.tail: _*).collect()
+        BloomIndex.publishShards(versionDir, b, rows, offset = 0)
+        m
+      case (None, None) => m
+    }
+  }
 
   /** Link-append commit: a new version whose data is the previous
     * snapshot PLUS `newRows`, at the cost of writing ONLY the new rows.
@@ -958,19 +1012,56 @@ object ObjectStoreSink {
     val sumCols = (spec.sumColumns ++ prevManifest.files.flatMap(
       _.stats.toSeq.flatMap(_.collect {
         case (c, cs) if cs.sum.nonEmpty => c }))).distinct
+      .filterNot(spec.partitionBy.contains)
     val carriedRel = carriedEntries.map(_.path).toSet
-    val manifest =
-      if (sumCols.nonEmpty)
-        timed(s"linkCommit($fq) sums")(
-          TableManifest.enrichSums(spark, next, spec.fileFormat,
-            sumCols.filterNot(spec.partitionBy.contains), manifest0,
-            onlyRel = Some(manifest0.files.map(_.path).toSet -- carriedRel)))
-      else manifest0
-    // sidecar AFTER the manifest, same crash contract as replaceTable;
-    // prior shards extend over ONLY the new files — never a table scan
-    timed(s"linkCommit($fq) blooms")(
-      BloomIndex.carryAndExtend(spark, prevDir, next, spec.fileFormat,
-        manifest, carriedRel))
+    // sums republish the manifest BEFORE the repoint; the bloom sidecar
+    // publishes AFTER the manifest — and a table maintaining both runs
+    // ONE pass over the fresh files computing the sum and Bloom
+    // aggregates together (the same fusion as replaceTable: both passes
+    // cover exactly the non-carried files, so two scans were pure waste)
+    val newOnly = Some(manifest0.files.map(_.path).toSet -- carriedRel)
+    val freshDf = BloomIndex.newDf(spark, next, spec.fileFormat,
+      manifest0, carriedRel)
+    val sumPlan =
+      if (sumCols.isEmpty) None
+      else freshDf.flatMap(df => TableManifest.planSums(df, sumCols,
+        TableManifest.sumTargets(next, manifest0, newOnly)))
+    val extendPlan = BloomIndex.planExtend(prevDir, next, manifest0,
+      carriedRel, freshDf)
+    val manifest = (sumPlan, extendPlan) match {
+      case (Some(s), Some(e)) if e.aggs.nonEmpty =>
+        timed(s"linkCommit($fq) sums+blooms") {
+          import org.apache.spark.sql.functions.input_file_name
+          val aggs = s.aggs ++ e.aggs
+          val rows = freshDf.get.groupBy(input_file_name().as("_file"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val enriched = TableManifest.applySums(next, manifest0, s, rows,
+            offset = 0)
+          BloomIndex.publishExtended(next, e, rows, offset = s.aggs.size)
+          enriched
+        }
+      case _ =>
+        val m1 = sumPlan match {
+          case Some(s) => timed(s"linkCommit($fq) sums") {
+            import org.apache.spark.sql.functions.input_file_name
+            val rows = freshDf.get.groupBy(input_file_name().as("_file"))
+              .agg(s.aggs.head, s.aggs.tail: _*).collect()
+            TableManifest.applySums(next, manifest0, s, rows, offset = 0)
+          }
+          case None => manifest0
+        }
+        timed(s"linkCommit($fq) blooms")(extendPlan.foreach { e =>
+          if (e.aggs.isEmpty)
+            BloomIndex.publishExtended(next, e, Array.empty, offset = 0)
+          else {
+            import org.apache.spark.sql.functions.input_file_name
+            val rows = freshDf.get.groupBy(input_file_name().as("_file"))
+              .agg(e.aggs.head, e.aggs.tail: _*).collect()
+            BloomIndex.publishExtended(next, e, rows, offset = 0)
+          }
+        })
+        m1
+    }
     CommitLog.record(tableDir, versionNumber(next))
     timed(s"linkCommit($fq) repoint")(
       repoint(spark, fq, spec, next, reread))

@@ -330,15 +330,47 @@ object TableManifest {
   def enrichSums(spark: org.apache.spark.sql.SparkSession, versionDir: Path,
       fileFormat: String, columns: Seq[String], m: Manifest,
       onlyRel: Option[Set[String]] = None): Manifest = {
-    import org.apache.spark.sql.functions.{col, input_file_name, sum}
-    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
-    if (columns.isEmpty || m.files.isEmpty) return m
-    val targetRels = onlyRel.getOrElse(m.files.map(_.path).toSet)
-    if (targetRels.isEmpty) return m
-    val targets = m.files.filter(e => targetRels(e.path))
+    import org.apache.spark.sql.functions.input_file_name
+    val targets = sumTargets(versionDir, m, onlyRel)
+    if (columns.isEmpty || targets.isEmpty) return m
     val paths = targets.map(e => resolved(versionDir, e).toString)
-    if (paths.isEmpty) return m
     val df = spark.read.format(fileFormat).load(paths: _*)
+    planSums(df, columns, targets) match {
+      case None => m
+      case Some(plan) =>
+        val rows = df.groupBy(input_file_name().as("_file"))
+          .agg(plan.aggs.head, plan.aggs.tail: _*).collect()
+        applySums(versionDir, m, plan, rows, offset = 0)
+    }
+  }
+
+  /** The entries a sum pass targets: `onlyRel` (link commits — the fresh
+    * files) or every entry.
+    */
+  private[sinks] def sumTargets(versionDir: Path, m: Manifest,
+      onlyRel: Option[Set[String]]): Seq[FileEntry] = {
+    if (m.files.isEmpty) return Nil
+    val targetRels = onlyRel.getOrElse(m.files.map(_.path).toSet)
+    m.files.filter(e => targetRels(e.path))
+  }
+
+  /** The planned sum pass: (column, decimal scale) pairs in the exact
+    * domains plus the per-file sum aggregates, in lockstep order.
+    */
+  private[sinks] final case class SumPlan(targets: Seq[FileEntry],
+      typed: Seq[(String, Int)], aggs: Seq[org.apache.spark.sql.Column])
+
+  /** The decision half of [[enrichSums]] (no Spark job): which columns
+    * sum exactly and at what scale — `None` when nothing qualifies. Split
+    * out so a commit that also builds Bloom shards can fuse both
+    * enrichments into ONE pass over the same files
+    * ([[graft.sinks.ObjectStoreSink]]).
+    */
+  private[sinks] def planSums(df: org.apache.spark.sql.DataFrame,
+      columns: Seq[String], targets: Seq[FileEntry]): Option[SumPlan] = {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    if (columns.isEmpty || targets.isEmpty) return None
     // (column, decimal scale to sum at) — exact domains only
     val typed: Seq[(String, Int)] = columns.distinct.flatMap { c =>
       df.schema.find(_.name == c).flatMap(_.dataType match {
@@ -347,14 +379,23 @@ object TableManifest {
         case _ => None // float/double/other: order-dependent or unsound
       })
     }
-    if (typed.isEmpty) return m
+    if (typed.isEmpty) return None
     val aggs = typed.map { case (c, s) =>
       sum(col(c).cast(DecimalType(38, s))).as(s"s_$c") }
-    val rows = df.groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
+    Some(SumPlan(targets, typed, aggs))
+  }
+
+  /** Fold the collected per-file sums into the manifest and atomically
+    * republish it. `offset` = how many non-sum aggregate columns precede
+    * the plan's own in each row (0 when the pass was sums-only); column 0
+    * is always the file name.
+    */
+  private[sinks] def applySums(versionDir: Path, m: Manifest, plan: SumPlan,
+      rows: Array[org.apache.spark.sql.Row], offset: Int): Manifest = {
+    val targetRels = plan.targets.map(_.path).toSet
     // physical path → LOGICAL entry key (ref entries' bytes live in a
     // prior version dir; their sums still key by the logical path)
-    val physToRel = targets.map(e =>
+    val physToRel = plan.targets.map(e =>
       resolved(versionDir, e).normalize.toString -> e.path).toMap
     val byRel: Map[String, org.apache.spark.sql.Row] = rows.flatMap { r =>
       val f = r.getString(0)
@@ -363,15 +404,15 @@ object TableManifest {
         physToRel.get(p.toString).map(_ -> r)
       } catch { case _: Exception => None }
     }.toMap
-    val colIdx = typed.map(_._1).zipWithIndex.toMap
+    val colIdx = plan.typed.map(_._1).zipWithIndex.toMap
     val entries = m.files.map { fe =>
       if (!targetRels(fe.path)) fe
       else byRel.get(fe.path) match {
         case None => fe
         case Some(r) =>
           val stats0 = fe.stats.getOrElse(Map.empty)
-          val updated = typed.foldLeft(stats0) { case (acc, (c, s)) =>
-            (acc.get(c), Option(r.get(colIdx(c) + 1))) match {
+          val updated = plan.typed.foldLeft(stats0) { case (acc, (c, s)) =>
+            (acc.get(c), Option(r.get(colIdx(c) + 1 + offset))) match {
               // only enrich a stats entry whose domain agrees: "long" for
               // integral sums, "dec" at the SAME scale for decimal sums —
               // a domain mismatch means drifted metadata; refuse to record

@@ -113,7 +113,9 @@ object DedupIndexStream {
       // a crashed earlier attempt may have left uncommitted partial writes
       deleteTree(batchDir)
 
-      val existing = loadIndex(spark, indexDir)
+      import graft.sinks.ObjectStoreSink.timed
+      val existing = timed(s"dse($batchKey) loadIndex")(
+        loadIndex(spark, indexDir))
       // PERSIST the ledger-filtered batch too: bands and hashes are built
       // from it as SEPARATE plans (buildIndex), so without this the
       // anti-join (and the dedup shuffle above it) would run once per kernel
@@ -128,22 +130,28 @@ object DedupIndexStream {
       batchIdx.counts.persist()
       try {
         // nothing fresh: no state to commit, replay re-derives the same
-        if (batchIdx.counts.isEmpty) return
+        if (timed(s"dse($batchKey) counts.isEmpty")(batchIdx.counts.isEmpty))
+          return
         val idx = existing.getOrElse(emptyIndex(spark, batchIdx))
         val pairs = IncrementalDedup.newPairs(idx, batchIdx, threshold)
         pairs.persist()
         try {
-          if (!pairs.isEmpty)
-            pairs.write.mode(SaveMode.Overwrite)
-              .parquet(s"$pairsDir/batch=$batchKey")
+          if (timed(s"dse($batchKey) pairs.isEmpty")(!pairs.isEmpty))
+            timed(s"dse($batchKey) pairs.write")(
+              pairs.write.mode(SaveMode.Overwrite)
+                .parquet(s"$pairsDir/batch=$batchKey"))
         } finally pairs.unpersist(): Unit
-        batchIdx.bands.write.parquet(s"$batchDir/bands")
-        batchIdx.hashes.write.parquet(s"$batchDir/hashes")
-        batchIdx.counts.write.parquet(s"$batchDir/counts")
+        timed(s"dse($batchKey) bands.write")(
+          batchIdx.bands.write.parquet(s"$batchDir/bands"))
+        timed(s"dse($batchKey) hashes.write")(
+          batchIdx.hashes.write.parquet(s"$batchDir/hashes"))
+        timed(s"dse($batchKey) counts.write")(
+          batchIdx.counts.write.parquet(s"$batchDir/counts"))
         // the commit point; the marker records the batch's content
         // fingerprint so a post-compaction replay is distinguishable from
         // a reset checkpoint reusing the key name
-        Files.writeString(marker, fpString(fpV2))
+        timed(s"dse($batchKey) fingerprint")(
+          Files.writeString(marker, fpString(fpV2)))
         ()
       } finally {
         batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
