@@ -264,6 +264,7 @@ object ObjectStoreSink {
       val next = nextVersionDir(tableDir)
       val sw0 = tsMicros(df).write
         .mode(SaveMode.Overwrite).format(spec.fileFormat)
+        .options(versionDirWriteOptions)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       // materialize BEFORE touching the live table
       timed(s"replaceTable($fq) save")(sw.save(next.toString))
@@ -915,6 +916,7 @@ object ObjectStoreSink {
     } else {
       val sw0 = tsMicros(toPhysical(fresh, carriedPin)).write
         .mode(SaveMode.Overwrite).format(spec.fileFormat)
+        .options(versionDirWriteOptions)
       val sw = if (spec.partitionBy.nonEmpty) sw0.partitionBy(spec.partitionBy: _*) else sw0
       timed(s"linkCommit($fq) save")(sw.save(next.toString))
     }
@@ -1071,6 +1073,22 @@ object ObjectStoreSink {
     LinkCommitReport(fq, carriedEntries.size,
       manifest.files.size - carriedEntries.size, degraded = false)
   }
+
+  /** Write options for VERSION-DIR data writes only (never user query
+    * outputs): FileOutputCommitter algorithm 2 moves each task's files
+    * into the destination at TASK commit instead of a sequential
+    * driver-side rename of every file at JOB commit — O(tasks, parallel)
+    * instead of O(files, driver-serial). v2's weaker guarantee (a failed
+    * job can leave already-committed task files in the destination) is
+    * exactly what the versioned-dir protocol already tolerates: a version
+    * dir without `_manifest.json` is an uncommitted crash leftover,
+    * invisible to readers/recovery and swept by retention — the manifest,
+    * not the directory, is the commit. Spark's OutputCommitCoordinator
+    * still serializes task commits, so speculative/retried tasks cannot
+    * double-commit.
+    */
+  private val versionDirWriteOptions: Map[String, String] =
+    Map("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
 
   /** Table data is written with int64-micros timestamps for the scope of
     * the write: INT96 (Spark's legacy parquet default) records NO column
