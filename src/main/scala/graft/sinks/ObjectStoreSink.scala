@@ -956,30 +956,58 @@ object ObjectStoreSink {
           carried += e.copy(path = rel, ref = ref)
         }
       }
-    } else wanted.foreach { e =>
-      val src = TableManifest.resolved(prevDir, e)
-      if (!intact || !Files.exists(src)) intact = false
-      else {
-        var target = next.resolve(e.path)
-        Files.createDirectories(target.getParent)
-        var rel = e.path
-        if (Files.exists(target)) {
-          val freshName = s"link-${java.util.UUID.randomUUID()}-" +
-            target.getFileName.toString
-          target = target.getParent.resolve(freshName)
-          rel = next.relativize(target).toString
+    } else {
+      // one hard link per carried file, fanned over a bounded driver pool
+      // (the footerMeta treatment): the links are independent metadata
+      // syscalls, entry paths are unique within a manifest so no two
+      // tasks touch the same target, and a name collision is only ever
+      // against an already-written FRESH file (the save job completed
+      // before this loop). Results keep `wanted` order — the manifest is
+      // byte-deterministic regardless of completion order; ANY failure
+      // degrades to the full rewrite exactly like the sequential form.
+      def linkOne(e: TableManifest.FileEntry)
+          : Option[TableManifest.FileEntry] = {
+        val src = TableManifest.resolved(prevDir, e)
+        if (!Files.exists(src)) None
+        else {
+          var target = next.resolve(e.path)
+          Files.createDirectories(target.getParent)
+          var rel = e.path
+          if (Files.exists(target)) {
+            val freshName = s"link-${java.util.UUID.randomUUID()}-" +
+              target.getFileName.toString
+            target = target.getParent.resolve(freshName)
+            rel = next.relativize(target).toString
+          }
+          try Files.createLink(target, src)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              try Files.copy(src, target,
+                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
+              catch { case _: Exception => return None }
+          }
+          // the carried file is now physically in THIS dir: the entry is
+          // plain again even when the prior entry was a reference (link
+          // mode re-materializes — mixed-mode histories stay readable)
+          Some(e.copy(path = rel, ref = ""))
         }
-        try Files.createLink(target, src)
-        catch {
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(src, target,
-              java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
-        }
-        // the carried file is now physically in THIS dir: the entry is
-        // plain again even when the prior entry was a reference (link
-        // mode re-materializes — mixed-mode histories stay readable)
-        carried += e.copy(path = rel, ref = "")
       }
+      val results: Seq[Option[TableManifest.FileEntry]] =
+        if (wanted.size <= 2) wanted.map(linkOne)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(wanted.size, 16))
+          try {
+            import scala.jdk.CollectionConverters._
+            pool.invokeAll(wanted.map(e =>
+              new java.util.concurrent.Callable[
+                Option[TableManifest.FileEntry]] {
+                def call() = try linkOne(e) catch { case _: Exception => None }
+              }).asJava).asScala.toSeq.map(_.get)
+          } finally pool.shutdown()
+        }
+      if (results.exists(_.isEmpty)) intact = false
+      else carried ++= results.flatten
     }
     if (!intact) { deleteTree(next); return fullRewrite() }
     val carriedEntries = carried.result()
