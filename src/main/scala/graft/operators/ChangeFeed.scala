@@ -176,7 +176,14 @@ object ChangeFeed {
   private def step(addedRows: DataFrame, removedRows: DataFrame,
       v: Int, tsMs: Long): DataFrame = {
     val cols = addedRows.columns.toSeq
-    val w = "_graft_w"; val n = "_graft_n"
+    // collision-free working names: withColumn silently REPLACES an existing
+    // column, so a user column literally named _graft_w would be overwritten
+    // (and grouping by the tag would break add/remove cancellation) — suffix
+    // until absent, like the name-agnostic exceptAll path this replaced
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(nm => !cols.contains(nm)).get
+    val w = fresh("_graft_w"); val n = fresh("_graft_n")
     val tagged = addedRows.withColumn(w, lit(1L))
       .unionByName(removedRows.withColumn(w, lit(-1L)))
     val counted = tagged.groupBy(cols.map(col): _*)

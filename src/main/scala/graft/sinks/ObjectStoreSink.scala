@@ -992,8 +992,13 @@ object ObjectStoreSink {
           Some(e.copy(path = rel, ref = ""))
         }
       }
+      // both paths degrade identically: ANY exception (not just the I/O
+      // fallbacks linkOne catches itself — e.g. createDirectories failing
+      // on permissions) becomes None → clean fullRewrite degrade, never a
+      // propagated throw that leaves the uncommitted next dir behind
       val results: Seq[Option[TableManifest.FileEntry]] =
-        if (wanted.size <= 2) wanted.map(linkOne)
+        if (wanted.size <= 2)
+          wanted.map(e => try linkOne(e) catch { case _: Exception => None })
         else {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(wanted.size, 16))

@@ -502,15 +502,21 @@ object TableManifest {
     // "nothing is running"). Results are keyed by relative path, so
     // completion order cannot change the manifest; ANY failure degrades
     // the whole commit exactly like the sequential form did.
+    // one unreadable footer degrades the WHOLE commit, so remaining reads
+    // are wasted I/O — short-circuit them (the old sequential loop returned
+    // on the first failure; the pool otherwise reads every remaining footer
+    // of a large mixed-content version dir before discovering the None)
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def readOne(p: Path): Option[(String, Long, Map[String, ColStats])] =
-      try {
+      if (failed.get) None
+      else try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try Some((versionDir.relativize(p).toString, r.getRecordCount,
           footerColStats(r.getFooter)))
         finally r.close()
-      } catch { case _: Exception => None } // not parquet
+      } catch { case _: Exception => failed.set(true); None } // not parquet
     val results: Seq[Option[(String, Long, Map[String, ColStats])]] =
       if (files.size <= 2) files.map(readOne)
       else {

@@ -125,9 +125,9 @@ object DedupIndexStream {
         case None => deduped
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchIdx = IncrementalDedup.buildIndex(fresh)
-      // cache the (small) batch index once: pairs + three writes read it
+      // cache the (small) batch index once: pairs + four writes read it
       batchIdx.bands.persist(); batchIdx.hashes.persist()
-      batchIdx.counts.persist()
+      batchIdx.counts.persist(); batchIdx.buckets.persist()
       try {
         // nothing fresh: no state to commit, replay re-derives the same
         if (timed(s"dse($batchKey) counts.isEmpty")(batchIdx.counts.isEmpty))
@@ -147,6 +147,10 @@ object DedupIndexStream {
           batchIdx.hashes.write.parquet(s"$batchDir/hashes"))
         timed(s"dse($batchKey) counts.write")(
           batchIdx.counts.write.parquet(s"$batchDir/counts"))
+        // the batch's own per-bucket counts: the additive summary the next
+        // batch's hot-bucket cap reads instead of the corpus band rows
+        timed(s"dse($batchKey) buckets.write")(
+          batchIdx.buckets.write.parquet(s"$batchDir/buckets"))
         // the commit point; the marker records the batch's content
         // fingerprint so a post-compaction replay is distinguishable from
         // a reset checkpoint reusing the key name
@@ -155,7 +159,7 @@ object DedupIndexStream {
         ()
       } finally {
         batchIdx.bands.unpersist(); batchIdx.hashes.unpersist()
-        batchIdx.counts.unpersist(): Unit
+        batchIdx.counts.unpersist(); batchIdx.buckets.unpersist(): Unit
         fresh.unpersist(): Unit
       }
       } finally deduped.unpersist(): Unit
@@ -173,10 +177,30 @@ object DedupIndexStream {
     if (!Files.isDirectory(base)) return None
     val committed = committedDirs(base).map(_.toString)
     if (committed.isEmpty) None
-    else Some(DedupIndex(
-      spark.read.parquet(committed.map(_ + "/bands"): _*),
-      spark.read.parquet(committed.map(_ + "/hashes"): _*),
-      spark.read.parquet(committed.map(_ + "/counts"): _*)))
+    else {
+      // per-bucket count summaries (additive: the union of per-batch count
+      // tables sums to the combined population's counts). A batch dir
+      // written before the bucket table existed derives its summary from
+      // its own band rows — a one-off legacy read, gone after the next
+      // compaction rewrites the dir with a stored bucket table.
+      val (withB, legacy) = committed.partition(d =>
+        Files.isDirectory(Paths.get(d, "buckets")))
+      val stored = if (withB.isEmpty) None
+      else Some(spark.read.parquet(withB.map(_ + "/buckets"): _*))
+      val derived = if (legacy.isEmpty) None
+      else Some(IncrementalDedup.bucketCounts(
+        spark.read.parquet(legacy.map(_ + "/bands"): _*)))
+      val buckets = (stored, derived) match {
+        case (Some(s0), Some(d0)) => s0.unionByName(d0)
+        case (Some(s0), None) => s0
+        case (None, d0) => d0.get
+      }
+      Some(DedupIndex(
+        spark.read.parquet(committed.map(_ + "/bands"): _*),
+        spark.read.parquet(committed.map(_ + "/hashes"): _*),
+        spark.read.parquet(committed.map(_ + "/counts"): _*),
+        buckets))
+    }
   }
 
   /** All detected pairs so far: (id_a, id_b, jaccard, batch). */
@@ -233,6 +257,14 @@ object DedupIndexStream {
     idx.bands.repartition(parts("bands")).write.parquet(s"$target/bands")
     idx.hashes.repartition(parts("hashes")).write.parquet(s"$target/hashes")
     idx.counts.repartition(parts("counts")).write.parquet(s"$target/counts")
+    // fold the per-batch bucket summaries into one row per bucket (counts
+    // are additive); sized by the BANDS bytes — the bucket table has no
+    // committed footprint of its own to size from, and one row per distinct
+    // bucket is bounded by the band rows
+    idx.buckets.groupBy("band_idx", "h")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n")).as("n"))
+      .repartition(parts("bands")).write.parquet(s"$target/buckets")
     // the supersede list makes the commit ATOMIC for readers: the instant
     // the marker lands, loadIndex serves the merged dir and EXCLUDES its
     // inputs even if their trees still exist — there is no window where
@@ -336,7 +368,8 @@ object DedupIndexStream {
     DedupIndex(
       like.bands.filter(org.apache.spark.sql.functions.lit(false)),
       like.hashes.filter(org.apache.spark.sql.functions.lit(false)),
-      like.counts.filter(org.apache.spark.sql.functions.lit(false)))
+      like.counts.filter(org.apache.spark.sql.functions.lit(false)),
+      like.buckets.filter(org.apache.spark.sql.functions.lit(false)))
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {

@@ -76,10 +76,12 @@ class IncrementalDedupSpec extends SparkSpec {
     built.bands.write.mode("overwrite").parquet(s"$dir/bands")
     built.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     built.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    built.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
     val reloaded = IncrementalDedup.DedupIndex(
       spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/hashes"),
-      spark.read.parquet(s"$dir/counts"))
+      spark.read.parquet(s"$dir/counts"),
+      spark.read.parquet(s"$dir/buckets"))
     val batch = IncrementalDedup.buildIndex(arrays.filter(col("doc_id") >= cutoff))
     val a = IncrementalDedup.newPairs(built, batch).select("id_a", "id_b")
     val b = IncrementalDedup.newPairs(reloaded, batch).select("id_a", "id_b")
